@@ -1,1 +1,533 @@
-"""Placeholder module — queries land incrementally."""
+"""Batch relational core — SURVEY.md §2 B.2 (project/filter), B.4
+(aggregation), B.6 (sort/limit/topk), B.7 (set ops).
+
+Every query here is Catalyst-native (no UDFs): projections and filters
+reach the parquet scan (pushdown + pruning), aggregations get map-side
+partial aggregation automatically, top-k plans as TakeOrderedAndProject.
+Scale notes sit on the queries where the plan choice matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from event_stream_for_k8s_spark.catalog import load
+from event_stream_for_k8s_spark.operators import dedup_key, top_k, top_k_per_group
+from event_stream_for_k8s_spark.plans.registry import query
+from event_stream_for_k8s_spark.plans.util import davg, dsum, sql_davg, sql_dsum
+
+# --------------------------------------------------------------------------
+# B.2 — projection / filter / predicates
+# --------------------------------------------------------------------------
+
+
+@query(
+    "project_select",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged
+FROM lineitem
+""",
+    section="B.2",
+)
+def project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    # Per-row double arithmetic is order-independent => exact oracle match.
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        (
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("charged"),
+    )
+
+
+@query(
+    "project_nested",
+    oracle="""
+SELECT event_id, coalesce(event_type, '-') AS etype, user_id AS uid
+FROM events
+""",
+    section="B.2",
+)
+def project_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # Pack into a struct, then extract dotted fields with null defaults —
+    # the reference's metric-label projection (tasks.rs:109-121).
+    nested = ev.select(
+        "event_id", F.struct("event_type", "user_id").alias("meta")
+    )
+    return nested.select(
+        "event_id",
+        F.coalesce(F.col("meta.event_type"), F.lit("-")).alias("etype"),
+        F.col("meta.user_id").alias("uid"),
+    )
+
+
+@query(
+    "project_envelope",
+    oracle="""
+SELECT ts AS time, event_id AS eid, event_type AS etype, value AS val
+FROM events
+""",
+    section="B.2",
+)
+def project_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # The reference's KubernetesEvent envelope (types.rs:10-18): canonical
+    # time + the whole row nested one level down.
+    env = ev.select(
+        F.col("ts").alias("time"), F.struct(*ev.columns).alias("kubernetes_event")
+    )
+    return env.select(
+        "time",
+        F.col("kubernetes_event.event_id").alias("eid"),
+        F.col("kubernetes_event.event_type").alias("etype"),
+        F.col("kubernetes_event.value").alias("val"),
+    )
+
+
+@query(
+    "filter_pred",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderstatus IN ('O', 'F')
+  AND o_totalprice BETWEEN 1000 AND 150000
+  AND (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%')
+  AND o_custkey IS NOT NULL
+  AND NOT (o_orderkey % 10 = 3)
+""",
+    section="B.2",
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_totalprice").between(1000, 150000)
+        & (F.col("o_orderpriority").like("1%") | F.col("o_orderpriority").like("2%"))
+        & F.col("o_custkey").isNotNull()
+        & ~(F.col("o_orderkey") % 10 == 3)
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "filter_ttl",
+    oracle="""
+SELECT event_id, ts, event_type FROM events
+WHERE ts >= TIMESTAMP '2024-03-01 00:00:00'
+""",
+    section="B.2",
+)
+def filter_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A12 TTL-age predicate as a query (tasks.rs:196) — event-time cutoff.
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.col("ts") >= F.lit("2024-03-01 00:00:00").cast("timestamp")).select(
+        "event_id", "ts", "event_type"
+    )
+
+
+@query(
+    "key_concat",
+    oracle="""
+SELECT event_id,
+       concat_ws(':', coalesce(cast(event_id AS varchar), ''),
+                      coalesce(event_type, '')) AS dedup_key
+FROM events
+""",
+    section="B.2",
+)
+def key_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", dedup_key(["event_id", "event_type"]).alias("dedup_key")
+    )
+
+
+# --------------------------------------------------------------------------
+# B.4 — aggregations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_hash",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+       {sql_davg('l_quantity')} AS avg_qty,
+       min(l_quantity) AS min_qty,
+       max(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+    section="B.4",
+)
+def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q1 shape. Partial (map-side) + final aggregation is automatic;
+    # at 100 TB this is one shuffle of a handful of groups.
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), dec=4).alias(
+            "sum_disc_price"
+        ),
+        davg("l_quantity").alias("avg_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@query(
+    "agg_multidim",
+    oracle=f"""
+SELECT coalesce(event_type, '-') AS etype,
+       user_id % 10 AS ubucket,
+       strftime(ts, '%Y-%m') AS month,
+       cast(json_extract_string(props, '$.k') AS int) % 5 AS kbucket,
+       count(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2, 3, 4
+""",
+    section="B.4",
+)
+def agg_multidim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference's 4-dim Prometheus counter key (tasks.rs:26-37) with
+    # '-' null defaults, as a relational aggregation.
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.coalesce("event_type", F.lit("-")).alias("etype"),
+        (F.col("user_id") % 10).alias("ubucket"),
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        (F.get_json_object("props", "$.k").cast("int") % 5).alias("kbucket"),
+    ).agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+    section="B.4",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query("agg_approx_distinct", oracle=None, section="B.4",
+       notes="HLL sketch differs from any exact oracle by design; rows-only. "
+             "tests/test_relational.py asserts the 2% error envelope.")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The 100 TB path for count-distinct: HLL++, no exact shuffle of keys.
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       count(*) AS n_rows,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+    section="B.4",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+    ).select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty")
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid,
+       count(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+    section="B.4",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+    ).select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "sum_price")
+
+
+@query(
+    "agg_gsets",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
+    section="B.4",
+)
+def agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(F.grouping_id().alias("gid"), F.count("*").alias("n_orders"))
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders")
+    )
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+SELECT o_custkey, count(*) AS n_orders, {sql_dsum('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 12
+""",
+    section="B.4",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sum_price"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 6) AS std_qty,
+       round(var_samp(l_quantity), 6) AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+    section="B.4",
+    notes="stat aggregates rounded to 6dp: merge order differs across "
+    "engines at ~1e-12 relative error",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.expr("percentile(l_quantity, 0.5D)"), 6).alias("median_qty"),
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys,
+       count(*) AS n_orders
+FROM orders WHERE o_custkey < 50
+GROUP BY o_custkey
+""",
+    section="B.4",
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    # array_sort makes collect_list deterministic (SURVEY.md §5.2).
+    return (
+        o.filter(F.col("o_custkey") < 50)
+        .groupBy("o_custkey")
+        .agg(
+            F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B.6 — sort / limit / top-k
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sort_global",
+    oracle="""
+SELECT c_custkey, c_name, seg, pos FROM (
+  SELECT c_custkey, c_name, nullif(c_mktsegment, 'BUILDING') AS seg,
+         row_number() OVER (
+           ORDER BY nullif(c_mktsegment, 'BUILDING') ASC NULLS LAST,
+                    c_acctbal DESC, c_custkey) AS pos
+  FROM customer)
+""",
+    section="B.6",
+    notes="order encoded as a materialized position column because the "
+    "driver's value hash is order-insensitive",
+)
+def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    w = Window.orderBy(
+        seg.asc_nulls_last(), F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.select(
+            "c_custkey",
+            "c_name",
+            seg.alias("seg"),
+            F.row_number().over(w).alias("pos"),
+        )
+        .orderBy("pos")
+    )
+
+
+@query(
+    "limit_n",
+    oracle="SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100",
+    section="B.6",
+)
+def limit_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_totalprice").orderBy("o_orderkey").limit(100)
+
+
+@query(
+    "topk",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+""",
+    section="B.6",
+)
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Plans as TakeOrderedAndProject: per-partition heaps, no full sort —
+    # already the right 100 TB strategy.
+    o = load(spark, sf_dir, "orders")
+    return top_k(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        25,
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+SELECT c_mktsegment, c_custkey, c_acctbal, rnk FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS rnk
+  FROM customer) WHERE rnk <= 3
+""",
+    section="B.6",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return top_k_per_group(
+        c.select("c_mktsegment", "c_custkey", "c_acctbal"),
+        ["c_mktsegment"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey")],
+        3,
+    )
+
+
+# --------------------------------------------------------------------------
+# B.7 — set operations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "set_union_all",
+    oracle="""
+SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority LIKE '1%'
+UNION ALL
+SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 100000
+""",
+    section="B.7",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    a = o.filter(F.col("o_orderpriority").like("1%"))
+    b = o.filter(F.col("o_totalprice") > 100000)
+    return a.select("o_orderkey", "o_orderpriority").unionByName(
+        b.select("o_orderkey", "o_orderpriority")
+    )
+
+
+@query(
+    "set_union",
+    oracle="""
+SELECT c_nationkey AS nk FROM customer
+UNION
+SELECT s_nationkey AS nk FROM supplier
+""",
+    section="B.7",
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.union(s).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+SELECT c_custkey AS k FROM customer
+INTERSECT
+SELECT o_custkey AS k FROM orders
+""",
+    section="B.7",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return c.intersect(o)
+
+
+@query(
+    "set_except",
+    oracle="""
+SELECT c_custkey AS k FROM customer
+EXCEPT
+SELECT o_custkey AS k FROM orders
+""",
+    section="B.7",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Customers that never ordered — the reference's dedup probe (A6)
+    # phrased as a set difference.
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return c.exceptAll(o.distinct())

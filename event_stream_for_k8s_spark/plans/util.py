@@ -1,12 +1,19 @@
 """Determinism helpers for oracle-checked queries.
 
-Floating-point sums are order-dependent; Spark's partial aggregation
-order differs from DuckDB's sequential scan. Both engines, however,
-compute DECIMAL sums exactly (order-insensitive). So every checked
-aggregate over a double column goes through decimal(38,10) and is cast
-back to double at the end — bit-identical on both sides. Averages are
-computed as exact-decimal-sum / count, divided in double space with the
-same expression shape on both sides.
+Floating-point sums are order-dependent (Spark's partial-aggregation
+merge order differs from DuckDB's sequential scan), and DuckDB's
+decimal->double cast rounds differently from the JVM's (off by one
+ulp: int128/10^scale is two roundings, not one). Both pitfalls vanish
+with scaled-integer aggregation: the input columns carry a fixed
+number of decimal digits, so ``round(x * 10^d)`` is an exact int64 on
+both engines, the int64 sum is exact and order-insensitive, and the
+final ``cast(sum as double) / 10^d`` is a correctly-rounded identical
+double everywhere.
+
+``dec`` is the decimal-digit count of the (possibly computed) input:
+2 for money/value columns, 0 for integral quantities, 6 for products
+of two 2-dp columns, etc. Sums must stay under 2^63 / 10^dec — at
+100 TB pick ``dec`` accordingly or fall back to decimal output.
 """
 
 from __future__ import annotations
@@ -14,29 +21,35 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-DEC = "decimal(38,10)"
 
-
-def dsum(col: Column | str) -> Column:
-    """Order-insensitive sum of a double column, returned as double."""
+def _scaled(col: Column | str, dec: int) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).cast("double")
+    return F.round(c * F.lit(10**dec)).cast("long")
 
 
-def davg(col: Column | str) -> Column:
-    """Order-insensitive mean: exact decimal sum / count, in double."""
+def dsum(col: Column | str, dec: int = 2) -> Column:
+    """Order-insensitive sum of a fixed-decimal column, as double."""
+    return F.sum(_scaled(col, dec)).cast("double") / F.lit(float(10**dec))
+
+
+def davg(col: Column | str, dec: int = 2) -> Column:
+    """Order-insensitive mean of a fixed-decimal column, as double."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).cast("double") / F.count(c)
-
-
-def sql_dsum(expr: str) -> str:
-    """DuckDB twin of ``dsum``."""
-    return f"cast(sum(cast(({expr}) as decimal(38,10))) as double)"
-
-
-def sql_davg(expr: str) -> str:
-    """DuckDB twin of ``davg``."""
     return (
-        f"cast(sum(cast(({expr}) as decimal(38,10))) as double)"
-        f" / count({expr})"
+        F.sum(_scaled(col, dec)).cast("double")
+        / F.lit(float(10**dec))
+        / F.count(c)
     )
+
+
+def sql_dsum(expr: str, dec: int = 2) -> str:
+    """DuckDB twin of ``dsum``."""
+    return (
+        f"cast(sum(cast(round(({expr}) * {10**dec}) as bigint)) as double)"
+        f" / {float(10**dec)}"
+    )
+
+
+def sql_davg(expr: str, dec: int = 2) -> str:
+    """DuckDB twin of ``davg``."""
+    return f"{sql_dsum(expr, dec)} / count({expr})"
