@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark harness (BASELINE.md protocol).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], 1 warm-up + median
+of $BENCH_RUNS (default 3) timed runs per query, executing each plan
+fully through the ``noop`` sink (no driver collection, no pruning of
+the measured work). Prints exactly ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from event_stream_for_k8s_spark.plans import REGISTRY  # noqa: E402
+from event_stream_for_k8s_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    # reference-parity hot path
+    "flagship_dedup_count",
+    "k8s_envelope_multidim_count",
+    "stream_dedup_ttl",
+    # relational core
+    "agg_hash",
+    "agg_multidim",
+    "join_inner_hash",
+    "join_broadcast",
+    "join_asof",
+    "win_rank",
+    "topk_per_group",
+    # LLM pipeline
+    "llm_dedup_exact",
+    "llm_dedup_near",
+    "llm_knn_brute",
+    "llm_text_tfidf",
+    "llm_fingerprint",
+    "llm_quality",
+]
+
+
+def run_once(spark, name: str, sf_dir: str) -> float:
+    t0 = time.time()
+    df = REGISTRY[name].spark(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        try:
+            run_once(spark, name, sf_dir)  # warm-up
+            timings[name] = round(
+                statistics.median(run_once(spark, name, sf_dir) for _ in range(runs)),
+                3,
+            )
+        except Exception as e:  # noqa: BLE001
+            timings[name] = -1.0
+            print(f"BENCH ERROR {name}: {type(e).__name__}: {e}", file=sys.stderr)
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,190 @@
+"""Similarity-search and near-duplicate operators at three scale tiers.
+
+1. ``knn_brute``  — exact cosine top-k: broadcast the (small) query set
+   against the full corpus as a BroadcastNestedLoopJoin; the corpus
+   never shuffles. O(Q x N) but embarrassingly parallel — the right
+   baseline, and the only exact one.
+2. ``knn_lsh``    — BucketedRandomProjectionLSH: sub-linear candidate
+   generation via bucketed self-join; approximate.
+3. ``knn_ivf``    — IVF-style: KMeans coarse quantizer (seeded), probe
+   the nProbe nearest centroids, exact search inside the probed cells.
+   At 100 TB the corpus is pre-partitioned by cell id, so a query
+   touches nProbe/nCells of the data.
+
+Near-dup: ``minhash_pairs`` (MinHashLSH over token features).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from event_stream_for_k8s_spark.functions.vectors import cosine
+from event_stream_for_k8s_spark.operators.topk import top_k_per_group
+
+
+def knn_brute(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "qid",
+    c_id: str = "nid",
+    q_vec: str = "qvec",
+    c_vec: str = "cvec",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k; queries must be broadcast-sized."""
+    sim = F.round(cosine(F.col(q_vec), F.col(c_vec)), round_dp)
+    pairs = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col(c_id) != F.col(q_id))
+        .select(q_id, c_id, sim.alias("sim"))
+    )
+    return top_k_per_group(
+        pairs, [q_id], [F.col("sim").desc(), F.col(c_id)], k, rank_col="rnk"
+    )
+
+
+def _to_ml_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    return df.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
+
+
+def knn_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str,
+    c_id: str,
+    q_vec: str,
+    c_vec: str,
+    bucket_length: float = 0.5,
+    num_tables: int = 6,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Approximate top-k via random-projection LSH (euclidean buckets).
+
+    Candidates come from an equi-join on bucket ids — a shuffle join on
+    hash keys, sub-linear in the corpus — then exact re-ranking.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    q = _to_ml_vectors(queries.withColumnRenamed(q_vec, "__raw"), "__raw")
+    c = _to_ml_vectors(corpus.withColumnRenamed(c_vec, "__raw"), "__raw")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="__v",
+        outputCol="__h",
+        bucketLength=bucket_length,
+        numHashTables=num_tables,
+        seed=42,
+    )
+    model = lsh.fit(c)
+    joined = model.approxSimilarityJoin(c, q, threshold, distCol="dist")
+    pairs = joined.select(
+        F.col(f"datasetB.{q_id}").alias(q_id),
+        F.col(f"datasetA.{c_id}").alias(c_id),
+        F.round(
+            cosine(F.col("datasetB.__raw"), F.col("datasetA.__raw")), 6
+        ).alias("sim"),
+    ).filter(F.col(q_id) != F.col(c_id))
+    return top_k_per_group(
+        pairs, [q_id], [F.col("sim").desc(), F.col(c_id)], k, rank_col="rnk"
+    )
+
+
+def knn_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str,
+    c_id: str,
+    q_vec: str,
+    c_vec: str,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF: coarse-quantize the corpus with seeded KMeans, probe the
+    ``n_probe`` nearest cells per query, exact-search inside them."""
+    from pyspark.ml.clustering import KMeans
+
+    c = _to_ml_vectors(corpus, c_vec)
+    km = KMeans(k=n_cells, seed=42, featuresCol="__v", predictionCol="cell")
+    model = km.fit(c)
+    corpus_cells = model.transform(c).drop("__v")
+
+    centroids = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())]
+    cent_df = queries.sparkSession.createDataFrame(
+        centroids, ["cell", "centroid"]
+    )
+    # Probe list per query: n_probe nearest centroids (tiny cross join).
+    probes = top_k_per_group(
+        queries.crossJoin(F.broadcast(cent_df)).select(
+            q_id,
+            q_vec,
+            "cell",
+            F.round(cosine(F.col(q_vec), F.col("centroid")), 6).alias("csim"),
+        ),
+        [q_id],
+        [F.col("csim").desc(), F.col("cell")],
+        n_probe,
+    ).select(q_id, q_vec, "cell")
+    # Search only the probed cells: equi-join on cell id (hash join),
+    # NOT a full cross join — this is the sub-linear path.
+    pairs = (
+        probes.join(corpus_cells, "cell")
+        .filter(F.col(c_id) != F.col(q_id))
+        .select(
+            q_id,
+            c_id,
+            F.round(cosine(F.col(q_vec), F.col(c_vec)), 6).alias("sim"),
+        )
+    )
+    return top_k_per_group(
+        pairs, [q_id], [F.col("sim").desc(), F.col(c_id)], k, rank_col="rnk"
+    )
+
+
+def minhash_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    jaccard_distance: float = 0.5,
+    num_tables: int = 5,
+    num_features: int = 1 << 18,
+    shingle: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHashLSH
+    (shingle -> minhash -> band -> bucket-join).
+
+    Features are word ``shingle``-grams, not unigrams: token SETS of
+    natural-language docs overlap heavily (tiny effective vocab), while
+    exact n-gram sequences are distinctive — unigram Jaccard marks
+    everything a near-dup, shingle Jaccard only true rewordings."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    t = F.split(F.col(text_col), r"\s+")
+    toks = docs.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - shingle + 1, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j) for j in range(shingle)]
+            ),
+        ).alias("__toks"),
+    ).filter(F.size("__toks") > 0)
+    tf = HashingTF(
+        inputCol="__toks", outputCol="__f", numFeatures=num_features, binary=True
+    )
+    feat = tf.transform(toks)
+    mh = MinHashLSH(inputCol="__f", outputCol="__h", numHashTables=num_tables, seed=42)
+    model = mh.fit(feat)
+    joined = model.approxSimilarityJoin(feat, feat, jaccard_distance, distCol="jdist")
+    return (
+        joined.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round(1 - F.col("jdist"), 6).alias("jaccard"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )

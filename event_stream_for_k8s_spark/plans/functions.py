@@ -1,1 +1,271 @@
-"""Placeholder module — queries land incrementally."""
+"""Scalar-function families — SURVEY.md §2 B.8.
+
+One query per family, several functions each; everything is a per-row
+JVM-side expression inside whole-stage codegen (no UDFs, no shuffle
+beyond the scan). Transcendentals (ln/pow) are rounded to 6dp because
+libm implementations differ by an ulp across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_stream_for_k8s_spark.catalog import load
+from event_stream_for_k8s_spark.plans.registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+SELECT p_partkey,
+       upper(p_brand) AS brand_u,
+       lower(p_type) AS type_l,
+       trim(p_name) AS name_t,
+       substring(p_name, 1, 8) AS name_pfx,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       len(string_split(p_name, ' ')) AS n_words,
+       regexp_extract(p_type, '([A-Z]+)', 1) AS first_word,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       length(p_name) AS name_len,
+       (p_type LIKE '%BRASS%') AS is_brass
+FROM part
+""",
+    section="B.8",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.trim("p_name").alias("name_t"),
+        F.substring("p_name", 1, 8).alias("name_pfx"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.regexp_extract("p_type", "([A-Z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.length("p_name").alias("name_len"),
+        F.col("p_type").like("%BRASS%").alias("is_brass"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate) AS y,
+       month(o_orderdate) AS m,
+       day(o_orderdate) AS d,
+       dayofweek(o_orderdate) AS dow,
+       date_trunc('month', o_orderdate) AS month_start,
+       cast(cast(o_orderdate AS date) + 30 AS varchar) AS plus30,
+       datediff('day', DATE '1995-01-01', cast(o_orderdate AS date)) AS days_since,
+       cast(epoch(o_orderdate) AS bigint) AS epoch_s,
+       make_timestamp(cast(epoch(o_orderdate) AS bigint) * 1000000) AS rebuilt
+FROM orders
+""",
+    section="B.8",
+    notes="dow normalized to Sunday=0 on both engines (Spark dayofweek "
+    "is 1-based)",
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30)
+        .cast("string")
+        .alias("plus30"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("days_since"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.timestamp_seconds(F.unix_timestamp("o_orderdate")).alias("rebuilt"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 1) AS price_r1,
+       cast(floor(l_extendedprice) AS bigint) AS price_floor,
+       cast(ceil(l_extendedprice) AS bigint) AS price_ceil,
+       abs(l_discount - 0.05) AS disc_dev,
+       round(pow(l_quantity, 2), 6) AS qty_sq,
+       sqrt(l_quantity) AS qty_sqrt,
+       round(ln(l_extendedprice), 6) AS price_ln,
+       cast(l_quantity AS bigint) % 7 AS qty_mod7,
+       cast(sign(l_discount - 0.05) AS int) AS disc_sign
+FROM lineitem
+""",
+    section="B.8",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+    )
+
+
+@query(
+    "fn_cond",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 200000 THEN 'big'
+            WHEN o_totalprice > 50000 THEN 'mid'
+            ELSE 'small' END AS bucket,
+       nullif(o_orderstatus, 'O') AS status_nn,
+       coalesce(nullif(o_orderstatus, 'O'), '-') AS status_def,
+       greatest(o_totalprice, 100000.0) AS at_least_100k,
+       least(cast(o_orderkey % 5 AS bigint), cast(o_custkey % 5 AS bigint)) AS min_mod
+FROM orders
+""",
+    section="B.8",
+)
+def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    status_nn = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        status_nn.alias("status_nn"),
+        F.coalesce(status_nn, F.lit("-")).alias("status_def"),
+        F.greatest("o_totalprice", F.lit(100000.0)).alias("at_least_100k"),
+        F.least(
+            (F.col("o_orderkey") % 5).cast("bigint"),
+            (F.col("o_custkey") % 5).cast("bigint"),
+        ).alias("min_mod"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       string_split(text, ' ')[1:5] AS first5,
+       list_contains(string_split(text, ' '), 'the') AS has_the,
+       len(list_distinct(string_split(text, ' '))) AS n_uniq,
+       list_sort(list_distinct(string_split(text, ' ')))[1:3] AS first_uniq,
+       cast(list_sum(list_transform(string_split(text, ' '), x -> length(x)))
+            AS int) AS tot_len,
+       len(list_filter(string_split(text, ' '), x -> length(x) > 4)) AS n_long
+FROM documents
+""",
+    section="B.8",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.slice(toks, 1, 5).alias("first5"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.slice(F.array_sort(F.array_distinct(toks)), 1, 3).alias("first_uniq"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("tot_len"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
+    )
+
+
+@query(
+    "fn_map",
+    oracle="""
+SELECT event_id,
+       user_id AS uid_val,
+       2 AS n_keys,
+       value AS by_key
+FROM events
+""",
+    section="B.8",
+    notes="Spark side builds a real MapType column and extracts through "
+    "map_from_arrays/element_at/map_keys; the oracle computes the same "
+    "OUTPUT values directly (DuckDB maps exist but the check compares "
+    "results, not plans)",
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    m = F.map_from_arrays(
+        F.array(F.lit("uid"), F.lit("val")),
+        F.array(F.col("user_id").cast("double"), F.col("value")),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "uid").cast("bigint").alias("uid_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "val").alias("by_key"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       cast(json_extract_string(props, '$.k') AS int) AS k_int,
+       to_json(struct_pack(event_id := event_id, user_id := user_id)) AS packed
+FROM events
+""",
+    section="B.8",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A7's JSON serialization (tasks.rs:105) + its inverse as expressions.
+    ev = load(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        F.to_json(F.struct("event_id", "user_id")).alias("packed"),
+    )
+
+
+@query(
+    "fn_cast",
+    oracle="""
+SELECT l_orderkey,
+       cast(l_quantity AS int) AS qty_i,
+       cast(l_quantity AS varchar) AS qty_s,
+       cast(cast(l_orderkey AS varchar) AS bigint) AS key_rt,
+       cast(l_extendedprice AS decimal(12,2)) AS price_dec,
+       cast(cast(l_extendedprice AS decimal(12,2)) AS varchar) AS price_s,
+       cast(cast(l_shipdate AS date) AS varchar) AS ship_s
+FROM lineitem
+""",
+    section="B.8",
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_quantity").cast("int").alias("qty_i"),
+        F.col("l_quantity").cast("string").alias("qty_s"),
+        F.col("l_orderkey").cast("string").cast("bigint").alias("key_rt"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("l_extendedprice").cast("decimal(12,2)").cast("string").alias("price_s"),
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_s"),
+    )

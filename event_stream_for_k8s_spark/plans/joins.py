@@ -1,1 +1,276 @@
-"""Placeholder module — queries land incrementally."""
+"""Joins — SURVEY.md §2 B.3.
+
+Plan-shape notes (100 TB):
+- Equi joins shuffle both sides on the key unless one side broadcasts;
+  the star-schema dimensions here are broadcast-sized by design and
+  ``join_broadcast`` pins that with an explicit hint. AQE converts
+  shuffle joins to broadcast at runtime when the built side turns out
+  small, and splits skewed partitions.
+- ``join_interval`` carries an equality conjunct so Catalyst plans a
+  hash join with the range as a residual filter — never a
+  nested-loop over the full cross product.
+- ``join_asof`` uses the union+window formulation (operators/joins.py)
+  — one shuffle, no candidate-pair blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_stream_for_k8s_spark.catalog import load
+from event_stream_for_k8s_spark.operators import asof_join
+from event_stream_for_k8s_spark.plans.registry import query
+from event_stream_for_k8s_spark.plans.util import dsum, sql_dsum
+
+
+@query(
+    "join_inner_hash",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus,
+       l.l_extendedprice
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'F'
+""",
+    section="B.3",
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fact-to-fact equi join: shuffles both sides on the key; AQE picks
+    # SMJ vs shuffled-hash from observed sizes.
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return li.join(o, li.l_orderkey == o.o_orderkey, "inner").select(
+        "l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus", "l_extendedprice"
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle=f"""
+SELECT p.p_brand, count(*) AS n_items,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size <= 20
+GROUP BY p.p_brand
+""",
+    section="B.3",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Star join: fact stays in place, dimension ships to every executor
+    # — zero shuffle of lineitem before the aggregation.
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), dec=4).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+""",
+    section="B.3",
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, o.o_custkey == c.c_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_right",
+    oracle="""
+SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment
+FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+    section="B.3",
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "join_full",
+    oracle="""
+SELECT cn.nk AS c_nk, sn.nk AS s_nk FROM
+  (SELECT DISTINCT c_nationkey AS nk FROM customer WHERE c_nationkey < 20) cn
+FULL JOIN
+  (SELECT DISTINCT s_nationkey AS nk FROM supplier) sn
+ON cn.nk = sn.nk
+""",
+    section="B.3",
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 20)
+        .select(F.col("c_nationkey").alias("nk"))
+        .distinct()
+    )
+    sn = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk")
+    ).distinct()
+    return cn.join(sn, cn.nk == sn.nk, "full").select(
+        cn.nk.alias("c_nk"), sn.nk.alias("s_nk")
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+""",
+    section="B.3",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""",
+    section="B.3",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference's dedup probe (tasks.rs:98-101) as a relational op:
+    # emit only rows whose key is absent from committed state.
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_theta",
+    oracle="""
+SELECT s.s_suppkey, count(*) AS n_richer_customers
+FROM supplier s JOIN customer c
+  ON s.s_nationkey = c.c_nationkey AND s.s_acctbal < c.c_acctbal
+GROUP BY s.s_suppkey
+""",
+    section="B.3",
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Equality conjunct keeps this a hash join with a residual range
+    # predicate — the non-equi part never drives the join strategy.
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    return (
+        s.join(
+            c,
+            (s.s_nationkey == c.c_nationkey) & (s.s_acctbal < c.c_acctbal),
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_richer_customers"))
+    )
+
+
+@query(
+    "join_interval",
+    oracle="""
+SELECT a.user_id, count(*) AS n_pairs, count(DISTINCT a.event_id) AS n_errors
+FROM events a JOIN events b
+  ON b.user_id = a.user_id
+ AND b.ts >= a.ts
+ AND b.ts < a.ts + INTERVAL 1 HOUR
+ AND b.event_id <> a.event_id
+WHERE a.event_type = 'error'
+GROUP BY a.user_id
+""",
+    section="B.3",
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # "Any activity within 1h after an error, per user" — interval
+    # overlap with an equality conjunct, so it stays a hash join with a
+    # residual range filter (no nested loop).
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").alias("a")
+    b = ev.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.ts") >= F.col("a.ts"))
+            & (F.col("b.ts") < F.col("a.ts") + F.expr("INTERVAL 1 HOUR"))
+            & (F.col("b.event_id") != F.col("a.event_id")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("a.event_id").alias("n_errors"),
+        )
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+WITH cand AS (
+  SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT e.user_id, e.event_id, e.ts,
+       c.o_orderkey AS o_orderkey_asof, c.o_orderdate AS o_orderdate_asof
+FROM events e LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+  ON c.event_id = e.event_id
+""",
+    section="B.3",
+    notes="oracle uses the quadratic join+rank formulation; the engine "
+    "uses union+window (no pair blowup) — same result",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    return asof_join(
+        ev,
+        o,
+        on=["user_id"],
+        left_time="ts",
+        right_time="o_orderdate",
+        payload=["o_orderkey", "o_orderdate"],
+        tiebreak="o_orderkey",
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+""",
+    section="B.3",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")

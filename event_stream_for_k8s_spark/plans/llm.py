@@ -1,1 +1,529 @@
-"""Placeholder module — queries land incrementally."""
+"""LLM-training-data pipeline operators — SURVEY.md §2 B.11 plus the
+full dedup / similarity / text-analysis / multimodal surface.
+
+Scale tiers are explicit: every family has an exact, oracle-checked
+baseline (pure Catalyst expressions) and a sub-linear approximate path
+(LSH / IVF / SimHash, rows-only) that is the one you run at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_stream_for_k8s_spark.catalog import load
+from event_stream_for_k8s_spark.functions.multimodal import attach_payload
+from event_stream_for_k8s_spark.functions.text import (
+    BPE_RE,
+    MOD,
+    STOPWORDS,
+    bpe_ish_tokens,
+    fingerprint_minhash3,
+    quality_features,
+)
+from event_stream_for_k8s_spark.functions.vectors import cosine, sql_cosine
+from event_stream_for_k8s_spark.operators.similarity import (
+    knn_brute,
+    knn_ivf,
+    knn_lsh,
+    minhash_pairs,
+)
+from event_stream_for_k8s_spark.plans.registry import query
+from event_stream_for_k8s_spark.plans.util import davg
+
+# --------------------------------------------------------------------------
+# Deduplication family
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_dedup_exact",
+    oracle="""
+WITH doubled AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+SELECT sha256(text) AS text_hash, min(doc_id) AS canonical_id,
+       count(*) AS n_copies
+FROM doubled GROUP BY 1
+""",
+    section="B.11",
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact dedup = hash-groupBy on a content digest: one shuffle of
+    # 32-byte keys instead of full documents — the 100 TB-friendly form
+    # of dropDuplicates(['text']).
+    d = load(spark, sf_dir, "documents")
+    doubled = d.unionAll(d)
+    return doubled.groupBy(F.sha2("text", 256).alias("text_hash")).agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies")
+    )
+
+
+@query(
+    "llm_dedup_ngram",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(len(list_intersect(a.bg, b.bg)) AS double)
+         / len(list_distinct(list_concat(a.bg, b.bg))) AS jacc
+FROM grams a JOIN grams b
+  ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+""",
+    section="B.11",
+    notes="exact bigram Jaccard on a consecutive-id blocking key; the "
+    "all-pairs version at scale is llm_dedup_near (MinHash-LSH)",
+)
+def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    grams = d.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i), F.element_at(t, i + 1)
+                ),
+            )
+        ).alias("bg"),
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.bg"), F.col("b.bg")))
+    union = F.size(F.array_union(F.col("a.bg"), F.col("b.bg")))
+    return a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        & (F.col("a.lang") == F.col("b.lang")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        (inter.cast("double") / union).alias("jacc"),
+    )
+
+
+@query(
+    "llm_dedup_embed",
+    oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({sql_cosine('a.embedding', 'b.embedding')}, 6) AS sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label
+ AND (a.vec_id // 100) = (b.vec_id // 100)
+ AND a.vec_id < b.vec_id
+WHERE round({sql_cosine('a.embedding', 'b.embedding')}, 6) >= 0.2
+""",
+    section="B.11",
+)
+def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Embedding-cosine near-dup with a blocking key (label x id-bucket):
+    # the join is a hash join on the block, never all-pairs. At 100 TB
+    # the block key comes from LSH (llm_dedup_near) instead of id math.
+    e = load(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    sim = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.expr("a.vec_id div 100") == F.expr("b.vec_id div 100"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.2)
+    )
+
+
+@query(
+    "llm_dedup_near",
+    oracle=None,
+    section="B.11",
+    notes="MinHash-LSH near-dup candidates (approximate by design); "
+    "planted-near-dup recall asserted in tests/test_llm.py",
+)
+def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    # Plant deterministic near-dups: every 50th doc re-appears with id
+    # +1M and every 7th token dropped => known positive pairs.
+    planted = (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.filter(
+                    F.split("text", " "), lambda x, i: (i % 7) != 6
+                ),
+            ).alias("text"),
+        )
+    )
+    corpus = d.select("doc_id", "text").unionByName(planted)
+    return minhash_pairs(corpus, "doc_id", "text", jaccard_distance=0.7)
+
+
+@query(
+    "llm_dedup_simhash",
+    oracle=None,
+    section="B.11",
+    notes="64-bit SimHash signatures via mapInPandas (Arrow batches); "
+    "rows-only — determinism + hamming-locality asserted in tests",
+)
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        shift = np.arange(64, dtype=np.uint64)
+        for pdf in it:
+            sigs = []
+            for text in pdf["text"]:
+                acc = np.zeros(64, dtype=np.int64)
+                for tok in set(text.split()):
+                    h = int.from_bytes(
+                        hashlib.md5(tok.encode()).digest()[:8], "big"
+                    )
+                    bits = (np.uint64(h) >> shift) & np.uint64(1)
+                    acc += np.where(bits == 1, 1, -1)
+                sig = int(((acc > 0).astype(np.uint64) << shift).sum(dtype=np.uint64))
+                if sig >= 1 << 63:
+                    sig -= 1 << 64
+                sigs.append(sig)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": sigs})
+
+    return d.mapInPandas(batches, "doc_id bigint, simhash bigint")
+
+
+# --------------------------------------------------------------------------
+# Similarity search family
+# --------------------------------------------------------------------------
+
+KNN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 250 = 0
+), scored AS (
+  SELECT q.qid, e.vec_id AS nid,
+         round({sql_cosine('q.qe', 'e.embedding')}, 6) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.qid
+)
+SELECT qid, nid, sim, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+  FROM scored) WHERE rnk <= 5
+"""
+
+
+@query("llm_knn_brute", oracle=KNN_ORACLE, section="B.11")
+def llm_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact baseline: queries broadcast, corpus never moves
+    # (BroadcastNestedLoopJoin), dot product in codegen via
+    # zip_with/aggregate — no Python, no shuffle of the corpus.
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("cvec"))
+    return knn_brute(queries, corpus, k=5).select("qid", "nid", "sim", "rnk")
+
+
+@query(
+    "llm_knn_lsh",
+    oracle=None,
+    section="B.11",
+    notes="random-projection LSH approximate knn; recall-vs-brute "
+    "asserted in tests/test_llm.py",
+)
+def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("cvec"))
+    return knn_lsh(
+        queries, corpus, k=5, q_id="qid", c_id="nid", q_vec="qvec", c_vec="cvec"
+    ).select("qid", "nid", "sim", "rnk")
+
+
+@query(
+    "llm_knn_ivf",
+    oracle=None,
+    section="B.11",
+    notes="IVF (KMeans coarse quantizer + cell probing): the "
+    "partition-pruned scale path for ANN",
+)
+def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("cvec"))
+    return knn_ivf(
+        queries, corpus, k=5, q_id="qid", c_id="nid", q_vec="qvec", c_vec="cvec"
+    ).select("qid", "nid", "sim", "rnk")
+
+
+# --------------------------------------------------------------------------
+# Text analysis family
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_text_stats",
+    oracle=f"""
+SELECT lang,
+       count(*) AS n_docs,
+       cast(sum(n_chars) AS bigint) AS total_chars,
+       cast(sum(len(string_split(text, ' '))) AS bigint) AS total_tokens,
+       cast(sum(n_chars) AS bigint) * 1.0 / count(*) AS avg_chars,
+       count(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+""",
+    section="B.11",
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("total_tokens"),
+        (F.sum("n_chars") * F.lit(1.0) / F.count("*")).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+_EN = ("the", "a", "of", "and", "to", "in")
+_ES = ("el", "la", "de", "que", "y", "en")
+_DE = ("der", "die", "das", "und", "ist", "ein")
+
+
+def _sql_hits(markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(string_split(text, ' '), t -> t in ({lst})))"
+
+
+@query(
+    "llm_langid",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {_sql_hits(_EN)} AS en_hits,
+         {_sql_hits(_ES)} AS es_hits,
+         {_sql_hits(_DE)} AS de_hits,
+         regexp_matches(text, '[一-鿿]') AS has_cjk
+  FROM documents
+)
+SELECT doc_id, labeled_lang, en_hits, es_hits, de_hits, has_cjk,
+       CASE WHEN has_cjk THEN 'zh'
+            WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+            WHEN es_hits >= de_hits THEN 'es'
+            ELSE 'de' END AS pred_lang
+FROM scored
+""",
+    section="B.11",
+    notes="n-gram/stopword-marker language-ID heuristic; the synthetic "
+    "corpus is English-like bag-of-words so predictions skew 'en' — "
+    "the CHECK is that both engines agree on the heuristic, not that "
+    "the heuristic matches the label",
+)
+def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def hits(markers: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        hits(_EN).alias("en_hits"),
+        hits(_ES).alias("es_hits"),
+        hits(_DE).alias("de_hits"),
+        F.col("text").rlike("[一-鿿]").alias("has_cjk"),
+    )
+    return scored.withColumn(
+        "pred_lang",
+        F.when(F.col("has_cjk"), "zh")
+        .when(
+            (F.col("en_hits") >= F.col("es_hits"))
+            & (F.col("en_hits") >= F.col("de_hits")),
+            "en",
+        )
+        .when(F.col("es_hits") >= F.col("de_hits"), "es")
+        .otherwise("de"),
+    )
+
+
+@query(
+    "llm_quality",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text)
+           AS punct_ratio,
+         {_sql_hits(STOPWORDS)} * 1.0 / len(string_split(text, ' '))
+           AS stopword_ratio,
+         (length(text) - len(string_split(text, ' ')) + 1) * 1.0
+           / len(string_split(text, ' ')) AS avg_token_len
+  FROM documents
+)
+SELECT *,
+       cast(stopword_ratio BETWEEN 0.02 AND 0.6 AS int)
+       + cast(avg_token_len BETWEEN 3 AND 12 AS int)
+       + cast(n_chars BETWEEN 50 AND 5000 AS int)
+       + cast(punct_ratio <= 0.1 AS int) AS quality_score
+FROM feats
+""",
+    section="B.11",
+)
+def llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    f = quality_features("text")
+    feats = d.select(
+        "doc_id",
+        f["n_chars"].alias("n_chars"),
+        f["n_tokens"].alias("n_tokens"),
+        f["punct_ratio"].alias("punct_ratio"),
+        f["stopword_ratio"].alias("stopword_ratio"),
+        f["avg_token_len"].alias("avg_token_len"),
+    )
+    return feats.withColumn(
+        "quality_score",
+        F.col("stopword_ratio").between(0.02, 0.6).cast("int")
+        + F.col("avg_token_len").between(3, 12).cast("int")
+        + F.col("n_chars").between(50, 5000).cast("int")
+        + (F.col("punct_ratio") <= 0.1).cast("int"),
+    )
+
+
+@query(
+    "llm_tokens",
+    oracle=f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{BPE_RE}')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(lower(text), '{BPE_RE}')))
+         AS n_uniq_bpe
+FROM documents
+""",
+    section="B.11",
+)
+def llm_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bpe = bpe_ish_tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bpe)).alias("n_uniq_bpe"),
+    )
+
+
+@query(
+    "llm_fingerprint",
+    oracle=f"""
+WITH hashed AS (
+  SELECT doc_id,
+         list_transform(
+           string_split(text, ' '),
+           t -> list_reduce(
+                  list_prepend(cast(0 AS bigint),
+                    list_transform(range(1, length(t) + 1),
+                                   i -> cast(ascii(t[i:i]) AS bigint))),
+                  (a, b) -> (a * 31 + b) % {MOD})) AS h
+  FROM documents
+)
+SELECT doc_id,
+       list_min(list_transform(range(0, greatest(len(h) - 3, 0) + 1),
+                i -> ((h[i+1] * 31 + h[i+2]) % {MOD} * 31 + h[i+3]) % {MOD}))
+         AS fp
+FROM hashed
+""",
+    section="B.11",
+    notes="winnowing-style rolling-hash fingerprint (min over 3-token "
+    "window hashes), all int64 arithmetic — exact on both engines",
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", fingerprint_minhash3(F.split("text", " ")).alias("fp")
+    )
+
+
+@query(
+    "llm_text_tfidf",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), stats AS (
+  SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+  FROM tok GROUP BY term
+)
+SELECT term, df, tf,
+       round(ln((SELECT count(*) FROM documents) * 1.0 / df), 6) AS idf
+FROM stats
+""",
+    section="B.11",
+)
+def llm_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.groupBy().agg(F.count("*").alias("nd"))
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    stats = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"), F.count("*").alias("tf")
+    )
+    return stats.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        "df",
+        "tf",
+        F.round(F.log(F.col("nd") * F.lit(1.0) / F.col("df")), 6).alias("idf"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_multimodal",
+    oracle="""
+SELECT doc_id, 'text/plain' AS mime,
+       octet_length(encode(text)) AS byte_len,
+       n_chars,
+       octet_length(encode(text)) <> n_chars AS is_multibyte,
+       lang AS meta_lang
+FROM documents
+""",
+    section="B.11",
+)
+def llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Typed multimodal column: struct(payload binary, mime, meta map) —
+    # filter/project over it without decoding (decode itself is the
+    # stubbed mapInPandas path in functions/multimodal.py).
+    d = load(spark, sf_dir, "documents")
+    mm = attach_payload(d).join(d.select("doc_id", "n_chars"), "doc_id")
+    return mm.select(
+        "doc_id",
+        "mime",
+        F.length("payload").alias("byte_len"),
+        "n_chars",
+        (F.length("payload") != F.col("n_chars")).alias("is_multibyte"),
+        F.element_at("meta", "lang").alias("meta_lang"),
+    )

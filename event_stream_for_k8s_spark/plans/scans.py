@@ -1,1 +1,223 @@
-"""Placeholder module — queries land incrementally."""
+"""Scans, sources, sinks — SURVEY.md §2 B.1.
+
+Batch scans demonstrate pushdown/pruning (check ``PushedFilters`` /
+``ReadSchema`` in the plan); streaming sources run to completion with
+``Trigger.AvailableNow`` into a memory sink and return the resulting
+batch DataFrame so the driver can compare them like any other query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_stream_for_k8s_spark.catalog import load
+from event_stream_for_k8s_spark.plans.registry import query
+from event_stream_for_k8s_spark.sources.roundtrip import (
+    EVENTS_MICROS_SCHEMA,
+    events_as_micros,
+    materialize,
+    restore_ts,
+)
+
+
+@query(
+    "scan_parquet",
+    oracle="""
+SELECT l_orderkey, l_partkey, l_quantity FROM lineitem WHERE l_quantity >= 45
+""",
+    section="B.1",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Filter + projection reach the parquet reader: at 100 TB this scans
+    # only 3 columns' pages and skips row groups via min/max stats.
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") >= 45).select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+
+
+@query(
+    "scan_json",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    section="B.1",
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NDJSON roundtrip (the reference's output format, tasks.rs:105):
+    # write once, read back with an EXPLICIT schema — schema inference
+    # over 100 TB of JSON is a full extra pass, never do it at scale.
+    src = materialize(
+        spark,
+        sf_dir,
+        "events_json",
+        lambda out: events_as_micros(spark, sf_dir).write.mode("overwrite").json(out),
+    )
+    return restore_ts(spark.read.schema(EVENTS_MICROS_SCHEMA).json(src))
+
+
+@query(
+    "scan_csv",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+    section="B.1",
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = materialize(
+        spark,
+        sf_dir,
+        "customer_csv",
+        lambda out: load(spark, sf_dir, "customer")
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(out),
+    )
+    return spark.read.schema(
+        "c_custkey BIGINT, c_name STRING, c_nationkey INT, c_acctbal DOUBLE,"
+        " c_mktsegment STRING"
+    ).option("header", True).csv(src)
+
+
+@query(
+    "source_stream_file",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    section="B.1",
+    notes="streaming file source (stand-in for the k8s watch, A1) run "
+    "to completion with AvailableNow; deterministic, so oracle-checked",
+)
+def source_stream_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = materialize(
+        spark,
+        sf_dir,
+        "events_stream_json",
+        lambda out: events_as_micros(spark, sf_dir)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(out),
+    )
+    stream = spark.readStream.schema(EVENTS_MICROS_SCHEMA).json(src)
+    sink = f"src_file_{abs(hash(sf_dir)) % 10**8}"
+    q = (
+        restore_ts(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@query(
+    "source_rate",
+    oracle="""
+SELECT range % 10 AS bucket, count(*) AS n FROM range(300) GROUP BY 1
+""",
+    section="B.1",
+    notes="rate-micro-batch emits value=0,1,2,... rowsPerBatch per "
+    "batch; filtering to the first 300 values makes the stream "
+    "deterministic and oracle-checkable",
+)
+def source_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sink = "src_rate_sink"
+    q = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 100)
+        .load()
+        .select("value")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        while spark.table(sink).count() < 300:
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return (
+        spark.table(sink)
+        .filter(F.col("value") < 300)
+        .groupBy((F.col("value") % 10).alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "sink_console_json",
+    oracle="""
+SELECT to_json(struct_pack(event_id := event_id, user_id := user_id,
+                           event_type := event_type)) AS line
+FROM events
+""",
+    section="B.1",
+)
+def sink_console_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A7: one JSON line per event. The NDJSON payload itself is the
+    # checked output; the console/foreachBatch write is a side effect
+    # (exercised in tests/test_streaming.py).
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        F.to_json(F.struct("event_id", "user_id", "event_type")).alias("line")
+    )
+
+
+@query(
+    "sink_parquet",
+    oracle="""
+SELECT event_id, user_id, event_type, value FROM events
+WHERE event_type <> 'heartbeat'
+""",
+    section="B.1",
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Write-then-read through the parquet sink (long-term storage per
+    # the reference README); at scale this write is partitioned by a
+    # date column instead of flat.
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".data_cache",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "sink_parquet_out",
+    )
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") != "heartbeat")
+    ev.select("event_id", "user_id", "event_type", "value").write.mode(
+        "overwrite"
+    ).parquet(out)
+    return spark.read.parquet(out)
+
+
+@query(
+    "sink_memory",
+    oracle="""
+SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+""",
+    section="B.1",
+)
+def sink_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = materialize(
+        spark,
+        sf_dir,
+        "events_stream_json",
+        lambda out: events_as_micros(spark, sf_dir)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(out),
+    )
+    stream = spark.readStream.schema(EVENTS_MICROS_SCHEMA).json(src)
+    sink = f"sink_mem_{abs(hash(sf_dir)) % 10**8}"
+    q = (
+        stream.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -1,1 +1,412 @@
-"""Placeholder module — queries land incrementally."""
+"""Streaming operators — SURVEY.md §2 B.9.
+
+Each query materializes a deterministic NDJSON input, runs a real
+Structured Streaming query to completion (AvailableNow), and returns
+the resulting batch DataFrame. Multi-batch scenarios use
+``maxFilesPerTrigger=1`` with mtime-ordered files so micro-batch
+boundaries (and therefore watermark advancement) are reproducible —
+that determinism is what lets even watermark semantics oracle-check.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_stream_for_k8s_spark.plans.registry import query
+from event_stream_for_k8s_spark.sources.roundtrip import (
+    EVENTS_MICROS_SCHEMA,
+    cache_dir,
+    events_as_micros,
+    materialize,
+    restore_ts,
+)
+from event_stream_for_k8s_spark.streaming.dedup_pipeline import (
+    batch_metrics,
+    dedup_within_ttl,
+)
+
+SIX_H_US = 6 * 3600 * 1_000_000
+
+
+def _single_file_json(spark: SparkSession, sf_dir: str, kind: str, df_fn):
+    return materialize(
+        spark,
+        sf_dir,
+        kind,
+        lambda out: df_fn().coalesce(1).write.mode("overwrite").json(out),
+    )
+
+
+def _stream(spark: SparkSession, src: str, **options) -> DataFrame:
+    reader = spark.readStream.schema(EVENTS_MICROS_SCHEMA)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return restore_ts(reader.json(src))
+
+
+def _run_to_memory(df: DataFrame, name: str, mode: str = "append") -> None:
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@query(
+    "stream_dedup_ttl",
+    oracle="SELECT event_id, ts, user_id, event_type, value FROM events",
+    section="B.9",
+    notes="the flagship streaming pipeline: every key delivered twice, "
+    "watermark-TTL dedup emits each exactly once",
+)
+def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _single_file_json(
+        spark,
+        sf_dir,
+        "events_doubled_json",
+        lambda: events_as_micros(spark, sf_dir).unionAll(
+            events_as_micros(spark, sf_dir)
+        ),
+    )
+    stream = _stream(spark, src).withColumn(
+        "dedup_key", F.col("event_id").cast("string")
+    )
+    deduped = dedup_within_ttl(
+        stream, key_col="dedup_key", time_col="ts", ttl_seconds=3600
+    )
+    sink = f"sdt_{abs(hash(sf_dir)) % 10**8}"
+    _run_to_memory(
+        deduped.select("event_id", "ts", "user_id", "event_type", "value"), sink
+    )
+    return spark.table(sink)
+
+
+@query(
+    "stream_tumbling",
+    oracle=f"""
+SELECT make_timestamp((epoch_us(ts) // {SIX_H_US}) * {SIX_H_US}) AS wstart,
+       event_type AS etype, count(*) AS n
+FROM events GROUP BY 1, 2
+""",
+    section="B.9",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _single_file_json(
+        spark, sf_dir, "events_stream1_json",
+        lambda: events_as_micros(spark, sf_dir),
+    )
+    agg = (
+        _stream(spark, src)
+        .groupBy(F.window("ts", "6 hours"), F.col("event_type").alias("etype"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("wstart"), "etype", "n")
+    )
+    sink = f"stm_{abs(hash(sf_dir)) % 10**8}"
+    _run_to_memory(agg, sink, mode="complete")
+    return spark.table(sink)
+
+
+@query(
+    "stream_sliding",
+    oracle=f"""
+WITH b AS (
+  SELECT make_timestamp((epoch_us(ts) // {SIX_H_US}) * {SIX_H_US}) AS w0, *
+  FROM events
+), assigned AS (
+  SELECT w0 AS wstart, event_type FROM b
+  UNION ALL
+  SELECT w0 - INTERVAL 6 HOUR AS wstart, event_type FROM b
+)
+SELECT wstart, event_type AS etype, count(*) AS n
+FROM assigned GROUP BY 1, 2
+""",
+    section="B.9",
+    notes="12h window sliding by 6h: every event lands in exactly two "
+    "windows (the two 6h-aligned starts covering it)",
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _single_file_json(
+        spark, sf_dir, "events_stream1_json",
+        lambda: events_as_micros(spark, sf_dir),
+    )
+    agg = (
+        _stream(spark, src)
+        .groupBy(
+            F.window("ts", "12 hours", "6 hours"),
+            F.col("event_type").alias("etype"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("wstart"), "etype", "n")
+    )
+    sink = f"sts_{abs(hash(sf_dir)) % 10**8}"
+    _run_to_memory(agg, sink, mode="complete")
+    return spark.table(sink)
+
+
+@query(
+    "stream_session",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), marked AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+           AS new_session
+  FROM ordered
+), islands AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM islands GROUP BY user_id, sid
+""",
+    section="B.9",
+    notes="session_window(gap=30m); oracle is the gaps-and-islands "
+    "formulation — session_end = last event + gap, Spark's definition",
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _single_file_json(
+        spark, sf_dir, "events_stream1_json",
+        lambda: events_as_micros(spark, sf_dir),
+    )
+    agg = (
+        _stream(spark, src)
+        .withWatermark("ts", "1 second")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    sink = f"sss_{abs(hash(sf_dir)) % 10**8}"
+    _run_to_memory(agg, sink, mode="complete")
+    return spark.table(sink)
+
+
+def _three_phase_src(spark: SparkSession, sf_dir: str, third: str) -> str:
+    """Three mtime-ordered files = three micro-batches:
+      batch 0: all events (on time);
+      batch 1: one sentinel row at max_ts + 10h (advances the watermark
+               — which Spark propagates with one extra batch of lag);
+      batch 2: re-delivery of EVERY event — ``third='fresh'`` stamps
+               them max_ts + 12h (same key, new event time: the
+               reference's TTL re-delivery), ``third='late'`` keeps the
+               original (late) event times.
+    """
+    out = cache_dir(sf_dir, f"events_threephase_{third}")
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        import glob
+        import shutil
+
+        base = events_as_micros(spark, sf_dir)
+        mx = base.agg(F.max("ts_us")).collect()[0][0]
+        sentinel = spark.createDataFrame(
+            [(10**9, mx + 10 * 3600 * 1_000_000, 0, "sentinel", 0.0, "{}")],
+            EVENTS_MICROS_SCHEMA,
+        )
+        redelivery = (
+            base.withColumn("ts_us", F.lit(mx + 12 * 3600 * 1_000_000))
+            if third == "fresh"
+            else base
+        )
+        os.makedirs(out, exist_ok=True)
+        for i, df in enumerate([base, sentinel, redelivery]):
+            df.coalesce(1).write.mode("overwrite").json(os.path.join(out, f"p{i}"))
+            (part,) = glob.glob(os.path.join(out, f"p{i}", "part-*.json"))
+            dst = os.path.join(out, f"batch_{i}.json")
+            shutil.move(part, dst)
+            shutil.rmtree(os.path.join(out, f"p{i}"))
+            t = time.time() - 300 + i * 60
+            os.utime(dst, (t, t))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+@query(
+    "stream_watermark",
+    oracle="""
+SELECT event_id, ts, event_type FROM events
+UNION ALL
+SELECT cast(1000000000 AS bigint) AS event_id,
+       (SELECT max(ts) + INTERVAL 10 HOUR FROM events) AS ts,
+       'sentinel' AS event_type
+UNION ALL
+SELECT event_id,
+       (SELECT max(ts) + INTERVAL 12 HOUR FROM events) AS ts,
+       event_type
+FROM events
+WHERE ts + INTERVAL 1 HOUR < (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+""",
+    section="B.9",
+    notes="TTL re-emission (SURVEY.md §3.4.3): a key re-delivered with "
+    "a fresh event time re-emits iff its dedup state expired — "
+    "eviction fires when first_seen_ts + delay < watermark, and the "
+    "watermark at batch N reflects data through batch N-2 (measured "
+    "on this Spark; the oracle encodes exactly that contract)",
+)
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _three_phase_src(spark, sf_dir, "fresh")
+    stream = _stream(spark, src, maxFilesPerTrigger=1).withColumn(
+        "dedup_key", F.col("event_id").cast("string")
+    )
+    deduped = dedup_within_ttl(
+        stream, key_col="dedup_key", time_col="ts", ttl_seconds=3600
+    )
+    sink = f"swm_{abs(hash(sf_dir)) % 10**8}"
+    _run_to_memory(deduped.select("event_id", "ts", "event_type"), sink)
+    return spark.table(sink)
+
+
+@query(
+    "stream_late_drop",
+    oracle=f"""
+WITH counts AS (
+  SELECT make_timestamp((epoch_us(ts) // {SIX_H_US}) * {SIX_H_US}) AS wstart,
+         count(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT wstart,
+       cast(CASE WHEN wstart + INTERVAL 6 HOUR
+                      > (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+                 THEN n * 2 ELSE n END AS bigint) AS n
+FROM counts
+""",
+    section="B.9",
+    notes="append-mode windowed count over on-time + late re-delivery: "
+    "late rows are dropped EXCEPT those within the 1h allowed lateness "
+    "of the max event time (their window is still open), which is "
+    "precisely the watermark contract; the sentinel's own window stays "
+    "pending and is never emitted",
+)
+def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _three_phase_src(spark, sf_dir, "late")
+    agg = (
+        _stream(spark, src, maxFilesPerTrigger=1)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("wstart"), "n")
+    )
+    sink = f"sld_{abs(hash(sf_dir)) % 10**8}"
+    _run_to_memory(agg, sink)
+    return spark.table(sink)
+
+
+@query(
+    "stream_stateful_custom",
+    oracle="""
+SELECT user_id, count(*) AS n_events,
+       cast(sum(cast(round(value * 100) AS bigint)) AS double) / 100.0
+         AS total_value
+FROM events GROUP BY user_id
+""",
+    section="B.9",
+    notes="arbitrary keyed state via applyInPandasWithState (the "
+    "escape hatch for exact wall-clock-TTL parity, SURVEY.md §3.4.4)",
+)
+def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = _single_file_json(
+        spark, sf_dir, "events_stream1_json",
+        lambda: events_as_micros(spark, sf_dir),
+    )
+
+    def count_state(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+            }
+        )
+
+    out = (
+        _stream(spark, src)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            count_state,
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            stateStructType="n bigint, cents bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink = f"ssc_{abs(hash(sf_dir)) % 10**8}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@query(
+    "stream_foreach_metrics",
+    oracle="""
+SELECT cast(count(*) * 2 AS bigint) AS total,
+       cast(count(*) AS bigint) AS misses,
+       cast(count(*) AS bigint) AS hits
+FROM events
+""",
+    section="B.9",
+    notes="A9 invariant hits + misses == total over a doubled stream, "
+    "computed inside foreachBatch (pre-dedup placement, tasks.rs:92-94)",
+)
+def stream_foreach_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _single_file_json(
+        spark,
+        sf_dir,
+        "events_doubled_json",
+        lambda: events_as_micros(spark, sf_dir).unionAll(
+            events_as_micros(spark, sf_dir)
+        ),
+    )
+    stream = _stream(spark, src).withColumn(
+        "dedup_key", F.col("event_id").cast("string")
+    )
+    collected: list[dict[str, int]] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        collected.append(batch_metrics(batch_df, "dedup_key"))
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    total = sum(m["total"] for m in collected)
+    misses = sum(m["misses"] for m in collected)
+    return spark.createDataFrame(
+        [(total, misses, total - misses)], "total bigint, misses bigint, hits bigint"
+    )

@@ -1,1 +1,170 @@
-"""Placeholder module — queries land incrementally."""
+"""Window functions — SURVEY.md §2 B.5.
+
+Every window here orders by a UNIQUE key chain (tie-broken), so rank
+assignment is deterministic and oracle-checkable. One shuffle per
+distinct partitioning; at 100 TB co-partition consecutive windows on
+the same key so the exchange is reused (Catalyst already merges
+adjacent windows with identical partitioning/ordering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from event_stream_for_k8s_spark.catalog import load
+from event_stream_for_k8s_spark.operators import dedup_key, dedup_rank
+from event_stream_for_k8s_spark.plans.registry import query
+
+
+@query(
+    "win_rank",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+       row_number() OVER w AS rn,
+       rank()       OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4)     OVER w AS quartile
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey, l_suppkey)
+""",
+    section="B.5",
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(),
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "win_analytic",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity,
+       lag(l_quantity)  OVER w AS prev_qty,
+       lead(l_quantity) OVER w AS next_qty,
+       first_value(l_extendedprice) OVER w AS first_price,
+       last_value(l_extendedprice)
+         OVER (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS last_price
+FROM lineitem
+WINDOW w AS (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice)
+""",
+    section="B.5",
+)
+def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.lag("l_quantity").over(w).alias("prev_qty"),
+        F.lead("l_quantity").over(w).alias("next_qty"),
+        F.first("l_extendedprice").over(w).alias("first_price"),
+        F.last("l_extendedprice").over(w_full).alias("last_price"),
+    )
+
+
+@query(
+    "win_frame_rows",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       cast(sum(cast(l_quantity AS bigint))
+         OVER (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS bigint) AS running_qty
+FROM lineitem
+""",
+    section="B.5",
+)
+def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quantities are integral: the running sum stays in exact int64.
+    li = load(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("bigint")).over(w).alias("running_qty"),
+    )
+
+
+@query(
+    "win_frame_range",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+       count(*) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+         AS n_within_5
+FROM lineitem
+""",
+    section="B.5",
+)
+def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Range frames bound by VALUE, so the count is tie-insensitive.
+    li = load(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rangeBetween(-5, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        F.count("*").over(w).alias("n_within_5"),
+    )
+
+
+@query(
+    "win_dedup_rank",
+    oracle="""
+WITH doubled AS (
+  SELECT * FROM events UNION ALL SELECT * FROM events
+), keyed AS (
+  SELECT *, concat_ws(':', coalesce(cast(event_id AS varchar), ''),
+                           coalesce(cast(user_id AS varchar), '')) AS k
+  FROM doubled
+)
+SELECT event_id, ts, user_id, event_type, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY k ORDER BY ts, event_id) rn
+  FROM keyed) WHERE rn = 1
+""",
+    section="B.5",
+)
+def win_dedup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The oracle twin of the reference's stateful dedup (A6): exactly
+    # the formulation FIXTURES.md prescribes.
+    ev = load(spark, sf_dir, "events")
+    doubled = ev.unionAll(ev)
+    keyed = doubled.withColumn("k", dedup_key(["event_id", "user_id"]))
+    return dedup_rank(keyed, ["k"], ["ts", "event_id"]).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )

@@ -1,0 +1,68 @@
+"""Deterministic format-roundtrip materialization for scan/sink queries.
+
+The driver only ships parquet test tables, so JSON/CSV scan queries and
+streaming file sources materialize their own input ONCE per (sf_dir,
+kind) under ``/root/repo/.data_cache`` and then read it back through
+the public reader API. Timestamps travel as epoch-microsecond longs
+(lossless; JSON/CSV timestamp strings would drop sub-millisecond
+precision under default formats).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_stream_for_k8s_spark.catalog import load
+
+CACHE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), ".data_cache")
+
+# Schema for the events table with ts as epoch-micros (JSON/CSV-safe).
+EVENTS_MICROS_SCHEMA = (
+    "event_id BIGINT, ts_us BIGINT, user_id BIGINT, event_type STRING,"
+    " value DOUBLE, props STRING"
+)
+
+
+def events_as_micros(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def restore_ts(df: DataFrame) -> DataFrame:
+    return df.select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def cache_dir(sf_dir: str, kind: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(CACHE_ROOT, tag, kind)
+
+
+def materialize(
+    spark: SparkSession, sf_dir: str, kind: str, writer
+) -> str:
+    """Write once (marker-protected), return the directory."""
+    out = cache_dir(sf_dir, kind)
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        writer(out)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out

@@ -1,0 +1,135 @@
+"""Property tests for the approximate (rows-only) LLM operators:
+planted-near-dup recall, signature determinism/locality, ANN recall
+vs the exact brute-force baseline."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from event_stream_for_k8s_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_planted_recall(spark):
+    pairs = REGISTRY["llm_dedup_near"].spark(spark, SF)
+    planted = pairs.filter((F.col("id_b") - F.col("id_a")) == 1_000_000)
+    # 10 planted near-dups at sf0.001; LSH is probabilistic — require >= 8.
+    assert planted.count() >= 8
+    # and they must pair a doc with its own perturbed copy
+    bad = planted.filter(F.col("id_b") - 1_000_000 != F.col("id_a")).count()
+    assert bad == 0
+
+
+def test_simhash_deterministic_and_local(spark):
+    sigs = REGISTRY["llm_dedup_simhash"].spark(spark, SF)
+    a = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    b = {r["doc_id"]: r["simhash"] for r in REGISTRY["llm_dedup_simhash"].spark(spark, SF).collect()}
+    assert a == b  # deterministic across runs
+    # locality: identical text => identical signature
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(1)
+    from event_stream_for_k8s_spark.plans.llm import llm_dedup_simhash  # noqa: F401
+
+    # hamming distance helper on two copies of the same doc
+    d0 = docs.collect()[0]
+    assert isinstance(a[d0["doc_id"]], int)
+
+
+def test_knn_lsh_recall_vs_brute(spark):
+    brute = {
+        (r["qid"], r["nid"])
+        for r in REGISTRY["llm_knn_brute"].spark(spark, SF).collect()
+    }
+    lsh = {
+        (r["qid"], r["nid"])
+        for r in REGISTRY["llm_knn_lsh"].spark(spark, SF).collect()
+    }
+    recall = len(brute & lsh) / len(brute)
+    assert recall >= 0.3, f"LSH recall too low: {recall}"
+
+
+def test_knn_ivf_recall_vs_brute(spark):
+    brute = {
+        (r["qid"], r["nid"])
+        for r in REGISTRY["llm_knn_brute"].spark(spark, SF).collect()
+    }
+    ivf = {
+        (r["qid"], r["nid"])
+        for r in REGISTRY["llm_knn_ivf"].spark(spark, SF).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.3, f"IVF recall too low: {recall}"
+
+
+def test_knn_self_similarity(spark):
+    from event_stream_for_k8s_spark.functions.vectors import cosine
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").limit(20)
+    bad = e.select(
+        F.round(cosine(F.col("embedding"), F.col("embedding")), 9).alias("s")
+    ).filter(F.abs(F.col("s") - 1.0) > 1e-9)
+    assert bad.count() == 0
+
+
+def test_approx_distinct_error_envelope(spark):
+    df = REGISTRY["agg_approx_distinct"].spark(spark, SF).collect()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for row in df:
+        rel = abs(row["approx_parts"] - exact[row["l_returnflag"]]) / exact[
+            row["l_returnflag"]
+        ]
+        assert rel <= 0.05, f"HLL error {rel} out of envelope"
+
+
+def test_multimodal_decode_stub(spark):
+    from event_stream_for_k8s_spark.functions.multimodal import (
+        attach_payload,
+        decode_media,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(10)
+    mm = attach_payload(d)
+    decoded = decode_media(mm, fake=True)
+    rows = decoded.collect()
+    assert len(rows) == 10
+    assert all(len(r["feature"]) == 4 for r in rows)
+    assert all(r["byte_len"] >= 1 for r in rows)
+    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        decode_media(mm, fake=False).collect()
+
+
+def test_asof_join_handcrafted(spark):
+    from event_stream_for_k8s_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c"), (3, 5, "d")],
+        "k int, t int, tag string",
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "tag")
+    right = spark.createDataFrame(
+        [(1, 5, 100), (1, 15, 200), (2, 15, 300), (2, 99, 400)],
+        "k int, t int, payload int",
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "payload")
+    got = {
+        (r["k"], r["tag"]): r["payload_asof"]
+        for r in asof_join(
+            left.withColumnRenamed("t", "lt"),
+            right.withColumnRenamed("t", "rt"),
+            on=["k"],
+            left_time="lt",
+            right_time="rt",
+            payload=["payload"],
+            tiebreak="payload",
+        ).collect()
+    }
+    assert got[(1, "a")] == 100  # t=10: latest right <= 10 is t=5
+    assert got[(1, "b")] == 200  # t=20: right t=15
+    assert got[(2, "c")] == 300  # boundary: right at exactly t matches
+    assert got[(3, "d")] is None  # no right rows for key 3

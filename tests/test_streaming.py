@@ -1,0 +1,152 @@
+"""Streaming semantics tests — SURVEY.md §3.4 invariants on the k8s
+fixture (FIXTURES.md) plus checkpoint-restart state recovery."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from event_stream_for_k8s_spark.sources.k8s_events import (
+    envelope,
+    event_key,
+    event_time,
+    read_events_jsonl,
+)
+from event_stream_for_k8s_spark.streaming.dedup_pipeline import (
+    batch_metrics,
+    dedup_within_ttl,
+    ndjson,
+    run_reference_pipeline,
+)
+
+T0 = "2024-01-01T10:00:00.000Z"
+T1 = "2024-01-01T11:00:00.000Z"
+T2 = "2024-01-01T12:00:00.000Z"
+
+
+def _k8s_fixture_rows() -> list[dict]:
+    """FIXTURES.md §3.4 branch coverage: (a) all four timestamp-
+    precedence cases; (b) missing uid/rv key collision; (d) duplicate
+    key within one micro-batch."""
+    meta = lambda uid, rv: {"uid": uid, "resourceVersion": rv, "creationTimestamp": T0}  # noqa: E731
+    obj = {"kind": "Pod", "namespace": "default", "name": "p1"}
+    return [
+        # (a) timestamp precedence
+        {"metadata": meta("u1", "1"), "type": "Warning", "reason": "BackOff",
+         "involvedObject": obj, "lastTimestamp": T2, "firstTimestamp": T1},
+        {"metadata": meta("u2", "1"), "type": "Normal", "reason": "Pulled",
+         "involvedObject": obj, "firstTimestamp": T1},
+        {"metadata": meta("u3", "1"), "type": "Normal", "reason": "Created",
+         "involvedObject": obj},
+        {"metadata": {"uid": "u4", "resourceVersion": "1"}, "type": "Normal",
+         "reason": "Started", "involvedObject": obj},
+        # (b) missing uid AND rv -> both collide on key ':'
+        {"metadata": {"creationTimestamp": T0}, "type": "Warning",
+         "reason": "NoKey1", "involvedObject": obj},
+        {"metadata": {"creationTimestamp": T1}, "type": "Warning",
+         "reason": "NoKey2", "involvedObject": obj},
+        # (d) duplicate key within one batch
+        {"metadata": meta("u5", "7"), "type": "Normal", "reason": "Dup",
+         "involvedObject": obj, "lastTimestamp": T1},
+        {"metadata": meta("u5", "7"), "type": "Normal", "reason": "Dup",
+         "involvedObject": obj, "lastTimestamp": T1},
+    ]
+
+
+@pytest.fixture(scope="module")
+def k8s_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("k8s_events")
+    with open(d / "events.json", "w") as f:
+        for row in _k8s_fixture_rows():
+            f.write(json.dumps(row) + "\n")
+    return str(d)
+
+
+def test_timestamp_precedence(spark, k8s_dir):
+    df = read_events_jsonl(spark, k8s_dir, streaming=False)
+    fallback = F.lit("1970-01-01").cast("timestamp")
+    got = {
+        r["reason"]: r["t"].isoformat()
+        for r in df.select("reason", event_time(fallback).alias("t")).collect()
+    }
+    assert got["BackOff"].startswith("2024-01-01T12")  # lastTimestamp wins
+    assert got["Pulled"].startswith("2024-01-01T11")  # firstTimestamp next
+    assert got["Created"].startswith("2024-01-01T10")  # creationTimestamp
+    assert got["Started"].startswith("1970-01-01")  # fallback (now() stand-in)
+
+
+def test_missing_key_collision_and_batch_dup(spark, k8s_dir):
+    df = read_events_jsonl(spark, k8s_dir, streaming=False)
+    keyed = df.withColumn("k", event_key())
+    # two keyless events collide on ':' (types.rs:28,33 semantics)
+    assert keyed.filter(F.col("k") == ":").count() == 2
+    deduped = keyed.dropDuplicates(["k"])
+    # 8 rows -> 6 keys (':' collision merges 2, u5:7 batch-dup merges 2)
+    assert deduped.count() == 6
+
+
+def test_envelope_shape(spark, k8s_dir):
+    df = read_events_jsonl(spark, k8s_dir, streaming=False)
+    env = envelope(df, F.lit("1970-01-01").cast("timestamp"))
+    assert set(env.columns) == {"time", "kubernetes_event"}
+    lines = ndjson(env).collect()
+    parsed = json.loads(lines[0]["line"])
+    assert "kubernetes_event" in parsed and "time" in parsed
+
+
+def test_metrics_invariant(spark, k8s_dir):
+    df = read_events_jsonl(spark, k8s_dir, streaming=False).withColumn(
+        "k", event_key()
+    )
+    m = batch_metrics(df, "k")
+    assert m["hits"] + m["misses"] == m["total"] == 8
+    assert m["misses"] == 6
+
+
+def test_checkpoint_restart_dedups_across_runs(spark, k8s_dir, tmp_path):
+    """A15/A16 analog: state survives restart — re-delivered events
+    after a restart are suppressed by recovered checkpoint state."""
+    ckpt = str(tmp_path / "ckpt")
+    out: list[int] = []
+
+    def sink(batch_df, batch_id):
+        out.append(batch_df.count())
+
+    # fallback must be > initial watermark (epoch 0) or the row is "late"
+    fb = F.lit("2024-01-02").cast("timestamp")
+    stream = read_events_jsonl(spark, k8s_dir, streaming=True).select(
+        event_key().alias("dedup_key"),
+        event_time(fb).alias("time"),
+        "reason",
+    )
+    q = run_reference_pipeline(
+        stream, "dedup_key", "time", 3600, ckpt, sink, available_now=True
+    )
+    q.awaitTermination()
+    first_total = sum(out)
+    assert first_total == 6  # in-batch dedup (stronger than reference, §3.4.2)
+
+    # "restart": same checkpoint, same data re-listed (the k8s
+    # list-then-watch startup re-delivery, tasks.rs:159-163)
+    out.clear()
+    stream2 = read_events_jsonl(spark, k8s_dir, streaming=True).select(
+        event_key().alias("dedup_key"),
+        event_time(fb).alias("time"),
+        "reason",
+    )
+    q2 = run_reference_pipeline(
+        stream2, "dedup_key", "time", 3600, ckpt, sink, available_now=True
+    )
+    q2.awaitTermination()
+    assert sum(out) == 0  # nothing re-emitted: file-source offsets + state recovered
+
+
+def test_dedup_idempotent(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    once = ev.dropDuplicates(["event_id"])
+    twice = once.dropDuplicates(["event_id"])
+    assert once.count() == twice.count()
