@@ -179,7 +179,15 @@ def minhash_pairs(
     feat = tf.transform(toks)
     mh = MinHashLSH(inputCol="__f", outputCol="__h", numHashTables=num_tables, seed=42)
     model = mh.fit(feat)
-    joined = model.approxSimilarityJoin(feat, feat, jaccard_distance, distCol="jdist")
+    # Pre-transform ONCE and persist: approxSimilarityJoin would
+    # otherwise recompute shingling+TF+minhash for BOTH sides of the
+    # self-join (2x the whole upstream pipeline).
+    from pyspark import StorageLevel
+
+    hashed = model.transform(feat).persist(StorageLevel.MEMORY_AND_DISK)
+    joined = model.approxSimilarityJoin(
+        hashed, hashed, jaccard_distance, distCol="jdist"
+    )
     return (
         joined.select(
             F.col(f"datasetA.{id_col}").alias("id_a"),

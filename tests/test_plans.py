@@ -1,0 +1,58 @@
+"""Physical-plan regression tests: the plan SHAPES that make these
+queries scale must not silently regress (SURVEY.md §4.2)."""
+
+from __future__ import annotations
+
+from event_stream_for_k8s_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].spark(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushdown_and_pruning(spark):
+    p = _plan(spark, "scan_parquet")
+    assert "PushedFilters: [" in p and "GreaterThanOrEqual" in p.replace(
+        "IsNotNull", ""
+    ), p[:500]
+    # column pruning: only the 3 selected columns reach the reader
+    assert "l_extendedprice" not in p.split("ReadSchema")[1][:200]
+
+
+def test_broadcast_join_is_broadcast(spark):
+    p = _plan(spark, "join_broadcast")
+    assert "BroadcastHashJoin" in p
+
+
+def test_topk_is_take_ordered(spark):
+    p = _plan(spark, "topk")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_knn_brute_broadcasts_queries_not_corpus(spark):
+    p = _plan(spark, "llm_knn_brute")
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_agg_has_partial_aggregation(spark):
+    p = _plan(spark, "agg_hash")
+    # partial (map-side) + final aggregation = two HashAggregate nodes
+    assert p.count("HashAggregate") >= 2
+
+
+def test_asof_join_has_no_cartesian(spark):
+    p = _plan(spark, "join_asof")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    # codegen spans only materialize in the FINAL adaptive plan —
+    # execute first, then inspect.
+    df = REGISTRY["agg_hash"].spark(spark, SF)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # codegen'd operators carry the "*(n)" stage marker in the tree
+    assert "isFinalPlan=true" in p and "*(" in p
