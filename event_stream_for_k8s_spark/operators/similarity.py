@@ -145,6 +145,100 @@ def knn_ivf(
     )
 
 
+def minhash_pairs_native(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    est_threshold: float = 0.3,
+) -> DataFrame:
+    """Near-dup pairs via expression-level MinHash + LSH banding —
+    no MLlib, no Python: the whole pipeline is Catalyst expressions.
+
+    shingle -> k seeded xxhash64 minima (the signature) -> band hashes
+    -> bucket self-join (candidates share a band) -> signature-estimated
+    Jaccard filter.
+
+    Plan shape at 100 TB: one explode + one groupBy(id) for signatures
+    (k min-aggregates, single shuffle), one explode(bands) + equi-join
+    on (band, hash) — sub-linear candidate generation, no all-pairs
+    stage anywhere. MLlib's MinHashLSH does the same dance through
+    sparse-vector UDFs; this form stays in whole-stage codegen.
+    """
+    rows_per_band = num_hashes // bands
+    t = F.split(F.col(text_col), r"\s+")
+    shingles = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size(t) - shingle + 1, F.lit(1))
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(t, i + j) for j in range(shingle)]
+                    ),
+                )
+            )
+        ).alias("sh"),
+    )
+    sigs = shingles.groupBy(id_col).agg(
+        F.array(
+            *[
+                F.min(F.xxhash64(F.lit(i), F.col("sh")))
+                for i in range(num_hashes)
+            ]
+        ).alias("sig")
+    )
+    banded = sigs.select(
+        id_col,
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bh"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bh"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bh"
+    )
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.aggregate(
+            F.zip_with(
+                "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / num_hashes
+    )
+    return (
+        cand.withColumn("jaccard", F.round(est, 6))
+        .filter(F.col("jaccard") >= est_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_pairs(
     docs: DataFrame,
     id_col: str,

@@ -23,6 +23,7 @@ from event_stream_for_k8s_spark.functions.text import (
 )
 from event_stream_for_k8s_spark.functions.vectors import cosine, sql_cosine
 from event_stream_for_k8s_spark.operators.similarity import (
+    minhash_pairs_native,
     knn_brute,
     knn_ivf,
     knn_lsh,
@@ -147,8 +148,11 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_dedup_near",
     oracle=None,
     section="B.11",
-    notes="MinHash-LSH near-dup candidates (approximate by design); "
-    "planted-near-dup recall asserted in tests/test_llm.py",
+    notes="MinHash-LSH near-dup candidates (approximate by design), "
+    "expression-level implementation (shingle -> seeded-xxhash64 "
+    "signature -> band bucket-join); planted-near-dup recall asserted "
+    "in tests/test_llm.py; MLlib MinHashLSH variant kept as "
+    "operators.similarity.minhash_pairs",
 )
 def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -167,7 +171,7 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     corpus = d.select("doc_id", "text").unionByName(planted)
-    return minhash_pairs(corpus, "doc_id", "text", jaccard_distance=0.7)
+    return minhash_pairs_native(corpus, "doc_id", "text")
 
 
 @query(

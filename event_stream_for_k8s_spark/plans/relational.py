@@ -531,3 +531,21 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
     o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
     return c.exceptAll(o.distinct())
+
+
+@query(
+    "agg_skew_salted",
+    oracle="""
+SELECT event_type, cast(count(*) AS bigint) AS n FROM events GROUP BY event_type
+""",
+    section="B.4",
+    notes="two-phase salted aggregation (operators/skew.py): identical "
+    "result to agg-by-key, but a pathologically hot key fans out over "
+    "16 reducers in phase 1 — the explicit fallback when AQE skew "
+    "handling is not enough",
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_stream_for_k8s_spark.operators.skew import salted_count
+
+    ev = load(spark, sf_dir, "events")
+    return salted_count(ev, ["event_type"], entropy_col="event_id", n=16)

@@ -221,3 +221,40 @@ def sink_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@query(
+    "scan_partitioned",
+    oracle="""
+SELECT event_id, user_id, event_type, value, strftime(ts, '%Y-%m-%d') AS day
+FROM events
+WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'
+""",
+    section="B.1",
+    notes="hive-partitioned parquet layout + partition pruning: the "
+    "scan touches exactly one day directory (PartitionFilters in the "
+    "plan, asserted in tests/test_plans.py) — the layout every 100 TB "
+    "event archive uses",
+)
+def scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = materialize(
+        spark,
+        sf_dir,
+        "events_partitioned",
+        lambda o: load(spark, sf_dir, "events")
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .drop("ts", "props")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(o),
+    )
+    df = spark.read.parquet(out)
+    # partition-value inference types `day` as DATE; normalize to the
+    # oracle's string AFTER the pruning filter.
+    return df.filter(F.col("day") == "2024-01-15").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.col("day").cast("string").alias("day"),
+    )

@@ -75,6 +75,13 @@ def run_reference_pipeline(
     order (tasks.rs:105 vs :129).
     """
     deduped = dedup_within_ttl(source, key_col, time_col, ttl_seconds)
+    # A9/A13 observability: per-batch emitted-row count rides the
+    # StreamingQueryProgress (observedMetrics) instead of a separate
+    # metrics endpoint; state size gauges come from stateOperators in
+    # the same progress object.
+    deduped = deduped.observe(
+        "dedup_pipeline", F.count(F.lit(1)).alias("emitted")
+    )
     writer = (
         deduped.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint)

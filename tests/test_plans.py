@@ -56,3 +56,9 @@ def test_whole_stage_codegen_on_hot_path(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     # codegen'd operators carry the "*(n)" stage marker in the tree
     assert "isFinalPlan=true" in p and "*(" in p
+
+
+def test_partition_pruning(spark):
+    df = REGISTRY["scan_partitioned"].spark(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in p and "day" in p.split("PartitionFilters")[1][:120]

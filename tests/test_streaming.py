@@ -146,7 +146,35 @@ def test_checkpoint_restart_dedups_across_runs(spark, k8s_dir, tmp_path):
 
 
 def test_dedup_idempotent(spark):
-    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from event_stream_for_k8s_spark.catalog import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
     once = ev.dropDuplicates(["event_id"])
     twice = once.dropDuplicates(["event_id"])
     assert once.count() == twice.count()
+
+
+def test_observed_metrics_and_state_gauges(spark, k8s_dir, tmp_path):
+    """A9 counter + A13 state gauges surfaced via StreamingQueryProgress."""
+    fb = F.lit("2024-01-02").cast("timestamp")
+    stream = read_events_jsonl(spark, k8s_dir, streaming=True).select(
+        event_key().alias("dedup_key"), event_time(fb).alias("time")
+    )
+    # the sink MUST consume the batch (an unconsumed foreachBatch df
+    # skips the stateful operator -> state-store commit validation fails)
+    q = run_reference_pipeline(
+        stream, "dedup_key", "time", 3600, str(tmp_path / "ck"),
+        lambda df, i: df.count(),
+    )
+    q.awaitTermination()
+    # availableNow ends on an empty flush batch — aggregate progresses
+    emitted = 0
+    for prog in q.recentProgress:
+        obs = prog.get("observedMetrics", {}).get("dedup_pipeline")
+        if obs is not None:
+            emitted += obs["emitted"]  # a Row, not a dict
+    assert emitted == 6
+    # exact live-key count depends on whether the final flush batch
+    # already evicted TTL-expired keys — assert the gauge exists and is
+    # in the sane range instead of pinning flush timing
+    assert 1 <= q.lastProgress["stateOperators"][0]["numRowsTotal"] <= 6
