@@ -274,3 +274,54 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region")
     n = load(spark, sf_dir, "nation")
     return r.crossJoin(n).select("r_name", "n_name")
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Register lineitem/orders bucketed by the join key (8 buckets).
+
+    Bucketing pre-shuffles data at WRITE time: both sides land in
+    co-located buckets, so every later join/agg on the key runs with
+    ZERO exchange (asserted in tests/test_plans.py). At 100 TB this is
+    the difference between re-shuffling 100 TB per query and never
+    shuffling the fact table at all.
+    """
+    import os
+
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    li, o = f"li_bucketed_{tag}", f"o_bucketed_{tag}"
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name, src, key in ((li, "lineitem", "l_orderkey"), (o, "orders", "o_orderkey")):
+        if not spark.catalog.tableExists(name):
+            # bucket metadata lives in the session catalog, not the
+            # files — a fresh session must rewrite; clear any stale
+            # location left by a previous process first
+            shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+            load(spark, sf_dir, src).write.bucketBy(8, key).sortBy(
+                key
+            ).mode("overwrite").format("parquet").saveAsTable(name)
+    return li, o
+
+
+@query(
+    "join_bucketed",
+    oracle=f"""
+SELECT o.o_orderstatus, count(*) AS n,
+       {sql_dsum('l.l_extendedprice')} AS sum_price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+""",
+    section="B.3",
+    notes="co-located join on pre-bucketed tables: zero Exchange in "
+    "the join (tests/test_plans.py asserts it)",
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, o = _bucketed_tables(spark, sf_dir)
+    return (
+        spark.table(li)
+        .join(spark.table(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), dsum("l_extendedprice").alias("sum_price"))
+    )

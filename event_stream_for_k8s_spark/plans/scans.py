@@ -258,3 +258,79 @@ def scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.col("day").cast("string").alias("day"),
     )
+
+
+@query(
+    "source_k8s_watch",
+    oracle="""
+SELECT cast(event_id AS varchar) AS uid,
+       '1' AS resource_version,
+       CASE WHEN event_type = 'error' THEN 'Warning' ELSE 'Normal' END AS type,
+       upper(event_type) AS reason,
+       'Pod' AS kind,
+       'ns-' || cast(user_id % 5 AS varchar) AS namespace,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS last_timestamp
+FROM events
+""",
+    section="B.1",
+    notes="custom DataSource-v2-style k8s Event source (Python Data "
+    "Source API, sources/k8s_datasource.py): offset-tracked NDJSON "
+    "watch-stream transport, A1 stretch goal",
+)
+def source_k8s_watch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_stream_for_k8s_spark.sources.k8s_datasource import register
+
+    def build(out: str) -> None:
+        ev = load(spark, sf_dir, "events")
+        watch = ev.select(
+            F.to_json(
+                F.struct(
+                    F.struct(
+                        F.col("event_id").cast("string").alias("uid"),
+                        F.lit("1").alias("resourceVersion"),
+                    ).alias("metadata"),
+                    F.when(F.col("event_type") == "error", "Warning")
+                    .otherwise("Normal")
+                    .alias("type"),
+                    F.upper("event_type").alias("reason"),
+                    F.struct(
+                        F.lit("Pod").alias("kind"),
+                        F.concat(F.lit("ns-"), (F.col("user_id") % 5).cast("string")).alias(
+                            "namespace"
+                        ),
+                    ).alias("involvedObject"),
+                    F.date_format(
+                        "ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+                    ).alias("lastTimestamp"),
+                )
+            ).alias("line")
+        )
+        import os as _os
+
+        _os.makedirs(out, exist_ok=True)
+        with open(_os.path.join(out, "watch.jsonl"), "w") as f:
+            for r in watch.toLocalIterator():
+                f.write(r["line"] + "\n")
+
+    src = materialize(spark, sf_dir, "k8s_watch_jsonl", build)
+    register(spark)
+    stream = (
+        spark.readStream.format("k8s-events")
+        .option("path", os.path.join(src, "watch.jsonl"))
+        .option("maxeventsperbatch", 10_000_000)
+        .load()
+    )
+    sink = f"k8sw_{abs(hash(sf_dir)) % 10**8}"
+    q = (
+        stream.select(
+            "uid", "resource_version", "type", "reason", "kind", "namespace",
+            "last_timestamp",
+        )
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

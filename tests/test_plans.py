@@ -62,3 +62,24 @@ def test_partition_pruning(spark):
     df = REGISTRY["scan_partitioned"].spark(spark, SF)
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in p and "day" in p.split("PartitionFilters")[1][:120]
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    from event_stream_for_k8s_spark.plans.joins import _bucketed_tables
+    from pyspark.sql import functions as F
+
+    li, o = _bucketed_tables(spark, SF)
+    # disable broadcast so the bucketing property (not broadcast) is
+    # what eliminates the exchange — at real scale neither side fits
+    # in a broadcast anyway
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(li).join(
+            spark.table(o), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        p = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Exchange" not in p, p[:800]
+    assert "SortMergeJoin" in p

@@ -178,3 +178,38 @@ def test_observed_metrics_and_state_gauges(spark, k8s_dir, tmp_path):
     # already evicted TTL-expired keys — assert the gauge exists and is
     # in the sane range instead of pinning flush timing
     assert 1 <= q.lastProgress["stateOperators"][0]["numRowsTotal"] <= 6
+
+
+def test_k8s_datasource_offsets_and_batching(spark, k8s_dir, tmp_path):
+    """Custom Python Data Source (A1 stretch): offset-tracked batches —
+    maxeventsperbatch bounds each micro-batch, offsets advance, and the
+    full file is eventually delivered exactly once."""
+    import time as _t
+
+    from event_stream_for_k8s_spark.sources.k8s_datasource import register
+
+    register(spark)
+    path = os.path.join(k8s_dir, "events.json")
+    stream = (
+        spark.readStream.format("k8s-events")
+        .option("path", path)
+        .option("maxeventsperbatch", 3)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("k8s_ds_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        deadline = _t.time() + 60
+        while spark.table("k8s_ds_test").count() < 8 and _t.time() < deadline:
+            _t.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = spark.table("k8s_ds_test")
+    assert got.count() == 8  # all fixture rows, no dup, no loss
+    assert got.filter(F.col("uid") == "u5").count() == 2
