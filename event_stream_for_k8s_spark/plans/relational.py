@@ -120,14 +120,14 @@ def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_ttl",
     oracle="""
 SELECT event_id, ts, event_type FROM events
-WHERE ts >= TIMESTAMP '2024-03-01 00:00:00'
+WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
 """,
     section="B.2",
 )
 def filter_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A12 TTL-age predicate as a query (tasks.rs:196) — event-time cutoff.
     ev = load(spark, sf_dir, "events")
-    return ev.filter(F.col("ts") >= F.lit("2024-03-01 00:00:00").cast("timestamp")).select(
+    return ev.filter(F.col("ts") >= F.lit("2024-01-20 00:00:00").cast("timestamp")).select(
         "event_id", "ts", "event_type"
     )
 
@@ -549,3 +549,124 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return salted_count(ev, ["event_type"], entropy_col="event_id", n=16)
+
+
+# --------------------------------------------------------------------------
+# Showcase: TPC-H-style multi-join analytical pipelines (join order +
+# broadcast selection left entirely to Catalyst/AQE)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+SELECT l.l_orderkey,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+""",
+    section="B.3/B.4",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), dec=4
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    oracle=f"""
+SELECT n.n_name,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+    section="B.3/B.4",
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 6-way star join: the three dimension legs broadcast, the
+    # customer-orders-lineitem spine shuffles on its keys once each —
+    # exactly the plan AQE picks without hints.
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), dec=4
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
+       n.n_name
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+""",
+    section="B.3/B.4",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), dec=4
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
