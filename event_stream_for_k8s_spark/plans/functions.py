@@ -269,3 +269,64 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast("decimal(12,2)").cast("string").alias("price_s"),
         F.col("l_shipdate").cast("date").cast("string").alias("ship_s"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+SELECT l_orderkey,
+       l_orderkey & 255 AS and_lo,
+       l_orderkey | 4096 AS or_hi,
+       xor(l_orderkey, l_partkey) AS xored,
+       l_orderkey << 2 AS shl,
+       l_orderkey >> 3 AS shr,
+       bit_count(l_orderkey) AS popcnt
+FROM lineitem
+""",
+    section="B.8",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("and_lo"),
+        k.bitwiseOR(F.lit(4096)).alias("or_hi"),
+        k.bitwiseXOR(F.col("l_partkey")).alias("xored"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+        F.bit_count(k).alias("popcnt"),
+    )
+
+
+@query(
+    "fn_struct",
+    oracle="""
+SELECT o_orderkey,
+       o_custkey AS sk,
+       o_totalprice AS sp,
+       (o_custkey = o_orderkey % 1000) AS key_match,
+       concat(cast(o_custkey AS varchar), '#', o_orderstatus) AS packed_id
+FROM orders
+""",
+    section="B.8",
+    notes="struct construction, field extraction, and struct-derived "
+    "scalars on the Spark side; the oracle computes the same outputs "
+    "directly (the check compares results, not plans)",
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_custkey").alias("k"),
+        F.col("o_totalprice").alias("p"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    return o.select(
+        "o_orderkey",
+        s.getField("k").alias("sk"),
+        s.getField("p").alias("sp"),
+        (s.getField("k") == F.col("o_orderkey") % 1000).alias("key_match"),
+        F.concat(
+            s.getField("k").cast("string"), F.lit("#"), s.getField("st")
+        ).alias("packed_id"),
+    )

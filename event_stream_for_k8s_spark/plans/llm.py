@@ -18,19 +18,16 @@ from event_stream_for_k8s_spark.functions.text import (
     MOD,
     STOPWORDS,
     bpe_ish_tokens,
-    fingerprint_minhash3,
     quality_features,
 )
 from event_stream_for_k8s_spark.functions.vectors import cosine, sql_cosine
 from event_stream_for_k8s_spark.operators.similarity import (
-    minhash_pairs_native,
     knn_brute,
     knn_ivf,
     knn_lsh,
-    minhash_pairs,
+    minhash_pairs_native,
 )
 from event_stream_for_k8s_spark.plans.registry import query
-from event_stream_for_k8s_spark.plans.util import davg
 
 # --------------------------------------------------------------------------
 # Deduplication family

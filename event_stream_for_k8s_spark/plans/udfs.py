@@ -10,8 +10,6 @@ the Python paths oracle-check exactly.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession

@@ -18,7 +18,6 @@ from event_stream_for_k8s_spark.sources.k8s_events import (
 )
 from event_stream_for_k8s_spark.streaming.dedup_pipeline import (
     batch_metrics,
-    dedup_within_ttl,
     ndjson,
     run_reference_pipeline,
 )
@@ -213,3 +212,34 @@ def test_k8s_datasource_offsets_and_batching(spark, k8s_dir, tmp_path):
     got = spark.table("k8s_ds_test")
     assert got.count() == 8  # all fixture rows, no dup, no loss
     assert got.filter(F.col("uid") == "u5").count() == 2
+
+
+def test_dedup_pipeline_on_rocksdb_state_store(spark, k8s_dir, tmp_path):
+    """The 100 TB dedup-state configuration: RocksDB state store
+    instead of the default in-memory HDFS-backed provider."""
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        fb = F.lit("2024-01-02").cast("timestamp")
+        stream = read_events_jsonl(spark, k8s_dir, streaming=True).select(
+            event_key().alias("dedup_key"), event_time(fb).alias("time")
+        )
+        out: list[int] = []
+        q = run_reference_pipeline(
+            stream, "dedup_key", "time", 3600, str(tmp_path / "ck"),
+            lambda df, i: out.append(df.count()),
+        )
+        q.awaitTermination()
+        assert sum(out) == 6  # same result as the default provider
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
