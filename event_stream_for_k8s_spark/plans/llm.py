@@ -560,3 +560,34 @@ def llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("payload") != F.col("n_chars")).alias("is_multibyte"),
         F.element_at("meta", "lang").alias("meta_lang"),
     )
+
+
+@query(
+    "llm_embed_quantize",
+    oracle="""
+SELECT vec_id,
+       round(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 6)
+         AS scale,
+       list_transform(embedding::DOUBLE[],
+                      x -> cast(round(x / list_max(
+                            list_transform(embedding::DOUBLE[], y -> abs(y)))
+                            * 127) AS int)) AS qvec
+FROM embeddings
+""",
+    section="B.11",
+    notes="symmetric int8 quantization as pure expressions — the "
+    "storage/bandwidth scale path for embedding corpora (4x smaller, "
+    "dot products in int arithmetic); per-row double math is exact on "
+    "both engines",
+)
+def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    return e.select(
+        "vec_id",
+        F.round(amax, 6).alias("scale"),
+        F.transform(
+            v, lambda x: F.round(x.cast("double") / amax * 127).cast("int")
+        ).alias("qvec"),
+    )

@@ -243,3 +243,53 @@ def test_dedup_pipeline_on_rocksdb_state_store(spark, k8s_dir, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_wallclock_ttl_dedup_reemits_after_expiry(spark, k8s_dir, tmp_path):
+    """§3.4.4 exact parity: wall-clock TTL via processing-time timers —
+    suppressed inside the TTL, re-emitted after it expires."""
+    import shutil
+    import time as _t
+
+    from event_stream_for_k8s_spark.streaming.wallclock_ttl import (
+        dedup_wallclock_ttl,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copy(os.path.join(k8s_dir, "events.json"), os.path.join(src, "f1.json"))
+    ckpt = str(tmp_path / "ck")
+    emitted: list[int] = []
+
+    def run_once():
+        stream = read_events_jsonl(spark, src, streaming=True).select(
+            event_key().alias("dedup_key"), "reason"
+        )
+        out = dedup_wallclock_ttl(stream, ttl_seconds=3)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, i: emitted.append(df.count())
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert sum(emitted) == 6  # first sight of each key emits
+
+    # re-delivery INSIDE the TTL: fully suppressed
+    emitted.clear()
+    shutil.copy(os.path.join(k8s_dir, "events.json"), os.path.join(src, "f2.json"))
+    run_once()
+    assert sum(emitted) == 0
+
+    # re-delivery AFTER the wall-clock TTL: lazy expiry on probe,
+    # every key re-emits (reference tasks.rs:196-199 semantics)
+    emitted.clear()
+    _t.sleep(4)
+    shutil.copy(os.path.join(k8s_dir, "events.json"), os.path.join(src, "f3.json"))
+    run_once()
+    assert sum(emitted) == 6
