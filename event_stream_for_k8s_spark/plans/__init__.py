@@ -15,6 +15,7 @@ from event_stream_for_k8s_spark.plans import (  # noqa: E402,F401
     windows,
     functions,
     llm,
+    maintenance,
     streaming_queries,
     udfs,
 )

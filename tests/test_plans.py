@@ -83,3 +83,46 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "Exchange" not in p, p[:800]
     assert "SortMergeJoin" in p
+
+
+def test_compaction_reduces_file_count(spark):
+    import glob
+    import os
+
+    from event_stream_for_k8s_spark.sources.roundtrip import cache_dir
+
+    REGISTRY["maint_compact"].spark(spark, SF)  # materializes both dirs
+    n = lambda d: len(  # noqa: E731
+        glob.glob(os.path.join(cache_dir(SF, d), "**", "*.parquet"), recursive=True)
+    )
+    assert n("events_fragmented") == 64
+    # sf0.001 events ≈ a few hundred KB << 128 MB target -> one file
+    assert n("events_compacted") == 1
+
+
+def test_kafka_transport_wiring(spark):
+    """No broker/connector in this image: the probe must say so, the
+    file fallback must produce the standard schema, and a forced kafka
+    read must fail with Spark's data-source-not-found error (proving
+    the wiring reaches the real connector lookup)."""
+    import pytest as _pytest
+
+    from event_stream_for_k8s_spark.sources import kafka as K
+    from event_stream_for_k8s_spark.sources.roundtrip import (
+        events_as_micros, materialize,
+    )
+
+    available = K.kafka_available(spark)
+    src = materialize(
+        spark, SF, "events_stream_json",
+        lambda out: events_as_micros(spark, SF)
+        .coalesce(1).write.mode("overwrite").json(out),
+    )
+    stream = K.event_stream(spark, transport="auto", path=src)
+    assert stream.isStreaming
+    assert [f.name for f in stream.schema.fields] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    ]
+    if not available:
+        with _pytest.raises(Exception, match="kafka|KAFKA|DATA_SOURCE"):
+            K.read_kafka_events(spark, "localhost:9092", "events")

@@ -293,3 +293,75 @@ def test_wallclock_ttl_dedup_reemits_after_expiry(spark, k8s_dir, tmp_path):
     shutil.copy(os.path.join(k8s_dir, "events.json"), os.path.join(src, "f3.json"))
     run_once()
     assert sum(emitted) == 6
+
+
+def test_tws_wallclock_ttl_dedup(spark, k8s_dir, tmp_path):
+    """Same §3.4.4 parity contract as the applyInPandasWithState
+    variant, on Spark 4's transformWithStateInPandas: suppressed inside
+    the wall-clock TTL, re-emitted after (native state-TTL eviction)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs the protobuf package "
+        "(its state-server protocol is proto-based); not in this image",
+    )
+    import shutil
+    import time as _t
+
+    from event_stream_for_k8s_spark.streaming.tws_dedup import (
+        ROCKSDB_PROVIDER,
+        dedup_wallclock_ttl_tws,
+    )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copy(os.path.join(k8s_dir, "events.json"), os.path.join(src, "f1.json"))
+    ckpt = str(tmp_path / "ck")
+    emitted: list[int] = []
+
+    def run_once():
+        stream = read_events_jsonl(spark, src, streaming=True).select(
+            event_key().alias("dedup_key"), "reason"
+        )
+        out = dedup_wallclock_ttl_tws(stream, ttl_seconds=3)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, i: emitted.append(df.count())
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        run_once()
+        assert sum(emitted) == 6  # first sight of each key emits
+
+        emitted.clear()  # re-delivery INSIDE the TTL: suppressed
+        shutil.copy(
+            os.path.join(k8s_dir, "events.json"), os.path.join(src, "f2.json")
+        )
+        run_once()
+        assert sum(emitted) == 0
+
+        emitted.clear()  # AFTER the TTL: state expired, all re-emit
+        _t.sleep(4)
+        shutil.copy(
+            os.path.join(k8s_dir, "events.json"), os.path.join(src, "f3.json")
+        )
+        run_once()
+        assert sum(emitted) == 6
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
