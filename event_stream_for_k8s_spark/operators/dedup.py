@@ -53,3 +53,63 @@ def dedup_rank(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    ``(node, cluster_id)`` where cluster_id = min node id reachable.
+
+    This is the step near-dup pipelines need AFTER pair generation —
+    near-duplicate is not transitive, so keeping one doc per PAIR
+    over-deletes; keeping one per COMPONENT is the standard contract.
+
+    Each round every node adopts the min label in its neighborhood;
+    rounds needed = graph diameter (near-dup components are shallow —
+    a handful). Each round is one shuffle join + one shuffle agg, all
+    JVM-side; ``localCheckpoint`` truncates the growing lineage so
+    plan size stays O(1) per round. The driver-side loop only reads a
+    scalar convergence count — data never leaves the executors. At
+    extreme diameters switch to alternating large-star/small-star
+    (Kiveris et al.), same primitive ops.
+    """
+    und = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+    endpoint_nodes = und.select(F.col("s").alias("node")).distinct()
+    if nodes is not None:
+        endpoint_nodes = (
+            nodes.select(F.col(nodes.columns[0]).alias("node"))
+            .union(endpoint_nodes)
+            .distinct()
+        )
+    und = und.localCheckpoint(eager=True)
+    labels = endpoint_nodes.select(
+        "node", F.col("node").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        msgs = und.join(labels, und["d"] == labels["node"]).select(
+            F.col("s").alias("node"), "cluster_id"
+        )
+        new_labels = (
+            labels.select("node", "cluster_id")
+            .union(msgs)
+            .groupBy("node")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -294,3 +294,164 @@ def minhash_pairs(
         )
         .filter(F.col("id_a") < F.col("id_b"))
     )
+
+
+def _lloyd(x, k: int, iters: int = 12, seed: int = 42):
+    """Seeded, fixed-iteration Lloyd's k-means (numpy, driver-side).
+    PQ codebooks are trained on a SAMPLE by design — at 100 TB you
+    never fit the quantizer on the full corpus, you sample ~10^5
+    vectors, train locally, broadcast the codebook."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=k, replace=len(x) < k)].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for j in range(k):
+            pts = x[a == j]
+            if len(pts):
+                cent[j] = pts.mean(0)
+    return cent
+
+
+def knn_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "qid",
+    c_id: str = "nid",
+    q_vec: str = "qvec",
+    c_vec: str = "cvec",
+    m: int = 8,
+    n_codes: int = 16,
+    train_n: int = 512,
+    rerank_factor: int = 10,
+) -> DataFrame:
+    """IVF-PQ's PQ half: product-quantized asymmetric-distance knn.
+
+    The corpus is stored as m uint8 codes + one exact norm per vector
+    (m + 8 bytes instead of 4*dim — 8x smaller at dim=64, the reason
+    PQ is the 100 TB ANN memory story). Queries build per-subspace
+    lookup tables once; scoring a vector is m table gathers — no
+    float math per dimension. Encode and score run as Arrow-batched
+    mapInPandas over the corpus (numpy gathers), never collecting it;
+    only the codebook (m*n_codes*sub_dim floats) and the query set
+    travel to executors.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    dim = len(
+        corpus.select(c_vec).first()[0]
+    )
+    sub = dim // m
+    assert sub * m == dim, f"dim {dim} not divisible by m={m}"
+
+    train = np.array(
+        [
+            r[0]
+            for r in corpus.select(c_vec)
+            .orderBy(c_id)
+            .limit(train_n)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    books = [
+        _lloyd(train[:, j * sub : (j + 1) * sub], n_codes, seed=42 + j)
+        for j in range(m)
+    ]
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            v = np.stack(pdf[c_vec].map(np.asarray)).astype(np.float64)
+            codes = np.empty((len(v), m), dtype=np.int32)
+            for j in range(m):
+                s = v[:, j * sub : (j + 1) * sub]
+                d = ((s[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = d.argmin(1)
+            yield pd.DataFrame(
+                {
+                    c_id: pdf[c_id],
+                    "codes": list(codes),
+                    "norm": np.sqrt((v * v).sum(1)),
+                }
+            )
+
+    coded = corpus.mapInPandas(
+        encode, f"{c_id} bigint, codes array<int>, norm double"
+    )
+
+    qrows = queries.select(q_id, q_vec).collect()
+    luts, qids, qnorms = [], [], []
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        qids.append(r[0])
+        qnorms.append(float(np.sqrt((qv * qv).sum())))
+        luts.append(
+            np.stack(
+                [books[j] @ qv[j * sub : (j + 1) * sub] for j in range(m)]
+            )
+        )  # shape (m, n_codes): dot contribution per subspace code
+    luts = np.stack(luts)  # (Q, m, n_codes)
+    qids_a = np.array(qids)
+    qnorms_a = np.array(qnorms)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].map(np.asarray))  # (N, m)
+            norms = pdf["norm"].to_numpy()
+            nids = pdf[c_id].to_numpy()
+            # ADC: approx dot = sum_j lut[q, j, code[n, j]]
+            dots = np.zeros((len(qids_a), len(nids)))
+            for j in range(m):
+                dots += luts[:, j, :][:, codes[:, j]]
+            sims = dots / (qnorms_a[:, None] * norms[None, :])
+            qq, nn = np.meshgrid(
+                np.arange(len(qids_a)), np.arange(len(nids)), indexing="ij"
+            )
+            yield pd.DataFrame(
+                {
+                    q_id: qids_a[qq.ravel()],
+                    c_id: nids[nn.ravel()],
+                    "sim": np.round(sims.ravel(), 6),
+                }
+            )
+
+    pairs = coded.mapInPandas(
+        score, f"{q_id} bigint, {c_id} bigint, sim double"
+    ).filter(F.col(q_id) != F.col(c_id))
+    if rerank_factor <= 1:
+        return top_k_per_group(
+            pairs, [q_id], [F.col("sim").desc(), F.col(c_id)], k,
+            rank_col="rnk",
+        )
+    # Shortlist-then-rerank: PQ scores prune the corpus to
+    # k*rerank_factor candidates per query (approximate, cheap), the
+    # exact kernel re-scores only the shortlist (equi-join on c_id —
+    # touches rerank_factor*k/N of the corpus, not all of it). This
+    # two-stage shape is how PQ is actually deployed: quantization
+    # error shifts ranks a few places, so over-fetch then re-rank.
+    shortlist = top_k_per_group(
+        pairs, [q_id], [F.col("sim").desc(), F.col(c_id)],
+        k * rerank_factor, rank_col="rnk",
+    ).select(q_id, c_id)
+    exact = (
+        shortlist.join(corpus, c_id)
+        .join(F.broadcast(queries), q_id)
+        .select(
+            q_id,
+            c_id,
+            F.round(cosine(F.col(q_vec), F.col(c_vec)), 6).alias("sim"),
+        )
+    )
+    return top_k_per_group(
+        exact, [q_id], [F.col("sim").desc(), F.col(c_id)], k, rank_col="rnk"
+    )

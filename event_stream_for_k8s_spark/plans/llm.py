@@ -591,3 +591,81 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             v, lambda x: F.round(x.cast("double") / amax * 127).cast("int")
         ).alias("qvec"),
     )
+
+
+CLUSTERS_ORACLE = f"""
+WITH RECURSIVE edges AS (
+  SELECT a.vec_id AS s, b.vec_id AS d
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round({sql_cosine('a.embedding', 'b.embedding')}, 6) > 0.4
+), und AS (
+  SELECT s, d FROM edges UNION ALL SELECT d AS s, s AS d FROM edges
+), reach(node, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT u.d, reach.r FROM reach JOIN und u ON u.s = reach.node
+), comp AS (
+  SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node
+)
+SELECT vec_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+"""
+
+
+@query(
+    "llm_dedup_clusters",
+    oracle=CLUSTERS_ORACLE,
+    section="B.11",
+    notes="near-dup CLUSTERING: similarity pairs -> connected "
+    "components (iterative min-label propagation) -> one canonical "
+    "cluster_id per doc. Near-duplicate is not transitive, so pairwise "
+    "deletion over-deletes; per-component dedup is the contract "
+    "training pipelines need. Oracle = DuckDB recursive-CTE closure",
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from event_stream_for_k8s_spark.operators.dedup import (
+        connected_components,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
+    # All-pairs scoring is the sf-test stand-in; at 100 TB the pair
+    # generator is the LSH band join (minhash_pairs_native) — the
+    # component step downstream is identical either way.
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("src") < F.col("dst"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) > 0.4)
+        .select("src", "dst")
+    )
+    comp = connected_components(pairs, nodes=e.select("vec_id"))
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        F.col("node").alias("vec_id"),
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+    )
+
+
+@query(
+    "llm_knn_pq",
+    oracle=None,
+    section="B.11",
+    notes="product-quantized ANN: corpus stored as m codes + a norm "
+    "(8x smaller at dim=64), asymmetric-distance shortlist (m table "
+    "gathers per vector) then exact re-rank of the top 10%% — the "
+    "deployed PQ shape; recall-vs-brute asserted in tests/test_llm.py",
+)
+def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_stream_for_k8s_spark.operators.similarity import knn_pq
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("cvec"))
+    return knn_pq(queries, corpus, k=5).select("qid", "nid", "sim", "rnk")

@@ -121,3 +121,55 @@ def maint_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return restore_ts(
         spark.read.option("modifiedAfter", cutoff).parquet(out)
     )
+
+
+@query(
+    "maint_merge_upsert",
+    oracle="""
+WITH changes AS (
+  SELECT event_id, 'patched' AS event_type, round(value * 2, 2) AS value
+  FROM events WHERE event_id % 10 = 3
+  UNION ALL
+  SELECT event_id + 10000000 AS event_id, 'inserted' AS event_type,
+         round(value, 2) AS value
+  FROM events WHERE event_id % 10 = 7
+)
+SELECT coalesce(c.event_id, b.event_id) AS event_id,
+       coalesce(c.event_type, b.event_type) AS event_type,
+       coalesce(c.value, round(b.value, 2)) AS value
+FROM events b FULL JOIN changes c ON b.event_id = c.event_id
+""",
+    section="B.1",
+    notes="MERGE INTO (upsert) expressed on plain parquet as a "
+    "full-outer join + coalesce — matched rows take the change side, "
+    "unmatched changes insert, unmatched base carries over. This is "
+    "the rewrite Delta/Iceberg run under the hood; on partitioned "
+    "layouts only partitions containing matches are rewritten",
+)
+def maint_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_stream_for_k8s_spark.catalog import load
+
+    base = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round("value", 2).alias("value")
+    )
+    changes = (
+        base.filter(F.col("event_id") % 10 == 3)
+        .select(
+            "event_id",
+            F.lit("patched").alias("event_type"),
+            F.round(F.col("value") * 2, 2).alias("value"),
+        )
+        .unionByName(
+            base.filter(F.col("event_id") % 10 == 7).select(
+                (F.col("event_id") + 10_000_000).alias("event_id"),
+                F.lit("inserted").alias("event_type"),
+                "value",
+            )
+        )
+    )
+    b, c = base.alias("b"), changes.alias("c")
+    return b.join(c, F.col("b.event_id") == F.col("c.event_id"), "full").select(
+        F.coalesce("c.event_id", "b.event_id").alias("event_id"),
+        F.coalesce("c.event_type", "b.event_type").alias("event_type"),
+        F.coalesce("c.value", "b.value").alias("value"),
+    )

@@ -670,3 +670,99 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey", "c_name", "revenue", "n_name")
     )
+
+
+# --------------------------------------------------------------------------
+# B.4 extensions — pivot / unpivot / SQL subquery surface
+# --------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "agg_pivot",
+    oracle="SELECT user_id, "
+    + ", ".join(
+        f"{sql_dsum(f'CASE WHEN event_type = {t!r} THEN value END')}"
+        f" AS sum_{t}"
+        for t in EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id",
+    section="B.4",
+    notes="pivot with an EXPLICIT value list: without it Spark runs an "
+    "extra distinct-scan to discover columns — never acceptable on a "
+    "100 TB fact table; with it the plan is one ordinary hash agg",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(dsum("value"))
+    )
+    return out.select(
+        "user_id",
+        *[F.col(t).alias(f"sum_{t}") for t in EVENT_TYPES],
+    )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+SELECT o_orderkey, metric, val FROM (
+  SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS val
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'custkey' AS metric, cast(o_custkey AS double) AS val
+  FROM orders
+) WHERE val IS NOT NULL
+""",
+    section="B.4",
+    notes="unpivot/melt (wide->long): Spark's native unpivot is a "
+    "zero-shuffle generator expression, not a join",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    ).unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice", "custkey"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+SQL_CTE_TEXT = """
+WITH big_spenders AS (
+  SELECT o_custkey, count(*) AS n_orders
+  FROM orders WHERE o_totalprice > 150000 GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_name, b.n_orders
+FROM customer c JOIN big_spenders b ON c.c_custkey = b.o_custkey
+WHERE c.c_acctbal > (
+    SELECT cast(sum(cast(round(c_acctbal * 100) AS bigint)) AS double)
+           / (100.0 * count(*))
+    FROM customer)
+  AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+@query(
+    "sql_cte_subquery",
+    oracle=SQL_CTE_TEXT,
+    section="B.4",
+    notes="the SQL surface: CTE + uncorrelated scalar subquery + "
+    "correlated EXISTS, ONE query text executed verbatim by both "
+    "engines (spark.sql over temp views vs DuckDB). Catalyst plans "
+    "EXISTS as a left-semi join and the scalar subquery as a "
+    "broadcast — no per-row re-execution",
+)
+def sql_cte_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(SQL_CTE_TEXT)

@@ -410,3 +410,88 @@ def stream_foreach_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(total, misses, total - misses)], "total bigint, misses bigint, hits bigint"
     )
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+SELECT e.event_id, e.user_id, e.event_type, s.severity
+FROM events e
+JOIN (VALUES ('click', 0), ('view', 0), ('signup', 0),
+             ('purchase', 1), ('error', 2)) AS s(event_type, severity)
+  ON e.event_type = s.event_type
+""",
+    section="B.9",
+    notes="stream-static enrichment join: the static side is planned "
+    "as a broadcast against every micro-batch — no stream-side "
+    "shuffle, no state; the pattern for dimension lookups at 100 TB/day",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _single_file_json(
+        spark, sf_dir, "events_stream1_json",
+        lambda: events_as_micros(spark, sf_dir),
+    )
+    dim = spark.createDataFrame(
+        [("click", 0), ("view", 0), ("signup", 0), ("purchase", 1),
+         ("error", 2)],
+        "event_type string, severity int",
+    )
+    joined = (
+        _stream(spark, src)
+        .join(F.broadcast(dim), "event_type")
+        .select("event_id", "user_id", "event_type", "severity")
+    )
+    sink = f"ssj_{abs(hash(sf_dir)) % 10**8}"
+    _run_to_memory(joined, sink)
+    return spark.table(sink)
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+ AND a.event_id < b.event_id
+""",
+    section="B.9",
+    notes="stream-stream inner join (same-user event pairs within 1h): "
+    "both sides watermarked and the join time-bounded, so each side's "
+    "buffered state is evicted once the other side's watermark passes "
+    "the bound — bounded state, the only way a 100 TB/day self-join "
+    "survives",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _single_file_json(
+        spark, sf_dir, "events_stream1_json",
+        lambda: events_as_micros(spark, sf_dir),
+    )
+    left = (
+        _stream(spark, src)
+        .select(
+            F.col("event_id").alias("id_a"),
+            "user_id",
+            F.col("ts").alias("ts_a"),
+        )
+        .withWatermark("ts_a", "2 hours")
+    )
+    right = (
+        _stream(spark, src)
+        .select(
+            F.col("event_id").alias("id_b"),
+            F.col("user_id").alias("user_b"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", "2 hours")
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("user_b"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 1 HOUR"))
+        & (F.col("id_a") < F.col("id_b")),
+    ).select("id_a", "id_b", "user_id")
+    sink = f"s2s_{abs(hash(sf_dir)) % 10**8}"
+    _run_to_memory(joined, sink)
+    return spark.table(sink)

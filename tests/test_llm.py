@@ -133,3 +133,37 @@ def test_asof_join_handcrafted(spark):
     assert got[(1, "b")] == 200  # t=20: right t=15
     assert got[(2, "c")] == 300  # boundary: right at exactly t matches
     assert got[(3, "d")] is None  # no right rows for key 3
+
+
+def test_knn_pq_recall_vs_brute(spark):
+    brute = {
+        (r["qid"], r["nid"])
+        for r in REGISTRY["llm_knn_brute"].spark(spark, SF).collect()
+    }
+    pq = {
+        (r["qid"], r["nid"])
+        for r in REGISTRY["llm_knn_pq"].spark(spark, SF).collect()
+    }
+    recall = len(brute & pq) / len(brute)
+    # PQ shortlist (top 10%) + exact re-rank: 0.9 measured; floor at
+    # 0.7 to absorb codebook sensitivity
+    assert recall >= 0.7, f"PQ recall too low: {recall}"
+
+
+def test_connected_components_planted(spark):
+    from event_stream_for_k8s_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src bigint, dst bigint"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 99)],
+                                  "id bigint")
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    # path 1-2-3-4 collapses to min id 1 (diameter > 1 => needs
+    # multiple propagation rounds), pair to 10, isolate to itself
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
