@@ -330,3 +330,29 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             s.getField("k").cast("string"), F.lit("#"), s.getField("st")
         ).alias("packed_id"),
     )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256,
+       ('0x' || substr(md5(text), 1, 8))::bigint % 16 AS shard
+FROM documents
+""",
+    section="B.8",
+    notes="cryptographic/content hashing: md5 + sha256 hex digests "
+    "(content-addressed dedup keys) and a derived 16-way shard id "
+    "from the digest prefix — the deterministic-bucketing primitive "
+    "exact dedup and layout partitioning build on",
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+        (
+            F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+            % 16
+        ).alias("shard"),
+    )

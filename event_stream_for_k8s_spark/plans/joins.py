@@ -325,3 +325,56 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n"), dsum("l_extendedprice").alias("sum_price"))
     )
+
+
+@query(
+    "join_range_binned",
+    oracle="""
+SELECT a.event_id, count(*) AS n_nearby
+FROM events a JOIN events b
+  ON b.ts >= a.ts - INTERVAL 30 MINUTE
+ AND b.ts <= a.ts + INTERVAL 30 MINUTE
+ AND b.event_id <> a.event_id
+GROUP BY a.event_id
+""",
+    section="B.3",
+    notes="PURE range join (no equality conjunct) rewritten to an "
+    "equi-join on 1h time bins: probe side explodes to its <=2 "
+    "candidate bins, build side maps to its bin, hash-join on bin, "
+    "exact residual filter. Turns the O(N*M) nested loop Spark would "
+    "otherwise pick into a shuffle hash join — the generic range-join "
+    "strategy when there is no co-key to hash on",
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bin_us = 3600 * 1_000_000  # 1h bins; probe interval 1h wide -> <=2
+    half_us = 1800 * 1_000_000
+    # microsecond arithmetic: unix_seconds would truncate sub-second
+    # precision and admit rows just past the boundary
+    b = ev.select(
+        F.col("event_id").alias("bid"),
+        F.unix_micros("ts").alias("tb"),
+        F.floor(F.unix_micros("ts") / bin_us).cast("long").alias("bin"),
+    )
+    a = ev.select(
+        F.col("event_id").alias("event_id"),
+        F.unix_micros("ts").alias("ta"),
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.unix_micros("ts") - half_us) / bin_us).cast("long"),
+                    F.floor((F.unix_micros("ts") + half_us) / bin_us).cast("long"),
+                )
+            )
+        ).alias("bin"),
+    )
+    return (
+        a.join(b, "bin")
+        .filter(
+            (F.col("tb") >= F.col("ta") - half_us)
+            & (F.col("tb") <= F.col("ta") + half_us)
+            & (F.col("bid") != F.col("event_id"))
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_nearby"))
+    )

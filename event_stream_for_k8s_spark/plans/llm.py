@@ -669,3 +669,55 @@ def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("cvec"))
     return knn_pq(queries, corpus, k=5).select("qid", "nid", "sim", "rnk")
+
+
+@query(
+    "llm_doc_topk_terms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+), nd AS (SELECT count(*) AS nd FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * ln(nd.nd * 1.0 / dfreq.df), 6) AS score
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nd
+)
+SELECT doc_id, term, tf, score, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rnk
+  FROM scored) WHERE rnk <= 3
+""",
+    section="B.11",
+    notes="top-3 tf-idf terms per document (keyword extraction): "
+    "tf and df aggregations share one tokenize pass; df side is "
+    "broadcast back — per-doc ranking never reshuffles the corpus "
+    "by anything but doc_id",
+)
+def llm_doc_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_stream_for_k8s_spark.operators.topk import top_k_per_group
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    nd = d.groupBy().agg(F.count("*").alias("nd"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("nd") * F.lit(1.0) / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    return top_k_per_group(
+        scored, ["doc_id"], [F.col("score").desc(), F.col("term")], 3,
+        rank_col="rnk",
+    ).select("doc_id", "term", "tf", "score", "rnk")

@@ -19,6 +19,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from event_stream_for_k8s_spark.catalog import load
 from event_stream_for_k8s_spark.plans.registry import query
 from event_stream_for_k8s_spark.sources.roundtrip import (
     cache_dir,
@@ -147,8 +148,6 @@ FROM events b FULL JOIN changes c ON b.event_id = c.event_id
     "layouts only partitions containing matches are rewritten",
 )
 def maint_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from event_stream_for_k8s_spark.catalog import load
-
     base = load(spark, sf_dir, "events").select(
         "event_id", "event_type", F.round("value", 2).alias("value")
     )
@@ -172,4 +171,35 @@ def maint_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("c.event_id", "b.event_id").alias("event_id"),
         F.coalesce("c.event_type", "b.event_type").alias("event_type"),
         F.coalesce("c.value", "b.value").alias("value"),
+    )
+
+
+@query(
+    "maint_scd2",
+    oracle="""
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS valid_to,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         IS NULL) AS is_current
+FROM events
+""",
+    section="B.5",
+    notes="SCD-type-2 dimension build: change events -> effective-dated "
+    "ranges via lead() per key (valid_from/valid_to, open-ended row "
+    "flagged current). One window shuffle on the dimension key; the "
+    "standard way a 100 TB fact side gets point-in-time joins",
+)
+def maint_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
     )

@@ -766,3 +766,26 @@ def sql_cte_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(SQL_CTE_TEXT)
+
+
+@query(
+    "agg_hll_sketch",
+    oracle=None,
+    section="B.4",
+    notes="Datasketches HLL: per-group sketches + hll_union_agg "
+    "re-aggregation. Unlike approx_count_distinct the sketch itself "
+    "is storable/mergeable — counts can roll up across days/partitions "
+    "without re-scanning raw data, the 100 TB distinct-count pattern; "
+    "estimate-vs-exact error asserted in tests",
+)
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    rollup = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).select(F.lit("__all__").alias("event_type"), "est")
+    return per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("est")
+    ).unionByName(rollup)

@@ -495,3 +495,109 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"s2s_{abs(hash(sf_dir)) % 10**8}"
     _run_to_memory(joined, sink)
     return spark.table(sink)
+
+
+def _sentinel_src(spark: SparkSession, sf_dir: str) -> str:
+    """events + three sentinel files at max_ts+10/11/12h: mtime-ordered
+    micro-batches whose only job is to march the watermark past every
+    real event's join window (the watermark at batch N reflects data
+    through batch N-2 on this Spark, and AvailableNow appends one
+    final empty flush batch)."""
+    out = cache_dir(sf_dir, "events_sentinel3u")
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        import glob
+        import shutil
+
+        base = events_as_micros(spark, sf_dir)
+        mx = base.agg(F.max("ts_us")).collect()[0][0]
+        frames = [base]
+        for i, hours in enumerate((10, 11, 12)):
+            # distinct NEGATIVE user ids: sentinels can never join with
+            # real events or each other, so they are pure watermark fuel
+            frames.append(
+                spark.createDataFrame(
+                    [(10**9 + i, mx + hours * 3600 * 1_000_000, -(i + 1),
+                      "sentinel", 0.0, "{}")],
+                    EVENTS_MICROS_SCHEMA,
+                )
+            )
+        os.makedirs(out, exist_ok=True)
+        for i, df in enumerate(frames):
+            df.coalesce(1).write.mode("overwrite").json(
+                os.path.join(out, f"p{i}")
+            )
+            (part,) = glob.glob(os.path.join(out, f"p{i}", "part-*.json"))
+            dst = os.path.join(out, f"batch_{i}.json")
+            shutil.move(part, dst)
+            shutil.rmtree(os.path.join(out, f"p{i}"))
+            t = time.time() - 300 + i * 60
+            os.utime(dst, (t, t))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+@query(
+    "stream_outer_join",
+    oracle="""
+SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id
+FROM events a LEFT JOIN events b
+  ON b.user_id = a.user_id AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+ AND b.event_id <> a.event_id
+""",
+    section="B.9",
+    notes="left-OUTER stream-stream join: matches emit as they arrive; "
+    "an unmatched left row emits its null-padded row only once the "
+    "right watermark proves no match can still come — sentinel batches "
+    "advance the watermark past every real join window, so the result "
+    "is the deterministic batch left join (sentinels' own windows stay "
+    "open; they never emit)",
+)
+def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _sentinel_src(spark, sf_dir)
+    left = (
+        _stream(spark, src, maxFilesPerTrigger=1)
+        .select(
+            F.col("event_id").alias("id_a"),
+            "user_id",
+            F.col("ts").alias("ts_a"),
+        )
+        .withWatermark("ts_a", "1 hour")
+    )
+    # The right-side reduction must NOT drop the sentinels: Catalyst
+    # pushes single-side predicates (even ones inferred from the join
+    # condition) below the watermark node into the scan, so a plain
+    # purchase-only filter would freeze right's watermark (global
+    # watermark = min(left, right)) and no outer-null row would ever
+    # emit. Sentinels therefore PASS the filter — they are unmatchable
+    # by construction (negative user ids) and their own join windows
+    # never close, so they are watermark fuel and nothing else.
+    right = (
+        _stream(spark, src, maxFilesPerTrigger=1)
+        .filter(F.col("event_type").isin("purchase", "sentinel"))
+        .select(
+            F.col("event_id").alias("id_b"),
+            F.col("user_id").alias("user_b"),
+            F.col("ts").alias("ts_b"),
+            F.col("event_type").alias("etype_b"),
+        )
+        .withWatermark("ts_b", "1 hour")
+    )
+    # No event-type conjunct in the join condition either: Catalyst
+    # would infer it as a right-side-only predicate and push it into
+    # the scan below the watermark, purchase-only again. The isin
+    # filter above already reduces the right side, and sentinels are
+    # unmatchable, so the join needs no type predicate at all.
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("user_b"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 1 HOUR"))
+        & (F.col("id_b") != F.col("id_a")),
+        "left_outer",
+    ).select("id_a", "id_b", "user_id")
+    sink = f"soj_{abs(hash(sf_dir)) % 10**8}"
+    _run_to_memory(joined, sink)
+    return spark.table(sink)

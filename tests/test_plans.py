@@ -126,3 +126,31 @@ def test_kafka_transport_wiring(spark):
     if not available:
         with _pytest.raises(Exception, match="kafka|KAFKA|DATA_SOURCE"):
             K.read_kafka_events(spark, "localhost:9092", "events")
+
+
+def test_range_binned_join_is_hash_not_nested_loop(spark):
+    df = REGISTRY["join_range_binned"].spark(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in p and "CartesianProduct" not in p, p[:800]
+
+
+def test_hll_sketch_estimates_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from event_stream_for_k8s_spark.catalog import load
+
+    got = {
+        r["event_type"]: r["est"]
+        for r in REGISTRY["agg_hll_sketch"].spark(spark, SF).collect()
+    }
+    ev = load(spark, SF, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["__all__"] = ev.select("user_id").distinct().count()
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(1, 0.05 * exact[k]), (k, est, exact[k])

@@ -265,7 +265,7 @@ def test_wallclock_ttl_dedup_reemits_after_expiry(spark, k8s_dir, tmp_path):
         stream = read_events_jsonl(spark, src, streaming=True).select(
             event_key().alias("dedup_key"), "reason"
         )
-        out = dedup_wallclock_ttl(stream, ttl_seconds=3)
+        out = dedup_wallclock_ttl(stream, ttl_seconds=10)
         q = (
             out.writeStream.foreachBatch(
                 lambda df, i: emitted.append(df.count())
@@ -287,9 +287,11 @@ def test_wallclock_ttl_dedup_reemits_after_expiry(spark, k8s_dir, tmp_path):
     assert sum(emitted) == 0
 
     # re-delivery AFTER the wall-clock TTL: lazy expiry on probe,
-    # every key re-emits (reference tasks.rs:196-199 semantics)
+    # every key re-emits (reference tasks.rs:196-199 semantics).
+    # TTL/sleep sized with headroom so a loaded CI box can't straddle
+    # the boundary between the first run and the in-TTL re-delivery
     emitted.clear()
-    _t.sleep(4)
+    _t.sleep(11)
     shutil.copy(os.path.join(k8s_dir, "events.json"), os.path.join(src, "f3.json"))
     run_once()
     assert sum(emitted) == 6
@@ -328,7 +330,7 @@ def test_tws_wallclock_ttl_dedup(spark, k8s_dir, tmp_path):
         stream = read_events_jsonl(spark, src, streaming=True).select(
             event_key().alias("dedup_key"), "reason"
         )
-        out = dedup_wallclock_ttl_tws(stream, ttl_seconds=3)
+        out = dedup_wallclock_ttl_tws(stream, ttl_seconds=10)
         q = (
             out.writeStream.foreachBatch(
                 lambda df, i: emitted.append(df.count())
@@ -352,7 +354,7 @@ def test_tws_wallclock_ttl_dedup(spark, k8s_dir, tmp_path):
         assert sum(emitted) == 0
 
         emitted.clear()  # AFTER the TTL: state expired, all re-emit
-        _t.sleep(4)
+        _t.sleep(11)
         shutil.copy(
             os.path.join(k8s_dir, "events.json"), os.path.join(src, "f3.json")
         )
