@@ -721,3 +721,140 @@ def llm_doc_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, ["doc_id"], [F.col("score").desc(), F.col("term")], 3,
         rank_col="rnk",
     ).select("doc_id", "term", "tf", "score", "rnk")
+
+
+# --------------------------------------------------------------------------
+# Training-corpus assembly ops
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_split",
+    oracle="""
+SELECT doc_id, lang,
+       CASE WHEN ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::bigint
+                 % 100 < 80 THEN 'train'
+            WHEN ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::bigint
+                 % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+    section="B.11",
+    notes="deterministic train/val/test assignment from a content-"
+    "stable hash of the id (80/10/10): no rand(), so the split is "
+    "reproducible across runs, engines, and re-shards — the property "
+    "that keeps eval sets leak-free when the corpus is rebuilt",
+)
+def llm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "llm_pack_sequences",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tok,
+         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, shard, n_tok,
+       cast((cum - n_tok) // 512 AS bigint) AS start_bin,
+       cast((cum - 1) // 512 AS bigint) AS end_bin
+FROM c
+""",
+    section="B.11",
+    notes="sequence packing for pretraining: concatenate docs in "
+    "deterministic order, cut every 512 tokens; each doc maps to its "
+    "[start_bin, end_bin] context windows. Packing is per-SHARD "
+    "(doc_id%8) so the running sum parallelizes — a single global "
+    "cumulative window would serialize the corpus at 100 TB",
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_tok",
+        F.floor((F.col("cum") - F.col("n_tok")) / 512).alias("start_bin"),
+        F.floor((F.col("cum") - 1) / 512).alias("end_bin"),
+    )
+
+
+@query(
+    "llm_corpus_filter",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id, lang,
+         length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text)
+           AS punct_ratio,
+         {_sql_hits(STOPWORDS)} * 1.0 / len(string_split(text, ' '))
+           AS stopword_ratio
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN n_tokens < 10 THEN 'too_short'
+            WHEN n_chars > 5000 THEN 'too_long'
+            WHEN punct_ratio > 0.1 THEN 'too_much_punct'
+            WHEN stopword_ratio < 0.02 THEN 'unnatural'
+            ELSE 'keep' END AS verdict
+FROM feats
+""",
+    section="B.11",
+    notes="quality-gate corpus filter with REASON CODES (first failing "
+    "rule wins): the audit trail a data pipeline needs — 'how many "
+    "docs did each rule drop' is a groupBy on verdict, and re-tuning "
+    "one threshold doesn't hide behind a boolean",
+)
+def llm_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    f = quality_features("text")
+    feats = d.select(
+        "doc_id",
+        "lang",
+        f["n_chars"].alias("n_chars"),
+        f["n_tokens"].alias("n_tokens"),
+        f["punct_ratio"].alias("punct_ratio"),
+        f["stopword_ratio"].alias("stopword_ratio"),
+    )
+    return feats.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("n_tokens") < 10, "too_short")
+        .when(F.col("n_chars") > 5000, "too_long")
+        .when(F.col("punct_ratio") > 0.1, "too_much_punct")
+        .when(F.col("stopword_ratio") < 0.02, "unnatural")
+        .otherwise("keep")
+        .alias("verdict"),
+    )
