@@ -858,3 +858,189 @@ def llm_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
         .alias("verdict"),
     )
+
+
+def _word_ngrams(text_col: str, n: int):
+    """Word n-grams as an array column, entirely JVM-side (no explode
+    needed by callers that only want per-doc set statistics).
+
+    Guarded for docs shorter than ``n`` tokens: Spark's ``sequence``
+    DESCENDS when start > stop, so an unguarded ``sequence(1, len-n+1)``
+    would fabricate grams from negative slices.
+    """
+    t = F.split(text_col, " ")
+    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+    return F.when(F.size(t) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _sql_word_ngrams(expr: str, n: int) -> str:
+    """DuckDB twin of ``_word_ngrams`` (1-based inclusive slices;
+    ``range`` is end-exclusive and already empty when len < n)."""
+    return (
+        f"list_transform(range(1, len({expr}) - {n - 2}),"
+        f" i -> array_to_string(({expr})[i:i+{n - 1}], ' '))"
+    )
+
+
+@query(
+    "llm_decontaminate",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest({_sql_word_ngrams('t', 3)}) AS g FROM toks
+), eval_grams AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+)
+SELECT a.doc_id, count(DISTINCT a.g) AS n_shared_grams
+FROM grams a JOIN eval_grams e ON a.g = e.g
+WHERE a.doc_id % 97 <> 0
+GROUP BY a.doc_id
+""",
+    section="B.11",
+    notes="benchmark decontamination: flag training docs sharing any "
+    "word n-gram with the held-out eval slice (doc_id%97=0 stands in "
+    "for the benchmark). n=3 here because the synthetic vocab is 31 "
+    "words; production uses n=10..13. Scale shape: eval grams are the "
+    "SMALL side -> distinct + broadcast; the 100 TB train side streams "
+    "through one explode + broadcast-hash semi-join, no big shuffle",
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", _word_ngrams("text", 3).alias("grams")
+    )
+    grams = d.select("doc_id", F.explode("grams").alias("g"))
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared_grams"))
+    )
+
+
+@query(
+    "llm_repetition",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), g AS (
+  SELECT doc_id,
+         {_sql_word_ngrams('t', 2)} AS bg,
+         {_sql_word_ngrams('t', 3)} AS tg
+  FROM toks
+)
+SELECT doc_id,
+       round(1.0 - cast(len(list_distinct(bg)) AS double) / len(bg), 6)
+         AS dup_bigram_frac,
+       round(1.0 - cast(len(list_distinct(tg)) AS double) / len(tg), 6)
+         AS dup_trigram_frac
+FROM g
+""",
+    section="B.11",
+    notes="Gopher-style repetition signal: fraction of duplicated word "
+    "n-grams inside each doc (high -> boilerplate/spam). Pure "
+    "higher-order array functions per row: no explode, no shuffle at "
+    "all -- the whole signal is a narrow map over the corpus",
+)
+def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bg = _word_ngrams("text", 2)
+    tg = _word_ngrams("text", 3)
+
+    def dup_frac(g):
+        return F.round(
+            1.0 - F.size(F.array_distinct(g)).cast("double") / F.size(g), 6
+        )
+
+    return d.select(
+        "doc_id",
+        dup_frac(bg).alias("dup_bigram_frac"),
+        dup_frac(tg).alias("dup_trigram_frac"),
+    )
+
+
+@query(
+    "llm_normalize",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT sha256(norm_text) AS norm_hash, min(doc_id) AS canonical_id,
+       count(*) AS n_copies
+FROM norm GROUP BY 1
+""",
+    section="B.11",
+    notes="normalization-then-dedup: lowercase, strip non-alnum, "
+    "collapse whitespace, then content-hash groupBy -- catches 'same "
+    "text modulo casing/punct' dups that llm_dedup_exact misses. "
+    "DuckDB regexp_replace needs the 'g' flag (first-match default); "
+    "Spark's replaces all matches",
+)
+def llm_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        d.select("doc_id", norm.alias("norm_text"))
+        .groupBy(F.sha2("norm_text", 256).alias("norm_hash"))
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@query(
+    "llm_corpus_mix",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, source,
+         5 * (substr(source, 4)::int % 10 + 1) AS keep_pct,
+         ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::bigint % 100
+           AS bucket
+  FROM documents
+)
+SELECT source, any_value(keep_pct) AS keep_pct,
+       count(*) AS n_total,
+       cast(sum(CASE WHEN bucket < keep_pct THEN 1 ELSE 0 END) AS bigint)
+         AS n_kept
+FROM w GROUP BY source
+""",
+    section="B.11",
+    notes="corpus mixture sampling: each source gets a target keep-rate "
+    "(derived here from the source id; in production a weights table), "
+    "membership decided by a content-stable hash bucket -- the same doc "
+    "is kept or dropped identically on every rebuild, unlike rand()-"
+    "based sampling. One narrow map + one small agg; at 100 TB the "
+    "weights side is a broadcast dim table",
+)
+def llm_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    keep_pct = 5 * (F.substring("source", 4, 10).cast("int") % 10 + 1)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return (
+        d.select("doc_id", "source", keep_pct.alias("keep_pct"),
+                 bucket.alias("bucket"))
+        .groupBy("source")
+        .agg(
+            F.any_value("keep_pct").alias("keep_pct"),
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("bucket") < F.col("keep_pct"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
