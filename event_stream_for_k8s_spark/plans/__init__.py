@@ -17,6 +17,7 @@ from event_stream_for_k8s_spark.plans import (  # noqa: E402,F401
     llm,
     maintenance,
     streaming_queries,
+    timeseries,
     udfs,
 )
 

@@ -356,3 +356,44 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 16
         ).alias("shard"),
     )
+
+
+@query(
+    "fn_url",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.org/docs/' ||
+         cast(doc_id AS varchar) || '?lang=' || lang AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       regexp_extract(url, '^https://([^/]+)', 1) AS host,
+       regexp_extract(url, '^https://[^/]+([^?]*)', 1) AS path,
+       regexp_extract(url, 'lang=([a-zA-Z]+)', 1) AS lang_param
+FROM u
+""",
+    section="B.8",
+    notes="URL parsing family: Spark's parse_url(HOST/PATH/QUERY-key) "
+    "checked against an independent regexp decomposition in the "
+    "oracle — a true differential test of the builtin, not the same "
+    "regex run twice. Pure narrow projection, no shuffle",
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.expr("parse_url(url, 'HOST')").alias("host"),
+        F.expr("parse_url(url, 'PATH')").alias("path"),
+        F.expr("parse_url(url, 'QUERY', 'lang')").alias("lang_param"),
+    )

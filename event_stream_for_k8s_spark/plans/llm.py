@@ -1044,3 +1044,118 @@ def llm_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
+
+
+@query(
+    "llm_chunk",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), starts AS (
+  SELECT doc_id, t, unnest(range(1, len(t) + 1, 24)) AS start FROM toks
+)
+SELECT doc_id,
+       cast((start - 1) // 24 AS bigint) AS chunk_id,
+       array_to_string(t[start:start + 31], ' ') AS chunk_text,
+       cast(least(32, len(t) - start + 1) AS bigint) AS n_tokens
+FROM starts
+""",
+    section="B.11",
+    notes="context-window chunking: 32-token chunks, stride 24 "
+    "(8-token overlap so no train example loses cross-boundary "
+    "context). Start offsets come from a per-row sequence + explode "
+    "-- a generator, not a join -- so the op is one narrow map + "
+    "explode, embarrassingly parallel at 100 TB. Tail chunks are "
+    "kept (n_tokens < 32) for the packer (llm_pack_sequences) to "
+    "fill",
+)
+def llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    toks = d.select("doc_id", t.alias("t"))
+    starts = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.size("t"), F.lit(24))
+        ).alias("start"),
+    )
+    return starts.select(
+        "doc_id",
+        F.floor((F.col("start") - 1) / 24).alias("chunk_id"),
+        F.concat_ws(" ", F.slice("t", F.col("start"), 32)).alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(32), F.size("t") - F.col("start") + 1)
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+
+
+@query(
+    "llm_pii_redact",
+    oracle=r"""
+WITH raw AS (
+  SELECT c_custkey,
+         'Contact ' || c_name || ' <user' || cast(c_custkey AS varchar) ||
+         '@example.com> ph +1-555-' ||
+         lpad(cast(c_custkey % 10000 AS varchar), 4, '0') ||
+         ' ip 10.0.' || cast(c_custkey % 256 AS varchar) || '.' ||
+         cast(c_nationkey AS varchar) AS txt
+  FROM customer
+)
+SELECT c_custkey,
+       cast(len(regexp_extract_all(txt,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS bigint)
+         AS n_emails,
+       cast(len(regexp_extract_all(txt, '\+1-555-\d{4}')) AS bigint)
+         AS n_phones,
+       cast(len(regexp_extract_all(txt,
+         '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS bigint) AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(txt,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         '\+1-555-\d{4}', '[PHONE]', 'g'),
+         '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '[IP]', 'g') AS redacted
+FROM raw
+""",
+    section="B.11",
+    notes="PII scrubbing for training corpora: match-count + redaction "
+    "of emails / phone numbers / IPv4s in one narrow projection "
+    "(regexp_count + chained regexp_replace, all JVM-side codegen). "
+    "Synthetic PII is derived deterministically from customer keys "
+    "because the fixture text has none; the operator under test is "
+    "the regex rewrite, which both engines implement independently "
+    "(Java regex vs RE2). DuckDB regexp_replace needs the 'g' flag",
+)
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    txt = F.concat(
+        F.lit("Contact "),
+        F.col("c_name"),
+        F.lit(" <user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@example.com> ph +1-555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."),
+        (F.col("c_custkey") % 256).cast("string"),
+        F.lit("."),
+        F.col("c_nationkey").cast("string"),
+    )
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+1-555-\d{4}"
+    ip = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+    raw = c.select("c_custkey", txt.alias("txt"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("txt", email, "[EMAIL]"), phone, "[PHONE]"
+        ),
+        ip,
+        "[IP]",
+    )
+    return raw.select(
+        "c_custkey",
+        F.regexp_count("txt", F.lit(email)).cast("bigint").alias("n_emails"),
+        F.regexp_count("txt", F.lit(phone)).cast("bigint").alias("n_phones"),
+        F.regexp_count("txt", F.lit(ip)).cast("bigint").alias("n_ips"),
+        redacted.alias("redacted"),
+    )

@@ -1,0 +1,223 @@
+"""Time-series operators over the event stream — gap filling,
+forward fill, gap-based sessionization, fixed-bin histograms.
+
+The reference emits a raw event stream (`tasks.rs:105`) whose obvious
+downstream consumers are exactly these shapes: "events per hour per
+type including silent hours" (dashboards), "last known value carried
+forward" (state reconstruction), "activity sessions per object"
+(incident grouping). Batch forms here are oracle-checked; the
+streaming analogs live in `plans/streaming_queries.py`
+(stream_tumbling / stream_session).
+
+Scale notes: every query below aggregates FIRST (events -> one row
+per (key, bin), a map-side-combinable shuffle on the grouping key),
+then joins/fills on the already-tiny aggregate. The dense grid side
+(hours x types, days x users) is bounded by the calendar, not the
+data volume, so at 100 TB it is still broadcast-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_stream_for_k8s_spark.catalog import load
+from event_stream_for_k8s_spark.plans.registry import query
+from event_stream_for_k8s_spark.plans.util import dsum, sql_dsum
+
+
+@query(
+    "ts_gapfill",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+), bins AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b
+), ty AS (SELECT DISTINCT event_type FROM events)
+SELECT bins.h, ty.event_type, coalesce(hourly.n, 0) AS n_events
+FROM bins CROSS JOIN ty
+LEFT JOIN hourly ON hourly.h = bins.h AND hourly.event_type = ty.event_type
+""",
+    section="C",
+    notes="dense hourly series per event_type with explicit zero rows "
+    "for silent hours. Aggregate-then-join: the raw stream collapses "
+    "to |hours|x|types| before the grid join, and the generated grid "
+    "is calendar-bounded (720 rows/month/type) so both join sides are "
+    "broadcast-sized at any data scale",
+)
+def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("h"),
+            "event_type",
+        ).agg(F.count("*").alias("n"))
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    bins = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    types = e.select("event_type").distinct()
+    return (
+        bins.crossJoin(F.broadcast(types))
+        .join(F.broadcast(hourly), ["h", "event_type"], "left")
+        .select("h", "event_type", F.coalesce("n", F.lit(0)).alias("n_events"))
+    )
+
+
+@query(
+    "ts_fill_forward",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, cast(date_trunc('day', ts) AS timestamp) AS d,
+         max(value) AS v
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT cast(date_trunc('day', min(ts)) AS timestamp) AS lo,
+         cast(date_trunc('day', max(ts)) AS timestamp) AS hi
+  FROM events
+), days AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM b
+), grid AS (
+  SELECT u.user_id, days.d, daily.v
+  FROM days CROSS JOIN (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN daily ON daily.user_id = u.user_id AND daily.d = days.d
+), grp AS (
+  SELECT user_id, d, v,
+         count(v) OVER (PARTITION BY user_id ORDER BY d) AS g
+  FROM grid
+)
+SELECT user_id, d, max(v) OVER (PARTITION BY user_id, g) AS ff_value
+FROM grp
+""",
+    section="C",
+    notes="forward-fill (last observation carried forward) without "
+    "IGNORE NULLS: a running count of non-null observations assigns "
+    "each gap row to the group of its most recent observation, and a "
+    "per-group max propagates the value. Portable to any engine; two "
+    "window passes over a calendar-bounded grid. Rows before the "
+    "first observation stay null by construction. max(value) picks an "
+    "element (no float arithmetic) so it hash-matches exactly",
+)
+def ts_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.max("value").alias("v"))
+    bounds = e.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d")
+    )
+    users = e.select("user_id").distinct()
+    grid = days.crossJoin(F.broadcast(users)).join(
+        F.broadcast(daily), ["user_id", "d"], "left"
+    )
+    w_run = Window.partitionBy("user_id").orderBy("d")
+    grp = grid.withColumn("g", F.count("v").over(w_run))
+    w_grp = Window.partitionBy("user_id", "g")
+    return grp.select(
+        "user_id", "d", F.max("v").over(w_grp).alias("ff_value")
+    )
+
+
+@query(
+    "batch_sessionize",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         cast(sum(new_session)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS bigint)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+FROM sess GROUP BY user_id, session_id
+""",
+    section="C",
+    notes="batch sessionization: a >30min silence per user starts a "
+    "new session (lag -> boundary flag -> running sum = session id). "
+    "Batch twin of stream_session (session_window); this shape also "
+    "answers the reference's 'group related k8s events into "
+    "incidents'. Window ordering tie-broken by unique event_id. One "
+    "shuffle on user_id serves both window passes and the final agg",
+)
+def batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(w))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "dur_us"
+        ),
+    )
+
+
+@query(
+    "ts_histogram",
+    oracle=f"""
+SELECT cast(least(19, floor(o_totalprice / 25000)) AS int) AS bucket,
+       cast(least(19, floor(o_totalprice / 25000)) AS int) * 25000
+         AS bin_lo,
+       count(*) AS n_orders,
+       {sql_dsum('o_totalprice', 2)} AS sum_price
+FROM orders GROUP BY 1, 2
+""",
+    section="C",
+    notes="fixed-domain histogram (20 x 25k bins over [0, 500k], "
+    "top bin open): literal bin edges avoid the two-pass min/max "
+    "scan, so the whole query is one map-side-combinable aggregation "
+    "-- the shape that survives 100 TB. floor(double/const) is "
+    "bit-identical across engines; sums use the scaled-int "
+    "discipline (plans/util.py)",
+)
+def ts_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.lit(19), F.floor(F.col("o_totalprice") / 25000)
+    ).cast("int")
+    return (
+        o.select(
+            bucket.alias("bucket"),
+            (bucket * 25000).alias("bin_lo"),
+            "o_totalprice",
+        )
+        .groupBy("bucket", "bin_lo")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", 2).alias("sum_price"),
+        )
+    )
