@@ -78,9 +78,17 @@ def connected_components(
     extreme diameters switch to alternating large-star/small-star
     (Kiveris et al.), same primitive ops.
     """
-    und = edges.select(
+    # Materialize the (possibly very expensive) edge plan exactly once
+    # BEFORE fanning it out into the undirected union / node set /
+    # label seed — otherwise the upstream pair-generator (an all-pairs
+    # cosine join in the sf tests, an LSH band join at scale) re-runs
+    # once per consumer.
+    directed = edges.select(
         F.col(src).alias("s"), F.col(dst).alias("d")
-    ).union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+    ).localCheckpoint(eager=True)
+    und = directed.union(
+        directed.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
     endpoint_nodes = und.select(F.col("s").alias("node")).distinct()
     if nodes is not None:
         endpoint_nodes = (
@@ -88,28 +96,40 @@ def connected_components(
             .union(endpoint_nodes)
             .distinct()
         )
-    und = und.localCheckpoint(eager=True)
     labels = endpoint_nodes.select(
         "node", F.col("node").alias("cluster_id")
     ).localCheckpoint(eager=True)
+    # Labels are node ids and only ever DECREASE (min over a set that
+    # includes the current label), so: (a) a pointer-jump — replace
+    # each node's label by its label's label — is also monotone and
+    # shortcuts long chains, turning O(diameter) rounds into
+    # O(log diameter); (b) the global label sum strictly decreases
+    # until the fixpoint, so convergence detection is one cheap
+    # aggregate instead of a self-join diff.
+    prev_sum = None
     for _ in range(max_iter):
         msgs = und.join(labels, und["d"] == labels["node"]).select(
             F.col("s").alias("node"), "cluster_id"
         )
-        new_labels = (
+        cand = (
             labels.select("node", "cluster_id")
             .union(msgs)
             .groupBy("node")
             .agg(F.min("cluster_id").alias("cluster_id"))
+        )
+        lut = cand.select(
+            F.col("node").alias("_l"), F.col("cluster_id").alias("_ll")
+        )
+        labels = (
+            cand.join(lut, cand["cluster_id"] == lut["_l"], "left")
+            .select(
+                "node",
+                F.coalesce("_ll", "cluster_id").alias("cluster_id"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels

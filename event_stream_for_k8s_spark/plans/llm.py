@@ -630,16 +630,45 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
+    from event_stream_for_k8s_spark.functions.vectors import dot, l2norm
+
     e = load(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
+    # Norms are per-vector, not per-pair: computing them once per row
+    # (2k sqrt-dots) instead of inside the pair predicate (8M) drops
+    # two thirds of the all-pairs flops. sqrt(dot(v,v)) on the same
+    # input is the same double either way, so the score — and the
+    # oracle hash — is unchanged.
+    dvec = F.transform("embedding", lambda x: x.cast("double"))
+    # The corpus parquet is one file -> one partition; without an
+    # explicit repartition the nested-loop pair scan would run on a
+    # single core. Spreading the streamed side is also the 100 TB
+    # shape: partition the probe side, broadcast the build side.
+    ncores = spark.sparkContext.defaultParallelism
+    a = e.repartition(ncores).select(
+        F.col("vec_id").alias("src"),
+        dvec.alias("va"),
+        l2norm(F.col("embedding")).alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("dst"),
+        dvec.alias("vb"),
+        l2norm(F.col("embedding")).alias("nb"),
+    )
     # All-pairs scoring is the sf-test stand-in; at 100 TB the pair
     # generator is the LSH band join (minhash_pairs_native) — the
-    # component step downstream is identical either way.
+    # component step downstream is identical either way. The arrays
+    # are pre-cast to double per ROW so the pair kernel is a bare
+    # multiply-fold (same fold order, same double result).
+    raw_dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = raw_dot / (F.col("na") * F.col("nb"))
     pairs = (
         a.crossJoin(b)
         .filter(F.col("src") < F.col("dst"))
-        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) > 0.4)
+        .filter(F.round(sim, 6) > 0.4)
         .select("src", "dst")
     )
     comp = connected_components(pairs, nodes=e.select("vec_id"))

@@ -48,15 +48,39 @@ def _stream(spark: SparkSession, src: str, **options) -> DataFrame:
     return restore_ts(reader.json(src))
 
 
-def _run_to_memory(df: DataFrame, name: str, mode: str = "append") -> None:
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+def _run_to_memory(
+    df: DataFrame,
+    name: str,
+    mode: str = "append",
+    state_partitions: int = 8,
+) -> None:
+    """Run to completion into a memory sink.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    DURATION OF THE RUN: a streaming query freezes its state-store
+    partition count at first start, and every micro-batch then pays a
+    per-partition-per-store snapshot/commit cost regardless of data
+    volume. At test scale that fixed cost dominates (a stream-stream
+    join at 32 partitions is ~4.5x slower than at 8 on identical
+    data), so queries here run with a small state layout; on a real
+    cluster the right value is sized to keyspace x volume (set the
+    session default, pass None to leave it untouched).
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @query(
@@ -498,20 +522,39 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sentinel_src(spark: SparkSession, sf_dir: str) -> str:
-    """events + three sentinel files at max_ts+10/11/12h: mtime-ordered
-    micro-batches whose only job is to march the watermark past every
-    real event's join window (the watermark at batch N reflects data
-    through batch N-2 on this Spark, and AvailableNow appends one
-    final empty flush batch)."""
-    out = cache_dir(sf_dir, "events_sentinel3u")
+    """events split into three CHRONOLOGICAL files + three sentinel files
+    at max_ts+10/11/12h, all mtime-ordered.
+
+    The chronological split matters for cost, not correctness: one
+    monolithic batch would hold the whole table in join state with no
+    eviction (watermark only advances BETWEEN batches), so stream-
+    stream joins over it degenerate to an all-in-memory nested probe.
+    Time-ordered batches march the watermark during replay and state
+    is evicted progressively — the shape a real stream has. No match
+    is lost: files are time-disjoint and ascending, so a row's join
+    window is provably closed before its partners could ever arrive
+    late. The sentinels (the watermark at batch N reflects data
+    through batch N-2 on this Spark, and AvailableNow appends a final
+    empty flush batch) push the watermark past every REAL window at
+    the end; their own windows stay open so they never emit."""
+    out = cache_dir(sf_dir, "events_sentinel3c")
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
         import glob
         import shutil
 
+        from pyspark.sql import Window
+
         base = events_as_micros(spark, sf_dir)
         mx = base.agg(F.max("ts_us")).collect()[0][0]
-        frames = [base]
+        nt = F.ntile(3).over(
+            Window.orderBy("ts_us", "event_id")
+        )
+        sliced = base.withColumn("_slice", nt)
+        frames = [
+            sliced.filter(F.col("_slice") == i + 1).drop("_slice")
+            for i in range(3)
+        ]
         for i, hours in enumerate((10, 11, 12)):
             # distinct NEGATIVE user ids: sentinels can never join with
             # real events or each other, so they are pure watermark fuel
