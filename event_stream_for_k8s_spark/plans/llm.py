@@ -889,15 +889,23 @@ def llm_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _word_ngrams(text_col: str, n: int):
-    """Word n-grams as an array column, entirely JVM-side (no explode
-    needed by callers that only want per-doc set statistics).
+def _word_ngrams(tokens, n: int):
+    """Word n-grams over an ALREADY-PROJECTED token-array column,
+    entirely JVM-side (no explode needed by callers that only want
+    per-doc set statistics).
+
+    ``tokens`` must be a reference to a materialized column (e.g.
+    ``F.col("t")`` after ``.select(split(...).alias("t"))``), NOT the
+    ``split`` expression itself: expressions captured inside a
+    ``transform`` lambda are re-evaluated per element, so an inline
+    split would tokenize the document once per gram — O(n^2) in doc
+    length (measured 5x on the corpus).
 
     Guarded for docs shorter than ``n`` tokens: Spark's ``sequence``
     DESCENDS when start > stop, so an unguarded ``sequence(1, len-n+1)``
     would fabricate grams from negative slices.
     """
-    t = F.split(text_col, " ")
+    t = F.col(tokens) if isinstance(tokens, str) else tokens
     idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
     return F.when(F.size(t) >= n, grams).otherwise(
@@ -939,9 +947,11 @@ GROUP BY a.doc_id
 )
 def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
-        "doc_id", _word_ngrams("text", 3).alias("grams")
+        "doc_id", F.split("text", " ").alias("t")
     )
-    grams = d.select("doc_id", F.explode("grams").alias("g"))
+    grams = d.select(
+        "doc_id", F.explode(_word_ngrams("t", 3)).alias("g")
+    )
     eval_grams = (
         grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
     )
@@ -978,19 +988,30 @@ FROM g
     "all -- the whole signal is a narrow map over the corpus",
 )
 def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    bg = _word_ngrams("text", 2)
-    tg = _word_ngrams("text", 3)
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    # Grams are projected as columns before the distinct/size pass for
+    # the same reason _word_ngrams takes a column: every expression
+    # repeated in the final select would otherwise rebuild the arrays.
+    g = d.select(
+        "doc_id",
+        _word_ngrams("t", 2).alias("bg"),
+        _word_ngrams("t", 3).alias("tg"),
+    )
 
-    def dup_frac(g):
+    def dup_frac(name):
         return F.round(
-            1.0 - F.size(F.array_distinct(g)).cast("double") / F.size(g), 6
+            1.0
+            - F.size(F.array_distinct(F.col(name))).cast("double")
+            / F.size(F.col(name)),
+            6,
         )
 
-    return d.select(
+    return g.select(
         "doc_id",
-        dup_frac(bg).alias("dup_bigram_frac"),
-        dup_frac(tg).alias("dup_trigram_frac"),
+        dup_frac("bg").alias("dup_bigram_frac"),
+        dup_frac("tg").alias("dup_trigram_frac"),
     )
 
 
