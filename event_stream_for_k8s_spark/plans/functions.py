@@ -397,3 +397,34 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("parse_url(url, 'PATH')").alias("path"),
         F.expr("parse_url(url, 'QUERY', 'lang')").alias("lang_param"),
     )
+
+
+@query(
+    "fn_date2",
+    oracle="""
+SELECT o_orderkey,
+       cast(cast(o_orderdate + INTERVAL 3 MONTH AS date) AS varchar)
+         AS plus_3m,
+       cast(last_day(o_orderdate) AS varchar) AS month_end,
+       quarter(o_orderdate) AS qtr,
+       dayofyear(o_orderdate) AS doy,
+       date_trunc('quarter', o_orderdate) AS quarter_start
+FROM orders
+""",
+    section="B.8",
+    notes="month-granularity date arithmetic: add_months (end-of-month "
+    "clamped, matching interval-month addition), last_day, quarter / "
+    "dayofyear parts, quarter truncation. Date-typed results are "
+    "stringified (memory: DATE columns hash differently across "
+    "engines); date_trunc stays timestamp-typed on both",
+)
+def fn_date2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 3).cast("string").alias("plus_3m"),
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
+    )

@@ -1209,3 +1209,56 @@ def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("txt", F.lit(ip)).cast("bigint").alias("n_ips"),
         redacted.alias("redacted"),
     )
+
+
+@query(
+    "llm_boilerplate",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest({_sql_word_ngrams('t', 2)}) AS g FROM toks
+), boiler AS (
+  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 20
+)
+SELECT grams.doc_id,
+       count(*) AS n_grams,
+       cast(count(boiler.g) AS bigint) AS n_boiler,
+       round(cast(count(boiler.g) AS double) / count(*), 6)
+         AS boiler_frac
+FROM grams LEFT JOIN boiler ON grams.g = boiler.g
+GROUP BY grams.doc_id
+""",
+    section="B.11",
+    notes="cross-document boilerplate detection: word n-grams shared "
+    "by >= 20 distinct docs are 'boilerplate' (headers, nav text, "
+    "license blurbs); each doc reports how much of it is made of "
+    "them. n=2 against the tiny synthetic vocab, 10+ in production. "
+    "Scale shape: the boilerplate set is the heavy-hitter tail of a "
+    "distinct-doc count -- small by construction -> broadcast back; "
+    "the corpus side is one explode + two aggs on doc_id",
+)
+def llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    grams = d.select(
+        "doc_id", F.explode(_word_ngrams("t", 2)).alias("g")
+    )
+    boiler = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 20)
+        .select("g", F.lit(1).alias("is_boiler"))
+    )
+    return (
+        grams.join(F.broadcast(boiler), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("is_boiler").cast("bigint").alias("n_boiler"),
+            F.round(
+                F.count("is_boiler").cast("double") / F.count("*"), 6
+            ).alias("boiler_frac"),
+        )
+    )

@@ -203,3 +203,117 @@ def maint_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "maint_stats_collect",
+    oracle="""
+SELECT 'l_quantity' AS col_name,
+       count(*) AS n_rows,
+       cast(count(*) - count(l_quantity) AS bigint) AS n_nulls,
+       cast(count(DISTINCT l_quantity) AS bigint) AS ndv,
+       cast(min(l_quantity) AS varchar) AS min_val,
+       cast(max(l_quantity) AS varchar) AS max_val
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', count(*),
+       cast(count(*) - count(l_returnflag) AS bigint),
+       cast(count(DISTINCT l_returnflag) AS bigint),
+       min(l_returnflag), max(l_returnflag)
+FROM lineitem
+UNION ALL
+SELECT 'l_shipdate', count(*),
+       cast(count(*) - count(l_shipdate) AS bigint),
+       cast(count(DISTINCT l_shipdate) AS bigint),
+       cast(min(l_shipdate) AS varchar), cast(max(l_shipdate) AS varchar)
+FROM lineitem
+""",
+    section="B.1",
+    notes="ANALYZE-style per-column statistics (rows / nulls / NDV / "
+    "min / max) in long format -- what the cost-based optimizer and "
+    "file-skipping indexes are built from. One pass per column here "
+    "for oracle clarity; at 100 TB you fuse them into one aggregate "
+    "with approx_count_distinct and write the result as table "
+    "metadata. Values stringified so one schema fits every column "
+    "type",
+)
+def maint_stats_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+
+    def stats(col: str) -> DataFrame:
+        c = F.col(col)
+        # Spark renders timestamp->string with a bare midnight ("2024-01-01
+        # 00:00:00") exactly like DuckDB's varchar cast, so plain string
+        # casts line up for numerics, strings, and timestamps alike.
+        return li.agg(
+            F.lit(col).alias("col_name"),
+            F.count("*").alias("n_rows"),
+            (F.count("*") - F.count(c)).cast("bigint").alias("n_nulls"),
+            F.countDistinct(c).cast("bigint").alias("ndv"),
+            F.min(c).cast("string").alias("min_val"),
+            F.max(c).cast("string").alias("max_val"),
+        )
+
+    out = stats("l_quantity")
+    for col in ("l_returnflag", "l_shipdate"):
+        out = out.unionByName(stats(col))
+    return out
+
+
+def _interleave_bits(x, y, bits: int):
+    """Morton/Z-order interleave of two ``bits``-wide ints as a pure
+    column expression: z = x0 y0 x1 y1 ... (x in even positions)."""
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        xbit = F.shiftright(x, i).bitwiseAND(F.lit(1))
+        ybit = F.shiftright(y, i).bitwiseAND(F.lit(1))
+        z = (
+            z.bitwiseOR(F.shiftleft(xbit, 2 * i))
+            .bitwiseOR(F.shiftleft(ybit, 2 * i + 1))
+        )
+    return z
+
+
+def _sql_interleave_bits(x: str, y: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@query(
+    "maint_zorder",
+    oracle=f"""
+WITH z AS (
+  SELECT l_orderkey, l_linenumber,
+         l_partkey % 1024 AS px, l_suppkey % 1024 AS sx,
+         cast({_sql_interleave_bits('(l_partkey % 1024)',
+                                    '(l_suppkey % 1024)', 10)}
+              AS bigint) AS zval
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, zval,
+       cast(zval // 16384 AS bigint) AS file_bucket
+FROM z
+""",
+    section="B.1",
+    notes="Z-order (Morton) clustering key over (partkey, suppkey): "
+    "bit-interleaving as a pure codegen expression, plus the derived "
+    "file bucket a writer would range-partition on. Data laid out in "
+    "zval order gives min/max file-skipping on BOTH key columns at "
+    "once -- the multi-dimensional upgrade of scan_partitioned's "
+    "single-column pruning. The expression tree is 40 shift/mask ops, "
+    "constant-folded per row, no shuffle",
+)
+def maint_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    px = F.col("l_partkey") % 1024
+    sx = F.col("l_suppkey") % 1024
+    zval = _interleave_bits(px, sx, 10)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zval.alias("zval"),
+        F.floor(zval / 16384).cast("bigint").alias("file_bucket"),
+    )

@@ -789,3 +789,114 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.select(
         "event_type", F.hll_sketch_estimate("sk").alias("est")
     ).unionByName(rollup)
+
+
+@query(
+    "sql_lateral",
+    oracle="""
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (SELECT c_name, c_acctbal FROM customer
+         WHERE c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+""",
+    section="B.7",
+    notes="correlated LATERAL subquery (top-2 customers per nation): "
+    "ONE SQL text runs verbatim on both engines. Catalyst rewrites "
+    "the correlated limit into a ranked window under the hood -- "
+    "same plan topk_per_group hand-writes",
+)
+def sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_stream_for_k8s_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (SELECT c_name, c_acctbal FROM customer
+         WHERE c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+"""
+    )
+
+
+@query(
+    "agg_bool",
+    oracle="""
+SELECT o_orderpriority,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_orderstatus = 'F') AS any_finished,
+       cast(count_if(o_totalprice > 100000) AS bigint) AS n_big,
+       cast(count_if(o_orderstatus = 'O') AS bigint) AS n_open
+FROM orders GROUP BY o_orderpriority
+""",
+    section="B.4",
+    notes="boolean aggregate family: bool_and / bool_or / count_if "
+    "(every / any / conditional count). Map-side combinable like any "
+    "hash agg",
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.count_if(F.col("o_totalprice") > 100000)
+        .cast("bigint")
+        .alias("n_big"),
+        F.count_if(F.col("o_orderstatus") == "O")
+        .cast("bigint")
+        .alias("n_open"),
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+WITH ranked AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         row_number() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY md5(cast(l_orderkey AS varchar) || ':' ||
+                        cast(l_linenumber AS varchar)),
+                    l_orderkey, l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n_stratum
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       cast(n_stratum AS bigint) AS n_stratum
+FROM ranked
+WHERE rn <= ceil(0.1 * n_stratum)
+""",
+    section="B.4",
+    notes="deterministic 10% stratified sample: rank rows inside each "
+    "stratum by a content hash (not rand() -- the same rows are "
+    "sampled on every rebuild) and keep the top decile. EXACT "
+    "per-stratum rate, unlike Bernoulli sampleBy which only hits the "
+    "rate in expectation. One shuffle on the stratum key",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    h = F.md5(
+        F.concat_ws(
+            ":",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        h, "l_orderkey", "l_linenumber"
+    )
+    wc = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).cast("bigint").alias("n_stratum"),
+    )
+    return ranked.filter(
+        F.col("rn") <= F.ceil(0.1 * F.col("n_stratum"))
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "n_stratum")

@@ -168,3 +168,34 @@ def win_dedup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_rank(keyed, ["k"], ["ts", "event_id"]).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
+
+
+@query(
+    "win_distribution",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       ntile(10) OVER w AS decile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)
+""",
+    section="B.5",
+    notes="distribution window functions: percent_rank / cume_dist / "
+    "ntile over a tie-broken ordering. The ratios are exact rationals "
+    "evaluated in double -- identical on both engines; round(6) "
+    "guards the hash anyway",
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
