@@ -78,3 +78,44 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return df.mapInPandas(batches, DECODE_SCHEMA)
+
+
+FRAMES_SCHEMA = (
+    "doc_id bigint, frame_id bigint, offset int, frame_len int, "
+    "checksum bigint"
+)
+
+
+def sample_frames(df: DataFrame, stride: int = 128) -> DataFrame:
+    """Fixed-stride frame sampling over binary payloads (the video/
+    audio "every Nth frame" access pattern, byte-granular here).
+
+    Real frame extraction needs a media demuxer — the SLICING is the
+    stub; everything around it (Arrow batching, explode-shaped output,
+    per-frame offsets/checksums) is the real distributed plumbing a
+    decoder would plug into: replace the byte window with a demuxed
+    frame and the schema/partitioning story is unchanged. One input
+    row yields ceil(len/stride) output rows; no shuffle.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_id": [],
+                "offset": [],
+                "frame_len": [],
+                "checksum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for fid, off in enumerate(range(0, len(b), stride)):
+                    frame = b[off : off + stride]
+                    out["doc_id"].append(doc_id)
+                    out["frame_id"].append(fid)
+                    out["offset"].append(off)
+                    out["frame_len"].append(len(frame))
+                    out["checksum"].append(sum(frame) % 997)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, FRAMES_SCHEMA)

@@ -1262,3 +1262,69 @@ def llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boiler_frac"),
         )
     )
+
+
+@query(
+    "llm_mm_decode",
+    oracle="""
+SELECT doc_id, 'text/plain' AS mime,
+       octet_length(encode(text)) AS byte_len,
+       [cast(length(text) AS double),
+        cast(list_sum(list_transform(range(1, length(text) + 1),
+               i -> ord(substr(text, cast(i AS int), 1)))) % 997 AS double),
+        cast(ord(substr(text, 1, 1)) AS double),
+        cast(ord(substr(text, length(text), 1)) AS double)] AS feature
+FROM documents
+""",
+    section="B.11",
+    notes="the multimodal DECODE pipeline end-to-end: binary payload "
+    "-> mapInPandas (Arrow batches) -> fixed-size feature vector. The "
+    "decoder is the deterministic byte-statistic stub (real "
+    "image/audio libs absent -- functions/multimodal.py); the oracle "
+    "recomputes the same statistics from the bytes, which is EXACT "
+    "because the fixture text is pure ASCII (1 byte = 1 codepoint). "
+    "Batch shape, schema, and partitioning are the production "
+    "plumbing a real decoder drops into",
+)
+def llm_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_stream_for_k8s_spark.functions.multimodal import (
+        decode_media,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return decode_media(attach_payload(d), fake=True)
+
+
+@query(
+    "llm_mm_frames",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS blen,
+         unnest(range(0, octet_length(encode(text)), 128)) AS off
+  FROM documents
+)
+SELECT doc_id,
+       cast(off // 128 AS bigint) AS frame_id,
+       cast(off AS int) AS "offset",
+       cast(least(128, blen - off) AS int) AS frame_len,
+       cast(list_sum(list_transform(
+              range(off + 1, least(off + 128, blen) + 1),
+              i -> ord(substr(text, cast(i AS int), 1)))) % 997 AS bigint)
+         AS checksum
+FROM f
+""",
+    section="B.11",
+    notes="fixed-stride frame sampling over binary payloads (the "
+    "video 'every Nth frame' pattern): one row in, ceil(len/stride) "
+    "frame rows out, per-frame offset + checksum. mapInPandas "
+    "generator plumbing is real; the byte window stands in for a "
+    "demuxed frame. ASCII fixture makes the byte checksums exactly "
+    "recomputable in SQL",
+)
+def llm_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_stream_for_k8s_spark.functions.multimodal import (
+        sample_frames,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return sample_frames(attach_payload(d), stride=128)
