@@ -154,3 +154,43 @@ def test_hll_sketch_estimates_and_merge(spark):
     assert set(got) == set(exact)
     for k, est in got.items():
         assert abs(est - exact[k]) <= max(1, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_gapfill_grid_joins_are_broadcast(spark):
+    # the calendar grid and the pre-aggregated hourly counts are both
+    # bounded -> must broadcast, never shuffle the generated rows
+    p = _plan(spark, "ts_gapfill")
+    assert p.count("BroadcastHashJoin") >= 1, p[:800]
+    assert "SortMergeJoin" not in p
+
+
+def test_boilerplate_set_is_broadcast(spark):
+    # the heavy-hitter n-gram set joins back to the corpus as a
+    # broadcast; the corpus side must not shuffle for the join
+    p = _plan(spark, "llm_boilerplate")
+    assert "BroadcastHashJoin" in p
+
+
+def test_decontaminate_eval_side_is_broadcast(spark):
+    p = _plan(spark, "llm_decontaminate")
+    assert "BroadcastHashJoin" in p
+
+
+def test_zorder_is_pure_projection(spark):
+    # 40 shift/mask ops but still one narrow map: no shuffle at all
+    p = _plan(spark, "maint_zorder")
+    assert "Exchange" not in p, p[:800]
+
+
+def test_sessionize_single_shuffle(spark):
+    # lag -> running sum -> session agg all reuse the user_id
+    # partitioning: exactly one shuffle exchange in the plan
+    p = _plan(spark, "batch_sessionize")
+    n_exchange = p.count("Exchange hashpartitioning")
+    assert n_exchange == 1, f"expected 1 shuffle, saw {n_exchange}:\n{p[:1200]}"
+
+
+def test_stratified_sample_single_shuffle(spark):
+    p = _plan(spark, "sample_stratified")
+    n_exchange = p.count("Exchange hashpartitioning")
+    assert n_exchange == 1, f"expected 1 shuffle, saw {n_exchange}:\n{p[:1200]}"
