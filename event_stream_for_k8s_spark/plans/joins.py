@@ -378,3 +378,46 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id")
         .agg(F.count("*").alias("n_nearby"))
     )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority, o.o_totalprice
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'O'
+""",
+    section="B.3",
+    notes="salted join for skewed keys, AQE-independent: the fact side "
+    "gets a deterministic 16-way salt from a row-unique hash, the "
+    "dim side is replicated 16x (explode over the salt range), and "
+    "the join runs on (key, salt) -- a hot key's rows now land on 16 "
+    "tasks instead of one. Result provably equals the plain join "
+    "(each fact row meets exactly the one replica carrying its "
+    "salt). Oracle IS the plain join. At 100 TB you salt only the "
+    "keys AQE's skew stats flag; here every key is salted to pin the "
+    "rewrite",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_salt = 16
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64("l_orderkey", "l_linenumber", "l_partkey"),
+            F.lit(n_salt),
+        ),
+    )
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    o_rep = o.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("bigint"))
+    return (
+        li.join(
+            o_rep,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (li["_salt"] == o_rep["_salt"]),
+        )
+        .select(
+            "l_orderkey", "l_linenumber", "o_orderpriority", "o_totalprice"
+        )
+    )

@@ -1328,3 +1328,57 @@ def llm_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return sample_frames(attach_payload(d), stride=128)
+
+
+@query(
+    "llm_perplexity",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), lm AS (
+  SELECT w, count(*) AS c FROM tok GROUP BY w
+), total AS (
+  SELECT cast(sum(c) AS bigint) AS n FROM lm
+), logp AS (
+  SELECT w, cast(round(ln(cast(c AS double) / n) * 1000000) AS bigint)
+           AS nlp6
+  FROM lm CROSS JOIN total
+)
+SELECT tok.doc_id,
+       cast(count(*) AS bigint) AS n_tokens,
+       round(-cast(sum(logp.nlp6) AS double) / 1000000 / count(*), 6)
+         AS avg_neg_logp
+FROM tok JOIN logp ON tok.w = logp.w
+GROUP BY tok.doc_id
+""",
+    section="B.11",
+    notes="unigram-LM perplexity proxy (the CCNet-style quality "
+    "filter): corpus token frequencies -> per-token log-prob -> "
+    "per-doc mean negative log-likelihood; high = gibberish / OOV "
+    "heavy, low = degenerate repetition. Log-probs are rounded to "
+    "6dp and summed as scaled int64 so the per-doc sum is "
+    "order-insensitive (floating ln merge order differs across "
+    "engines). Scale shape: the LM is |vocab| rows -> broadcast "
+    "back to one tokenize pass; two aggs on doc_id",
+)
+def llm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    lm = tok.groupBy("w").agg(F.count("*").alias("c"))
+    total = lm.agg(F.sum("c").cast("bigint").alias("n"))
+    logp = lm.crossJoin(F.broadcast(total)).select(
+        "w",
+        F.round(F.log(F.col("c").cast("double") / F.col("n")) * 1_000_000)
+        .cast("bigint")
+        .alias("nlp6"),
+    )
+    return (
+        tok.join(F.broadcast(logp), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(
+                -F.sum("nlp6").cast("double") / 1_000_000 / F.count("*"), 6
+            ).alias("avg_neg_logp"),
+        )
+    )

@@ -900,3 +900,74 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(
         F.col("rn") <= F.ceil(0.1 * F.col("n_stratum"))
     ).select("l_orderkey", "l_linenumber", "l_returnflag", "n_stratum")
+
+
+@query(
+    "agg_argminmax",
+    oracle="""
+SELECT o_orderpriority,
+       max_by(o_orderkey, o_totalprice + o_orderkey * 1e-9)
+         AS biggest_order,
+       min_by(o_orderkey, o_totalprice + o_orderkey * 1e-9)
+         AS smallest_order,
+       max(o_totalprice) AS max_price
+FROM orders GROUP BY o_orderpriority
+""",
+    section="B.4",
+    notes="argmin/argmax aggregates (max_by/min_by): 'which row holds "
+    "the extreme' without a join-back or window. The ordering value "
+    "is made UNIQUE (price + orderkey*1e-9) because both engines "
+    "break max_by ties arbitrarily -- same discipline as window "
+    "orderings. Single map-side-combinable agg",
+)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    ordv = F.col("o_totalprice") + F.col("o_orderkey") * 1e-9
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", ordv).alias("biggest_order"),
+        F.min_by("o_orderkey", ordv).alias("smallest_order"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+WITH counted AS (
+  SELECT l_returnflag, l_quantity, count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+), ranked AS (
+  SELECT l_returnflag, l_quantity, n,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY n DESC, l_quantity) AS rn
+  FROM counted
+)
+SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_count
+FROM ranked WHERE rn = 1
+""",
+    section="B.4",
+    notes="deterministic mode: count-then-rank with a value tie-break "
+    "instead of the builtin mode() (both engines break frequency ties "
+    "arbitrarily). Two-level aggregation -- the heavy first level is "
+    "map-side combined; the rank runs on |groups| x |distinct values| "
+    "rows only",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    counted = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), "l_quantity"
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("n").alias("mode_count"),
+        )
+    )

@@ -334,3 +334,34 @@ def source_k8s_watch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@query(
+    "scan_orc",
+    oracle="""
+SELECT event_id, user_id, event_type, value FROM events
+WHERE event_type IN ('error', 'signup')
+""",
+    section="B.1",
+    notes="ORC format coverage: the events table round-trips through "
+    "an ORC write (zlib, Spark's vectorized ORC writer/reader) and is "
+    "scanned back with a pushed-down filter; the oracle reads the "
+    "original parquet -- content equality proves the format "
+    "round-trip. DuckDB has no ORC reader, so differential checking "
+    "through the parquet twin is exactly the point",
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_stream_for_k8s_spark.sources.roundtrip import (
+        cache_dir,
+        materialize,
+    )
+
+    def build(out: str) -> None:
+        load(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        ).write.mode("overwrite").orc(out + "/data")
+
+    src = materialize(spark, sf_dir, "events_orc", build)
+    return spark.read.orc(src + "/data").filter(
+        F.col("event_type").isin("error", "signup")
+    )

@@ -199,3 +199,45 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(10).over(w).alias("decile"),
     )
+
+
+@query(
+    "win_time_range",
+    oracle="""
+SELECT event_id, user_id, ts,
+       cast(sum(cast(round(value * 100) AS bigint)) OVER
+         (PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS double)
+         / 100.0 AS trailing_24h_sum,
+       cast(count(*) OVER
+         (PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS bigint)
+         AS trailing_24h_n
+FROM events
+""",
+    section="B.5",
+    notes="event-TIME range frame: per-user trailing-24h rolling sum/"
+    "count ordered by epoch-micros (numeric range bounds evaluate "
+    "identically on both engines; interval bounds would too but only "
+    "DuckDB accepts them over timestamps directly). The rolling sum "
+    "uses the scaled-int discipline so frame-merge order cannot "
+    "perturb the double. One shuffle on user_id",
+)
+def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-86_400_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).over(w)
+            .cast("double")
+            / 100.0
+        ).alias("trailing_24h_sum"),
+        F.count("*").over(w).cast("bigint").alias("trailing_24h_n"),
+    )
