@@ -1,0 +1,73 @@
+"""Iterative graph operators over edge DataFrames.
+
+Companion to ``operators.dedup.connected_components``: the same
+"driver-side loop over checkpointed DataFrames" harness, applied to
+PageRank. At 100 TB the loop body is shuffle-partitioned by node id
+and each iteration is one join + one aggregation; ``localCheckpoint``
+truncates lineage so the plan stays O(1) per round. Only scalars
+(the dangling-mass sum) ever reach the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank over a DIRECTED edge list; returns (node, rank).
+
+    Rank mass is conserved exactly: dangling nodes (no out-edges —
+    e.g. isolated docs in a similarity graph) redistribute their mass
+    uniformly each round, so sum(rank) == 1 up to float noise — the
+    invariant the tests assert. For an undirected graph pass both
+    edge directions.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.localCheckpoint(eager=True)
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    all_nodes = nodes.select(
+        F.col(nodes.columns[0]).alias("node")
+    ).distinct()
+    n = all_nodes.count()
+    ranks = all_nodes.select(
+        "node", F.lit(1.0 / n).alias("rank")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        # mass flowing along edges
+        contribs = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+        )
+        inflow = contribs.groupBy("node").agg(F.sum("c").alias("mass"))
+        # mass held by dangling nodes (no out-edges) this round
+        dangling = (
+            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            all_nodes.join(inflow, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -428,3 +428,64 @@ def fn_date2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofyear("o_orderdate").alias("doy"),
         F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
     )
+
+
+@query(
+    "fn_string2",
+    oracle="""
+SELECT p_partkey,
+       levenshtein(p_brand, substring(p_type, 1, 8)) AS brand_type_dist,
+       split_part(p_name, ' ', 1) AS first_tok,
+       split_part(p_name, ' ', -1) AS last_tok,
+       repeat(p_brand, 2) AS brand2,
+       reverse(p_brand) AS brand_rev,
+       translate(p_type, 'AEIOU', 'aeiou') AS type_lower_vowels
+FROM part
+""",
+    section="B.8",
+    notes="string family 2: levenshtein edit distance (fuzzy matching "
+    "primitive -- both engines implement it independently, a true "
+    "differential), split_part incl. negative index, repeat / "
+    "reverse / translate. Narrow map, no shuffle",
+)
+def fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", F.substring("p_type", 1, 8)).alias(
+            "brand_type_dist"
+        ),
+        F.split_part("p_name", F.lit(" "), F.lit(1)).alias("first_tok"),
+        F.split_part("p_name", F.lit(" "), F.lit(-1)).alias("last_tok"),
+        F.repeat("p_brand", 2).alias("brand2"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_lower_vowels"),
+    )
+
+
+@query(
+    "fn_trig",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(sin(l_quantity / 10), 6) AS s,
+       round(cos(l_quantity / 10), 6) AS c,
+       round(atan2(l_discount, l_tax + 0.01), 6) AS a2,
+       round(degrees(l_discount), 6) AS deg,
+       round(radians(l_quantity), 6) AS rad
+FROM lineitem
+""",
+    section="B.8",
+    notes="trigonometric family rounded to 6dp (libm vs JVM "
+    "StrictMath differ in the last ulp)",
+)
+def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin(F.col("l_quantity") / 10), 6).alias("s"),
+        F.round(F.cos(F.col("l_quantity") / 10), 6).alias("c"),
+        F.round(F.atan2("l_discount", F.col("l_tax") + 0.01), 6).alias("a2"),
+        F.round(F.degrees("l_discount"), 6).alias("deg"),
+        F.round(F.radians("l_quantity"), 6).alias("rad"),
+    )

@@ -1382,3 +1382,87 @@ def llm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_neg_logp"),
         )
     )
+
+
+@query(
+    "llm_docstats",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+)
+SELECT cast(count(DISTINCT doc_id) AS bigint) AS n_docs,
+       cast(count(DISTINCT lang) AS bigint) AS n_langs,
+       cast(count(*) AS bigint) AS total_tokens,
+       cast(count(DISTINCT w) AS bigint) AS vocab_size,
+       round(cast(count(DISTINCT w) AS double) / count(*), 6)
+         AS type_token_ratio,
+       round(cast(count(*) AS double) / count(DISTINCT doc_id), 6)
+         AS avg_doc_tokens
+FROM tok
+""",
+    section="B.11",
+    notes="corpus-level summary card: docs / languages / tokens / "
+    "vocabulary / type-token ratio -- the first dashboard any corpus "
+    "build produces. Multiple count-distincts in ONE aggregate: Spark "
+    "expands to a single multi-distinct plan (expand + two-level "
+    "agg); at 100 TB swap exact distincts for approx_count_distinct "
+    "(agg_approx_distinct is the registered scale twin)",
+)
+def llm_docstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    return tok.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.count("*").cast("bigint").alias("total_tokens"),
+        F.countDistinct("w").cast("bigint").alias("vocab_size"),
+        F.round(
+            F.countDistinct("w").cast("double") / F.count("*"), 6
+        ).alias("type_token_ratio"),
+        F.round(
+            F.count("*").cast("double") / F.countDistinct("doc_id"), 6
+        ).alias("avg_doc_tokens"),
+    )
+
+
+@query(
+    "graph_pagerank",
+    oracle=None,
+    section="C",
+    notes="PageRank over the embedding similarity graph (blocked "
+    "cosine pairs as undirected edges, 10 iterations, damping 0.85): "
+    "central documents in near-dup clusters surface as canonical "
+    "representatives. Iterative-DataFrame harness shared with "
+    "connected_components -- one join + one agg per round, O(1) "
+    "lineage via localCheckpoint, only the dangling-mass scalar on "
+    "the driver. Rows-only: float mass sums are merge-order "
+    "dependent; invariants (mass conservation, isolated-node floor) "
+    "asserted in tests/test_llm.py",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_stream_for_k8s_spark.operators.graph import pagerank
+
+    e = load(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    sim = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.expr("a.vec_id div 100") == F.expr("b.vec_id div 100"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(sim >= 0.2)
+        .select(
+            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
+        )
+    )
+    und = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank(und, e.select("vec_id"), iters=10)
+    return ranks.select(
+        F.col("node").alias("vec_id"), F.round("rank", 6).alias("rank")
+    )

@@ -971,3 +971,35 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_count"),
         )
     )
+
+
+@query(
+    "agg_linreg",
+    oracle="""
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       cast(regr_count(l_extendedprice, l_quantity) AS bigint) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+    section="B.4",
+    notes="linear-regression aggregates (price-on-quantity per flag): "
+    "regr_slope / intercept / r2 / count. Rounded to 6dp -- the "
+    "covariance accumulators merge in different orders across "
+    "engines. Single map-side-combinable agg, like corr in agg_stats",
+)
+def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias(
+            "slope"
+        ),
+        F.round(
+            F.regr_intercept("l_extendedprice", "l_quantity"), 6
+        ).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity")
+        .cast("bigint")
+        .alias("n"),
+    )

@@ -167,3 +167,23 @@ def test_connected_components_planted(spark):
     # path 1-2-3-4 collapses to min id 1 (diameter > 1 => needs
     # multiple propagation rounds), pair to 10, isolate to itself
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_pagerank_invariants(spark):
+    import pyspark.sql.functions as F
+
+    from event_stream_for_k8s_spark.operators.graph import pagerank
+
+    # tiny known graph: star (0 central) + isolated node 4
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 2), (2, 0), (0, 3), (3, 0)], "src int, dst int"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "node int")
+    r = pagerank(edges, nodes, iters=20)
+    rows = {x["node"]: x["rank"] for x in r.collect()}
+    # mass conserved
+    assert abs(sum(rows.values()) - 1.0) < 1e-9
+    # hub out-ranks leaves, leaves out-rank the isolated node
+    assert rows[0] > rows[1] > rows[4]
+    # leaves are symmetric
+    assert abs(rows[1] - rows[2]) < 1e-12 and abs(rows[2] - rows[3]) < 1e-12
