@@ -40,6 +40,11 @@ def pagerank(
     ranks = all_nodes.select(
         "node", F.lit(1.0 / n).alias("rank")
     ).localCheckpoint(eager=True)
+    # the dangling NODE SET is static (degrees don't change) — compute
+    # it once; only its rank mass changes per round
+    dangling_nodes = all_nodes.join(
+        deg, all_nodes["node"] == deg["src"], "left_anti"
+    ).localCheckpoint(eager=True)
     for _ in range(iters):
         # mass flowing along edges
         contribs = (
@@ -51,20 +56,19 @@ def pagerank(
             )
         )
         inflow = contribs.groupBy("node").agg(F.sum("c").alias("mass"))
-        # mass held by dangling nodes (no out-edges) this round
-        dangling = (
-            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
+        # dangling mass stays IN the plan as a broadcast scalar — no
+        # per-round driver collect, one job per iteration
+        dm = dangling_nodes.join(ranks, "node").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             all_nodes.join(inflow, "node", "left")
+            .crossJoin(F.broadcast(dm))
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("dm") / n
                     + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
                 ).alias("rank"),
             )
