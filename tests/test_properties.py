@@ -1,0 +1,146 @@
+"""Property-based invariants (SURVEY.md §5.2 item 4), hypothesis-driven.
+
+Each property builds ONE DataFrame per generated example (examples are
+capped low — a Spark job per example is the cost model) and asserts an
+algebraic invariant that must hold for ANY input, not just the
+fixtures: dedup idempotence, session partitioning, Morton-code
+bijectivity vs a pure-Python reference, and the scaled-int sum
+discipline agreeing with exact decimal arithmetic.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows = st.lists(
+    st.tuples(
+        st.integers(0, 20),  # key
+        st.integers(0, 10**6),  # ts-ish ordering value
+        st.integers(-5, 5),  # payload
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(data=rows)
+@SETTINGS
+def test_dedup_idempotent_and_unique(spark, data):
+    from event_stream_for_k8s_spark.operators.dedup import dedup_rank
+
+    df = spark.createDataFrame(data, "k int, ts long, v int")
+    once = dedup_rank(df, ["k"], ["ts", "v"])
+    twice = dedup_rank(once, ["k"], ["ts", "v"])
+    got_once = sorted(map(tuple, once.collect()))
+    got_twice = sorted(map(tuple, twice.collect()))
+    # idempotent
+    assert got_once == got_twice
+    # exactly one survivor per key, and it is the ORDER-minimal row
+    expect = {}
+    for k, ts, v in data:
+        cur = expect.get(k)
+        if cur is None or (ts, v) < cur:
+            expect[k] = (ts, v)
+    assert got_once == sorted((k, ts, v) for k, (ts, v) in expect.items())
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 1023), st.integers(0, 1023)),
+        min_size=1,
+        max_size=100,
+    )
+)
+@SETTINGS
+def test_morton_interleave_matches_reference(spark, pairs):
+    from event_stream_for_k8s_spark.plans.maintenance import (
+        _interleave_bits,
+    )
+
+    def ref(x: int, y: int) -> int:
+        z = 0
+        for i in range(10):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = df.select(
+        "x", "y", _interleave_bits(F.col("x"), F.col("y"), 10).alias("z")
+    ).collect()
+    for r in got:
+        assert r["z"] == ref(r["x"], r["y"])
+        # bijective: decode back by taking alternate bits
+        xs = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(10))
+        ys = sum(((r["z"] >> (2 * i + 1)) & 1) << i for i in range(10))
+        assert (xs, ys) == (r["x"], r["y"])
+
+
+@given(
+    vals=st.lists(
+        # fixed-2dp decimals in a money-like range
+        st.integers(-10**7, 10**7).map(lambda c: Decimal(c) / 100),
+        min_size=1,
+        max_size=80,
+    )
+)
+@SETTINGS
+def test_scaled_int_sum_is_exact(spark, vals):
+    from event_stream_for_k8s_spark.plans.util import dsum
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in vals], "x double"
+    ).repartition(8)  # force a multi-partition merge order
+    got = df.agg(dsum("x", 2).alias("s")).collect()[0]["s"]
+    assert Decimal(str(got)) == sum(vals)
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10**4)),
+        min_size=1,
+        max_size=60,
+    ),
+    gap=st.integers(1, 500),
+)
+@SETTINGS
+def test_sessionize_partitions_rows(spark, events, gap):
+    """Gap-sessionization invariants for any event set: sessions
+    partition the rows, each session's internal gaps are <= gap, and
+    consecutive sessions of a user are separated by > gap."""
+    from pyspark.sql.window import Window
+
+    data = [(u, ts, i) for i, (u, ts) in enumerate(events)]
+    df = spark.createDataFrame(data, "u int, ts long, id int")
+    w = Window.partitionBy("u").orderBy("ts", "id")
+    flagged = df.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.col("ts") - F.lag("ts").over(w)) > gap),
+            1,
+        ).otherwise(0),
+    ).withColumn("sid", F.sum("new_s").over(w))
+    got = flagged.collect()
+    assert len(got) == len(data)  # partition: no loss, no dup
+    by_user: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r["u"], r["ts"], r["id"])):
+        by_user.setdefault(r["u"], []).append(r)
+    for rs in by_user.values():
+        for a, b in zip(rs, rs[1:]):
+            if b["sid"] == a["sid"]:
+                assert b["ts"] - a["ts"] <= gap
+            else:
+                assert b["sid"] == a["sid"] + 1
+                assert b["ts"] - a["ts"] > gap
