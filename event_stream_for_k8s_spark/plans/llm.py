@@ -1466,3 +1466,112 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("vec_id"), F.round("rank", 6).alias("rank")
     )
+
+
+@query(
+    "llm_bpe_pairs",
+    oracle="""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)),
+                i -> substr(w, cast(i AS int), 2))) AS pair
+  FROM words WHERE length(w) >= 2
+), counted AS (
+  SELECT pair, count(*) AS n FROM pairs GROUP BY pair
+)
+SELECT pair, n FROM (
+  SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rn
+  FROM counted) WHERE rn <= 20
+""",
+    section="B.11",
+    notes="the first BPE-training step: adjacent character-pair "
+    "frequencies within words, global top-20 merge candidates "
+    "(frequency desc, pair asc tie-break). Pair extraction is a "
+    "per-row generator (sequence + substring -- the word column is "
+    "projected first, see _word_ngrams's lambda-capture note); the "
+    "count is one map-side-combinable shuffle on a tiny key space; "
+    "top-20 is a TakeOrdered, no second shuffle",
+)
+def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    return (
+        counted.orderBy(F.col("n").desc(), "pair").limit(20)
+    )
+
+
+@query(
+    "llm_dedup_url",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || CASE WHEN doc_id % 2 = 0 THEN upper(source)
+                            ELSE source END ||
+         '.Example.org/d/' || cast(doc_id % 100 AS varchar) ||
+         '/?utm_source=feed&id=' || cast(doc_id AS varchar) AS url
+  FROM documents
+), canon AS (
+  SELECT doc_id, url,
+         regexp_replace(
+           regexp_replace(
+             lower(regexp_extract(url, '^(https://[^/?]+)', 1))
+               || regexp_extract(url, '^https://[^/?]+([^?]*)', 1),
+             '/$', '') , '^$', '/') AS canonical
+  FROM u
+)
+SELECT canonical, min(doc_id) AS canonical_doc, count(*) AS n_aliases
+FROM canon GROUP BY canonical
+""",
+    section="B.11",
+    notes="URL canonicalization dedup: lowercase the authority (case-"
+    "insensitive per RFC 3986), drop the query string (tracking "
+    "params), strip the trailing slash -- then group. The synthetic "
+    "URLs vary host casing and carry utm params, and doc_id%100 "
+    "collides 10 docs onto each canonical URL, so the dedup is "
+    "exercised for real. Narrow map + one 32-byte-key shuffle",
+)
+def llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source")).otherwise(
+            F.col("source")
+        ),
+        F.lit(".Example.org/d/"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit("/?utm_source=feed&id="),
+        F.col("doc_id").cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.concat(
+                F.lower(F.regexp_extract("url", r"^(https://[^/?]+)", 1)),
+                F.regexp_extract("url", r"^https://[^/?]+([^?]*)", 1),
+            ),
+            r"/$",
+            "",
+        ),
+        r"^$",
+        "/",
+    )
+    return (
+        u.select("doc_id", canonical.alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count("*").alias("n_aliases"),
+        )
+    )

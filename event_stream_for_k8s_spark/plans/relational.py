@@ -1003,3 +1003,30 @@ def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n"),
     )
+
+
+@query(
+    "agg_percentile_multi",
+    oracle="""
+SELECT event_type,
+       list_transform(quantile_cont(value, [0.5, 0.9, 0.99]),
+                      x -> round(x, 6)) AS pcts,
+       round(quantile_cont(value, 0.5), 6) AS p50
+FROM events GROUP BY event_type
+""",
+    section="B.4",
+    notes="multi-percentile in ONE aggregation pass (p50/p90/p99 as an "
+    "array) -- three separate percentile aggs would sort three "
+    "times. Exact interpolated percentiles match across engines "
+    "after round(6). The 100 TB twin is approx_percentile with an "
+    "accuracy knob (single-pass sketch, no sort)",
+)
+def agg_percentile_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.transform(
+            F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))"),
+            lambda x: F.round(x, 6),
+        ).alias("pcts"),
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("p50"),
+    )

@@ -221,3 +221,126 @@ def ts_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", 2).alias("sum_price"),
         )
     )
+
+
+@query(
+    "ts_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(epoch_us(ts)) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_buy
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.t_click
+    AND epoch_us(e.ts) <= c.t_click + 259200000000
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+       (SELECT count(*) FROM v) AS n_viewed,
+       (SELECT count(*) FROM c) AS n_clicked_after_view,
+       (SELECT count(*) FROM p) AS n_purchased_72h
+""",
+    section="C",
+    notes="ordered funnel: view -> first click after it -> first "
+    "purchase within 72h of that click, counted per stage. Each "
+    "stage is a conditional min-aggregate joined to the previous "
+    "stage's anchor -- every agg and join keys on user_id, so the "
+    "whole funnel is ONE shuffle partitioning reused three times. "
+    "Timestamps compared as epoch-micros on both engines",
+)
+def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("t") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("t") >= F.col("t_click"))
+            & (F.col("t") <= F.col("t_click") + 259_200_000_000)
+        )
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_buy"))
+    )
+    n_users = e.select(F.countDistinct("user_id").alias("n_users"))
+    return (
+        n_users.crossJoin(v.agg(F.count("*").alias("n_viewed")))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased_72h")))
+    )
+
+
+@query(
+    "ts_anomaly",
+    oracle="""
+WITH m AS (
+  SELECT user_id,
+         count(*) AS n,
+         sum(cast(round(value * 100) AS bigint)) AS s1,
+         sum(cast(round(value * 100) AS bigint)
+             * cast(round(value * 100) AS bigint)) AS s2
+  FROM events GROUP BY user_id
+), z AS (
+  SELECT e.event_id, e.user_id, e.value,
+         round((cast(round(e.value * 100) AS bigint) * m.n - m.s1)
+               / sqrt(greatest(m.s2 * m.n - m.s1 * m.s1, 1)), 6) AS zscore
+  FROM events e JOIN m ON e.user_id = m.user_id
+)
+SELECT event_id, user_id, value, zscore FROM z
+WHERE abs(zscore) > 2
+""",
+    section="C",
+    notes="per-entity z-score anomaly flags (|z| > 2 vs the user's own "
+    "distribution). The moments are EXACT scaled int64 sums, and the "
+    "z formula is algebraically rearranged to divide once at the end "
+    "-- both engines compute bit-identical doubles, so even the "
+    "threshold filter agrees on borderline rows (a naive "
+    "mean/stddev pipeline would not). Population variance; "
+    "agg + broadcast join back, one shuffle on user_id",
+)
+def ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    sv = F.round(F.col("value") * 100).cast("bigint")
+    m = e.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(sv).alias("s1"),
+        F.sum(sv * sv).alias("s2"),
+    )
+    z = (
+        e.join(F.broadcast(m), "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.round(
+                (sv * F.col("n") - F.col("s1"))
+                / F.sqrt(
+                    F.greatest(
+                        F.col("s2") * F.col("n")
+                        - F.col("s1") * F.col("s1"),
+                        F.lit(1),
+                    ).cast("double")
+                ),
+                6,
+            ).alias("zscore"),
+        )
+    )
+    return z.filter(F.abs(F.col("zscore")) > 2)
