@@ -1575,3 +1575,69 @@ def llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_aliases"),
         )
     )
+
+
+@query(
+    "llm_corpus_rebuild",
+    oracle=f"""
+WITH RECURSIVE edges AS (
+  SELECT a.vec_id AS s, b.vec_id AS d
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND (a.vec_id // 100) = (b.vec_id // 100)
+   AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product((a.embedding)::DOUBLE[], (b.embedding)::DOUBLE[]) / (sqrt(list_dot_product((a.embedding)::DOUBLE[], (a.embedding)::DOUBLE[])) * sqrt(list_dot_product((b.embedding)::DOUBLE[], (b.embedding)::DOUBLE[]))), 6) >= 0.2
+), und AS (
+  SELECT s, d FROM edges UNION ALL SELECT d AS s, s AS d FROM edges
+), reach(node, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT u.d, reach.r FROM reach JOIN und u ON u.s = reach.node
+), comp AS (
+  SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node
+)
+SELECT vec_id, cluster_id,
+       cast(count(*) OVER (PARTITION BY cluster_id) AS bigint)
+         AS cluster_size,
+       (vec_id = cluster_id) AS is_kept
+FROM comp
+""",
+    section="B.11",
+    notes="the corpus-dedup CAPSTONE: blocked similarity pairs -> "
+    "connected components -> keep exactly ONE canonical doc per "
+    "component (the min id), flag the rest for deletion. This is the "
+    "query a training-data rebuild actually runs; pairwise deletion "
+    "would over-delete because near-dup is not transitive. Exactly "
+    "one is_kept per cluster (property-tested); at 100 TB the pair "
+    "generator is the LSH band join, the component loop is "
+    "O(log diameter) rounds",
+)
+def llm_corpus_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from event_stream_for_k8s_spark.operators.dedup import (
+        connected_components,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    sim = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.expr("a.vec_id div 100") == F.expr("b.vec_id div 100"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(sim >= 0.2)
+        .select(
+            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
+        )
+    )
+    comp = connected_components(pairs, nodes=e.select("vec_id"))
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        F.col("node").alias("vec_id"),
+        "cluster_id",
+        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+        (F.col("node") == F.col("cluster_id")).alias("is_kept"),
+    )

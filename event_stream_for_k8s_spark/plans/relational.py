@@ -1030,3 +1030,50 @@ def agg_percentile_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pcts"),
         F.round(F.expr("percentile(value, 0.5D)"), 6).alias("p50"),
     )
+
+
+AGG_FILTER_SQL = """
+SELECT event_type,
+       count(*) AS n_all,
+       count(*) FILTER (WHERE value > 100) AS n_big,
+       cast(sum(cast(round(value * 100) AS bigint))
+            FILTER (WHERE user_id % 2 = 0) AS double) / 100.0
+         AS sum_even_users,
+       count(DISTINCT user_id) FILTER (WHERE event_type <> 'error')
+         AS n_users_nonerr
+FROM events
+GROUP BY event_type
+"""
+
+
+@query(
+    "agg_filter_clause",
+    oracle=AGG_FILTER_SQL,
+    section="B.4",
+    notes="SQL:2003 aggregate FILTER clauses -- several differently-"
+    "filtered aggregates in ONE pass over the data (the alternative "
+    "is N scans or N CASE-WHEN pyramids). One SQL text runs verbatim "
+    "on both engines; sums use the scaled-int discipline inline",
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_stream_for_k8s_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(AGG_FILTER_SQL)
+
+
+@query(
+    "agg_approx_percentile",
+    oracle=None,
+    section="B.4",
+    notes="single-pass sketch percentiles (approx_percentile with "
+    "accuracy 10000) -- the 100 TB twin of agg_percentile_multi: no "
+    "per-group sort, mergeable partial state. Error envelope vs the "
+    "exact percentile asserted in tests/test_properties.py",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("pcts"),
+        F.count("*").alias("n"),
+    )

@@ -644,3 +644,46 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"soj_{abs(hash(sf_dir)) % 10**8}"
     _run_to_memory(joined, sink)
     return spark.table(sink)
+
+
+@query(
+    "stream_topk",
+    oracle="""
+SELECT user_id,
+       cast(sum(cast(round(value * 100) AS bigint)) AS double) / 100.0
+         AS total_value,
+       count(*) AS n_events
+FROM events GROUP BY user_id
+ORDER BY total_value DESC, user_id LIMIT 10
+""",
+    section="B.9",
+    notes="streaming top-k: complete-mode aggregation + sort + limit "
+    "-- the 'current leaderboard' every metrics consumer of the "
+    "reference's counter stream (A8) eventually asks for. Spark "
+    "permits ORDER BY + LIMIT only in complete mode (the result is "
+    "recomputed per batch from running state); ties broken by "
+    "user_id and sums scaled-int so the final batch hash-matches "
+    "the batch oracle exactly",
+)
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _single_file_json(
+        spark, sf_dir, "events_stream1_json",
+        lambda: events_as_micros(spark, sf_dir),
+    )
+    agg = (
+        _stream(spark, src)
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                .cast("double")
+                / 100.0
+            ).alias("total_value"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy(F.col("total_value").desc(), "user_id")
+        .limit(10)
+    )
+    sink = f"stk_{abs(hash(sf_dir)) % 10**8}"
+    _run_to_memory(agg, sink, mode="complete")
+    return spark.table(sink)

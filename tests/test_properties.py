@@ -144,3 +144,37 @@ def test_sessionize_partitions_rows(spark, events, gap):
             else:
                 assert b["sid"] == a["sid"] + 1
                 assert b["ts"] - a["ts"] > gap
+
+
+def test_approx_percentile_error_envelope(spark):
+    """The sketch percentiles stay within 1% rank error of exact."""
+    import pyspark.sql.functions as F
+
+    from event_stream_for_k8s_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["event_type"]: r["pcts"]
+        for r in REGISTRY["agg_approx_percentile"].spark(spark, sf).collect()
+    }
+    exact = {
+        r["event_type"]: r["pcts"]
+        for r in REGISTRY["agg_percentile_multi"].spark(spark, sf).collect()
+    }
+    from event_stream_for_k8s_spark.catalog import load
+
+    e = load(spark, sf, "events")
+    for etype, apcts in approx.items():
+        vals = sorted(
+            x["value"] for x in e.filter(F.col("event_type") == etype)
+            .select("value").collect()
+        )
+        n = len(vals)
+        for q, a in zip((0.5, 0.9, 0.99), apcts):
+            import bisect
+
+            rank = bisect.bisect_left(vals, a) / n
+            assert abs(rank - q) <= 0.01, (etype, q, a, rank)
+        # and the exact twin is close in value terms too
+        for a, x in zip(apcts, exact[etype]):
+            assert abs(a - x) <= max(0.02 * abs(x), 0.5)
