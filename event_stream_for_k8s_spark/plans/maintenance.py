@@ -317,3 +317,39 @@ def maint_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         zval.alias("zval"),
         F.floor(zval / 16384).cast("bigint").alias("file_bucket"),
     )
+
+
+@query(
+    "maint_sorted_layout",
+    oracle="""
+SELECT event_id, ts, user_id, event_type, value FROM events
+""",
+    section="B.1",
+    notes="write-side clustering: repartition by user_id, sort within "
+    "each partition by (user_id, ts), write parquet -- every output "
+    "file then holds a contiguous, sorted slice of a few users, so "
+    "row-group min/max stats skip files for point and range lookups "
+    "on BOTH columns (the poor man's clustered index; Z-order "
+    "(maint_zorder) is the multi-dim upgrade). Content is preserved "
+    "exactly (the oracle checks that); per-file user disjointness is "
+    "asserted in tests/test_plans.py. sortWithinPartitions is a "
+    "partition-LOCAL sort: no global range exchange, one shuffle",
+)
+def maint_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    out = cache_dir(sf_dir, "events_sorted_layout")
+    marker = _os.path.join(out, "_DONE")
+    if not _os.path.exists(marker):
+        ev = load(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        (
+            ev.repartition(8, "user_id")
+            .sortWithinPartitions("user_id", "ts")
+            .write.mode("overwrite")
+            .parquet(_os.path.join(out, "data"))
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return spark.read.parquet(_os.path.join(out, "data"))

@@ -194,3 +194,18 @@ def test_stratified_sample_single_shuffle(spark):
     p = _plan(spark, "sample_stratified")
     n_exchange = p.count("Exchange hashpartitioning")
     assert n_exchange == 1, f"expected 1 shuffle, saw {n_exchange}:\n{p[:1200]}"
+
+
+def test_sorted_layout_files_cluster_users(spark):
+    # file-skipping evidence: after the clustered write, each user's
+    # rows live in exactly ONE file (hash partition), and within a
+    # file rows are sorted — min/max stats prune on user_id AND ts
+    from pyspark.sql import functions as F
+
+    df = REGISTRY["maint_sorted_layout"].spark(spark, SF)
+    per = (
+        df.withColumn("f", F.input_file_name())
+        .groupBy("user_id")
+        .agg(F.countDistinct("f").alias("nf"))
+    )
+    assert per.filter(F.col("nf") > 1).count() == 0
