@@ -489,3 +489,33 @@ def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.degrees("l_discount"), 6).alias("deg"),
         F.round(F.radians("l_quantity"), 6).alias("rad"),
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+SELECT event_id,
+       json_extract(props, '$.k')::int AS k,
+       json(props)::varchar AS canonical,
+       (json_extract(props, '$.k')::int % 10 = 0) AS k_mod10
+FROM events
+""",
+    section="B.8",
+    notes="Spark 4 VariantType: parse_json once, variant_get typed "
+    "paths from the binary-encoded variant -- the semi-structured "
+    "scale path (parse once, probe many; vs get_json_object which "
+    "re-parses the string per call, see fn_json). Canonical "
+    "re-serialization (minified, stable key order) matches DuckDB's "
+    "json() normalization exactly",
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    v = e.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.expr("variant_get(v, '$.k', 'int')").alias("k"),
+        F.col("v").cast("string").alias("canonical"),
+        (F.expr("variant_get(v, '$.k', 'int')") % 10 == 0).alias(
+            "k_mod10"
+        ),
+    )

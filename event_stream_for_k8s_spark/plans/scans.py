@@ -365,3 +365,65 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(src + "/data").filter(
         F.col("event_type").isin("error", "signup")
     )
+
+
+@query(
+    "scan_json_corrupt",
+    oracle="""
+SELECT CASE WHEN event_id % 97 = 0 THEN 'corrupt' ELSE 'good' END
+         AS status,
+       count(*) AS n,
+       cast(count(DISTINCT CASE WHEN event_id % 97 <> 0
+                                THEN event_type END) AS bigint)
+         AS n_types
+FROM events
+GROUP BY 1
+""",
+    section="B.1",
+    notes="corrupt-record-tolerant scan: every 97th line of the NDJSON "
+    "is deliberately truncated mid-object; PERMISSIVE mode parses the "
+    "rest and lands the raw broken line in _corrupt_record instead of "
+    "failing the job -- the only viable posture for 100 TB of "
+    "real-world JSON. The oracle reproduces the corruption rule "
+    "arithmetically on the clean table",
+)
+def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    def build(out: str) -> None:
+        ev = events_as_micros(spark, sf_dir)
+        lines = ev.select(
+            "event_id",
+            F.when(
+                F.col("event_id") % 97 == 0,
+                F.concat(F.lit('{"event_id": '), F.col("event_id").cast("string"), F.lit(', "broke')),
+            )
+            .otherwise(F.to_json(F.struct(*ev.columns)))
+            .alias("line"),
+        )
+        _os.makedirs(out, exist_ok=True)
+        with open(_os.path.join(out, "data.jsonl"), "w") as f:
+            for r in lines.toLocalIterator():
+                f.write(r["line"] + "\n")
+
+    src = materialize(spark, sf_dir, "events_corrupt_json", build)
+    schema = EVENTS_MICROS_SCHEMA + ", _corrupt_record STRING"
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(_os.path.join(src, "data.jsonl"))
+        .cache()
+    )
+    return df.groupBy(
+        F.when(F.col("_corrupt_record").isNotNull(), "corrupt")
+        .otherwise("good")
+        .alias("status")
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct(
+            F.when(F.col("_corrupt_record").isNull(), F.col("event_type"))
+        )
+        .cast("bigint")
+        .alias("n_types"),
+    )
