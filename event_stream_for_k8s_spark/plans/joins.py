@@ -421,3 +421,59 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey", "l_linenumber", "o_orderpriority", "o_totalprice"
         )
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+WITH cand AS (
+  SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate ASC, o.o_orderkey DESC) rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+)
+SELECT e.user_id, e.event_id, e.ts,
+       c.o_orderkey AS o_orderkey_next, c.o_orderdate AS o_orderdate_next
+FROM events e LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+  ON c.event_id = e.event_id
+""",
+    section="B.3",
+    notes="FORWARD as-of join (nearest right row at-or-AFTER each left "
+    "time): implemented as the backward union+window operator on "
+    "NEGATED epoch keys -- one reusable primitive covers both "
+    "directions, still no pair blowup. Tie at equal right time "
+    "resolves to the max tiebreak key (negation flips 'last wins'), "
+    "which the oracle mirrors with o_orderkey DESC",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_stream_for_k8s_spark.operators.joins import asof_join
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", (-F.unix_micros("ts")).alias("tneg")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderkey",
+        "o_orderdate",
+        (-F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias(
+            "tneg"
+        ),
+    )
+    joined = asof_join(
+        ev,
+        o,
+        on=["user_id"],
+        left_time="tneg",
+        right_time="tneg",
+        payload=["o_orderkey", "o_orderdate"],
+        tiebreak="o_orderkey",
+        suffix="_next",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("o_orderkey_next"),
+        F.col("o_orderdate_next"),
+    )

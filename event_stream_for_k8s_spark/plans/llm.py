@@ -1641,3 +1641,48 @@ def llm_corpus_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("bigint").alias("cluster_size"),
         (F.col("node") == F.col("cluster_id")).alias("is_kept"),
     )
+
+
+@query(
+    "llm_chat_format",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       '<|system|>' || chr(10) || 'You are a helpful assistant.' ||
+       chr(10) || '<|user|>' || chr(10) || 'Summarize: ' ||
+       array_to_string(toks[1:12], ' ') || chr(10) || '<|assistant|>' ||
+       chr(10) || array_to_string(toks[1:5], ' ') || ' ...<|end|>'
+         AS rendered,
+       length('<|system|>' || chr(10) || 'You are a helpful assistant.' ||
+       chr(10) || '<|user|>' || chr(10) || 'Summarize: ' ||
+       array_to_string(toks[1:12], ' ') || chr(10) || '<|assistant|>' ||
+       chr(10) || array_to_string(toks[1:5], ' ') || ' ...<|end|>')
+         AS n_chars
+FROM t
+""",
+    section="B.11",
+    notes="chat-template rendering, the SFT-data formatting step: "
+    "(system, user, assistant) turns flattened into the model's "
+    "prompt markup in one narrow projection. The template here is a "
+    "ChatML-ish stand-in; swapping delimiters is a string-literal "
+    "change. Token budgeting downstream is llm_tokens / "
+    "llm_pack_sequences",
+)
+def llm_chat_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    nl = F.lit("\n")
+    rendered = F.concat(
+        F.lit("<|system|>"), nl, F.lit("You are a helpful assistant."),
+        nl, F.lit("<|user|>"), nl, F.lit("Summarize: "),
+        F.concat_ws(" ", F.slice("toks", 1, 12)),
+        nl, F.lit("<|assistant|>"), nl,
+        F.concat_ws(" ", F.slice("toks", 1, 5)), F.lit(" ...<|end|>"),
+    )
+    out = d.select("doc_id", rendered.alias("rendered"))
+    return out.select(
+        "doc_id", "rendered", F.length("rendered").alias("n_chars")
+    )
