@@ -45,7 +45,7 @@ def pagerank(
     dangling_nodes = all_nodes.join(
         deg, all_nodes["node"] == deg["src"], "left_anti"
     ).localCheckpoint(eager=True)
-    for _ in range(iters):
+    for it in range(iters):
         # mass flowing along edges
         contribs = (
             e.join(ranks, e["src"] == ranks["node"])
@@ -72,6 +72,12 @@ def pagerank(
                     + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        # Checkpoint every SECOND round, not every round: the eager
+        # materialization job is the per-iteration fixed cost, and a
+        # two-round lineage is still O(1) plan depth. Measured at
+        # sf0.1: every-round 5.4-6.2 s, every-2 4.4-4.8 s, every-5
+        # regresses (plan-compile blowup) — see SCALING.md.
+        if it % 2 == 1 or it == iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -642,7 +642,12 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_outer",
     ).select("id_a", "id_b", "user_id")
     sink = f"soj_{abs(hash(sf_dir)) % 10**8}"
-    _run_to_memory(joined, sink)
+    # 2 state partitions: a stream-stream join keeps FOUR state stores
+    # per partition and this query replays 6 mtime-ordered files plus
+    # no-data flush batches, so the per-batch per-store commit cost
+    # dominates at test scale (measured sf0.1 warm: 7.7 s @ 8, 6.4 s
+    # @ 4, 5.8 s @ 2). On a cluster, size to keyspace x volume.
+    _run_to_memory(joined, sink, state_partitions=2)
     return spark.table(sink)
 
 
