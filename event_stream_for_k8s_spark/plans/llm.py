@@ -1686,3 +1686,97 @@ def llm_chat_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "rendered", F.length("rendered").alias("n_chars")
     )
+
+
+@query(
+    "llm_inverted_index",
+    oracle="""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+), ranked AS (
+  SELECT term, doc_id,
+         count(*) OVER (PARTITION BY term) AS df,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM toks WHERE term <> ''
+)
+SELECT term, df, list_sort(list(doc_id)) AS postings
+FROM ranked WHERE rn <= 100
+GROUP BY term, df
+""",
+    section="C",
+    notes="inverted-index build (term -> sorted posting list + true "
+    "document frequency), the retrieval-side twin of llm_text_tfidf. "
+    "array_distinct BEFORE explode makes (doc_id, term) unique with "
+    "no global distinct; then ONE shuffle on term serves both window "
+    "functions and the final groupBy (Catalyst reuses the hash "
+    "partitioning). Postings are capped at 100 docs per term BEFORE "
+    "collect_list via row_number -- stopword terms are the classic "
+    "posting-list skew, and the cap bounds per-group state while df "
+    "still reports the uncapped count; at 100 TB the tail beyond the "
+    "cap would be sharded as (term, bucket) pages",
+)
+def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+    ).filter(F.col("term") != "")
+    by_term = Window.partitionBy("term")
+    ranked = toks.select(
+        "term",
+        "doc_id",
+        F.count("*").over(by_term).alias("df"),
+        F.row_number()
+        .over(by_term.orderBy("doc_id"))
+        .alias("rn"),
+    ).filter(F.col("rn") <= 100)
+    return ranked.groupBy("term", "df").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("postings")
+    )
+
+
+@query(
+    "llm_shard_manifest",
+    oracle="""
+SELECT ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::bigint % 16
+         AS shard,
+       count(*) AS n_docs,
+       cast(sum(len(string_split(text, ' '))) AS bigint) AS n_tokens,
+       cast(sum(n_chars) AS bigint) AS total_chars,
+       cast(sum(('0x' || substr(md5(text), 1, 8))::bigint) AS bigint)
+         AS content_checksum,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM documents GROUP BY shard
+""",
+    section="C",
+    notes="shard manifest for a training-data export: deterministic "
+    "md5 bucketing of doc ids into 16 shards plus per-shard counts, "
+    "token/byte totals, and an ORDER-INSENSITIVE content checksum "
+    "(sum of per-doc 32-bit digest prefixes -- commutative, so any "
+    "partitioning/merge order yields the same value; 2^32 x corpus "
+    "size stays far under int64). This is the sidecar a downstream "
+    "trainer uses to verify a delivered corpus without re-reading "
+    "it; one map-side-combinable shuffle on 16 keys",
+)
+def llm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    digest32 = lambda c: (  # noqa: E731
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+    )
+    return (
+        d.withColumn("shard", digest32(F.col("doc_id").cast("string")) % 16)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("bigint")
+            .alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum(digest32(F.col("text"))).cast("bigint")
+            .alias("content_checksum"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

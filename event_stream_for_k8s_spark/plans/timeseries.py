@@ -344,3 +344,105 @@ def ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return z.filter(F.abs(F.col("zscore")) > 2)
+
+
+@query(
+    "ts_retention",
+    oracle="""
+WITH f AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), a AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+)
+SELECT f.cohort_week,
+       cast(date_diff('day', f.cohort_week, a.w) // 7 AS bigint)
+         AS week_offset,
+       count(*) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+""",
+    section="C",
+    notes="cohort retention matrix: users bucketed by first-seen week, "
+    "counted in each later week they return -- the canonical product-"
+    "analytics readout over the reference's event stream. Both the "
+    "cohort table and the distinct (user, week) activity collapse to "
+    "|users| and |users|x|weeks| rows before the join, so the cohort "
+    "side is broadcast at any event volume; week truncation is "
+    "Monday-based on both engines and offsets are exact multiples of "
+    "7 days, so the integer division is lossless",
+)
+def ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    first = e.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    active = e.select("user_id", wk.alias("w")).distinct()
+    return (
+        active.join(F.broadcast(first), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("w"), F.col("cohort_week")) / F.lit(7))
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@query(
+    "ts_ohlc",
+    oracle="""
+WITH ranked AS (
+  SELECT date_trunc('hour', ts) AS hour_ts, event_type, value,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                            ORDER BY ts, event_id) AS rn_open,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn_close
+  FROM events
+)
+SELECT hour_ts, event_type,
+       max(CASE WHEN rn_open = 1 THEN value END) AS open_value,
+       max(value) AS high_value,
+       min(value) AS low_value,
+       max(CASE WHEN rn_close = 1 THEN value END) AS close_value,
+       count(*) AS n_events
+FROM ranked GROUP BY hour_ts, event_type
+""",
+    section="C",
+    notes="hourly OHLC bars per event_type (open/high/low/close), the "
+    "downsampling shape every metrics store renders. first/last are "
+    "selected via row_number tie-broken by the unique event_id (ts "
+    "alone can collide), then folded with conditional max -- all "
+    "EXACT selections of existing doubles, no float summation, so "
+    "values hash-match bit-for-bit. One shuffle on (hour, type) "
+    "serves both window passes and the final aggregation",
+)
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", F.col("ts"))
+    base = e.select(
+        hr.alias("hour_ts"), "event_type", "value", "ts", "event_id"
+    )
+    part = Window.partitionBy("hour_ts", "event_type")
+    ranked = base.select(
+        "hour_ts",
+        "event_type",
+        "value",
+        F.row_number()
+        .over(part.orderBy(F.asc("ts"), F.asc("event_id")))
+        .alias("rn_open"),
+        F.row_number()
+        .over(part.orderBy(F.desc("ts"), F.desc("event_id")))
+        .alias("rn_close"),
+    )
+    return ranked.groupBy("hour_ts", "event_type").agg(
+        F.max(F.when(F.col("rn_open") == 1, F.col("value")))
+        .alias("open_value"),
+        F.max("value").alias("high_value"),
+        F.min("value").alias("low_value"),
+        F.max(F.when(F.col("rn_close") == 1, F.col("value")))
+        .alias("close_value"),
+        F.count("*").alias("n_events"),
+    )

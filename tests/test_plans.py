@@ -209,3 +209,23 @@ def test_sorted_layout_files_cluster_users(spark):
         .agg(F.countDistinct("f").alias("nf"))
     )
     assert per.filter(F.col("nf") > 1).count() == 0
+
+
+def test_inverted_index_single_shuffle(spark):
+    # explode -> two windows -> groupBy all share the term
+    # partitioning; posting-list cap happens BEFORE collect_list
+    p = _plan(spark, "llm_inverted_index")
+    n_exchange = p.count("Exchange hashpartitioning")
+    assert n_exchange == 1, f"expected 1 shuffle, saw {n_exchange}:\n{p[:1200]}"
+
+
+def test_ohlc_single_shuffle(spark):
+    # both window passes and the final agg reuse (hour_ts, event_type)
+    p = _plan(spark, "ts_ohlc")
+    n_exchange = p.count("Exchange hashpartitioning")
+    assert n_exchange == 1, f"expected 1 shuffle, saw {n_exchange}:\n{p[:1200]}"
+
+
+def test_retention_cohort_side_is_broadcast(spark):
+    p = _plan(spark, "ts_retention")
+    assert "BroadcastHashJoin" in p
