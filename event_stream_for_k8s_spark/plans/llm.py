@@ -1780,3 +1780,152 @@ def llm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+@query(
+    "llm_winnow",
+    oracle=f"""
+WITH hashed AS (
+  SELECT doc_id,
+         list_transform(
+           string_split(text, ' '),
+           t -> list_reduce(
+                  list_prepend(cast(0 AS bigint),
+                    list_transform(range(1, length(t) + 1),
+                                   i -> cast(ascii(t[i:i]) AS bigint))),
+                  (a, b) -> (a * 31 + b) % {MOD})) AS ht
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_transform(range(0, greatest(len(ht) - 3, 0) + 1),
+           i -> ((ht[i+1] * 31 + ht[i+2]) % {MOD} * 31 + ht[i+3]) % {MOD})
+           AS h
+  FROM hashed
+), sel AS (
+  SELECT doc_id,
+         list_transform(range(0, greatest(len(h) - 4, 0) + 1),
+           j -> struct_pack(
+             fp_pos := cast(j + 5 - list_position(
+                 list_reverse(h[j+1:j+4]), list_min(h[j+1:j+4]))
+               AS bigint),
+             fp_hash := list_min(h[j+1:j+4]))) AS fps
+  FROM grams
+), ex AS (
+  SELECT doc_id, unnest(fps, recursive := true) FROM sel
+)
+SELECT DISTINCT doc_id, fp_pos, fp_hash FROM ex WHERE fp_hash IS NOT NULL
+""",
+    section="C",
+    notes="true winnowing (MOSS): per doc, the RIGHTMOST-minimum "
+    "3-gram hash from every sliding window of 4 -- the distinct "
+    "(position, hash) set guarantees any shared run of >= 6 tokens "
+    "between two docs shares a fingerprint, the property the global-"
+    "min llm_fingerprint trades away. Same broadcast vocab-hash "
+    "plumbing, then pure array HOFs: zero shuffles beyond the per-doc "
+    "array build, fingerprint density ~2/(w+1) of positions so output "
+    "stays sub-linear in corpus size",
+)
+def llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_stream_for_k8s_spark.functions.text import token_hash
+
+    w = 4
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    vocab = (
+        toks.select("tok").distinct().withColumn("th", token_hash(F.col("tok")))
+    )
+    hashed = toks.join(F.broadcast(vocab), "tok")
+    arrays = hashed.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "th"))), lambda x: x.th
+        ).alias("ht")
+    )
+    ht = F.col("ht")
+    grams = arrays.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(ht) - 3, F.lit(0))),
+            lambda i: (
+                (F.element_at(ht, i + 1) * 31 + F.element_at(ht, i + 2))
+                % MOD * 31
+                + F.element_at(ht, i + 3)
+            )
+            % MOD,
+        ).alias("h"),
+    )
+    h = F.col("h")
+
+    def pick(j):
+        s = F.slice(h, j + 1, w)
+        m = F.array_min(s)
+        rpos = F.array_position(F.reverse(s), m)
+        return F.struct(
+            (j + (w + 1) - rpos).cast("bigint").alias("fp_pos"),
+            m.alias("fp_hash"),
+        )
+
+    sel = grams.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(h) - w, F.lit(0))), pick
+            )
+        ).alias("fps"),
+    )
+    return (
+        sel.select("doc_id", F.explode("fps").alias("s"))
+        .select("doc_id", "s.fp_pos", "s.fp_hash")
+        .filter(F.col("fp_hash").isNotNull())
+    )
+
+
+@query(
+    "llm_dedup_incremental",
+    oracle="""
+WITH corpus AS (
+  SELECT md5(text) AS content_key FROM documents WHERE doc_id % 10 < 8
+), b AS (
+  SELECT doc_id, md5(text) AS content_key
+  FROM documents WHERE doc_id % 10 >= 8
+), firsts AS (
+  SELECT doc_id, content_key,
+         row_number() OVER (PARTITION BY content_key ORDER BY doc_id) AS rn
+  FROM b
+)
+SELECT f.doc_id, f.content_key FROM firsts f
+WHERE rn = 1
+  AND NOT EXISTS (SELECT 1 FROM corpus c
+                  WHERE c.content_key = f.content_key)
+""",
+    section="C",
+    notes="incremental dedup: a new batch (doc_id%10>=8 stands in for "
+    "today's crawl) deduped within itself (keep lowest id) AND anti-"
+    "joined against the existing corpus's content-hash store -- the "
+    "daily-ingest shape where yesterday's 100 TB must not be re-"
+    "scanned, only its key store probed. At scale the corpus side is "
+    "the big one, so the anti-join shuffles on content_key; a "
+    "production store would be bucketed by key so only the batch "
+    "side moves",
+)
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    keyed = d.select("doc_id", F.md5("text").alias("content_key"))
+    corpus = keyed.filter(F.col("doc_id") % 10 < 8).select("content_key")
+    batch = keyed.filter(F.col("doc_id") % 10 >= 8)
+    firsts = (
+        batch.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("content_key").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return firsts.join(corpus, "content_key", "left_anti").select(
+        "doc_id", "content_key"
+    )
