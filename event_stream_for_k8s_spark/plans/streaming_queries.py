@@ -692,3 +692,72 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"stk_{abs(hash(sf_dir)) % 10**8}"
     _run_to_memory(agg, sink, mode="complete")
     return spark.table(sink)
+
+
+@query(
+    "stream_full_outer_join",
+    oracle="""
+WITH b AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT a.event_id AS id_a, b.event_id AS id_b,
+       coalesce(a.user_id, b.user_id) AS uid
+FROM events a FULL JOIN b
+  ON b.user_id = a.user_id AND b.ts >= a.ts
+ AND b.ts <= a.ts + INTERVAL 1 HOUR AND b.event_id <> a.event_id
+""",
+    section="B.9",
+    notes="FULL-outer stream-stream join: unmatched LEFT rows null-"
+    "pad once the right watermark closes their window (as in "
+    "stream_outer_join) and unmatched RIGHT purchases null-pad once "
+    "the LEFT watermark passes their timestamp. Same sentinel "
+    "transport; the one new wrinkle is that sentinel rows on the "
+    "RIGHT do emit null-padded rows when the left watermark passes "
+    "them, so sentinel-origin rows are removed by a POST-join sign "
+    "filter (above the join, where a filter cannot freeze a "
+    "watermark -- unlike the below-join pushdown pitfall documented "
+    "on stream_outer_join)",
+)
+def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _sentinel_src(spark, sf_dir)
+    left = (
+        _stream(spark, src, maxFilesPerTrigger=1)
+        .select(
+            F.col("event_id").alias("id_a"),
+            "user_id",
+            F.col("ts").alias("ts_a"),
+        )
+        .withWatermark("ts_a", "1 hour")
+    )
+    right = (
+        _stream(spark, src, maxFilesPerTrigger=1)
+        .filter(F.col("event_type").isin("purchase", "sentinel"))
+        .select(
+            F.col("event_id").alias("id_b"),
+            F.col("user_id").alias("user_b"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", "1 hour")
+    )
+    joined = (
+        left.join(
+            right,
+            (F.col("user_id") == F.col("user_b"))
+            & (F.col("ts_b") >= F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 1 HOUR"))
+            & (F.col("id_b") != F.col("id_a")),
+            "full_outer",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("user_id", "user_b").alias("uid"),
+        )
+        # sentinel-origin rows (negative synthetic user ids) are
+        # watermark fuel, never results; this filter sits ABOVE the
+        # join so it cannot be pushed below a watermark node
+        .filter(F.col("uid") >= 0)
+    )
+    sink = f"sfo_{abs(hash(sf_dir)) % 10**8}"
+    _run_to_memory(joined, sink, state_partitions=2)
+    return spark.table(sink)

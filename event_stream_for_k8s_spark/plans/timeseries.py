@@ -446,3 +446,51 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("close_value"),
         F.count("*").alias("n_events"),
     )
+
+
+@query(
+    "ts_active_users",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+), days AS (SELECT DISTINCT d FROM du),
+w AS (
+  SELECT days.d AS day, du.user_id
+  FROM days JOIN du
+    ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+  GROUP BY 1, 2
+)
+SELECT day, count(*) AS n_users_7d FROM w GROUP BY day
+""",
+    section="C",
+    notes="trailing-7-day active users per day (the WAU curve): "
+    "COUNT DISTINCT over a sliding window, which no window frame "
+    "supports directly. Collapse to distinct (day, user) pairs "
+    "first (one shuffle, |days|x|users| bound), then EXPLODE each "
+    "pair onto the 7 days it covers and semi-join the observed-day "
+    "grid (broadcast, calendar-bounded) -- no nested-loop range "
+    "join, and the fan-out is a fixed x7 of the already-tiny pair "
+    "set, not of the raw events",
+)
+def ts_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    du = e.select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).distinct()
+    days = du.select(F.col("d").alias("day")).distinct()
+    covered = du.select(
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.col("d") + F.expr("INTERVAL 6 DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+        "user_id",
+    )
+    return (
+        covered.join(F.broadcast(days), "day", "left_semi")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").alias("n_users_7d"))
+    )

@@ -229,3 +229,38 @@ def test_ohlc_single_shuffle(spark):
 def test_retention_cohort_side_is_broadcast(spark):
     p = _plan(spark, "ts_retention")
     assert "BroadcastHashJoin" in p
+
+
+def test_runtime_bloom_filter_injection(spark):
+    # 100 TB posture (SCALING.md §2): a selective dim filter on the
+    # build side of a SHUFFLE join injects a bloom filter into the
+    # fact-side scan. The default gates (application-side scan
+    # > 10 GB, broadcast-sized dims broadcast instead) are exactly
+    # right at scale but never trip on test data, so force them down
+    # scoped to this test and assert the rule itself fires.
+    from pyspark.sql import functions as F
+
+    from event_stream_for_k8s_spark.catalog import load
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = load(spark, SF, "lineitem")
+        o = load(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"))
+        )
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in p and "bloom_filter_agg" in p, p[:1500]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
