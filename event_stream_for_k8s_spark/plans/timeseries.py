@@ -494,3 +494,107 @@ def ts_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count("*").alias("n_users_7d"))
     )
+
+
+@query(
+    "ts_cumulative_users",
+    oracle="""
+WITH fs AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS first_day
+  FROM events GROUP BY user_id
+), per_day AS (
+  SELECT first_day AS day, count(*) AS new_users FROM fs GROUP BY first_day
+), days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events)
+SELECT days.day, coalesce(per_day.new_users, 0) AS new_users,
+       cast(sum(coalesce(per_day.new_users, 0))
+              OVER (ORDER BY days.day ROWS UNBOUNDED PRECEDING) AS bigint)
+         AS cumulative_users
+FROM days LEFT JOIN per_day ON per_day.day = days.day
+""",
+    section="C",
+    notes="cumulative distinct users per day (the all-time growth "
+    "curve): COUNT(DISTINCT) over an ever-growing prefix would "
+    "rescan history, so collapse to each user's FIRST day (one "
+    "shuffle on user_id, |users| rows), bucket to new-users-per-day, "
+    "and running-sum the tiny day series. The global window runs on "
+    "calendar-bounded data, not events -- the pattern that turns an "
+    "O(days x history) rescan into one pass at any volume",
+)
+def ts_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    fs = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("first_day")
+    )
+    per_day = fs.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    days = e.select(F.date_trunc("day", "ts").alias("day")).distinct()
+    joined = days.join(per_day, "day", "left").select(
+        "day", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    return joined.select(
+        "day",
+        "new_users",
+        F.sum("new_users")
+        .over(
+            Window.orderBy("day").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("bigint")
+        .alias("cumulative_users"),
+    )
+
+
+@query(
+    "ts_ewma",
+    oracle="""
+SELECT user_id, event_id, value,
+  round((value
+     + coalesce(lag(value, 1) OVER w, 0) * 0.5
+     + coalesce(lag(value, 2) OVER w, 0) * 0.25
+     + coalesce(lag(value, 3) OVER w, 0) * 0.125
+     + coalesce(lag(value, 4) OVER w, 0) * 0.0625
+     + coalesce(lag(value, 5) OVER w, 0) * 0.03125
+     + coalesce(lag(value, 6) OVER w, 0) * 0.015625
+     + coalesce(lag(value, 7) OVER w, 0) * 0.0078125)
+  / (1.0
+     + CASE WHEN lag(value, 1) OVER w IS NULL THEN 0 ELSE 0.5 END
+     + CASE WHEN lag(value, 2) OVER w IS NULL THEN 0 ELSE 0.25 END
+     + CASE WHEN lag(value, 3) OVER w IS NULL THEN 0 ELSE 0.125 END
+     + CASE WHEN lag(value, 4) OVER w IS NULL THEN 0 ELSE 0.0625 END
+     + CASE WHEN lag(value, 5) OVER w IS NULL THEN 0 ELSE 0.03125 END
+     + CASE WHEN lag(value, 6) OVER w IS NULL THEN 0 ELSE 0.015625 END
+     + CASE WHEN lag(value, 7) OVER w IS NULL THEN 0 ELSE 0.0078125 END),
+  6) AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    section="C",
+    notes="exponentially-weighted smoothing per user (alpha=1/2, "
+    "8-tap FIR truncation of the recursive EWMA; the tail beyond 8 "
+    "taps is < 0.4% of the weight). The infinite recurrence doesn't "
+    "distribute, but the truncated form is 8 lag() reads off ONE "
+    "sort within one shuffle. Weights are powers of two, so every "
+    "product is an exact mantissa shift and both engines sum "
+    "identical doubles in identical order -- hash-match without "
+    "scaled-int gymnastics; partial windows renormalize by the "
+    "weights actually present",
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.col("value")
+    den = F.lit(1.0)
+    for k in range(1, 8):
+        lagged = F.lag("value", k).over(w)
+        wt = 0.5**k
+        num = num + F.coalesce(lagged, F.lit(0.0)) * wt
+        den = den + F.when(lagged.isNull(), 0.0).otherwise(wt)
+    return e.select(
+        "user_id", "event_id", "value", F.round(num / den, 6).alias("ewma")
+    )
