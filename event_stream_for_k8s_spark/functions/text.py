@@ -81,3 +81,43 @@ def quality_features(text: Column | str) -> dict[str, Column]:
         "stopword_ratio": n_stop.cast("double") / n_tok,
         "avg_token_len": (F.length(c) - n_tok + 1).cast("double") / n_tok,
     }
+
+
+def gram3_hashes(ht: Column) -> Column:
+    """3-gram rolling hashes over an array of token hashes."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(ht) - 3, F.lit(0))),
+        lambda i: (
+            (F.element_at(ht, i + 1) * 31 + F.element_at(ht, i + 2))
+            % MOD * 31
+            + F.element_at(ht, i + 3)
+        )
+        % MOD,
+    )
+
+
+def winnow_select(h: Column, w: int = 4) -> Column:
+    """Winnowing selection over a gram-hash array: for every sliding
+    window of ``w`` hashes pick the RIGHTMOST minimum, returning the
+    per-doc distinct array of (fp_pos, fp_hash) structs (1-based
+    positions into ``h``). Guarantee (Schleimer et al., MOSS): every
+    window of ``w`` consecutive grams contributes a fingerprint, so
+    any shared run of ``w + 2`` tokens between two docs shares one.
+    """
+
+    def pick(j):
+        s = F.slice(h, j + 1, w)
+        m = F.array_min(s)
+        rpos = F.array_position(F.reverse(s), m)
+        # size(s), not w: the only short window is a doc with fewer
+        # than w grams (then j = 0 and s is the whole array)
+        return F.struct(
+            (j + (F.size(s) + 1) - rpos).cast("bigint").alias("fp_pos"),
+            m.alias("fp_hash"),
+        )
+
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(h) - w, F.lit(0))), pick
+        )
+    )

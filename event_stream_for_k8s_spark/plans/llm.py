@@ -1805,7 +1805,7 @@ WITH hashed AS (
   SELECT doc_id,
          list_transform(range(0, greatest(len(h) - 4, 0) + 1),
            j -> struct_pack(
-             fp_pos := cast(j + 5 - list_position(
+             fp_pos := cast(j + len(h[j+1:j+4]) + 1 - list_position(
                  list_reverse(h[j+1:j+4]), list_min(h[j+1:j+4]))
                AS bigint),
              fp_hash := list_min(h[j+1:j+4]))) AS fps
@@ -1826,9 +1826,12 @@ SELECT DISTINCT doc_id, fp_pos, fp_hash FROM ex WHERE fp_hash IS NOT NULL
     "stays sub-linear in corpus size",
 )
 def llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from event_stream_for_k8s_spark.functions.text import token_hash
+    from event_stream_for_k8s_spark.functions.text import (
+        gram3_hashes,
+        token_hash,
+        winnow_select,
+    )
 
-    w = 4
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
@@ -1842,37 +1845,9 @@ def llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "th"))), lambda x: x.th
         ).alias("ht")
     )
-    ht = F.col("ht")
-    grams = arrays.select(
-        "doc_id",
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(ht) - 3, F.lit(0))),
-            lambda i: (
-                (F.element_at(ht, i + 1) * 31 + F.element_at(ht, i + 2))
-                % MOD * 31
-                + F.element_at(ht, i + 3)
-            )
-            % MOD,
-        ).alias("h"),
-    )
-    h = F.col("h")
-
-    def pick(j):
-        s = F.slice(h, j + 1, w)
-        m = F.array_min(s)
-        rpos = F.array_position(F.reverse(s), m)
-        return F.struct(
-            (j + (w + 1) - rpos).cast("bigint").alias("fp_pos"),
-            m.alias("fp_hash"),
-        )
-
+    grams = arrays.select("doc_id", gram3_hashes(F.col("ht")).alias("h"))
     sel = grams.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(h) - w, F.lit(0))), pick
-            )
-        ).alias("fps"),
+        "doc_id", winnow_select(F.col("h"), w=4).alias("fps")
     )
     return (
         sel.select("doc_id", F.explode("fps").alias("s"))

@@ -586,15 +586,13 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from event_stream_for_k8s_spark.plans.util import ewma_fir
+
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    num = F.col("value")
-    den = F.lit(1.0)
-    for k in range(1, 8):
-        lagged = F.lag("value", k).over(w)
-        wt = 0.5**k
-        num = num + F.coalesce(lagged, F.lit(0.0)) * wt
-        den = den + F.when(lagged.isNull(), 0.0).otherwise(wt)
     return e.select(
-        "user_id", "event_id", "value", F.round(num / den, 6).alias("ewma")
+        "user_id",
+        "event_id",
+        "value",
+        F.round(ewma_fir("value", w), 6).alias("ewma"),
     )

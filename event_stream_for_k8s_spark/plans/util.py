@@ -53,3 +53,22 @@ def sql_dsum(expr: str, dec: int = 2) -> str:
 def sql_davg(expr: str, dec: int = 2) -> str:
     """DuckDB twin of ``davg``."""
     return f"{sql_dsum(expr, dec)} / count({expr})"
+
+
+def ewma_fir(value, order_window, alpha: float = 0.5, taps: int = 8):
+    """Truncated-FIR exponentially-weighted moving average.
+
+    ``y_n = sum_k alpha^k x_{n-k} / sum_k alpha^k`` over the ``taps``
+    most recent rows of ``order_window``, renormalized over the
+    weights actually present at partition starts. With ``alpha`` a
+    power of two every product is an exact mantissa shift, so the
+    result is bit-identical across engines summing in the same order.
+    """
+    c = F.col(value) if isinstance(value, str) else value
+    num, den = c, F.lit(1.0)
+    for k in range(1, taps):
+        lagged = F.lag(c, k).over(order_window)
+        wt = alpha**k
+        num = num + F.coalesce(lagged, F.lit(0.0)) * wt
+        den = den + F.when(lagged.isNull(), 0.0).otherwise(wt)
+    return num / den

@@ -178,3 +178,73 @@ def test_approx_percentile_error_envelope(spark):
         # and the exact twin is close in value terms too
         for a, x in zip(apcts, exact[etype]):
             assert abs(a - x) <= max(0.02 * abs(x), 0.5)
+
+
+@given(
+    hashes=st.lists(st.integers(0, 2**31 - 2), min_size=1, max_size=40)
+)
+@SETTINGS
+def test_winnow_matches_reference_and_covers_every_window(spark, hashes):
+    from event_stream_for_k8s_spark.functions.text import winnow_select
+
+    w = 4
+    df = spark.createDataFrame([(hashes,)], "h array<bigint>")
+    got = sorted(
+        (r.fp_pos, r.fp_hash)
+        for r in df.select(
+            F.explode(winnow_select(F.col("h"), w=w)).alias("s")
+        ).select("s.fp_pos", "s.fp_hash").collect()
+    )
+    # pure-Python reference: rightmost minimum of every window of w
+    expect = set()
+    n = len(hashes)
+    for j in range(max(n - w, 0) + 1):
+        s = hashes[j : j + w]
+        m = min(s)
+        rightmost = j + max(i for i, v in enumerate(s) if v == m) + 1
+        expect.add((rightmost, m))
+    assert got == sorted(expect)
+    # MOSS guarantee: every full window of w grams contains a selection
+    if n >= w:
+        pos = {p for p, _ in got}
+        for j in range(n - w + 1):
+            assert pos & set(range(j + 1, j + w + 1)), (j, sorted(pos))
+
+
+@given(
+    vals=st.lists(
+        st.integers(-10**4, 10**4).map(lambda c: c / 100.0),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_ewma_fir_matches_python_float_reference(spark, vals):
+    from pyspark.sql import Window
+
+    from event_stream_for_k8s_spark.plans.util import ewma_fir
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i int, x double"
+    )
+    w = Window.orderBy("i")
+    got = {
+        r.i: r.y
+        for r in df.select("i", ewma_fir("x", w).alias("y")).collect()
+    }
+    for n in range(len(vals)):
+        num, den = 0.0, 0.0
+        # same left-assoc accumulation order as the Column expression:
+        # k = 0 first, then increasing lags
+        num = vals[n]
+        den = 1.0
+        for k in range(1, 8):
+            if n - k >= 0:
+                num = num + vals[n - k] * 0.5**k
+                den = den + 0.5**k
+        assert got[n] == num / den, (n, got[n], num / den)
+    # bounded by the window extremes
+    for n in range(len(vals)):
+        lo = min(vals[max(0, n - 7) : n + 1])
+        hi = max(vals[max(0, n - 7) : n + 1])
+        assert lo - 1e-12 <= got[n] <= hi + 1e-12
