@@ -1904,3 +1904,73 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return firsts.join(corpus, "content_key", "left_anti").select(
         "doc_id", "content_key"
     )
+
+
+_MINHASH_PERMS = (
+    (2, 1), (3, 7), (5, 11), (7, 17), (11, 19), (13, 23), (17, 29), (19, 31)
+)
+
+
+@query(
+    "llm_minhash_sig",
+    oracle=f"""
+WITH hashed AS (
+  SELECT doc_id,
+         list_transform(
+           string_split(text, ' '),
+           t -> list_reduce(
+                  list_prepend(cast(0 AS bigint),
+                    list_transform(range(1, length(t) + 1),
+                                   i -> cast(ascii(t[i:i]) AS bigint))),
+                  (a, b) -> (a * 31 + b) % {MOD})) AS ht
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_transform(range(0, greatest(len(ht) - 3, 0) + 1),
+           i -> ((ht[i+1] * 31 + ht[i+2]) % {MOD} * 31 + ht[i+3]) % {MOD})
+           AS h
+  FROM hashed
+)
+SELECT doc_id,
+       [{", ".join(f"list_min(list_transform(h, x -> (x * {a} + {b}) % {MOD}))"
+                   for a, b in _MINHASH_PERMS)}] AS sig
+FROM grams
+""",
+    section="B.11",
+    notes="exact 8-permutation MinHash signature over 3-gram shingle "
+    "hashes: sig agreement fraction is an unbiased Jaccard estimate, "
+    "the bridge between the exact n-gram tier (llm_dedup_ngram) and "
+    "the banded-LSH tier (llm_dedup_near). Linear perms a*x+b mod "
+    "2^31-1 stay in exact int64 (19 * 2^31 << 2^63) so the full "
+    "signature hash-matches -- unlike MLlib's MinHashLSH whose "
+    "coefficients are seeded-random and rows-only checkable. One "
+    "narrow projection per doc: signatures are 64 bytes regardless "
+    "of document size, the property that lets 100 TB of text dedup "
+    "against a signature store a thousandth the size",
+)
+def llm_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_stream_for_k8s_spark.functions.text import (
+        gram3_hashes,
+        token_hash,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    vocab = (
+        toks.select("tok").distinct().withColumn("th", token_hash(F.col("tok")))
+    )
+    hashed = toks.join(F.broadcast(vocab), "tok")
+    arrays = hashed.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "th"))), lambda x: x.th
+        ).alias("ht")
+    )
+    grams = arrays.select("doc_id", gram3_hashes(F.col("ht")).alias("h"))
+    h = F.col("h")
+    def perm_min(a, b):
+        return F.array_min(F.transform(h, lambda x: (x * a + b) % MOD))
+
+    sig = F.array(*[perm_min(a, b) for a, b in _MINHASH_PERMS])
+    return grams.select("doc_id", sig.alias("sig"))

@@ -353,3 +353,58 @@ def maint_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(marker, "w") as f:
             f.write("ok")
     return spark.read.parquet(_os.path.join(out, "data"))
+
+
+@query(
+    "maint_partition_overwrite",
+    oracle="""
+SELECT event_id, user_id, value, event_type FROM events
+WHERE event_type <> 'error'
+UNION ALL
+SELECT event_id, user_id, value * 2 AS value, event_type FROM events
+WHERE event_type = 'error'
+""",
+    section="C",
+    notes="dynamic partition overwrite (INSERT OVERWRITE semantics): "
+    "a hive-partitioned table has ONE partition restated (error "
+    "events re-derived with corrected values) via "
+    "partitionOverwriteMode=dynamic as a per-WRITE option -- only "
+    "partitions present in the incoming frame are replaced, the "
+    "rest are untouched on disk, and no session conf leaks. This is "
+    "the backfill/restatement primitive of every partitioned lake "
+    "table; the doubled value is an exact mantissa-shift so the "
+    "read-back hash-matches. Re-running the restatement is "
+    "idempotent (derived from the source table, not the target)",
+)
+def maint_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = cache_dir(sf_dir, "events_dpo")
+    marker = out + "_BASE_DONE"
+    cols = ["event_id", "user_id", "value", "event_type"]
+    if not os.path.exists(marker):
+        (
+            load(spark, sf_dir, "events")
+            .select(*cols)
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(out)
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    # the restatement: recompute the 'error' partition from source
+    restated = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "user_id",
+            (F.col("value") * 2).alias("value"),
+            "event_type",
+        )
+    )
+    (
+        restated.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).select(*cols)
