@@ -477,3 +477,55 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey_next"),
         F.col("o_orderdate_next"),
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+WITH cand AS (
+  SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+   AND o.o_orderdate >= e.ts - INTERVAL 30 DAY
+)
+SELECT e.user_id, e.event_id, e.ts,
+       c.o_orderkey AS o_orderkey_tol, c.o_orderdate AS o_orderdate_tol
+FROM events e LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+  ON c.event_id = e.event_id
+""",
+    section="C",
+    notes="as-of join with a staleness tolerance (feature-store "
+    "semantics: a feature older than 30 days is no feature at all). "
+    "Composed on the SAME union+window backward as-of primitive -- "
+    "the latest match <= t is within tolerance iff any match in "
+    "[t - tol, t] is, so a post-pass null-out needs no second plan "
+    "shape and inherits the no-pair-blowup property. The oracle "
+    "keeps the quadratic join+rank form with the window bound in "
+    "the join condition",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    res = asof_join(
+        ev,
+        o,
+        on=["user_id"],
+        left_time="ts",
+        right_time="o_orderdate",
+        payload=["o_orderkey", "o_orderdate"],
+        tiebreak="o_orderkey",
+    )
+    fresh = F.col("o_orderdate_asof") >= F.col("ts") - F.expr(
+        "INTERVAL 30 DAY"
+    )
+    return res.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(fresh, F.col("o_orderkey_asof")).alias("o_orderkey_tol"),
+        F.when(fresh, F.col("o_orderdate_asof")).alias("o_orderdate_tol"),
+    )

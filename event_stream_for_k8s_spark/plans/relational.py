@@ -1077,3 +1077,29 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("pcts"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "agg_approx_topk",
+    oracle="""
+SELECT event_type AS item, count(*) AS est
+FROM events GROUP BY event_type
+""",
+    section="C",
+    notes="sketch-based heavy hitters (Spark 4 approx_top_k): one "
+    "mergeable fixed-size sketch replaces a full group-by when only "
+    "the top few of millions of keys matter -- the 100 TB shape for "
+    "'which namespaces are noisiest' over the reference's counter "
+    "stream (A8). Checked EXACTLY by pinning the domain: event_type "
+    "has fewer distincts than the sketch capacity, where the sketch "
+    "degenerates to exact counts (the same exactness-domain trick as "
+    "agg_approx_percentile's rank-error envelope, but yielding a "
+    "full hash match); on high-cardinality keys it is the rows-only "
+    "approximate tier",
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    sk = e.agg(F.expr("approx_top_k(event_type, 10)").alias("tk"))
+    return sk.select(F.explode("tk").alias("s")).select(
+        F.col("s.item").alias("item"), F.col("s.count").alias("est")
+    )
