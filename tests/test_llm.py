@@ -187,3 +187,39 @@ def test_pagerank_invariants(spark):
     assert rows[0] > rows[1] > rows[4]
     # leaves are symmetric
     assert abs(rows[1] - rows[2]) < 1e-12 and abs(rows[2] - rows[3]) < 1e-12
+
+
+def test_minhash_sig_identity_and_disjointness(spark):
+    # identical token streams => identical signatures; disjoint
+    # vocabularies => (with overwhelming probability over 8 exact
+    # perms on distinct gram sets) differing signatures. Both are
+    # deterministic here: fixed inputs, fixed permutation constants.
+    from event_stream_for_k8s_spark.functions.text import (
+        gram3_hashes,
+        token_hash,
+    )
+    from event_stream_for_k8s_spark.plans.llm import _MINHASH_PERMS
+    from event_stream_for_k8s_spark.functions.text import MOD
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # exact copy of 1
+        (3, "uno dos tres cuatro cinco seis"),  # disjoint vocab
+    ]
+    d = spark.createDataFrame(docs, "doc_id int, text string")
+    ht = F.transform(F.split("text", " "), token_hash)
+    grams = d.select("doc_id", gram3_hashes(ht).alias("h"))
+    h = F.col("h")
+
+    def perm_min(a, b):
+        return F.array_min(F.transform(h, lambda x: (x * a + b) % MOD))
+
+    sig = F.array(*[perm_min(a, b) for a, b in _MINHASH_PERMS])
+    rows = {r.doc_id: tuple(r.sig) for r in grams.select(
+        "doc_id", sig.alias("sig")).collect()}
+    assert rows[1] == rows[2]
+    assert len(rows[1]) == 8 and all(v is not None for v in rows[1])
+    # agreement on disjoint gram sets would require a permuted-min
+    # collision; assert the signatures differ in at least half the slots
+    agree = sum(a == b for a, b in zip(rows[1], rows[3]))
+    assert agree <= 4, (rows[1], rows[3])
