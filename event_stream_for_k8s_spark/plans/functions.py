@@ -519,3 +519,71 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k_mod10"
         ),
     )
+
+
+@query(
+    "fn_try",
+    oracle="""
+SELECT event_id,
+       round(CASE WHEN user_id % 3 = 0 THEN NULL
+                  ELSE value / cast(user_id % 3 AS double) END, 6)
+         AS safe_div,
+       try_cast(event_type AS bigint) AS bad_int,
+       try_cast(cast(user_id AS varchar) AS bigint) AS good_int,
+       CASE WHEN user_id > 0 THEN NULL
+            ELSE 9223372036854775807 + user_id END AS safe_add
+FROM events
+""",
+    section="C",
+    notes="error-tolerant expression family (ANSI-mode resilience): "
+    "try_divide / try_cast / try_add return NULL instead of failing "
+    "the 100 TB job on row 73 billion -- the difference between a "
+    "rerun and a null-rate metric. DuckDB twins are try_cast plus "
+    "CASE guards for the arithmetic forms it lacks",
+)
+def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.round(
+            F.expr("try_divide(value, cast(user_id % 3 AS double))"), 6
+        ).alias("safe_div"),
+        F.expr("try_cast(event_type AS bigint)").alias("bad_int"),
+        F.expr("try_cast(cast(user_id AS string) AS bigint)").alias(
+            "good_int"
+        ),
+        F.expr("try_add(9223372036854775807, user_id)").alias("safe_add"),
+    )
+
+
+@query(
+    "fn_listagg",
+    oracle="""
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+         AS type_set
+FROM events GROUP BY user_id
+""",
+    section="C",
+    notes="SQL:2023 LISTAGG (Spark 4) twin of DuckDB string_agg: the "
+    "ordered event-type sequence per user is the input to any "
+    "behavioral n-gram model, and the WITHIN GROUP ordering plus "
+    "tie-broken order keys make the concatenation deterministic at "
+    "any parallelism. Group state is bounded by the per-user event "
+    "count; for unbounded keys the scale twin is collect-then-slice "
+    "(agg_collect) or sketching",
+)
+def fn_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    e.createOrReplaceTempView("ev_listagg")
+    return spark.sql(
+        """
+SELECT user_id,
+       listagg(event_type, ',')
+         WITHIN GROUP (ORDER BY ts, event_id) AS type_seq,
+       listagg(DISTINCT event_type, ',')
+         WITHIN GROUP (ORDER BY event_type) AS type_set
+FROM ev_listagg GROUP BY user_id
+"""
+    )

@@ -427,3 +427,43 @@ def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_types"),
     )
+
+
+@query(
+    "scan_recursive_glob",
+    oracle="""
+SELECT event_id, user_id, event_type, value FROM events
+WHERE user_id % 4 < 2
+""",
+    section="C",
+    notes="recursive directory discovery + glob filtering: the layout "
+    "a multi-writer drop zone actually has (nested date/source dirs, "
+    "stray manifest/json files interleaved). recursiveFileLookup "
+    "walks the tree, pathGlobFilter admits only *.parquet -- the "
+    "decoy .json files carry rows NOT in the oracle, so the check "
+    "proves the glob excluded them. Discovery is driver-side "
+    "metadata only; the selected files still read in parallel",
+)
+def scan_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def write(o: str) -> None:
+        e = load(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        # two nested levels of parquet, plus .json decoys that would
+        # poison the result if the glob let them through
+        e.filter(F.col("user_id") % 4 == 0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(o, "d1", "s1"))
+        e.filter(F.col("user_id") % 4 == 1).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(o, "d2", "s2", "deep"))
+        e.filter(F.col("user_id") % 4 >= 2).coalesce(1).write.mode(
+            "overwrite"
+        ).json(os.path.join(o, "d1", "decoy"))
+
+    out = materialize(spark, sf_dir, "events_nested_glob", write)
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(out)
+    )

@@ -241,3 +241,50 @@ def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("trailing_24h_sum"),
         F.count("*").over(w).cast("bigint").alias("trailing_24h_n"),
     )
+
+
+@query(
+    "win_ignore_nulls",
+    oracle="""
+WITH sparse AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN value END AS pv
+  FROM events
+)
+SELECT user_id, event_id,
+       last_value(pv IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS last_purchase_value,
+       lead(pv, 1 IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS next_purchase_value
+FROM sparse
+""",
+    section="C",
+    notes="native IGNORE NULLS window surface (last_value / lead): "
+    "carry the most recent purchase value forward and peek at the "
+    "next one, per user -- the direct form of the LOCF trick "
+    "ts_fill_forward builds portably from count-group windows. One "
+    "shuffle serves both directions; ordering tie-broken by the "
+    "unique event_id",
+)
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    sparse = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("pv"),
+    )
+    # PySpark's F.lead has no ignoreNulls parameter -- the SQL window
+    # syntax is the public surface for it (same text as the oracle)
+    return sparse.selectExpr(
+        "user_id",
+        "event_id",
+        """last_value(pv) IGNORE NULLS OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS last_purchase_value""",
+        """lead(pv, 1) IGNORE NULLS OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)
+             AS next_purchase_value""",
+    )
