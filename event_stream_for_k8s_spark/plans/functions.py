@@ -587,3 +587,37 @@ SELECT user_id,
 FROM ev_listagg GROUP BY user_id
 """
     )
+
+
+@query(
+    "fn_crypto_roundtrip",
+    oracle="""
+SELECT doc_id,
+       text AS decrypted,
+       cast(((n_chars // 16) + 1) * 16 AS bigint) AS cipher_len
+FROM documents
+""",
+    section="C",
+    notes="column-level encryption for PII at rest (aes_encrypt / "
+    "aes_decrypt, AES-128-ECB for determinism -- GCM's random IV is "
+    "the production mode but defeats byte-level checks): the oracle "
+    "verifies the DECRYPT(ENCRYPT(x)) identity on every document "
+    "plus the exact PKCS#7 ciphertext length ((len div 16 + 1) * "
+    "16), so a silent padding or charset change fails the hash. "
+    "DuckDB has no AES, which is exactly why the roundtrip identity "
+    "is the right oracle shape; the n_chars = length(text) fixture "
+    "invariant (FIXTURES.md) feeds the length formula",
+)
+def fn_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    cipher = F.expr(
+        "aes_encrypt(text, '0123456789abcdef', 'ECB')"
+    )
+    return d.select(
+        "doc_id",
+        F.expr(
+            "cast(aes_decrypt(aes_encrypt(text, '0123456789abcdef', 'ECB'),"
+            " '0123456789abcdef', 'ECB') AS string)"
+        ).alias("decrypted"),
+        F.length(cipher).cast("bigint").alias("cipher_len"),
+    )

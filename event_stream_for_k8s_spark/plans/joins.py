@@ -529,3 +529,48 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("o_orderkey_asof")).alias("o_orderkey_tol"),
         F.when(fresh, F.col("o_orderdate_asof")).alias("o_orderdate_tol"),
     )
+
+
+@query(
+    "join_fuzzy_blocked",
+    oracle="""
+SELECT split_part(a.p_name, ' ', 1) AS blk,
+       count(*) AS n_pairs,
+       count(*) FILTER (levenshtein(a.p_name, b.p_name) = 0)
+           AS n_exact,
+       count(*) FILTER (levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3)
+           AS n_near
+FROM part a JOIN part b
+  ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+ AND a.p_partkey < b.p_partkey
+GROUP BY blk
+""",
+    section="B.3",
+    notes="blocked fuzzy entity resolution (reference's dedup pipeline "
+    "does exact keys only; this is the approximate-match extension a "
+    "training-data catalog needs): candidate pairs come from an "
+    "EQUI-join on a cheap blocking key (first name token), so the "
+    "O(n^2) all-pairs edit-distance never materializes — cost is "
+    "sum over blocks of |block|^2, and the block key is the shuffle "
+    "key so each block resolves on one executor. levenshtein() is "
+    "identical unit-cost edit distance on both engines. Distance "
+    "bands: =0 exact duplicate entities, 1..3 near-miss variants",
+)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split("p_name", " ")[0].alias("blk"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(F.col("a.blk").alias("blk"), lev.alias("lev"))
+    return pairs.groupBy("blk").agg(
+        F.count("*").alias("n_pairs"),
+        F.count(F.when(F.col("lev") == 0, 1)).alias("n_exact"),
+        F.count(F.when(F.col("lev").between(1, 3), 1)).alias("n_near"),
+    )

@@ -1103,3 +1103,36 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.select(F.explode("tk").alias("s")).select(
         F.col("s.item").alias("item"), F.col("s.count").alias("est")
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custs
+FROM orders GROUP BY o_orderstatus
+""",
+    section="B.4",
+    notes="EXACT distinct count via fixed-size bitmaps (Spark 4 "
+    "bitmap_* family): stage 1 groups by (key, "
+    "bitmap_bucket_number(id)) and ORs ids into a <=4 KB bitmap per "
+    "bucket — partial aggregation combines map-side, and per-group "
+    "state is bounded regardless of cardinality, unlike "
+    "count(DISTINCT) whose expand+exchange keeps every distinct "
+    "value; stage 2 sums bitmap_count per key. Same two-level shape "
+    "rolls up across days/partitions by bitmap_or_agg on stored "
+    "bitmaps without rescanning raw data — the mergeable-but-EXACT "
+    "alternative to agg_hll_sketch for dense int keys",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    buckets = o.groupBy(
+        "o_orderstatus",
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias(
+            "bm"
+        )
+    )
+    return buckets.groupBy("o_orderstatus").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_custs")
+    )

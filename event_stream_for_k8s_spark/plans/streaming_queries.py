@@ -761,3 +761,68 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"sfo_{abs(hash(sf_dir)) % 10**8}"
     _run_to_memory(joined, sink, state_partitions=2)
     return spark.table(sink)
+
+
+@query(
+    "stream_right_outer_join",
+    oracle="""
+WITH b AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT a.event_id AS id_a, b.event_id AS id_b,
+       coalesce(a.user_id, b.user_id) AS uid
+FROM events a RIGHT JOIN b
+  ON b.user_id = a.user_id AND b.ts >= a.ts
+ AND b.ts <= a.ts + INTERVAL 1 HOUR AND b.event_id <> a.event_id
+""",
+    section="B.9",
+    notes="RIGHT-outer stream-stream join, completing the outer-join "
+    "family (left: stream_outer_join, full: stream_full_outer_join): "
+    "matched rows emit as they arrive; an unmatched right purchase "
+    "null-pads once the LEFT watermark passes its join window. "
+    "Sentinel rows on the right DO null-pad when that happens, so "
+    "the same post-join sign filter as the full-outer variant drops "
+    "them (above the join, where a filter cannot freeze a "
+    "watermark); left-side sentinels never emit because only "
+    "matched left rows appear in a right join",
+)
+def stream_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _sentinel_src(spark, sf_dir)
+    left = (
+        _stream(spark, src, maxFilesPerTrigger=1)
+        .select(
+            F.col("event_id").alias("id_a"),
+            "user_id",
+            F.col("ts").alias("ts_a"),
+        )
+        .withWatermark("ts_a", "1 hour")
+    )
+    right = (
+        _stream(spark, src, maxFilesPerTrigger=1)
+        .filter(F.col("event_type").isin("purchase", "sentinel"))
+        .select(
+            F.col("event_id").alias("id_b"),
+            F.col("user_id").alias("user_b"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", "1 hour")
+    )
+    joined = (
+        left.join(
+            right,
+            (F.col("user_id") == F.col("user_b"))
+            & (F.col("ts_b") >= F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 1 HOUR"))
+            & (F.col("id_b") != F.col("id_a")),
+            "right_outer",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("user_id", "user_b").alias("uid"),
+        )
+        .filter(F.col("uid") >= 0)
+    )
+    sink = f"sro_{abs(hash(sf_dir)) % 10**8}"
+    _run_to_memory(joined, sink, state_partitions=2)
+    return spark.table(sink)
