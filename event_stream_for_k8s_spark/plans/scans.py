@@ -467,3 +467,35 @@ def scan_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "*.parquet")
         .parquet(out)
     )
+
+
+@query(
+    "sink_python_ds",
+    oracle="""
+SELECT doc_id, lang, n_chars FROM documents
+""",
+    section="B.1",
+    notes="custom sink AND source via the Python Data Source API "
+    "(sources/arrow_ipc.py), the write half the k8s-events source "
+    "left undemonstrated: executors stream Arrow RecordBatches to "
+    "one IPC file per task (no per-row pickling), tasks commit "
+    "tmp-named files that only the driver's commit() renames "
+    "visible (FileOutputCommitter-v2 semantics: a failed task can "
+    "never surface partial data), and the read back lists one "
+    "InputPartition per committed file so the scan parallelizes "
+    "like the write did. Arrow IPC round-trips types bit-exactly, "
+    "hence the oracle is plain SELECT from the original table",
+)
+def sink_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_stream_for_k8s_spark.sources import arrow_ipc
+
+    arrow_ipc.register(spark)
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".data_cache",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "sink_arrow_ipc_out",
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d.write.format("arrow-ipc").mode("overwrite").option("path", out).save()
+    return spark.read.format("arrow-ipc").option("path", out).load()

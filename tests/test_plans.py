@@ -264,3 +264,41 @@ def test_runtime_bloom_filter_injection(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_arrow_ipc_commit_protocol(spark, tmp_path):
+    # The custom Python DataSource sink must be atomic: tmp litter from
+    # failed attempts is invisible to readers, and overwrite replaces
+    # the whole previous generation.
+    import os
+
+    from event_stream_for_k8s_spark.sources import arrow_ipc
+
+    arrow_ipc.register(spark)
+    out = str(tmp_path / "ipc")
+    df = spark.range(0, 100, 1, 4).withColumnRenamed("id", "v")
+    df.write.format("arrow-ipc").mode("append").option("path", out).save()
+    files = os.listdir(out)
+    assert "_SUCCESS" in files
+    assert not [f for f in files if f.endswith(".tmp")]
+    assert open(os.path.join(out, "_SUCCESS")).read() == "100"
+
+    # simulated failed-attempt litter must not surface in reads
+    with open(os.path.join(out, "part-99999-0.arrow.tmp"), "w") as f:
+        f.write("garbage")
+    back = spark.read.format("arrow-ipc").option("path", out).load()
+    assert back.count() == 100
+    assert [f.name for f in back.schema.fields] == ["v"]
+    # file-per-task on both sides: 4 write tasks -> 4 read partitions
+    assert back.rdd.getNumPartitions() == 4
+
+    # overwrite truncates the old generation AND stale tmp litter
+    spark.range(0, 7, 1, 2).withColumnRenamed("id", "v").write.format(
+        "arrow-ipc"
+    ).mode("overwrite").option("path", out).save()
+    files = os.listdir(out)
+    assert not [f for f in files if f.endswith(".tmp")]
+    assert open(os.path.join(out, "_SUCCESS")).read() == "7"
+    assert (
+        spark.read.format("arrow-ipc").option("path", out).load().count() == 7
+    )
