@@ -621,3 +621,36 @@ def fn_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("decrypted"),
         F.length(cipher).cast("bigint").alias("cipher_len"),
     )
+
+
+@query(
+    "fn_mask",
+    oracle="""
+SELECT c_custkey,
+       regexp_replace(regexp_replace(regexp_replace(
+           c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+           '[0-9]', 'n', 'g') AS name_masked,
+       regexp_replace(c_name, '[0-9]', '#', 'g') AS name_digits,
+       regexp_replace(regexp_replace(regexp_replace(
+           c_mktsegment, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+           '[0-9]', 'n', 'g') AS seg_masked
+FROM customer
+""",
+    section="B.6",
+    notes="builtin data masking (mask()), the show-safe redaction tier "
+    "next to fn_crypto_roundtrip's reversible tier and "
+    "llm_pii_redact's pattern tier: class-preserving substitution "
+    "(upper->X, lower->x, digit->n, punctuation kept) keeps format "
+    "validators and length/shape analytics working on the masked "
+    "copy. Single JVM pass per value vs the oracle's 3 regex "
+    "rewrites; custom per-class chars shown on the phone column "
+    "(digits->#, letters untouched)",
+)
+def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr("mask(c_name)").alias("name_masked"),
+        F.expr("mask(c_name, NULL, NULL, '#', NULL)").alias("name_digits"),
+        F.expr("mask(c_mktsegment)").alias("seg_masked"),
+    )

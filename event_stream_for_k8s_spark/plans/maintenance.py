@@ -408,3 +408,47 @@ def maint_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
     )
     return spark.read.parquet(out).select(*cols)
+
+
+@query(
+    "maint_retention_delete",
+    oracle="""
+SELECT event_id, ts, user_id, event_type, value, props FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = e.user_id AND c.c_acctbal < 0)
+""",
+    section="B.1",
+    notes="right-to-be-forgotten delete on plain parquet: the "
+    "forget-list (negative-balance customers here, a DSAR queue in "
+    "production) broadcasts to a LEFT ANTI join and the store is "
+    "rewritten without the matches — the physical rewrite behind "
+    "DELETE in Delta/Iceberg, vs join_anti which only returns the "
+    "plan. The forget-list is always broadcast-sized (thousands of "
+    "ids vs billions of rows) so the rewrite is one scan with no "
+    "shuffle; on the maint_sorted_layout clustering, user_id min/max "
+    "file stats let the rewrite skip untouched files entirely",
+)
+def maint_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = materialize(
+        spark,
+        sf_dir,
+        "events_retention_base",
+        lambda o: events_as_micros(spark, sf_dir)
+        .write.mode("overwrite")
+        .parquet(o),
+    )
+    out = cache_dir(sf_dir, "events_retention_kept")
+    marker = os.path.join(out, "_RDONE")
+    if not os.path.exists(marker):
+        forget = (
+            load(spark, sf_dir, "customer")
+            .filter(F.col("c_acctbal") < 0)
+            .select(F.col("c_custkey").alias("user_id"))
+        )
+        kept = spark.read.parquet(base).join(
+            F.broadcast(forget), "user_id", "left_anti"
+        )
+        kept.write.mode("overwrite").parquet(out)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return restore_ts(spark.read.parquet(out)).select(*EVENTS_COLS)

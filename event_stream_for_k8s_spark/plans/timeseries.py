@@ -596,3 +596,112 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round(ewma_fir("value", w), 6).alias("ewma"),
     )
+
+
+@query(
+    "ts_interp_linear",
+    oracle=f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         {sql_dsum('value', 2)} AS v
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+), bins AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b
+), ty AS (SELECT DISTINCT event_type FROM events),
+grid AS (
+  SELECT bins.h, ty.event_type, hourly.v
+  FROM bins CROSS JOIN ty
+  LEFT JOIN hourly ON hourly.h = bins.h AND hourly.event_type = ty.event_type
+), ctx AS (
+  SELECT h, event_type, v,
+    last_value(v IGNORE NULLS) OVER w_prev AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN epoch(h) END IGNORE NULLS)
+      OVER w_prev AS ph,
+    first_value(v IGNORE NULLS) OVER w_next AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN epoch(h) END IGNORE NULLS)
+      OVER w_next AS nh
+  FROM grid
+  WINDOW
+    w_prev AS (PARTITION BY event_type ORDER BY h ROWS UNBOUNDED PRECEDING),
+    w_next AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT h, event_type,
+  CASE WHEN v IS NOT NULL THEN v
+       WHEN pv IS NULL THEN nv
+       WHEN nv IS NULL THEN pv
+       ELSE pv + (nv - pv) * (cast(epoch(h) - ph AS double)
+                              / cast(nh - ph AS double))
+  END AS v_interp
+FROM ctx
+""",
+    section="C",
+    notes="linear interpolation over gapped hourly series, completing "
+    "the fill family (ts_gapfill: zeros; ts_fill_forward: LOCF): "
+    "silent hours get pv + (nv-pv)*dt/span between the bracketing "
+    "observed hours, edges clamp to the nearest observation. Same "
+    "aggregate-first shape — the raw stream collapses to one row per "
+    "(hour, type) before any window runs, and the two IGNORE NULLS "
+    "scans share one shuffle. Determinism: hourly sums go through "
+    "the scaled-int sum (plans/util.py) so both engines interpolate "
+    "from bit-identical doubles with a structurally identical IEEE "
+    "formula; hour distances are exact integer epochs",
+)
+def ts_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(dsum("value", 2).alias("v"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    bins = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h")
+    )
+    types = e.select("event_type").distinct()
+    grid = (
+        bins.crossJoin(F.broadcast(types))
+        .join(F.broadcast(hourly), ["h", "event_type"], "left")
+        .select("h", "event_type", "v")
+    )
+    # F.last/F.first expose ignorenulls directly; both windows sort the
+    # same (event_type, h) shuffle.
+    ctx = grid.selectExpr(
+        "h",
+        "event_type",
+        "v",
+        """last_value(v) IGNORE NULLS OVER (
+             PARTITION BY event_type ORDER BY h
+             ROWS UNBOUNDED PRECEDING) AS pv""",
+        """last_value(CASE WHEN v IS NOT NULL THEN unix_timestamp(h) END)
+             IGNORE NULLS OVER (
+             PARTITION BY event_type ORDER BY h
+             ROWS UNBOUNDED PRECEDING) AS ph""",
+        """first_value(v) IGNORE NULLS OVER (
+             PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv""",
+        """first_value(CASE WHEN v IS NOT NULL THEN unix_timestamp(h) END)
+             IGNORE NULLS OVER (
+             PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh""",
+    )
+    return ctx.select(
+        "h",
+        "event_type",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                (F.unix_timestamp("h") - F.col("ph")).cast("double")
+                / (F.col("nh") - F.col("ph")).cast("double")
+            )
+        )
+        .alias("v_interp"),
+    )
