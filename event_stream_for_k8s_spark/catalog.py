@@ -32,15 +32,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which the vectorized
-        # reader rejects; read nanos as long, then truncate to the
-        # engine-wide microsecond TimestampType (same truncation DuckDB
-        # applies, so oracle values match).
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+        # TIMESTAMP(MICROS) across testdata generations; normalize either
+        # to the engine-wide microsecond TimestampType (UTC session) so
+        # every downstream plan sees one dtype. nanosAsLong lets the
+        # vectorized reader accept the NANOS layout (read as long, then
+        # truncate — the same truncation DuckDB applies).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -2,21 +2,24 @@
 
 The engine's multimodal model (SURVEY.md §2 B.11): a row carries
 ``struct(payload: binary, mime: string, meta: map<string,string>)``.
-Spark-side plumbing (schema, partitioning, Arrow batch shape) is real
-and tested; the actual media decode is STUBBED because image/audio
-libraries are not available in this environment — ``decode_media``
-raises ``NotImplementedError`` unless ``fake=True``, which produces a
-deterministic fake feature vector so the distributed pipeline around
-the decode is exercisable end-to-end.
+``decode_media`` REALLY decodes the formats parseable with the stdlib —
+PPM (P6) images, WAV (PCM16) audio, and text/plain byte streams — into
+a fixed 4-dim feature vector; codec formats that need external
+libraries (JPEG, MP3, H.264, ...) raise ``NotImplementedError``, which
+is the documented container boundary, not a stub: the Arrow batching,
+schema, and partition shape are exactly what a PIL/ffmpeg decoder
+drops into.
 
 At scale: payloads live in parquet binary columns (or object-store
 paths for >1 MB blobs); ``mapInPandas`` processes them in Arrow
 batches so one task holds only a batch of blobs, not a partition of
-decoded frames.
+decoded frames. Feature output is 4 scalar double columns (not an
+array) so driver-side comparators that hash cells see only scalars.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -24,7 +27,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-DECODE_SCHEMA = "doc_id bigint, mime string, byte_len int, feature array<double>"
+DECODE_SCHEMA = (
+    "doc_id bigint, mime string, byte_len int, "
+    "f0 double, f1 double, f2 double, f3 double"
+)
 
 
 def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -39,43 +45,123 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
+def decode_ppm(b: bytes) -> tuple[float, float, float, float]:
+    """P6 (binary) PPM: (width, height, mean pixel, max pixel)."""
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval as whitespace-separated
+    # ASCII tokens (comments '#...' allowed), then a single whitespace
+    # byte, then width*height*3 raw bytes.
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(b[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    width, height, _maxval = fields
+    px = b[pos : pos + width * height * 3]
+    if len(px) != width * height * 3:
+        raise ValueError("truncated PPM pixel data")
+    return (
+        float(width),
+        float(height),
+        float(sum(px)) / max(len(px), 1),
+        float(max(px) if px else 0),
+    )
+
+
+def decode_wav(b: bytes) -> tuple[float, float, float, float]:
+    """RIFF/WAVE PCM16: (n_samples, sample_rate, mean |amp|, peak |amp|)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, bits, data = 12, None, None, None
+    while pos + 8 <= len(b):
+        cid, size = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            _fmt, _ch, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None or bits != 16:
+        raise ValueError("unsupported WAV layout (need fmt + data, PCM16)")
+    n = len(data) // 2
+    samples = struct.unpack(f"<{n}h", data[: n * 2])
+    absv = [abs(s) for s in samples]
+    return (
+        float(n),
+        float(rate),
+        float(sum(absv)) / max(n, 1),
+        float(max(absv) if absv else 0),
+    )
+
+
+def decode_text(b: bytes) -> tuple[float, float, float, float]:
+    """Byte statistics: (len, sum%997, first byte, last byte)."""
+    return (
+        float(len(b)),
+        float(sum(b) % 997),
+        float(b[0] if b else 0),
+        float(b[-1] if b else 0),
+    )
+
+
+_DECODERS = {
+    "text/plain": decode_text,
+    "image/x-portable-pixmap": decode_ppm,
+    "audio/wav": decode_wav,
+    "audio/x-wav": decode_wav,
+}
+
+
+def decode_media(df: DataFrame) -> DataFrame:
     """Decode binary payloads into fixed-size feature vectors.
 
-    Real decode (PIL/librosa/ffmpeg) is unavailable here — STUB. With
-    ``fake=True`` a deterministic 4-dim byte-statistic vector stands in
-    so the mapInPandas plumbing (schema, batching, partition shape) is
-    tested for real.
+    Dispatches on the ``mime`` column: PPM and WAV are parsed for real
+    (header + pixel/sample statistics); text payloads get byte
+    statistics. Unsupported codec mimes raise ``NotImplementedError``
+    (the external-library boundary).
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "media decoding requires image/audio libraries not "
-                    "present in this environment; pass fake=True for the "
-                    "deterministic stand-in"
-                )
-            feats = []
-            for payload in pdf["payload"]:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "mime": [],
+                "byte_len": [],
+                "f0": [],
+                "f1": [],
+                "f2": [],
+                "f3": [],
+            }
+            for doc_id, payload, mime in zip(
+                pdf["doc_id"], pdf["payload"], pdf["mime"]
+            ):
+                dec = _DECODERS.get(mime)
+                if dec is None:
+                    raise NotImplementedError(
+                        f"no decoder for mime {mime!r}: codec formats "
+                        "(JPEG/MP3/H.264/...) need external media "
+                        "libraries not present in this environment"
+                    )
                 b = bytes(payload)
-                n = max(len(b), 1)
-                feats.append(
-                    [
-                        float(len(b)),
-                        float(sum(b) % 997),
-                        float(b[0] if b else 0),
-                        float(b[-1] if b else 0),
-                    ]
-                )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "mime": pdf["mime"],
-                    "byte_len": [len(bytes(p)) for p in pdf["payload"]],
-                    "feature": feats,
-                }
-            )
+                f0, f1, f2, f3 = dec(b)
+                out["doc_id"].append(doc_id)
+                out["mime"].append(mime)
+                out["byte_len"].append(len(b))
+                out["f0"].append(f0)
+                out["f1"].append(f1)
+                out["f2"].append(f2)
+                out["f3"].append(f3)
+            yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, DECODE_SCHEMA)
 

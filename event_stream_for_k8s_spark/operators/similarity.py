@@ -385,7 +385,17 @@ def knn_pq(
         encode, f"{c_id} bigint, codes array<int>, norm double"
     )
 
-    qrows = queries.select(q_id, q_vec).collect()
+    # The query set travels to the driver (then broadcasts inside the
+    # score closure) — that is the ANN serving contract: queries are the
+    # SMALL side. Guard it so misuse (a corpus passed as queries) raises
+    # instead of OOMing the driver (VERDICT r01 #5).
+    max_queries = 100_000
+    qrows = queries.select(q_id, q_vec).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"knn_pq query set exceeds {max_queries} rows; chunk the "
+            "queries or use the LSH/IVF paths for query-heavy workloads"
+        )
     luts, qids, qnorms = [], [], []
     for r in qrows:
         qv = np.asarray(r[1], dtype=np.float64)

@@ -568,10 +568,11 @@ def llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT vec_id,
        round(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 6)
          AS scale,
-       list_transform(embedding::DOUBLE[],
-                      x -> cast(round(x / list_max(
-                            list_transform(embedding::DOUBLE[], y -> abs(y)))
-                            * 127) AS int)) AS qvec
+       array_to_string(
+         list_transform(embedding::DOUBLE[],
+                        x -> cast(round(x / list_max(
+                              list_transform(embedding::DOUBLE[], y -> abs(y)))
+                              * 127) AS int)), ',') AS qvec
 FROM embeddings
 """,
     section="B.11",
@@ -587,8 +588,16 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.round(amax, 6).alias("scale"),
-        F.transform(
-            v, lambda x: F.round(x.cast("double") / amax * 127).cast("int")
+        # int8 vector serialized for the driver's scalar-cell hasher; the
+        # storage form at scale is the raw array<tinyint> column.
+        F.array_join(
+            F.transform(
+                v,
+                lambda x: F.round(x.cast("double") / amax * 127)
+                .cast("int")
+                .cast("string"),
+            ),
+            ",",
         ).alias("qvec"),
     )
 
@@ -1269,22 +1278,25 @@ def llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id, 'text/plain' AS mime,
        octet_length(encode(text)) AS byte_len,
-       [cast(length(text) AS double),
-        cast(list_sum(list_transform(range(1, length(text) + 1),
-               i -> ord(substr(text, cast(i AS int), 1)))) % 997 AS double),
-        cast(ord(substr(text, 1, 1)) AS double),
-        cast(ord(substr(text, length(text), 1)) AS double)] AS feature
+       cast(length(text) AS double) AS f0,
+       cast(list_sum(list_transform(range(1, length(text) + 1),
+              i -> ord(substr(text, cast(i AS int), 1)))) % 997 AS double)
+         AS f1,
+       cast(ord(substr(text, 1, 1)) AS double) AS f2,
+       cast(ord(substr(text, length(text), 1)) AS double) AS f3
 FROM documents
 """,
     section="B.11",
     notes="the multimodal DECODE pipeline end-to-end: binary payload "
-    "-> mapInPandas (Arrow batches) -> fixed-size feature vector. The "
-    "decoder is the deterministic byte-statistic stub (real "
-    "image/audio libs absent -- functions/multimodal.py); the oracle "
-    "recomputes the same statistics from the bytes, which is EXACT "
+    "-> mapInPandas (Arrow batches) -> fixed-size feature vector, "
+    "dispatched on mime. text/plain takes the byte-statistic decoder; "
+    "PPM images and PCM16 WAV audio are parsed for REAL "
+    "(functions/multimodal.py, stdlib-only — pinned by "
+    "tests/test_llm.py on synthesized binaries); codec mimes raise "
+    "at the documented external-library boundary. The oracle "
+    "recomputes the text statistics from the bytes, which is EXACT "
     "because the fixture text is pure ASCII (1 byte = 1 codepoint). "
-    "Batch shape, schema, and partitioning are the production "
-    "plumbing a real decoder drops into",
+    "Features emitted as scalar f0..f3 columns (driver-hashable)",
 )
 def llm_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_stream_for_k8s_spark.functions.multimodal import (
@@ -1292,7 +1304,7 @@ def llm_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load(spark, sf_dir, "documents")
-    return decode_media(attach_payload(d), fake=True)
+    return decode_media(attach_payload(d))
 
 
 @query(
@@ -1700,7 +1712,8 @@ WITH toks AS (
          row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
   FROM toks WHERE term <> ''
 )
-SELECT term, df, list_sort(list(doc_id)) AS postings
+SELECT term, df,
+       array_to_string(list_sort(list(doc_id)), ',') AS postings
 FROM ranked WHERE rn <= 100
 GROUP BY term, df
 """,
@@ -1734,7 +1747,9 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rn"),
     ).filter(F.col("rn") <= 100)
     return ranked.groupBy("term", "df").agg(
-        F.array_sort(F.collect_list("doc_id")).alias("postings")
+        F.array_join(
+            F.array_sort(F.collect_list("doc_id")).cast("array<string>"), ","
+        ).alias("postings")
     )
 
 
@@ -1821,15 +1836,17 @@ SELECT DISTINCT doc_id, fp_pos, fp_hash FROM ex WHERE fp_hash IS NOT NULL
     "(position, hash) set guarantees any shared run of >= 6 tokens "
     "between two docs shares a fingerprint, the property the global-"
     "min llm_fingerprint trades away. Same broadcast vocab-hash "
-    "plumbing, then pure array HOFs: zero shuffles beyond the per-doc "
-    "array build, fingerprint density ~2/(w+1) of positions so output "
-    "stays sub-linear in corpus size",
+    "plumbing; the window-min SELECTION runs as a numpy "
+    "sliding_window_view inside mapInPandas (VERDICT r01 #5: the "
+    "per-position array-HOF form was interpreted, not codegen'd, and "
+    "5x slower) -- zero extra shuffles, CPU-linear and "
+    "embarrassingly parallel",
 )
 def llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_stream_for_k8s_spark.functions.text import (
         gram3_hashes,
         token_hash,
-        winnow_select,
+        winnow_numpy,
     )
 
     d = load(spark, sf_dir, "documents")
@@ -1846,14 +1863,7 @@ def llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ht")
     )
     grams = arrays.select("doc_id", gram3_hashes(F.col("ht")).alias("h"))
-    sel = grams.select(
-        "doc_id", winnow_select(F.col("h"), w=4).alias("fps")
-    )
-    return (
-        sel.select("doc_id", F.explode("fps").alias("s"))
-        .select("doc_id", "s.fp_pos", "s.fp_hash")
-        .filter(F.col("fp_hash").isNotNull())
-    )
+    return winnow_numpy(grams, w=4)
 
 
 @query(
@@ -1932,8 +1942,9 @@ WITH hashed AS (
   FROM hashed
 )
 SELECT doc_id,
-       [{", ".join(f"list_min(list_transform(h, x -> (x * {a} + {b}) % {MOD}))"
-                   for a, b in _MINHASH_PERMS)}] AS sig
+       array_to_string(
+         [{", ".join(f"list_min(list_transform(h, x -> (x * {a} + {b}) % {MOD}))"
+                     for a, b in _MINHASH_PERMS)}], ',') AS sig
 FROM grams
 """,
     section="B.11",
@@ -1973,4 +1984,8 @@ def llm_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.array_min(F.transform(h, lambda x: (x * a + b) % MOD))
 
     sig = F.array(*[perm_min(a, b) for a, b in _MINHASH_PERMS])
-    return grams.select("doc_id", sig.alias("sig"))
+    # signature serialized for the driver's scalar-cell hasher; the
+    # stored form at scale stays array<bigint> (64 bytes/doc).
+    return grams.select(
+        "doc_id", F.array_join(sig.cast("array<string>"), ",").alias("sig")
+    )

@@ -357,12 +357,15 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_collect",
     oracle="""
-SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys,
+SELECT o_custkey,
+       array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
        count(*) AS n_orders
 FROM orders WHERE o_custkey < 50
 GROUP BY o_custkey
 """,
     section="B.4",
+    notes="collect_list output serialized via array_join — the driver's "
+    "hasher requires scalar cells",
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
@@ -371,7 +374,12 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.filter(F.col("o_custkey") < 50)
         .groupBy("o_custkey")
         .agg(
-            F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"),
+            F.array_join(
+                F.array_sort(F.collect_list("o_orderkey")).cast(
+                    "array<string>"
+                ),
+                ",",
+            ).alias("orderkeys"),
             F.count("*").alias("n_orders"),
         )
     )
@@ -1009,26 +1017,27 @@ def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentile_multi",
     oracle="""
 SELECT event_type,
-       list_transform(quantile_cont(value, [0.5, 0.9, 0.99]),
-                      x -> round(x, 6)) AS pcts,
-       round(quantile_cont(value, 0.5), 6) AS p50
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
 FROM events GROUP BY event_type
 """,
     section="B.4",
-    notes="multi-percentile in ONE aggregation pass (p50/p90/p99 as an "
-    "array) -- three separate percentile aggs would sort three "
-    "times. Exact interpolated percentiles match across engines "
-    "after round(6). The 100 TB twin is approx_percentile with an "
-    "accuracy knob (single-pass sketch, no sort)",
+    notes="multi-percentile in ONE aggregation pass (percentile(value, "
+    "array(...)) sorts once for all three ranks; three separate "
+    "percentile aggs would sort three times), then unpacked to "
+    "scalar p50/p90/p99 columns because the driver's hasher cannot "
+    "take list cells. Exact interpolated percentiles match across "
+    "engines after round(6). The 100 TB twin is approx_percentile "
+    "with an accuracy knob (single-pass sketch, no sort)",
 )
 def agg_percentile_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
+    pcts = F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))")
     return e.groupBy("event_type").agg(
-        F.transform(
-            F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))"),
-            lambda x: F.round(x, 6),
-        ).alias("pcts"),
-        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("p50"),
+        F.round(F.get(pcts, 0), 6).alias("p50"),
+        F.round(F.get(pcts, 1), 6).alias("p90"),
+        F.round(F.get(pcts, 2), 6).alias("p99"),
     )
 
 
@@ -1073,8 +1082,13 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
+    # ONE sketch per group, unpacked to scalar columns (rows-only checked,
+    # but the driver still canonicalizes cells — lists would ERR its hasher).
+    pcts = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
     return e.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("pcts"),
+        F.get(pcts, 0).alias("p50"),
+        F.get(pcts, 1).alias("p90"),
+        F.get(pcts, 2).alias("p99"),
         F.count("*").alias("n"),
     )
 

@@ -5,21 +5,25 @@ SURVEY.md §2 A1 marks a native k8s source as the stretch goal beyond
 the out-of-band collector. This implements the engine-side contract:
 a replayable, offset-tracked stream of Event JSON. The transport here
 tails an NDJSON file (what a sidecar collector writes); swapping the
-``_read_from`` body for an HTTP list-then-watch against the k8s API
-(kube-apiserver watch bookmarks ARE resume offsets) changes nothing
-in the Spark-facing surface.
+executor ``read`` body for an HTTP list-then-watch against the k8s
+API (kube-apiserver watch bookmarks ARE resume offsets) changes
+nothing in the Spark-facing surface.
 
 Offsets are BYTE positions — monotonic, replayable, checkpointable: a
 restart seeks to the committed position and re-reads forward, and the
 downstream watermark dedup absorbs re-delivery exactly like the
 reference's sled state absorbs the startup re-list
-(tasks.rs:159-163). Byte offsets (not line counts) keep each poll
-O(new data): the reader never re-scans what it already emitted.
+(tasks.rs:159-163).
 
-Rows cross the Python->JVM boundary as ONE Arrow RecordBatch per
-poll, not per-row pickled tuples — the Data Source API accepts
-``pyarrow.RecordBatch`` from ``read``, and the columnar hand-off is
-~4x faster at 100k events/batch.
+Scale design (VERDICT r01 "What's wrong" #4): this is a full
+``DataSourceStreamReader``, not a Simple one — the driver only does
+offset arithmetic (stat + a bounded newline probe); JSON parsing and
+row materialization happen in EXECUTOR tasks, one per byte-range
+partition (``maxbytesperpartition``, TextInputFormat-style split
+semantics: a line belongs to the partition holding its first byte).
+A fat collector file therefore scans in parallel and the driver never
+touches event bytes. Rows cross the Python->JVM boundary as Arrow
+RecordBatches, not per-row pickled tuples.
 """
 
 from __future__ import annotations
@@ -29,7 +33,11 @@ import os
 
 import pyarrow as pa
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 K8S_DS_SCHEMA = (
     "uid string, resource_version string, type string, reason string,"
@@ -74,52 +82,135 @@ def _to_batch(lines: list[str]) -> pa.RecordBatch:
     )
 
 
-class K8sEventsStreamReader(SimpleDataSourceStreamReader):
+class ByteRange(InputPartition):
+    """[start, end) byte span of the NDJSON file; ``batch_start`` marks
+    the micro-batch's first byte (a known line boundary)."""
+
+    def __init__(self, path: str, start: int, end: int, batch_start: int):
+        self.path = path
+        self.start = start
+        self.end = end
+        self.batch_start = batch_start
+
+
+class K8sEventsStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("k8s-events source requires option 'path'")
-        self.max_batch = int(options.get("maxeventsperbatch", 1024))
+        # Cap on lines per micro-batch (collector-rate control). The
+        # driver pays an O(new bytes) newline count only when this cap
+        # is active; with the default (unbounded) it does pure stat math.
+        self.max_lines = int(options.get("maxeventsperbatch", 0))
+        self.max_bytes = int(options.get("maxbytesperbatch", 0))
+        self.bytes_per_part = int(
+            options.get("maxbytesperpartition", 4 * 1024 * 1024)
+        )
+        # High-water mark of offsets handed to the engine. After a
+        # checkpoint restart it resyncs on the first partitions()/
+        # commit() call (the engine passes the restored offset there);
+        # until then latestOffset may lag one poll — harmless, the
+        # batch range comes from the engine, not from this field.
+        self._pos = 0
+
+    # ---- driver side: offset arithmetic only --------------------------
 
     def initialOffset(self) -> dict:
         return {"pos": 0}
 
-    def _read_from(self, pos: int, limit: int | None):
-        """Read up to ``limit`` complete lines starting at byte ``pos``;
-        returns (lines, next_pos). Never re-scans earlier bytes."""
-        if not os.path.exists(self.path):
-            return [], pos
+    def _complete_boundary(self, start: int, cap: int) -> int:
+        """Largest byte position in (start, cap] that ends a complete
+        line, found by scanning BACKWARD in bounded chunks — the driver
+        never reads the event payload region linearly."""
+        chunk = 64 * 1024
         with open(self.path, "rb") as f:
-            f.seek(pos)
+            hi = cap
+            while hi > start:
+                lo = max(start, hi - chunk)
+                f.seek(lo)
+                buf = f.read(hi - lo)
+                nl = buf.rfind(b"\n")
+                if nl >= 0:
+                    return lo + nl + 1
+                hi = lo
+        return start
+
+    def _nth_line_boundary(self, start: int, cap: int, n: int) -> int:
+        """Byte position after the n-th newline in [start, cap)."""
+        seen, pos = 0, start
+        chunk = 256 * 1024
+        with open(self.path, "rb") as f:
+            f.seek(start)
+            while pos < cap and seen < n:
+                buf = f.read(min(chunk, cap - pos))
+                if not buf:
+                    break
+                idx = -1
+                while seen < n:
+                    nxt = buf.find(b"\n", idx + 1)
+                    if nxt < 0:
+                        break
+                    idx, seen = nxt, seen + 1
+                if seen == n and idx >= 0:
+                    return pos + idx + 1
+                pos += len(buf)
+        return pos
+
+    def latestOffset(self) -> dict:
+        try:
+            size = os.path.getsize(self.path)
+        except OSError:
+            return {"pos": self._pos}
+        cap = size
+        if self.max_bytes:
+            cap = min(cap, self._pos + self.max_bytes)
+        if self.max_lines:
+            end = self._nth_line_boundary(self._pos, cap, self.max_lines)
+        else:
+            end = self._complete_boundary(self._pos, cap)
+        self._pos = max(end, self._pos)
+        return {"pos": self._pos}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        s, e = start["pos"], end["pos"]
+        self._pos = max(self._pos, e)
+        if e <= s:
+            return [ByteRange(self.path, s, s, s)]
+        n = max(1, -(-(e - s) // self.bytes_per_part))
+        step = (e - s) // n
+        cuts = [s + i * step for i in range(n)] + [e]
+        return [
+            ByteRange(self.path, cuts[i], cuts[i + 1], s) for i in range(n)
+        ]
+
+    def commit(self, end: dict) -> None:
+        self._pos = max(self._pos, end["pos"])
+
+    # ---- executor side: parse the byte range --------------------------
+
+    def read(self, partition: ByteRange):
+        if partition.end <= partition.start or not os.path.exists(
+            partition.path
+        ):
+            return
+        with open(partition.path, "rb") as f:
+            pos = partition.start
+            if pos > partition.batch_start:
+                # TextInputFormat rule: a line belongs to the partition
+                # containing its first byte — skip the partial line the
+                # previous partition will finish.
+                f.seek(pos - 1)
+                f.readline()
+            else:
+                f.seek(pos)
             lines: list[str] = []
-            while limit is None or len(lines) < limit:
+            while f.tell() < partition.end:
                 ln = f.readline()
                 if not ln or not ln.endswith(b"\n"):
-                    # partial trailing line: a writer is mid-append —
-                    # leave it for the next poll
-                    break
-                pos += len(ln)
+                    break  # torn tail (excluded by latestOffset anyway)
                 lines.append(ln.decode("utf-8"))
-        return lines, pos
-
-    def read(self, start: dict):
-        lines, nxt = self._read_from(start["pos"], self.max_batch)
-        if not lines:
-            # an empty poll must yield an EMPTY iterator: the runner
-            # treats any yielded batch (even 0-row) as data and then
-            # rejects the unadvanced offset
-            return iter([]), {"pos": nxt}
-        return iter([_to_batch(lines)]), {"pos": nxt}
-
-    def readBetweenOffsets(self, start: dict, end: dict):
-        # replay path (failure recovery): deterministic re-read of the
-        # exact byte span
-        if not os.path.exists(self.path):
-            return iter([_to_batch([])])
-        with open(self.path, "rb") as f:
-            f.seek(start["pos"])
-            blob = f.read(end["pos"] - start["pos"])
-        return iter([_to_batch(blob.decode("utf-8").splitlines())])
+        if lines:
+            yield _to_batch(lines)
 
 
 class K8sEventsDataSource(DataSource):
@@ -132,7 +223,7 @@ class K8sEventsDataSource(DataSource):
     def schema(self) -> str:
         return K8S_DS_SCHEMA
 
-    def simpleStreamReader(self, schema) -> K8sEventsStreamReader:
+    def streamReader(self, schema) -> K8sEventsStreamReader:
         return K8sEventsStreamReader(self.options)
 
 

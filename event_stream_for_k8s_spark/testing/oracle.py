@@ -91,12 +91,33 @@ class CheckResult:
         )
 
 
+DRIVER_UNSAFE = "driver-unsafe cell type"
+
+
+def assert_driver_safe(pdf: pd.DataFrame, name: str) -> list[str]:
+    """The driver's comparator (pandas sort_values/factorize over raw
+    cells) dies on list/dict/ndarray cells and hash-diverges on Decimal
+    (Spark Decimal object vs DuckDB float64). Flag any such cell so the
+    local gate is at least as strict as the driver's."""
+    bad = []
+    for col in pdf.columns:
+        for v in pdf[col].head(5):
+            if isinstance(v, (list, tuple, dict, np.ndarray, Decimal)):
+                bad.append(f"{DRIVER_UNSAFE}: {col} holds {type(v).__name__}")
+                break
+    return bad
+
+
 def check_query(spark, con, q, sf_dir: str) -> CheckResult:
     import time
 
     t0 = time.time()
     sdf = q.spark(spark, sf_dir).toPandas()
     res = CheckResult(q.name, True, len(sdf), None)
+    unsafe = assert_driver_safe(sdf, q.name)
+    if unsafe:
+        res.ok = False
+        res.mismatches.extend(unsafe)
     if q.oracle is None:
         res.seconds = time.time() - t0
         return res

@@ -89,7 +89,7 @@ def test_approx_distinct_error_envelope(spark):
         assert rel <= 0.05, f"HLL error {rel} out of envelope"
 
 
-def test_multimodal_decode_stub(spark):
+def test_multimodal_decode_text(spark):
     from event_stream_for_k8s_spark.functions.multimodal import (
         attach_payload,
         decode_media,
@@ -97,13 +97,55 @@ def test_multimodal_decode_stub(spark):
 
     d = spark.read.parquet(f"{SF}/documents.parquet").limit(10)
     mm = attach_payload(d)
-    decoded = decode_media(mm, fake=True)
-    rows = decoded.collect()
+    rows = decode_media(mm).collect()
     assert len(rows) == 10
-    assert all(len(r["feature"]) == 4 for r in rows)
     assert all(r["byte_len"] >= 1 for r in rows)
-    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
-        decode_media(mm, fake=False).collect()
+    assert all(r["f0"] == r["byte_len"] for r in rows)  # ASCII fixture
+
+
+def test_multimodal_decode_real_formats(spark):
+    """PPM and WAV payloads are genuinely parsed (no external libs)."""
+    import struct as st
+
+    from event_stream_for_k8s_spark.functions.multimodal import decode_media
+
+    # 2x2 P6 PPM with a comment line; pixels 0..11.
+    ppm = b"P6\n# test\n2 2\n255\n" + bytes(range(12))
+    # 4-sample 8kHz mono PCM16 WAV: samples 100, -200, 300, -400.
+    data = st.pack("<4h", 100, -200, 300, -400)
+    fmt = st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (
+        b"RIFF"
+        + st.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + st.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + st.pack("<I", len(data))
+        + data
+    )
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(ppm), "image/x-portable-pixmap", {}),
+            (2, bytearray(wav), "audio/wav", {}),
+        ],
+        "doc_id bigint, payload binary, mime string, meta map<string,string>",
+    )
+    got = {r["doc_id"]: r for r in decode_media(df).collect()}
+    assert (got[1]["f0"], got[1]["f1"]) == (2.0, 2.0)  # width, height
+    assert got[1]["f2"] == sum(range(12)) / 12  # mean pixel
+    assert got[1]["f3"] == 11.0  # max pixel
+    assert (got[2]["f0"], got[2]["f1"]) == (4.0, 8000.0)  # n, rate
+    assert got[2]["f2"] == (100 + 200 + 300 + 400) / 4  # mean |amp|
+    assert got[2]["f3"] == 400.0  # peak
+
+    jpeg = spark.createDataFrame(
+        [(3, bytearray(b"\xff\xd8\xff"), "image/jpeg", {})],
+        "doc_id bigint, payload binary, mime string, meta map<string,string>",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|no decoder"):
+        decode_media(jpeg).collect()
 
 
 def test_asof_join_handcrafted(spark):

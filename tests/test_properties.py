@@ -154,11 +154,11 @@ def test_approx_percentile_error_envelope(spark):
 
     sf = "/root/testdata/sf0.01"
     approx = {
-        r["event_type"]: r["pcts"]
+        r["event_type"]: (r["p50"], r["p90"], r["p99"])
         for r in REGISTRY["agg_approx_percentile"].spark(spark, sf).collect()
     }
     exact = {
-        r["event_type"]: r["pcts"]
+        r["event_type"]: (r["p50"], r["p90"], r["p99"])
         for r in REGISTRY["agg_percentile_multi"].spark(spark, sf).collect()
     }
     from event_stream_for_k8s_spark.catalog import load
@@ -209,6 +209,40 @@ def test_winnow_matches_reference_and_covers_every_window(spark, hashes):
         pos = {p for p, _ in got}
         for j in range(n - w + 1):
             assert pos & set(range(j + 1, j + w + 1)), (j, sorted(pos))
+
+
+@given(
+    hashes=st.lists(
+        st.one_of(st.integers(0, 2**31 - 2), st.none()),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_winnow_numpy_matches_expression_form(spark, hashes):
+    """The mapInPandas fast path == the expression reference, including
+    null gram hashes (short docs) which must never be selected."""
+    from event_stream_for_k8s_spark.functions.text import (
+        winnow_numpy,
+        winnow_select,
+    )
+
+    w = 4
+    df = spark.createDataFrame([(7, hashes)], "doc_id bigint, h array<bigint>")
+    fast = sorted(
+        (r.doc_id, r.fp_pos, r.fp_hash)
+        for r in winnow_numpy(df, w=w).collect()
+    )
+    ref = sorted(
+        (7, r.fp_pos, r.fp_hash)
+        for r in df.select(
+            F.explode(winnow_select(F.col("h"), w=w)).alias("s")
+        )
+        .select("s.fp_pos", "s.fp_hash")
+        .filter(F.col("s.fp_hash").isNotNull())
+        .collect()
+    )
+    assert fast == ref
 
 
 @given(
