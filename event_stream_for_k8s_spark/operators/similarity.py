@@ -196,6 +196,15 @@ def minhash_pairs_native(
             ]
         ).alias("sig")
     )
+    # Materialize signatures ONCE: the band self-join otherwise
+    # recomputes the whole shingle->minhash pipeline for each side
+    # (no ReusedExchange across differently-aliased subtrees — ~2x the
+    # query, measured). 8*num_hashes bytes/doc is the classic
+    # signature-store-a-thousandth-of-the-corpus footprint, safe to
+    # cache at any scale.
+    from pyspark import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     banded = sigs.select(
         id_col,
         "sig",

@@ -534,43 +534,57 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_fuzzy_blocked",
     oracle="""
-SELECT split_part(a.p_name, ' ', 1) AS blk,
+WITH d AS (
+  SELECT doc_id,
+         substr(text, 1, 60) AS head,
+         split_part(text, ' ', 1) || ' ' || split_part(text, ' ', 2) AS blk
+  FROM documents
+)
+SELECT a.blk AS blk,
        count(*) AS n_pairs,
-       count(*) FILTER (levenshtein(a.p_name, b.p_name) = 0)
-           AS n_exact,
-       count(*) FILTER (levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3)
+       count(*) FILTER (levenshtein(a.head, b.head) = 0) AS n_exact,
+       count(*) FILTER (levenshtein(a.head, b.head) BETWEEN 1 AND 10)
            AS n_near
-FROM part a JOIN part b
-  ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
- AND a.p_partkey < b.p_partkey
-GROUP BY blk
+FROM d a JOIN d b
+  ON a.blk = b.blk AND a.doc_id < b.doc_id
+GROUP BY a.blk
 """,
     section="B.3",
     notes="blocked fuzzy entity resolution (reference's dedup pipeline "
     "does exact keys only; this is the approximate-match extension a "
     "training-data catalog needs): candidate pairs come from an "
-    "EQUI-join on a cheap blocking key (first name token), so the "
-    "O(n^2) all-pairs edit-distance never materializes — cost is "
-    "sum over blocks of |block|^2, and the block key is the shuffle "
-    "key so each block resolves on one executor. levenshtein() is "
-    "identical unit-cost edit distance on both engines. Distance "
-    "bands: =0 exact duplicate entities, 1..3 near-miss variants",
+    "EQUI-join on a cheap blocking key (the document's first two "
+    "tokens — near-duplicate docs share openings, so real near-dups "
+    "co-block), so the O(n^2) all-pairs edit-distance never "
+    "materializes — cost is sum over blocks of |block|^2, and the "
+    "block key is the shuffle key so each block resolves on one "
+    "executor. The edit distance runs on a fixed 60-char prefix: "
+    "levenshtein is O(len^2) DP, so capping the operand bounds "
+    "per-pair cost no matter how long documents get (the full-text "
+    "confirm tier is llm_dedup_ngram). Distance bands: =0 exact "
+    "prefix duplicates, 1..10 near-miss variants. Previously blocked "
+    "on part.p_name's first token; the regenerated part table has "
+    "only 8 distinct first tokens (2.5k-row blocks, 50M pairs, 8-way "
+    "parallelism) — a worked example of blocking-key selectivity "
+    "being a DATA property to re-audit when the corpus changes",
 )
 def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = load(spark, sf_dir, "part").select(
-        "p_partkey",
-        "p_name",
-        F.split("p_name", " ")[0].alias("blk"),
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, 60).alias("head"),
+        F.concat_ws(
+            " ", F.split("text", " ")[0], F.split("text", " ")[1]
+        ).alias("blk"),
     )
-    a, b = p.alias("a"), p.alias("b")
-    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    a, b = d.alias("a"), d.alias("b")
+    lev = F.levenshtein(F.col("a.head"), F.col("b.head"))
     pairs = a.join(
         b,
         (F.col("a.blk") == F.col("b.blk"))
-        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(F.col("a.blk").alias("blk"), lev.alias("lev"))
     return pairs.groupBy("blk").agg(
         F.count("*").alias("n_pairs"),
         F.count(F.when(F.col("lev") == 0, 1)).alias("n_exact"),
-        F.count(F.when(F.col("lev").between(1, 3), 1)).alias("n_near"),
+        F.count(F.when(F.col("lev").between(1, 10), 1)).alias("n_near"),
     )

@@ -231,6 +231,24 @@ def test_retention_cohort_side_is_broadcast(spark):
     assert "BroadcastHashJoin" in p
 
 
+def test_fill_forward_grid_has_no_unbounded_broadcast(spark):
+    # VERDICT r01 #3: the calendar grid must come from a per-user
+    # sequence() explode, NOT days.crossJoin(broadcast(users)) +
+    # broadcast(daily) — at 100x users those broadcasts OOM. The only
+    # legitimate broadcast side is the 1-row global day-bounds
+    # relation; the daily observations attach via a shuffle join.
+    df = REGISTRY["ts_fill_forward"].spark(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode(sequence(" in p, p[:1200]
+    assert "CartesianProduct" not in p
+    # no broadcast HINTS besides the 1-row bounds: AQE may still pick a
+    # broadcast join at tiny SF by observed size (that's the point of
+    # AQE — it won't at scale), but the plan must not FORCE one.
+    lp = df._jdf.queryExecution().analyzed().toString()
+    n_hints = lp.count("ResolvedHint")
+    assert n_hints <= 1, f"expected <=1 broadcast hint (bounds): {n_hints}"
+
+
 def test_runtime_bloom_filter_injection(spark):
     # 100 TB posture (SCALING.md §2): a selective dim filter on the
     # build side of a SHUFFLE join injects a bloom filter into the
