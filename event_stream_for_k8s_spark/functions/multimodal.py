@@ -166,6 +166,63 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "doc_id bigint, in_w int, in_h int, out_w int, out_h int, "
+    "mean_px double, checksum bigint"
+)
+
+
+def resize_media(
+    df: DataFrame, out_w: int = 8, out_h: int = 8
+) -> DataFrame:
+    """Nearest-neighbor image resize over P6 PPM payloads (the
+    thumbnail/downsample step of a multimodal training pipeline),
+    genuinely decoded and resampled with numpy — no external libs.
+
+    Output pixel (i, j) samples input pixel
+    (floor(i*H/out_h), floor(j*W/out_w)) channel-wise; emitted stats
+    (mean, checksum over the resized RGB bytes) are exact integers so
+    an engine-independent oracle can recompute them from the source
+    bytes. One narrow pass, no shuffle; a real interpolating resampler
+    (PIL) drops into the same batch loop.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "in_w": [],
+                "in_h": [],
+                "out_w": [],
+                "out_h": [],
+                "mean_px": [],
+                "checksum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                w, h, _, _ = decode_ppm(b)
+                w, h = int(w), int(h)
+                # re-parse the pixel block (decode_ppm validated it)
+                px_off = len(b) - w * h * 3
+                px = np.frombuffer(b, dtype=np.uint8, offset=px_off)
+                img = px.reshape(h, w, 3)
+                ri = (np.arange(out_h) * h) // out_h
+                rj = (np.arange(out_w) * w) // out_w
+                small = img[ri][:, rj]  # nearest-neighbor gather
+                tot = int(small.sum(dtype=np.int64))
+                out["doc_id"].append(doc_id)
+                out["in_w"].append(w)
+                out["in_h"].append(h)
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                out["mean_px"].append(tot / (out_w * out_h * 3))
+                out["checksum"].append(tot % 997)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
 FRAMES_SCHEMA = (
     "doc_id bigint, frame_id bigint, offset int, frame_len int, "
     "checksum bigint"

@@ -1343,6 +1343,54 @@ def llm_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_mm_resize",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, rpad(substr(text, 1, 768), 768, ' ') AS body
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(0, 192),
+           k -> ord(substr(body,
+                ((2*(k//24))*16 + 2*((k//3)%8))*3 + (k%3) + 1, 1)))) AS tot
+  FROM b
+)
+SELECT doc_id, 16 AS in_w, 16 AS in_h, 8 AS out_w, 8 AS out_h,
+       cast(tot AS double)/192.0 AS mean_px,
+       cast(tot % 997 AS bigint) AS checksum
+FROM s
+""",
+    section="B.11",
+    notes="multimodal RESIZE (thumbnail/downsample): each doc's bytes "
+    "become a deterministic 16x16 P6 PPM (space-padded), genuinely "
+    "parsed and nearest-neighbor-resampled to 8x8 with numpy gathers "
+    "inside mapInPandas (functions/multimodal.py::resize_media). "
+    "Nearest-neighbor output pixel (i,j) = input (i*H//8, j*W//8), so "
+    "the resized byte sum is an exact integer the oracle recomputes "
+    "straight from the text bytes (ASCII fixture: 1 byte = 1 char). "
+    "One narrow pass, no shuffle; a PIL bilinear resampler drops into "
+    "the same Arrow batch loop",
+)
+def llm_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_stream_for_k8s_spark.functions.multimodal import (
+        resize_media,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    ppm = d.select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("P6\n16 16\n255\n"),
+                F.rpad(F.substring("text", 1, 768), 768, " "),
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    return resize_media(ppm, out_w=8, out_h=8)
+
+
+@query(
     "llm_perplexity",
     oracle="""
 WITH tok AS (

@@ -148,6 +148,23 @@ def test_multimodal_decode_real_formats(spark):
         decode_media(jpeg).collect()
 
 
+def test_multimodal_resize_nearest_neighbor(spark):
+    """4x4 -> 2x2 nearest-neighbor picks pixels (0,0),(0,2),(2,0),(2,2)."""
+    from event_stream_for_k8s_spark.functions.multimodal import resize_media
+
+    # pixel value = its flat index (0..15), gray (r=g=b)
+    px = bytes(v for i in range(16) for v in (i, i, i))
+    ppm = b"P6\n4 4\n255\n" + px
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm))], "doc_id bigint, payload binary"
+    )
+    r = resize_media(df, out_w=2, out_h=2).collect()[0]
+    picked = [0, 2, 8, 10]  # flat indices at rows/cols {0,2}
+    assert (r["in_w"], r["in_h"], r["out_w"], r["out_h"]) == (4, 4, 2, 2)
+    assert r["mean_px"] == sum(picked) * 3 / 12
+    assert r["checksum"] == sum(picked) * 3 % 997
+
+
 def test_asof_join_handcrafted(spark):
     from event_stream_for_k8s_spark.operators import asof_join
 
