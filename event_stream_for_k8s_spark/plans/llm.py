@@ -59,9 +59,11 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_dedup_ngram",
     oracle="""
 WITH toks AS (
-  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+  SELECT doc_id, lang, string_split(text, ' ') AS t,
+         split_part(text, ' ', 1) || ' ' || split_part(text, ' ', 2) AS blk
+  FROM documents
 ), grams AS (
-  SELECT doc_id, lang,
+  SELECT doc_id, lang, blk,
          list_distinct(list_transform(range(1, len(t)),
                                       i -> t[i] || ' ' || t[i+1])) AS bg
   FROM toks
@@ -70,11 +72,16 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        cast(len(list_intersect(a.bg, b.bg)) AS double)
          / len(list_distinct(list_concat(a.bg, b.bg))) AS jacc
 FROM grams a JOIN grams b
-  ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+  ON a.blk = b.blk AND a.lang = b.lang AND a.doc_id < b.doc_id
 """,
     section="B.11",
-    notes="exact bigram Jaccard on a consecutive-id blocking key; the "
-    "all-pairs version at scale is llm_dedup_near (MinHash-LSH)",
+    notes="exact bigram Jaccard over CONTENT-blocked candidate pairs: "
+    "the blocking key is the document's first two tokens (near-dups "
+    "share openings, so true pairs co-block; round 1 used consecutive "
+    "ids, an id-math stand-in). The block is the shuffle key — cost "
+    "is sum over blocks of |block|^2, never all-pairs. The "
+    "probabilistic tier that replaces content-key blocking at 100 TB "
+    "is llm_dedup_near (MinHash-LSH)",
 )
 def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -85,6 +92,7 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = d.select(
         "doc_id",
         "lang",
+        F.concat_ws(" ", t[0], t[1]).alias("blk"),
         F.array_distinct(
             F.transform(
                 F.arrays_zip(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1)),
@@ -97,8 +105,9 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     union = F.size(F.array_union(F.col("a.bg"), F.col("b.bg")))
     return a.join(
         b,
-        (F.col("b.doc_id") == F.col("a.doc_id") + 1)
-        & (F.col("a.lang") == F.col("b.lang")),
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
@@ -109,28 +118,43 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_dedup_embed",
     oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, embedding,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS blk
+  FROM embeddings
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({sql_cosine('a.embedding', 'b.embedding')}, 6) AS sim
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label
- AND (a.vec_id // 100) = (b.vec_id // 100)
- AND a.vec_id < b.vec_id
+FROM e a JOIN e b
+  ON a.label = b.label AND a.blk = b.blk AND a.vec_id < b.vec_id
 WHERE round({sql_cosine('a.embedding', 'b.embedding')}, 6) >= 0.2
 """,
     section="B.11",
+    notes="embedding-cosine near-dup with a CONTENT-derived blocking "
+    "key: label x the sign bits of the first 4 dimensions — an "
+    "axis-aligned random-hyperplane LSH bucket (cosine-similar "
+    "vectors agree on most hyperplane sides), replacing round 1's "
+    "vec_id-div-100 id-math stand-in. Equi-join on the block, never "
+    "all-pairs; sign comparisons are exact on both engines. The "
+    "multi-table, tunable-recall tier is llm_knn_lsh",
 )
 def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Embedding-cosine near-dup with a blocking key (label x id-bucket):
-    # the join is a hash join on the block, never all-pairs. At 100 TB
-    # the block key comes from LSH (llm_dedup_near) instead of id math.
     e = load(spark, sf_dir, "embeddings")
-    a, b = e.alias("a"), e.alias("b")
+    emb = F.col("embedding")
+    bits = sum(
+        (emb[k] >= 0).cast("int") * (1 << k) for k in range(4)
+    )
+    e2 = e.select("vec_id", "label", "embedding", bits.alias("blk"))
+    a, b = e2.alias("a"), e2.alias("b")
     sim = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
     return (
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
-            & (F.expr("a.vec_id div 100") == F.expr("b.vec_id div 100"))
+            & (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
