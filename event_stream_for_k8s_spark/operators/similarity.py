@@ -145,6 +145,56 @@ def knn_ivf(
     )
 
 
+def sign_lsh_candidates(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str | None = None,
+    bands: int = 4,
+    rows: int = 4,
+) -> DataFrame:
+    """Banded axis-aligned sign-LSH candidate pairs: band b = the sign
+    bits of dimensions [b*rows, (b+1)*rows); a pair is a candidate when
+    any band agrees (and labels match, if given). Classic band/row
+    recall amplification — miss probability (1 - p^rows)^bands where p
+    is the per-hyperplane agreement prob (1 - theta/pi).
+
+    Every join is an EQUI-join: posexplode the band array, join on
+    (label, band_idx, band_value), distinct the id pairs — never
+    all-pairs, all codegen. Returns (id_a, id_b) with id_a < id_b.
+    """
+    v = F.col(vec_col)
+    band_arr = F.array(
+        *[
+            sum(
+                (v[b * rows + k] >= 0).cast("int") * (1 << k)
+                for k in range(rows)
+            )
+            for b in range(bands)
+        ]
+    )
+    cols = [id_col] + ([label_col] if label_col else [])
+    banded = vectors.select(
+        *cols, F.posexplode(band_arr).alias("band", "bv")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bv") == F.col("b.bv"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    if label_col:
+        cond = cond & (F.col(f"a.{label_col}") == F.col(f"b.{label_col}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def minhash_pairs_native(
     docs: DataFrame,
     id_col: str,

@@ -214,6 +214,52 @@ def test_k8s_datasource_offsets_and_batching(spark, k8s_dir, tmp_path):
     assert got.filter(F.col("uid") == "u5").count() == 2
 
 
+def test_k8s_datasource_partition_split_exactness(spark, tmp_path):
+    """Byte-range partitions with TextInputFormat split semantics must
+    deliver every line exactly once regardless of where cut points land
+    (mid-line, on a newline, at range edges). Tiny maxbytesperpartition
+    forces many splits across varied line lengths."""
+    import time as _t
+
+    from event_stream_for_k8s_spark.sources.k8s_datasource import register
+
+    register(spark)
+    path = str(tmp_path / "events.json")
+    n = 200
+    with open(path, "w") as f:
+        for i in range(n):
+            # line lengths vary so cut points land everywhere
+            f.write(
+                json.dumps(
+                    {
+                        "metadata": {"uid": f"u{i}", "resourceVersion": "1"},
+                        "type": "Normal",
+                        "reason": "R" + "x" * (i % 37),
+                        "involvedObject": {"kind": "Pod", "namespace": "d"},
+                    }
+                )
+                + "\n"
+            )
+    stream = (
+        spark.readStream.format("k8s-events")
+        .option("path", path)
+        .option("maxbytesperpartition", 256)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("k8s_split_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [r["uid"] for r in spark.table("k8s_split_test").collect()]
+    assert sorted(got, key=lambda u: int(u[1:])) == [f"u{i}" for i in range(n)]
+    assert len(set(got)) == n  # no dup, no loss
+
+
 def test_dedup_pipeline_on_rocksdb_state_store(spark, k8s_dir, tmp_path):
     """The 100 TB dedup-state configuration: RocksDB state store
     instead of the default in-memory HDFS-backed provider."""
