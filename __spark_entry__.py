@@ -29,9 +29,11 @@ from event_stream_for_k8s_spark.plans import REGISTRY  # noqa: E402
 # under early-sorting `a_chk_<name>` aliases (same callable, same
 # oracle SQL — pure duplicates, suggested by VERDICT r01 "Next round"
 # #2). Round 2's batch: the 5 r01-red queries after their
-# scalar-output fixes, the 4 newly-hardened llm_* array emitters, the
-# rewritten ts_fill_forward, and the driver-unverified Part-B core
-# (joins, windows, set ops, sort/topk, scans, sinks, UDFs, projections).
+# scalar-output fixes, every query whose implementation changed this
+# round (serialization, blocking keys, resize, fill-forward grid), and
+# the driver-unverified Part-B core (joins, windows, set ops,
+# sort/topk, scans, UDFs, projections). `tools/rotate_probes.py`
+# computes the next batch from accumulated CORRECTNESS files.
 DRIVER_PROBES = [
     "agg_approx_percentile",
     "agg_collect",
@@ -51,7 +53,7 @@ DRIVER_PROBES = [
     "join_semi",
     "join_theta",
     "join_interval",
-    "join_cross",
+    "join_fuzzy_blocked",
     "key_concat",
     "project_select",
     "project_nested",
@@ -73,13 +75,13 @@ DRIVER_PROBES = [
     "scan_json",
     "scan_csv",
     "sink_parquet",
-    "sink_memory",
-    "sink_console_json",
+    "llm_mm_resize",
+    "llm_dedup_ngram",
     "udf_scalar",
     "udf_pandas",
     "udaf_pandas",
     "udtf_apply",
-    "udtf_py",
+    "llm_dedup_embed",
     "k8s_envelope_multidim_count",
     "llm_dedup_exact",
     "llm_dedup_near",

@@ -260,6 +260,109 @@ def test_k8s_datasource_partition_split_exactness(spark, tmp_path):
     assert len(set(got)) == n  # no dup, no loss
 
 
+def test_k8s_http_watch_spooler(spark, tmp_path):
+    """Real list-then-watch HTTP transport (A1, tasks.rs:150-182)
+    against a localhost server speaking the k8s API conventions:
+    LIST -> EventList with resourceVersion, WATCH ?resourceVersion=rv
+    -> NDJSON {type, object} stream. The spool feeds the SAME
+    partitioned k8s-events source a file-tailing collector uses."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from event_stream_for_k8s_spark.sources.k8s_watch_http import (
+        K8sWatchSpooler,
+    )
+
+    def ev(uid, rv, reason):
+        return {
+            "metadata": {"uid": uid, "resourceVersion": str(rv)},
+            "type": "Normal",
+            "reason": reason,
+            "involvedObject": {"kind": "Pod", "namespace": "d"},
+        }
+
+    watch_rvs = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            assert self.path.startswith("/api/v1/events?")
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            if "watch=true" in self.path:
+                rv = self.path.split("resourceVersion=")[1].split("&")[0]
+                watch_rvs.append(rv)
+                for i, kind in ((3, "ADDED"), (4, "ADDED"), (5, "MODIFIED")):
+                    self.wfile.write(
+                        (
+                            json.dumps(
+                                {"type": kind, "object": ev(f"u{i}", i, "W")}
+                            )
+                            + "\n"
+                        ).encode()
+                    )
+                self.wfile.write(
+                    (
+                        json.dumps(
+                            {
+                                "type": "BOOKMARK",
+                                "object": {"metadata": {"resourceVersion": "5"}},
+                            }
+                        )
+                        + "\n"
+                    ).encode()
+                )
+            else:
+                self.wfile.write(
+                    json.dumps(
+                        {
+                            "kind": "EventList",
+                            "metadata": {"resourceVersion": "2"},
+                            "items": [ev("u1", 1, "L"), ev("u2", 2, "L")],
+                        }
+                    ).encode()
+                )
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        spool = str(tmp_path / "spool.jsonl")
+        sp = K8sWatchSpooler(f"http://127.0.0.1:{srv.server_port}", spool)
+        n = sp.run()
+        assert n == 5  # 2 listed + 3 watched (bookmark not spooled)
+        assert watch_rvs == ["2"]  # watch resumed from the LIST's rv
+        assert sp.resource_version == "5"  # advanced through the stream
+
+        # the spool feeds the standard partitioned source unchanged
+        from event_stream_for_k8s_spark.sources.k8s_datasource import (
+            register,
+        )
+
+        register(spark)
+        q = (
+            spark.readStream.format("k8s-events")
+            .option("path", spool)
+            .load()
+            .writeStream.format("memory")
+            .queryName("k8s_http_test")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        uids = sorted(
+            r["uid"] for r in spark.table("k8s_http_test").collect()
+        )
+        assert uids == ["u1", "u2", "u3", "u4", "u5"]
+    finally:
+        srv.shutdown()
+
+
 def test_dedup_pipeline_on_rocksdb_state_store(spark, k8s_dir, tmp_path):
     """The 100 TB dedup-state configuration: RocksDB state store
     instead of the default in-memory HDFS-backed provider."""
