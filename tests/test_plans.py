@@ -231,6 +231,17 @@ def test_retention_cohort_side_is_broadcast(spark):
     assert "BroadcastHashJoin" in p
 
 
+def test_blocked_dedup_joins_are_equi_joins(spark):
+    # The content-blocked dedup tiers must stay hash/sort-merge
+    # equi-joins on the block key — a "simplification" to an OR-join
+    # (llm_dedup_embed's oracle form) or a non-equi pair predicate
+    # would silently become a nested-loop all-pairs scan.
+    for name in ("llm_dedup_ngram", "llm_dedup_embed", "join_fuzzy_blocked"):
+        p = _plan(spark, name)
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+
+
 def test_fill_forward_grid_has_no_unbounded_broadcast(spark):
     # VERDICT r01 #3: the calendar grid must come from a per-user
     # sequence() explode, NOT days.crossJoin(broadcast(users)) +
