@@ -1150,3 +1150,98 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buckets.groupBy("o_orderstatus").agg(
         F.sum(F.expr("bitmap_count(bm)")).alias("n_custs")
     )
+
+
+CM_DEPTH, CM_WIDTH = 4, 64
+
+
+def _cm_col_spark(key, row: int):
+    """Row-``row`` Count-Min column of ``key``: first 8 md5 hex chars of
+    (row || key) as an int, mod width. md5 is identical everywhere, so
+    the sketch — including its collisions — reproduces exactly on any
+    engine, which is what makes a sketch operator oracle-checkable."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(str(row)), key)), 1, 8), 16, 10)
+        .cast("bigint")
+        % CM_WIDTH
+    )
+
+
+def _cm_col_sql(key: str, row: int) -> str:
+    return (
+        f"('0x' || substr(md5('{row}' || {key}), 1, 8))::bigint % {CM_WIDTH}"
+    )
+
+
+@query(
+    "agg_countmin",
+    oracle=f"""
+WITH cells AS (
+  SELECT unnest([{", ".join(
+      f"{{'r': {i}, 'c': {_cm_col_sql('event_type', i)}}}"
+      for i in range(CM_DEPTH)
+  )}]) AS cell
+  FROM events
+), sketch AS (
+  SELECT cell.r AS r, cell.c AS c, count(*) AS n
+  FROM cells GROUP BY 1, 2
+), keys AS (
+  SELECT DISTINCT event_type FROM events
+), probes AS (
+  SELECT k.event_type, s.n
+  FROM keys k JOIN sketch s
+    ON {" OR ".join(
+        f"(s.r = {i} AND s.c = {_cm_col_sql('k.event_type', i)})"
+        for i in range(CM_DEPTH)
+    )}
+)
+SELECT p.event_type, cast(min(p.n) AS bigint) AS est,
+       cast((SELECT count(*) FROM events e
+             WHERE e.event_type = p.event_type) AS bigint) AS exact
+FROM probes p GROUP BY 1
+""",
+    section="C",
+    notes=f"Count-Min sketch frequency estimation, pure expressions: "
+    f"each event contributes one increment per row (explode {CM_DEPTH} "
+    f"(row, md5-hash mod {CM_WIDTH}) cells, groupBy-count = the "
+    f"sketch), a point query takes the MIN over its {CM_DEPTH} "
+    f"counters. The sketch is {CM_DEPTH}x{CM_WIDTH} ints TOTAL "
+    f"regardless of key cardinality and merges by cell-wise addition "
+    f"— the bounded-memory mergeable tier of the reference's label "
+    f"counters (A8, tasks.rs:26-45) when the label domain is "
+    f"unbounded; over-estimation only, never under. md5-derived hash "
+    f"columns make the sketch bit-identical across engines, so the "
+    f"oracle checks it EXACTLY, collisions included; the exact column "
+    f"pins the overestimate on this domain",
+)
+def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                _cm_col_spark(F.col("event_type"), i).alias("col"),
+            )
+            for i in range(CM_DEPTH)
+        ]
+    )
+    sketch = (
+        e.select(F.explode(cells).alias("cell"))
+        .groupBy(F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
+        .agg(F.count("*").alias("c"))
+    )
+    keys = e.groupBy("event_type").agg(F.count("*").alias("exact"))
+    # one equi-join per sketch row (never an OR-join): each key probes
+    # exactly CM_DEPTH cells; union keeps every join a hash join.
+    probes = None
+    for i in range(CM_DEPTH):
+        p = keys.withColumn("row", F.lit(i)).withColumn(
+            "col", _cm_col_spark(F.col("event_type"), i)
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    est = (
+        probes.join(F.broadcast(sketch), ["row", "col"])
+        .groupBy("event_type", "exact")
+        .agg(F.min("c").alias("est"))
+    )
+    return est.select("event_type", "est", "exact")
