@@ -1152,6 +1152,125 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_K, BLOOM_M = 4, 4096
+
+
+@query(
+    "join_bloom_membership",
+    oracle=f"""
+WITH members AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+), bits AS (
+  SELECT DISTINCT cell.r AS r, cell.b AS b FROM (
+    SELECT unnest([{", ".join(
+        "{'r': %d, 'b': ('0x' || substr(md5('%d' || c_custkey), 1, 8))::bigint %% %d}"
+        % (i, i, BLOOM_M)
+        for i in range(BLOOM_K)
+    )}]) AS cell
+    FROM members
+  )
+), probes AS (
+  SELECT DISTINCT o_custkey AS k FROM orders
+), probe_bits AS (
+  SELECT k, r, ('0x' || substr(md5(cast(r AS varchar) || k), 1, 8))::bigint
+              % {BLOOM_M} AS b
+  FROM probes CROSS JOIN (SELECT unnest(range({BLOOM_K})) AS r)
+), hits AS (
+  SELECT pb.k, count(bits.b) AS n_hit
+  FROM probe_bits pb LEFT JOIN bits ON bits.r = pb.r AND bits.b = pb.b
+  GROUP BY pb.k
+), verdicts AS (
+  SELECT h.k, h.n_hit = {BLOOM_K} AS maybe,
+         h.k IN (SELECT c_custkey FROM members) AS actual
+  FROM hits h
+)
+SELECT cast(count(*) AS bigint) AS n_probes,
+       cast(count(*) FILTER (maybe) AS bigint) AS n_maybe,
+       cast(count(*) FILTER (actual) AS bigint) AS n_true,
+       cast(count(*) FILTER (maybe AND NOT actual) AS bigint) AS n_false_pos,
+       cast(count(*) FILTER (actual AND NOT maybe) AS bigint) AS n_false_neg
+FROM verdicts
+""",
+    section="C",
+    notes=f"Bloom-filter membership as pure expressions: the BUILDING-"
+    f"segment customer set becomes {BLOOM_K} md5-derived bit positions "
+    f"per member (distinct (row, bit) pairs, <= {BLOOM_K}*|S| ints, "
+    f"mergeable by union); a probe key is 'maybe present' iff all "
+    f"{BLOOM_K} of its bits are set, checked with per-row EQUI-joins. "
+    f"This is the semi-join accelerator: ship the filter, not the set "
+    f"— Spark's native bloom_filter_agg/might_contain is the "
+    f"engine-optimized form (exercised in the runtime-bloom plan "
+    f"test); this md5 twin is engine-independent so the oracle checks "
+    f"membership EXACTLY, false positives included. n_false_neg is "
+    f"structurally zero (Bloom filters never under-claim) and the "
+    f"oracle pins that",
+)
+def join_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    members = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+
+    def bloom_bit(key, row: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(str(row)), key.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % BLOOM_M
+        )
+
+    bits = None
+    for i in range(BLOOM_K):
+        part = members.select(
+            F.lit(i).alias("r"), bloom_bit(F.col("c_custkey"), i).alias("b")
+        )
+        bits = part if bits is None else bits.unionByName(part)
+    bits = bits.distinct()
+    probes = o.select(F.col("o_custkey").alias("k")).distinct()
+    probe_bits = None
+    for i in range(BLOOM_K):
+        part = probes.select(
+            "k", F.lit(i).alias("r"), bloom_bit(F.col("k"), i).alias("b")
+        )
+        probe_bits = (
+            part if probe_bits is None else probe_bits.unionByName(part)
+        )
+    hits = (
+        probe_bits.join(
+            F.broadcast(bits.withColumn("hit", F.lit(1))), ["r", "b"], "left"
+        )
+        .groupBy("k")
+        .agg(F.count("hit").alias("n_hit"))
+    )
+    actual = members.select(
+        F.col("c_custkey").alias("k"), F.lit(True).alias("actual")
+    )
+    verdicts = (
+        hits.join(F.broadcast(actual), "k", "left")
+        .select(
+            "k",
+            (F.col("n_hit") == BLOOM_K).alias("maybe"),
+            F.coalesce("actual", F.lit(False)).alias("actual"),
+        )
+    )
+    return verdicts.agg(
+        F.count("*").alias("n_probes"),
+        F.count(F.when(F.col("maybe"), 1)).alias("n_maybe"),
+        F.count(F.when(F.col("actual"), 1)).alias("n_true"),
+        F.count(F.when(F.col("maybe") & ~F.col("actual"), 1)).alias(
+            "n_false_pos"
+        ),
+        F.count(F.when(F.col("actual") & ~F.col("maybe"), 1)).alias(
+            "n_false_neg"
+        ),
+    )
+
+
 CM_DEPTH, CM_WIDTH = 4, 64
 
 
