@@ -449,6 +449,103 @@ def llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_corpus_pipeline",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+), feats AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text)
+           AS punct_ratio,
+         {_sql_hits(STOPWORDS)} * 1.0 / len(string_split(text, ' '))
+           AS stopword_ratio,
+         (length(text) - len(string_split(text, ' ')) + 1) * 1.0
+           / len(string_split(text, ' ')) AS avg_token_len
+  FROM ranked WHERE rn = 1
+), gated AS (
+  SELECT *,
+         cast(stopword_ratio BETWEEN 0.02 AND 0.6 AS int)
+       + cast(avg_token_len BETWEEN 3 AND 12 AS int)
+       + cast(n_chars BETWEEN 50 AND 5000 AS int)
+       + cast(punct_ratio <= 0.1 AS int) AS q
+  FROM feats
+), split_docs AS (
+  SELECT CASE WHEN ('0x' || substr(md5(text), 1, 8))::bigint % 100 < 80
+              THEN 'train'
+              WHEN ('0x' || substr(md5(text), 1, 8))::bigint % 100 < 90
+              THEN 'val' ELSE 'test' END AS split,
+         n_tokens, n_chars
+  FROM gated WHERE q >= 3
+)
+SELECT split,
+       cast(count(*) AS bigint) AS n_docs,
+       cast(sum(n_tokens) AS bigint) AS n_tokens,
+       cast(sum(n_chars) AS bigint) AS total_chars
+FROM split_docs GROUP BY split
+""",
+    section="C",
+    notes="the training-data pipeline END-TO-END as one declared plan: "
+    "exact dedup (keep min doc_id per content hash) -> 4-signal "
+    "quality gate (>= 3 of stopword/token-length/length/punctuation) "
+    "-> content-hash 80/10/10 split -> per-split shard statistics. "
+    "Composition is the point: every stage is the already-verified "
+    "operator (llm_dedup_exact, llm_quality, llm_split, "
+    "llm_shard_manifest shapes) fused into one Catalyst plan — one "
+    "shuffle for the dedup window, one for the final rollup; the "
+    "quality gate and split assignment ride along the same pass. "
+    "Content-hash split (not id-hash) so re-ingested corpora land "
+    "identically",
+)
+def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    rn = F.row_number().over(
+        Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    )
+    kept = d.withColumn("rn", rn).filter(F.col("rn") == 1)
+    f = quality_features("text")
+    feats = kept.select(
+        "doc_id",
+        "text",
+        f["n_chars"].alias("n_chars"),
+        f["n_tokens"].alias("n_tokens"),
+        f["punct_ratio"].alias("punct_ratio"),
+        f["stopword_ratio"].alias("stopword_ratio"),
+        f["avg_token_len"].alias("avg_token_len"),
+    )
+    q = (
+        F.col("stopword_ratio").between(0.02, 0.6).cast("int")
+        + F.col("avg_token_len").between(3, 12).cast("int")
+        + F.col("n_chars").between(50, 5000).cast("int")
+        + (F.col("punct_ratio") <= 0.1).cast("int")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") % 100
+    )
+    split_docs = (
+        feats.filter(q >= 3)
+        .select(
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+            "n_tokens",
+            "n_chars",
+        )
+    )
+    return split_docs.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@query(
     "llm_tokens",
     oracle=f"""
 SELECT doc_id,

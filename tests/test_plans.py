@@ -231,6 +231,14 @@ def test_retention_cohort_side_is_broadcast(spark):
     assert "BroadcastHashJoin" in p
 
 
+def test_corpus_pipeline_two_shuffles(spark):
+    # dedup-window shuffle on md5(text) + final split rollup — the
+    # quality gate and split assignment must NOT add exchanges.
+    p = _plan(spark, "llm_corpus_pipeline")
+    n = p.count("Exchange hashpartitioning")
+    assert n <= 2, f"expected <=2 shuffles, saw {n}:\n{p[:1200]}"
+
+
 def test_blocked_dedup_joins_are_equi_joins(spark):
     # The content-blocked dedup tiers must stay hash/sort-merge
     # equi-joins on the block key — a "simplification" to an OR-join
