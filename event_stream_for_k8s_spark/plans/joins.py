@@ -480,6 +480,80 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_nearest",
+    oracle="""
+WITH cand AS (
+  SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+         row_number() OVER (PARTITION BY e.event_id
+           ORDER BY abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)) ASC,
+                    (o.o_orderdate > e.ts) ASC,
+                    o.o_orderkey DESC) rn
+  FROM events e JOIN orders o ON o.o_custkey = e.user_id
+)
+SELECT e.user_id, e.event_id, e.ts,
+       c.o_orderkey AS o_orderkey_near, c.o_orderdate AS o_orderdate_near
+FROM events e LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+  ON c.event_id = e.event_id
+""",
+    section="C",
+    notes="NEAREST as-of join (closest right row in EITHER direction; "
+    "equidistant ties resolve backward, then max key): composed from "
+    "the two directional union+window passes — backward and "
+    "negated-key forward — merged by an equi-join on the left key "
+    "with a |dt| comparison. Still no pair blowup: each pass is one "
+    "window over the union, the oracle's quadratic join+rank is the "
+    "spec. The sensor-fusion/feature-alignment semantic (closest "
+    "reading to each observation) that neither <= nor >= alone gives",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    back = asof_join(
+        ev,
+        o,
+        on=["user_id"],
+        left_time="ts",
+        right_time="o_orderdate",
+        payload=["o_orderkey", "o_orderdate"],
+        tiebreak="o_orderkey",
+    )
+    ev_n = ev.withColumn("tneg", -F.unix_micros("ts"))
+    o_n = o.withColumn(
+        "tneg", -F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    )
+    fwd = asof_join(
+        ev_n,
+        o_n,
+        on=["user_id"],
+        left_time="tneg",
+        right_time="tneg",
+        payload=["o_orderkey", "o_orderdate"],
+        tiebreak="o_orderkey",
+        suffix="_next",
+    ).select("event_id", "o_orderkey_next", "o_orderdate_next")
+    j = back.join(fwd, "event_id")
+    t_us = F.unix_micros("ts")
+    db = t_us - F.unix_micros(F.col("o_orderdate_asof").cast("timestamp"))
+    df_ = F.unix_micros(F.col("o_orderdate_next").cast("timestamp")) - t_us
+    take_back = F.col("o_orderdate_next").isNull() | (
+        F.col("o_orderdate_asof").isNotNull() & (db <= df_)
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(take_back, F.col("o_orderkey_asof"))
+        .otherwise(F.col("o_orderkey_next"))
+        .alias("o_orderkey_near"),
+        F.when(take_back, F.col("o_orderdate_asof"))
+        .otherwise(F.col("o_orderdate_next"))
+        .alias("o_orderdate_near"),
+    )
+
+
+@query(
     "join_asof_tolerance",
     oracle="""
 WITH cand AS (

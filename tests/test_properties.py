@@ -212,6 +212,64 @@ def test_winnow_matches_reference_and_covers_every_window(spark, hashes):
 
 
 @given(
+    keys=st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "ee", "ff", "g1", "g2"]),
+        min_size=1,
+        max_size=60,
+    )
+)
+@SETTINGS
+def test_countmin_never_underestimates(spark, keys):
+    """CM guarantee: est >= exact for every key, and est == exact when
+    the key's 4 cells are collision-free (checked from the key set)."""
+    import hashlib
+
+    from event_stream_for_k8s_spark.plans.relational import (
+        CM_DEPTH,
+        CM_WIDTH,
+        _cm_col_spark,
+    )
+
+    def col_of(key, row):
+        h = hashlib.md5(f"{row}{key}".encode()).hexdigest()[:8]
+        return int(h, 16) % CM_WIDTH
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                _cm_col_spark(F.col("k"), i).alias("col"),
+            )
+            for i in range(CM_DEPTH)
+        ]
+    )
+    sketch = {
+        (r["cell"]["row"], r["cell"]["col"]): r["n"]
+        for r in df.select(F.explode(cells).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    from collections import Counter
+
+    exact = Counter(keys)
+    for k, n in exact.items():
+        est = min(sketch[(i, col_of(k, i))] for i in range(CM_DEPTH))
+        assert est >= n, (k, est, n)
+        collides = any(
+            any(
+                col_of(k2, i) == col_of(k, i)
+                for k2 in exact
+                if k2 != k
+            )
+            for i in range(CM_DEPTH)
+        )
+        if not collides:
+            assert est == n, (k, est, n)
+
+
+@given(
     hashes=st.lists(
         st.one_of(st.integers(0, 2**31 - 2), st.none()),
         min_size=1,
