@@ -456,6 +456,63 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, cast(date_trunc('day', ts) AS date) AS d
+  FROM events
+), grp AS (
+  SELECT user_id, d,
+         d - cast(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                  AS int) AS anchor
+  FROM days
+), runs AS (
+  SELECT user_id, anchor, count(*) AS len,
+         min(d) AS streak_start
+  FROM grp GROUP BY user_id, anchor
+)
+SELECT user_id,
+       cast(max(len) AS bigint) AS best_streak,
+       cast(count(*) AS bigint) AS n_streaks,
+       cast(min(streak_start) AS varchar) AS first_day
+FROM runs GROUP BY user_id
+""",
+    section="C",
+    notes="gaps-and-islands: consecutive-day activity streaks per user "
+    "via the date-minus-row_number anchor (consecutive days share an "
+    "anchor, a gap shifts it). One shuffle on user_id serves the "
+    "distinct, the window, and both aggregations — Catalyst reuses "
+    "the hash partitioning end-to-end. Pure int/date arithmetic, "
+    "exact on both engines; the engagement/retention twin of "
+    "batch_sessionize's time-gap sessions",
+)
+def ts_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("d")
+    )
+    grp = days.select(
+        "user_id", "d", F.date_sub("d", rn).alias("anchor")
+    )
+    runs = grp.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("len"), F.min("d").alias("streak_start")
+    )
+    # date emitted as its ISO string: pandas bridges a DATE column to
+    # datetime64 on one engine and datetime.date on the other, which
+    # value-hash-mismatches even when equal.
+    return runs.groupBy("user_id").agg(
+        F.max("len").alias("best_streak"),
+        F.count("*").alias("n_streaks"),
+        F.min("streak_start").cast("string").alias("first_day"),
+    )
+
+
+@query(
     "ts_active_users",
     oracle="""
 WITH du AS (
