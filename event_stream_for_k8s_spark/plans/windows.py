@@ -171,6 +171,59 @@ def win_dedup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_running_distinct",
+    oracle="""
+WITH flagged AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN row_number() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT event_id, user_id, ts,
+       cast(sum(first_seen) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id) AS bigint)
+         AS distinct_types_so_far
+FROM flagged
+""",
+    section="C",
+    notes="running COUNT(DISTINCT) over time — not directly a window "
+    "function in any engine (distinct frames need full-frame state). "
+    "The scalable rewrite: flag each (user, value)'s FIRST occurrence "
+    "with one ranked window, then a running sum of flags gives the "
+    "distinct count at every row. ONE shuffle: an explicit "
+    "repartition on user_id satisfies BOTH window clusterings "
+    "(hash(user_id) is a subset of (user_id, event_type), so rows of "
+    "one (user, type) group are already colocated) — window order "
+    "alone would shuffle twice, hash(user_id, event_type) does not "
+    "satisfy the second window. Plan-tested. State per row is one "
+    "bit, not a distinct set. 'How many distinct error kinds had "
+    "this pod emitted by time t' over the reference's event stream",
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").repartition("user_id")
+    first_seen = (
+        F.row_number().over(
+            Window.partitionBy("user_id", "event_type").orderBy(
+                "ts", "event_id"
+            )
+        )
+        == 1
+    ).cast("int")
+    flagged = e.select(
+        "event_id", "user_id", "ts", first_seen.alias("first_seen")
+    )
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return flagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum("first_seen").over(running).alias("distinct_types_so_far"),
+    )
+
+
+@query(
     "win_distribution",
     oracle="""
 SELECT o_orderkey, o_orderpriority,

@@ -231,6 +231,14 @@ def test_retention_cohort_side_is_broadcast(spark):
     assert "BroadcastHashJoin" in p
 
 
+def test_running_distinct_single_shuffle(spark):
+    # repartition(user_id) must satisfy BOTH window clusterings
+    # ((user_id, event_type) and (user_id)) — exactly one exchange.
+    p = _plan(spark, "win_running_distinct")
+    n = p.count("Exchange hashpartitioning")
+    assert n == 1, f"expected 1 shuffle, saw {n}:\n{p[:1200]}"
+
+
 def test_corpus_pipeline_two_shuffles(spark):
     # dedup-window shuffle on md5(text) + final split rollup — the
     # quality gate and split assignment must NOT add exchanges.
