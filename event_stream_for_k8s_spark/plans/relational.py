@@ -1212,34 +1212,34 @@ def join_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey"
     )
 
-    def bloom_bit(key, row: int):
+    def bloom_bit(key, row):
+        r = F.lit(str(row)) if isinstance(row, int) else row.cast("string")
         return (
             F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(str(row)), key.cast("string"))), 1, 8
-                ),
+                F.substring(F.md5(F.concat(r, key.cast("string"))), 1, 8),
                 16,
                 10,
             ).cast("bigint")
             % BLOOM_M
         )
 
-    bits = None
-    for i in range(BLOOM_K):
-        part = members.select(
-            F.lit(i).alias("r"), bloom_bit(F.col("c_custkey"), i).alias("b")
+    rows_arr = F.array(*[F.lit(i) for i in range(BLOOM_K)])
+    # explode the row indices instead of unioning K withColumn branches:
+    # a union recomputes the upstream (member filter / probe distinct)
+    # once per branch — K extra scans and exchanges for nothing.
+    bits = (
+        members.select(
+            "c_custkey", F.explode(rows_arr).alias("r")
         )
-        bits = part if bits is None else bits.unionByName(part)
-    bits = bits.distinct()
+        .select(
+            "r", bloom_bit(F.col("c_custkey"), F.col("r")).alias("b")
+        )
+        .distinct()
+    )
     probes = o.select(F.col("o_custkey").alias("k")).distinct()
-    probe_bits = None
-    for i in range(BLOOM_K):
-        part = probes.select(
-            "k", F.lit(i).alias("r"), bloom_bit(F.col("k"), i).alias("b")
-        )
-        probe_bits = (
-            part if probe_bits is None else probe_bits.unionByName(part)
-        )
+    probe_bits = probes.select(
+        "k", F.explode(rows_arr).alias("r")
+    ).select("k", "r", bloom_bit(F.col("k"), F.col("r")).alias("b"))
     hits = (
         probe_bits.join(
             F.broadcast(bits.withColumn("hit", F.lit(1))), ["r", "b"], "left"
@@ -1274,13 +1274,15 @@ def join_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 CM_DEPTH, CM_WIDTH = 4, 64
 
 
-def _cm_col_spark(key, row: int):
+def _cm_col_spark(key, row):
     """Row-``row`` Count-Min column of ``key``: first 8 md5 hex chars of
     (row || key) as an int, mod width. md5 is identical everywhere, so
     the sketch — including its collisions — reproduces exactly on any
-    engine, which is what makes a sketch operator oracle-checkable."""
+    engine, which is what makes a sketch operator oracle-checkable.
+    ``row`` may be a literal int or a Column of row indices."""
+    r = F.lit(str(row)) if isinstance(row, int) else row.cast("string")
     return (
-        F.conv(F.substring(F.md5(F.concat(F.lit(str(row)), key)), 1, 8), 16, 10)
+        F.conv(F.substring(F.md5(F.concat(r, key)), 1, 8), 16, 10)
         .cast("bigint")
         % CM_WIDTH
     )
@@ -1350,14 +1352,16 @@ def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
     )
     keys = e.groupBy("event_type").agg(F.count("*").alias("exact"))
-    # one equi-join per sketch row (never an OR-join): each key probes
-    # exactly CM_DEPTH cells; union keeps every join a hash join.
-    probes = None
-    for i in range(CM_DEPTH):
-        p = keys.withColumn("row", F.lit(i)).withColumn(
-            "col", _cm_col_spark(F.col("event_type"), i)
-        )
-        probes = p if probes is None else probes.unionByName(p)
+    # each key probes exactly CM_DEPTH cells via EXPLODE of the row
+    # indices — a 4-way union of withColumn branches would recompute
+    # the keys aggregate once per branch (4 extra scans+exchanges,
+    # seen in the plan audit); explode keeps one aggregate, one scan.
+    probes = keys.select(
+        "*",
+        F.explode(F.array(*[F.lit(i) for i in range(CM_DEPTH)])).alias(
+            "row"
+        ),
+    ).withColumn("col", _cm_col_spark(F.col("event_type"), F.col("row")))
     est = (
         probes.join(F.broadcast(sketch), ["row", "col"])
         .groupBy("event_type", "exact")

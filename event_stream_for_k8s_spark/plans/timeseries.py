@@ -489,7 +489,9 @@ FROM runs GROUP BY user_id
 def ts_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = load(spark, sf_dir, "events")
+    # hash(user_id) satisfies every downstream clustering ((user_id, d)
+    # distinct, the window, both aggs) — one exchange for the query.
+    e = load(spark, sf_dir, "events").repartition("user_id")
     days = e.select(
         "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
     ).distinct()
