@@ -255,43 +255,63 @@ SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
 """,
     section="C",
     notes="ordered funnel: view -> first click after it -> first "
-    "purchase within 72h of that click, counted per stage. Each "
-    "stage is a conditional min-aggregate joined to the previous "
-    "stage's anchor -- every agg and join keys on user_id, so the "
-    "whole funnel is ONE shuffle partitioning reused three times. "
+    "purchase within 72h of that click, counted per stage — in ONE "
+    "pass. Per user, events sort by (time, stage-priority) and two "
+    "running window mins track the first view and the first "
+    "QUALIFYING click seen so far; a row qualifies for its stage by "
+    "comparing against those running anchors. The naive per-stage "
+    "join chain re-scanned events per stage and recomputed each "
+    "stage's subtree inside the next (plan audit: 6 exchanges, 7 "
+    "scans); this form is 1 scan + 1 user-shuffle + the final "
+    "single-row rollup. Stage-priority tiebreak (view<click<purchase "
+    "at equal micros) reproduces the oracle's inclusive >= exactly. "
     "Timestamps compared as epoch-micros on both engines",
 )
 def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     e = load(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.unix_micros("ts").alias("t")
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("t")
     )
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("t").alias("t_view"))
+    pri = (
+        F.when(F.col("event_type") == "view", 0)
+        .when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "purchase", 2)
+        .otherwise(3)
     )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("t") >= F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("t").alias("t_click"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", pri, "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(
-            (F.col("t") >= F.col("t_click"))
-            & (F.col("t") <= F.col("t_click") + 259_200_000_000)
-        )
-        .groupBy("user_id")
-        .agg(F.min("t").alias("t_buy"))
+    run_view = F.min(
+        F.when(F.col("event_type") == "view", F.col("t"))
+    ).over(w)
+    click_ok = (F.col("event_type") == "click") & (
+        F.col("t") >= run_view
     )
-    n_users = e.select(F.countDistinct("user_id").alias("n_users"))
-    return (
-        n_users.crossJoin(v.agg(F.count("*").alias("n_viewed")))
-        .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
-        .crossJoin(p.agg(F.count("*").alias("n_purchased_72h")))
+    run_click = F.min(F.when(click_ok, F.col("t"))).over(w)
+    buy_ok = (
+        (F.col("event_type") == "purchase")
+        & (F.col("t") >= run_click)
+        & (F.col("t") <= run_click + 259_200_000_000)
+    )
+    staged = e.select(
+        "user_id",
+        F.when(F.col("event_type") == "view", F.col("t")).alias("tv"),
+        F.when(click_ok, F.col("t")).alias("tc"),
+        F.when(buy_ok, F.col("t")).alias("tb"),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min("tv").alias("t_view"),
+        F.min("tc").alias("t_click"),
+        F.min("tb").alias("t_buy"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked_after_view"),
+        F.count("t_buy").alias("n_purchased_72h"),
     )
 
 
