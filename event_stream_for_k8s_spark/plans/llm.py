@@ -861,18 +861,24 @@ SELECT doc_id, term, tf, score, rnk FROM (
   FROM scored) WHERE rnk <= 3
 """,
     section="B.11",
-    notes="top-3 tf-idf terms per document (keyword extraction): "
-    "tf and df aggregations share one tokenize pass; df side is "
-    "broadcast back — per-doc ranking never reshuffles the corpus "
-    "by anything but doc_id",
+    notes="top-3 tf-idf terms per document (keyword extraction). "
+    "Document frequency derives FROM tf (tf rows are distinct "
+    "(doc, term) pairs, so df = count per term) — aggregating the "
+    "raw token explode twice would rescan and re-explode the corpus "
+    "AND pay a countDistinct expand; tf is strictly smaller. "
+    "repartition(doc_id) up front lets hash(doc_id) serve the tf "
+    "aggregation and the per-doc ranking window (subset clustering); "
+    "the tiny df side broadcasts back",
 )
 def llm_doc_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_stream_for_k8s_spark.operators.topk import top_k_per_group
 
     d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tok = d.repartition("doc_id").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     nd = d.groupBy().agg(F.count("*").alias("nd"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")

@@ -556,13 +556,22 @@ SELECT day, count(*) AS n_users_7d FROM w GROUP BY day
     "pair onto the 7 days it covers and semi-join the observed-day "
     "grid (broadcast, calendar-bounded) -- no nested-loop range "
     "join, and the fan-out is a fixed x7 of the already-tiny pair "
-    "set, not of the raw events",
+    "set, not of the raw events. The pair set is PERSISTED: it feeds "
+    "both the day grid and the fan-out, and without materialization "
+    "Spark recomputes the full events scan + distinct twice (the "
+    "dominant cost at scale); the pair set itself is bounded by "
+    "|days| x |users|. repartition(day) before the final distinct "
+    "lets hash(day) serve both the (day,user) dedup and the rollup",
 )
 def ts_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     e = load(spark, sf_dir, "events")
-    du = e.select(
-        F.date_trunc("day", "ts").alias("d"), "user_id"
-    ).distinct()
+    du = (
+        e.select(F.date_trunc("day", "ts").alias("d"), "user_id")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     days = du.select(F.col("d").alias("day")).distinct()
     covered = du.select(
         F.explode(
@@ -576,6 +585,7 @@ def ts_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         covered.join(F.broadcast(days), "day", "left_semi")
+        .repartition("day")
         .distinct()
         .groupBy("day")
         .agg(F.count("*").alias("n_users_7d"))
