@@ -1092,20 +1092,29 @@ GROUP BY a.doc_id
     "through one explode + broadcast-hash semi-join, no big shuffle",
 )
 def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    # Distinct (doc, gram) pairs computed ONCE and persisted: the pair
+    # set feeds both the eval-gram derivation and the scoring join
+    # (recompute = exploding the corpus twice), and pre-deduping turns
+    # the final countDistinct into a plain count (no expand).
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("t")
     )
-    grams = d.select(
-        "doc_id", F.explode(_word_ngrams("t", 3)).alias("g")
+    dg = (
+        d.repartition("doc_id")
+        .select("doc_id", F.explode(_word_ngrams("t", 3)).alias("g"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     eval_grams = (
-        grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+        dg.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
     )
     return (
-        grams.filter(F.col("doc_id") % 97 != 0)
+        dg.filter(F.col("doc_id") % 97 != 0)
         .join(F.broadcast(eval_grams), "g")
         .groupBy("doc_id")
-        .agg(F.countDistinct("g").alias("n_shared_grams"))
+        .agg(F.count("*").cast("bigint").alias("n_shared_grams"))
     )
 
 
@@ -1385,26 +1394,42 @@ GROUP BY grams.doc_id
     "the corpus side is one explode + two aggs on doc_id",
 )
 def llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    # Collapse the gram explode to per-doc gram COUNTS once and persist:
+    # the relation feeds both the heavy-hitter aggregate and the scoring
+    # join, and recomputing it means exploding the corpus twice. tf is
+    # the collapsed (smaller) form; spill-backed persist costs the same
+    # order as one shuffle write. ndocs = row count per gram (tf rows
+    # are distinct (doc, gram)); occurrence counts weight by cnt.
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("t")
     )
-    grams = d.select(
-        "doc_id", F.explode(_word_ngrams("t", 2)).alias("g")
+    tf = (
+        d.repartition("doc_id")
+        .select("doc_id", F.explode(_word_ngrams("t", 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     boiler = (
-        grams.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        tf.groupBy("g")
+        .agg(F.count("*").alias("ndocs"))
         .filter(F.col("ndocs") >= 20)
         .select("g", F.lit(1).alias("is_boiler"))
     )
+    n_boiler = F.sum(
+        F.when(F.col("is_boiler").isNotNull(), F.col("cnt")).otherwise(0)
+    ).cast("bigint")
+    n_grams = F.sum("cnt").cast("bigint")
     return (
-        grams.join(F.broadcast(boiler), "g", "left")
+        tf.join(F.broadcast(boiler), "g", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_grams"),
-            F.count("is_boiler").cast("bigint").alias("n_boiler"),
+            n_grams.alias("n_grams"),
+            n_boiler.alias("n_boiler"),
             F.round(
-                F.count("is_boiler").cast("double") / F.count("*"), 6
+                n_boiler.cast("double") / n_grams.cast("double"), 6
             ).alias("boiler_frac"),
         )
     )
@@ -1559,9 +1584,27 @@ GROUP BY tok.doc_id
     "back to one tokenize pass; two aggs on doc_id",
 )
 def llm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Work on per-doc TERM COUNTS, not raw tokens: tf is the smaller
+    # relation, the unigram LM is a plain re-aggregation of it, and the
+    # scoring join weights nlp6 by count — identical integer arithmetic
+    # to summing per token (plan audit: the token explode used to be
+    # computed once for the LM and AGAIN for the scoring join).
+    # repartition(doc_id) lets one clustering serve the tf aggregation
+    # and the final per-doc rollup; tf is PERSISTED because three
+    # consumers derive from it (LM, its total, the scoring join) and
+    # every un-materialized reference re-embeds the whole explode+agg
+    # chain in the plan.
+    from pyspark import StorageLevel
+
     d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    lm = tok.groupBy("w").agg(F.count("*").alias("c"))
+    tf = (
+        d.repartition("doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    lm = tf.groupBy("w").agg(F.sum("cnt").cast("bigint").alias("c"))
     total = lm.agg(F.sum("c").cast("bigint").alias("n"))
     logp = lm.crossJoin(F.broadcast(total)).select(
         "w",
@@ -1570,12 +1613,15 @@ def llm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("nlp6"),
     )
     return (
-        tok.join(F.broadcast(logp), "w")
+        tf.join(F.broadcast(logp), "w")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
             F.round(
-                -F.sum("nlp6").cast("double") / 1_000_000 / F.count("*"), 6
+                -F.sum(F.col("cnt") * F.col("nlp6")).cast("double")
+                / 1_000_000
+                / F.sum("cnt"),
+                6,
             ).alias("avg_neg_logp"),
         )
     )
