@@ -239,25 +239,42 @@ FROM lineitem
 )
 def maint_stats_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-
-    def stats(col: str) -> DataFrame:
+    cols = ("l_quantity", "l_returnflag", "l_shipdate")
+    # ONE pass computes every column's stats (ANALYZE semantics): a
+    # per-column union re-scans the table once per column. The multi-
+    # distinct resolves via one Expand (rows x n_cols in the shuffle)
+    # — still one scan, the standard ANALYZE plan. Spark renders
+    # timestamp->string with a bare midnight ("2024-01-01 00:00:00")
+    # exactly like DuckDB's varchar cast, so plain string casts line
+    # up for numerics, strings, and timestamps alike.
+    aggs = []
+    for col in cols:
         c = F.col(col)
-        # Spark renders timestamp->string with a bare midnight ("2024-01-01
-        # 00:00:00") exactly like DuckDB's varchar cast, so plain string
-        # casts line up for numerics, strings, and timestamps alike.
-        return li.agg(
-            F.lit(col).alias("col_name"),
-            F.count("*").alias("n_rows"),
-            (F.count("*") - F.count(c)).cast("bigint").alias("n_nulls"),
-            F.countDistinct(c).cast("bigint").alias("ndv"),
-            F.min(c).cast("string").alias("min_val"),
-            F.max(c).cast("string").alias("max_val"),
+        aggs += [
+            F.count(c).alias(f"__nn_{col}"),
+            F.countDistinct(c).cast("bigint").alias(f"__ndv_{col}"),
+            F.min(c).cast("string").alias(f"__mn_{col}"),
+            F.max(c).cast("string").alias(f"__mx_{col}"),
+        ]
+    wide = li.agg(F.count("*").alias("n_rows"), *aggs)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(col).alias("col_name"),
+                    F.col("n_rows").alias("n_rows"),
+                    (F.col("n_rows") - F.col(f"__nn_{col}"))
+                    .cast("bigint")
+                    .alias("n_nulls"),
+                    F.col(f"__ndv_{col}").alias("ndv"),
+                    F.col(f"__mn_{col}").alias("min_val"),
+                    F.col(f"__mx_{col}").alias("max_val"),
+                )
+                for col in cols
+            ]
         )
-
-    out = stats("l_quantity")
-    for col in ("l_returnflag", "l_shipdate"):
-        out = out.unionByName(stats(col))
-    return out
+    )
+    return wide.select(rows.alias("s")).select("s.*")
 
 
 def _interleave_bits(x, y, bits: int):

@@ -617,16 +617,24 @@ FROM days LEFT JOIN per_day ON per_day.day = days.day
     "O(days x history) rescan into one pass at any volume",
 )
 def ts_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
+    # distinct (day, user) pairs once (persisted — both the first-day
+    # aggregate and the day grid derive from it; recompute = two full
+    # events scans), then everything downstream works on the bounded
+    # pair set.
     e = load(spark, sf_dir, "events")
-    fs = e.groupBy("user_id").agg(
-        F.min(F.date_trunc("day", "ts")).alias("first_day")
+    du = (
+        e.select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    fs = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
     per_day = fs.groupBy(F.col("first_day").alias("day")).agg(
         F.count("*").alias("new_users")
     )
-    days = e.select(F.date_trunc("day", "ts").alias("day")).distinct()
+    days = du.select("day").distinct()
     joined = days.join(per_day, "day", "left").select(
         "day", F.coalesce("new_users", F.lit(0)).alias("new_users")
     )
