@@ -566,6 +566,83 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity', 0)} AS sum_qty,
+       {sql_dsum('l_extendedprice', 2)} AS sum_base_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}
+         AS sum_charge,
+       {sql_davg('l_quantity', 0)} AS avg_qty,
+       {sql_davg('l_extendedprice', 2)} AS avg_price,
+       {sql_davg('l_discount', 2)} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    section="B.4",
+    notes="TPC-H Q1 (pricing summary report): the canonical wide "
+    "aggregate — 8 aggregates over a filtered fact scan, 2 grouping "
+    "keys of tiny cardinality, pure map-side partials. All money "
+    "sums use the scaled-int discipline (products of 2dp columns "
+    "carry 4 and 6 decimal digits exactly), so the report "
+    "hash-matches a single-threaded engine at any parallelism",
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", dec=0).alias("sum_qty"),
+        dsum("l_extendedprice", dec=2).alias("sum_base_price"),
+        dsum(disc_price, dec=4).alias("sum_disc_price"),
+        dsum(charge, dec=6).alias("sum_charge"),
+        davg("l_quantity", dec=0).alias("avg_qty"),
+        davg("l_extendedprice", dec=2).alias("avg_price"),
+        davg("l_discount", dec=2).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+SELECT {sql_dsum('l_extendedprice * l_discount', 4)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+""",
+    section="B.4",
+    notes="TPC-H Q6 (forecasting revenue change): the pure "
+    "filter-and-sum scan — every predicate pushes to the parquet "
+    "reader and the single global sum is one map-side partial per "
+    "file split plus a 1-row merge; the query that measures scan "
+    "throughput and pushdown, nothing else",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * F.col("l_discount"), dec=4
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
     "tpch_q3_shipping_priority",
     oracle=f"""
 SELECT l.l_orderkey,
