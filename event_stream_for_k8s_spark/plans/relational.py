@@ -643,6 +643,44 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q4_order_priority",
+    oracle="""
+SELECT o.o_orderpriority, cast(count(*) AS bigint) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o.o_orderdate < TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o.o_orderpriority
+""",
+    section="B.3/B.4",
+    notes="TPC-H Q4 (order priority checking): the correlated EXISTS "
+    "is a LEFT SEMI join on orderkey with the correlated predicate "
+    "as join condition — the lineitem side never materializes "
+    "payload columns and duplicate matches never multiply rows. "
+    "Complements Q18's IN-subquery (pre-aggregated semi-join) as the "
+    "second decorrelation shape",
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+    )
+
+
+@query(
     "tpch_q12_shipmode_priority",
     oracle="""
 SELECT l.l_linestatus,
