@@ -2028,6 +2028,107 @@ def llm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MANIFEST_DIFF_ORACLE = """
+WITH a AS (
+  SELECT ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::bigint % 16
+           AS shard,
+         count(*) AS n_docs,
+         cast(sum(('0x' || substr(md5(text), 1, 8))::bigint) AS bigint)
+           AS checksum
+  FROM documents GROUP BY shard
+), b_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 11 <> 0
+), b AS (
+  SELECT ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::bigint % 16
+           AS shard,
+         count(*) AS n_docs,
+         cast(sum(('0x' || substr(md5(text), 1, 8))::bigint) AS bigint)
+           AS checksum
+  FROM b_docs GROUP BY shard
+)
+SELECT coalesce(a.shard, b.shard) AS shard,
+       coalesce(a.n_docs, 0) AS n_docs_a,
+       coalesce(b.n_docs, 0) AS n_docs_b,
+       coalesce(b.n_docs, 0) - coalesce(a.n_docs, 0) AS docs_delta,
+       CASE WHEN a.shard IS NULL THEN 'added'
+            WHEN b.shard IS NULL THEN 'removed'
+            WHEN a.checksum = b.checksum AND a.n_docs = b.n_docs
+            THEN 'unchanged' ELSE 'changed' END AS status
+FROM a FULL JOIN b ON a.shard = b.shard
+"""
+
+
+@query(
+    "maint_manifest_diff",
+    oracle=MANIFEST_DIFF_ORACLE,
+    section="C",
+    notes="corpus-version diff WITHOUT re-reading either corpus: two "
+    "shard manifests (deterministic md5 bucketing + the commutative "
+    "per-shard content checksum from llm_shard_manifest) full-outer "
+    "join on shard, and each shard classifies as "
+    "unchanged/changed/added/removed from counts + checksums alone. "
+    "Version B here is a deterministic derivation of the fixture "
+    "(drop doc_id%11, rewrite text of doc_id%13) so the diff is "
+    "exactly oracle-checkable; in production both manifests are "
+    "16-row sidecar files — the diff costs nothing at any corpus "
+    "size, which is the point: data versioning on manifests, not "
+    "data",
+)
+def maint_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    digest32 = lambda c: (  # noqa: E731
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+    )
+
+    def manifest(docs: DataFrame) -> DataFrame:
+        return (
+            docs.withColumn(
+                "shard", digest32(F.col("doc_id").cast("string")) % 16
+            )
+            .groupBy("shard")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(digest32(F.col("text"))).cast("bigint").alias(
+                    "checksum"
+                ),
+            )
+        )
+
+    b_docs = d.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat("text", F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    a = manifest(d).alias("a")
+    b = manifest(b_docs).alias("b")
+    joined = a.join(b, F.col("a.shard") == F.col("b.shard"), "full_outer")
+    status = (
+        F.when(F.col("a.shard").isNull(), "added")
+        .when(F.col("b.shard").isNull(), "removed")
+        .when(
+            (F.col("a.checksum") == F.col("b.checksum"))
+            & (F.col("a.n_docs") == F.col("b.n_docs")),
+            "unchanged",
+        )
+        .otherwise("changed")
+    )
+    return joined.select(
+        F.coalesce(F.col("a.shard"), F.col("b.shard")).alias("shard"),
+        F.coalesce(F.col("a.n_docs"), F.lit(0)).alias("n_docs_a"),
+        F.coalesce(F.col("b.n_docs"), F.lit(0)).alias("n_docs_b"),
+        (
+            F.coalesce(F.col("b.n_docs"), F.lit(0))
+            - F.coalesce(F.col("a.n_docs"), F.lit(0))
+        ).alias("docs_delta"),
+        status.alias("status"),
+    )
+
+
 @query(
     "llm_winnow",
     oracle=f"""
