@@ -647,7 +647,12 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.substring("text", 1, 60).alias("head"),
         F.concat_ws(
-            " ", F.split("text", " ")[0], F.split("text", " ")[1]
+            " ",
+            F.split("text", " ")[0],
+            # total key: out-of-bounds second token -> NULL (get, not
+            # [1] which throws under ANSI) -> '' to match the oracle's
+            # split_part semantics on 1-token docs (ADVICE r02)
+            F.coalesce(F.get(F.split("text", " "), 1), F.lit("")),
         ).alias("blk"),
     )
     a, b = d.alias("a"), d.alias("b")

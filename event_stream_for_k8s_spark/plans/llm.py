@@ -92,7 +92,13 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = d.select(
         "doc_id",
         "lang",
-        F.concat_ws(" ", t[0], t[1]).alias("blk"),
+        # get()+coalesce make the key total: for a 1-token doc t[1]
+        # throws under ANSI and concat_ws would skip a null ('tok'),
+        # while the DuckDB oracle's split_part yields '' ('tok ') —
+        # same fix in join_fuzzy_blocked
+        F.concat_ws(
+            " ", t[0], F.coalesce(F.get(t, 1), F.lit(""))
+        ).alias("blk"),
         F.array_distinct(
             F.transform(
                 F.arrays_zip(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1)),
@@ -111,7 +117,9 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
-        (inter.cast("double") / union).alias("jacc"),
+        # try_divide: a bigram-less pair (1-token docs) is 0/0 -> NULL,
+        # matching DuckDB's x/0 -> NULL (ANSI '/' would throw)
+        F.try_divide(inter.cast("double"), union).alias("jacc"),
     )
 
 

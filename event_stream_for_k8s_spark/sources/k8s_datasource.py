@@ -108,14 +108,20 @@ class K8sEventsStreamReader(DataSourceStreamReader):
         )
         # High-water mark of offsets handed to the engine. After a
         # checkpoint restart it resyncs on the first partitions()/
-        # commit() call (the engine passes the restored offset there);
-        # until then latestOffset may lag one poll — harmless, the
-        # batch range comes from the engine, not from this field.
+        # commit() call (the engine passes the restored offset there).
+        # Until that resync the rate caps are suspended (see
+        # latestOffset): a capped offset computed from byte 0 could
+        # land BELOW the engine's restored offset and make it record a
+        # regressed end / replay committed byte ranges.
         self._pos = 0
+        self._seeded = False
 
     # ---- driver side: offset arithmetic only --------------------------
 
     def initialOffset(self) -> dict:
+        # Only called on a FRESH start (no checkpoint), so pos 0 is the
+        # true start and the rate caps may apply from the first batch.
+        self._seeded = True
         return {"pos": 0}
 
     def _complete_boundary(self, start: int, cap: int) -> int:
@@ -136,8 +142,13 @@ class K8sEventsStreamReader(DataSourceStreamReader):
         return start
 
     def _nth_line_boundary(self, start: int, cap: int, n: int) -> int:
-        """Byte position after the n-th newline in [start, cap)."""
-        seen, pos = 0, start
+        """Byte position after the n-th newline in [start, cap); if the
+        range holds fewer than n newlines, the position after the LAST
+        one. Never a mid-line byte: while a collector is appending, the
+        torn tail stays unclaimed until its newline lands (otherwise
+        the committed offset would split a line — the bytes before it
+        dropped by read(), the bytes after it parsed as corrupt JSON)."""
+        seen, pos, last = 0, start, start
         chunk = 256 * 1024
         with open(self.path, "rb") as f:
             f.seek(start)
@@ -151,10 +162,9 @@ class K8sEventsStreamReader(DataSourceStreamReader):
                     if nxt < 0:
                         break
                     idx, seen = nxt, seen + 1
-                if seen == n and idx >= 0:
-                    return pos + idx + 1
+                    last = pos + idx + 1
                 pos += len(buf)
-        return pos
+        return last
 
     def latestOffset(self) -> dict:
         try:
@@ -162,9 +172,15 @@ class K8sEventsStreamReader(DataSourceStreamReader):
         except OSError:
             return {"pos": self._pos}
         cap = size
-        if self.max_bytes:
+        # After a checkpoint restart, initialOffset is skipped and the
+        # engine's restored offset is unknown until partitions()/
+        # commit() — one uncapped poll (complete boundary of the whole
+        # file, monotonic, never below any previously committed offset)
+        # instead of a capped offset that could regress below it.
+        caps_active = self._seeded
+        if self.max_bytes and caps_active:
             cap = min(cap, self._pos + self.max_bytes)
-        if self.max_lines:
+        if self.max_lines and caps_active:
             end = self._nth_line_boundary(self._pos, cap, self.max_lines)
         else:
             end = self._complete_boundary(self._pos, cap)
@@ -174,6 +190,7 @@ class K8sEventsStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         s, e = start["pos"], end["pos"]
         self._pos = max(self._pos, e)
+        self._seeded = True
         if e <= s:
             return [ByteRange(self.path, s, s, s)]
         n = max(1, -(-(e - s) // self.bytes_per_part))
@@ -185,6 +202,7 @@ class K8sEventsStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         self._pos = max(self._pos, end["pos"])
+        self._seeded = True
 
     # ---- executor side: parse the byte range --------------------------
 

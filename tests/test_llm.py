@@ -318,3 +318,45 @@ def test_minhash_sig_identity_and_disjointness(spark):
     # collision; assert the signatures differ in at least half the slots
     agree = sum(a == b for a, b in zip(rows[1], rows[3]))
     assert agree <= 4, (rows[1], rows[3])
+
+
+def test_fuzzy_blocking_key_total_on_short_docs(spark, tmp_path):
+    """Regression (ADVICE r02): for a document with fewer than two
+    tokens, Spark's concat_ws skips a null second token ('tok') while
+    the DuckDB oracle's split_part yields '' ('tok '). The key must be
+    total — both engines must block such docs identically. Build a
+    corpus containing 0/1/2-token docs and run the full oracle
+    differential for both fuzzy-blocked queries."""
+    import os
+
+    from tests.conftest import SF_SMOKE
+    from event_stream_for_k8s_spark.catalog import TABLES
+    from event_stream_for_k8s_spark.plans import REGISTRY
+    from event_stream_for_k8s_spark.testing.oracle import (
+        check_query,
+        connect_oracle,
+    )
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    for t in TABLES:  # oracle views bind eagerly; link the full set
+        os.symlink(f"{SF_SMOKE}/{t}.parquet", f"{sf}/{t}.parquet")
+    os.unlink(f"{sf}/documents.parquet")
+    docs = [
+        (1, "solo", "en", "web", 4),
+        (2, "solo", "en", "web", 4),          # 1-token near-pair
+        (3, "", "en", "web", 0),              # empty text
+        (4, "two tokens here", "en", "web", 15),
+        (5, "two tokens there", "en", "web", 16),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).toPandas().to_parquet(f"{sf}/documents.parquet", index=False)
+    con = connect_oracle(sf)
+    try:
+        for name in ("llm_dedup_ngram", "join_fuzzy_blocked"):
+            res = check_query(spark, con, REGISTRY[name], sf)
+            assert res.ok, str(res)
+    finally:
+        con.close()

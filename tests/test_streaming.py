@@ -516,3 +516,71 @@ def test_tws_wallclock_ttl_dedup(spark, k8s_dir, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_k8s_datasource_torn_tail_with_line_cap(tmp_path):
+    """With maxeventsperbatch set, latestOffset must never commit an
+    offset inside a torn (non-newline-terminated) line — the common
+    state while a collector is actively appending. A capped boundary
+    that lands past the last newline would drop the torn line's head
+    and replay its tail as corrupt JSON (ADVICE r02, high)."""
+    from event_stream_for_k8s_spark.sources.k8s_datasource import (
+        K8sEventsStreamReader,
+    )
+
+    path = str(tmp_path / "torn.json")
+    complete = b'{"reason":"a"}\n{"reason":"b"}\n{"reason":"c"}\n'
+    with open(path, "wb") as f:
+        f.write(complete + b'{"reason":"torn')  # appender mid-write
+    r = K8sEventsStreamReader({"path": path, "maxeventsperbatch": "10"})
+    r.initialOffset()
+    # cap (10) exceeds available newlines (3): boundary must be the
+    # last complete line end, not the raw file size
+    assert r.latestOffset() == {"pos": len(complete)}
+    # the appender finishes the line -> next poll claims it
+    with open(path, "ab") as f:
+        f.write(b'"}\n')
+    assert r.latestOffset() == {"pos": os.path.getsize(path)}
+    # a range with NO newline at all advances nothing
+    path2 = str(tmp_path / "torn2.json")
+    with open(path2, "wb") as f:
+        f.write(b'{"reason":"never-finished')
+    r2 = K8sEventsStreamReader({"path": path2, "maxeventsperbatch": "5"})
+    r2.initialOffset()
+    assert r2.latestOffset() == {"pos": 0}
+
+
+def test_k8s_datasource_restart_never_regresses_offset(tmp_path):
+    """After a checkpoint restart (initialOffset skipped, _pos reset),
+    a capped latestOffset computed from byte 0 could land BELOW the
+    engine's restored offset, recording a regressed range and
+    replaying committed bytes (ADVICE r02, medium). The first
+    post-restart poll must suspend the caps; once the engine reveals
+    its offset via partitions()/commit(), caps re-engage from there."""
+    from event_stream_for_k8s_spark.sources.k8s_datasource import (
+        K8sEventsStreamReader,
+    )
+
+    path = str(tmp_path / "events.json")
+    lines = [b'{"reason":"e%d"}\n' % i for i in range(20)]
+    with open(path, "wb") as f:
+        f.writelines(lines)
+    size = os.path.getsize(path)
+    committed = sum(len(ln) for ln in lines[:12])  # mid-file checkpoint
+
+    # fresh reader simulating restart: NO initialOffset call
+    r = K8sEventsStreamReader(
+        {"path": path, "maxeventsperbatch": "3", "maxbytesperbatch": "64"}
+    )
+    first = r.latestOffset()["pos"]
+    assert first >= committed  # uncapped poll: whole-file boundary
+    assert first == size
+    # engine hands back the restored offset; caps re-engage after
+    r.partitions({"pos": committed}, {"pos": first})
+    # append more lines; now the 3-line cap applies from the high-water
+    with open(path, "ab") as f:
+        f.writelines(b'{"reason":"x%d"}\n' % i for i in range(10))
+    nxt = r.latestOffset()["pos"]
+    assert nxt > size
+    body = open(path, "rb").read()
+    assert body[size:nxt].count(b"\n") == 3  # line cap active again
