@@ -28,63 +28,66 @@ from event_stream_for_k8s_spark.plans import REGISTRY  # noqa: E402
 # each round re-registers a rotating batch of not-yet-verified queries
 # under early-sorting `a_chk_<name>` aliases (same callable, same
 # oracle SQL — pure duplicates, suggested by VERDICT r01 "Next round"
-# #2). Round 2's batch: the 5 r01-red queries after their
-# scalar-output fixes, every query whose implementation changed this
-# round (serialization, blocking keys, resize, fill-forward grid), and
-# the driver-unverified Part-B core (joins, windows, set ops,
-# sort/topk, scans, UDFs, projections). `tools/rotate_probes.py`
-# computes the next batch from accumulated CORRECTNESS files.
+# #2). Round 3's batch follows VERDICT r02 "Next round" #1's family
+# priority: the whole streaming family (stream_* + source_*/sink_*,
+# the reference-parity core), all TPC-H, all remaining ts_*, the
+# highest-risk maint_*, plus a RE-probe of llm_dedup_ngram whose
+# semantics changed this round (oversized-block cap). The remaining
+# ~58 (rest of maint_*, llm_*, sql_*, scan_*, join variants, udtf_py)
+# are round 4's batch. `tools/rotate_probes.py` computes batches from
+# accumulated CORRECTNESS files and bumps queries whose module changed
+# after the newest CORRECTNESS file landed.
 DRIVER_PROBES = [
-    "agg_approx_percentile",
-    "agg_collect",
-    "agg_percentile_multi",
-    "fn_array",
-    "fn_cast",
-    "llm_embed_quantize",
-    "llm_inverted_index",
-    "llm_minhash_sig",
-    "llm_mm_decode",
-    "ts_fill_forward",
-    "join_broadcast",
-    "join_inner_hash",
-    "join_left",
-    "join_right",
-    "join_full",
-    "join_semi",
-    "join_theta",
-    "join_interval",
-    "join_fuzzy_blocked",
-    "key_concat",
-    "project_select",
-    "project_nested",
-    "project_envelope",
-    "win_rank",
-    "win_analytic",
-    "win_frame_rows",
-    "win_frame_range",
-    "win_dedup_rank",
-    "sort_global",
-    "limit_n",
-    "topk",
-    "topk_per_group",
-    "set_union_all",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "scan_parquet",
-    "scan_json",
-    "scan_csv",
-    "sink_parquet",
-    "llm_mm_resize",
+    "stream_dedup_ttl",
+    "stream_foreach_metrics",
+    "stream_full_outer_join",
+    "stream_late_drop",
+    "stream_outer_join",
+    "stream_right_outer_join",
+    "stream_session",
+    "stream_sliding",
+    "stream_stateful_custom",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_topk",
+    "stream_tumbling",
+    "stream_watermark",
+    "source_k8s_watch",
+    "source_rate",
+    "source_stream_file",
+    "sink_console_json",
+    "sink_memory",
+    "sink_python_ds",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q12_shipmode_priority",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_volume_customer",
+    "ts_active_users",
+    "ts_anomaly",
+    "ts_cumulative_users",
+    "ts_ewma",
+    "ts_funnel",
+    "ts_gapfill",
+    "ts_histogram",
+    "ts_interp_linear",
+    "ts_ohlc",
+    "ts_retention",
+    "ts_streaks",
+    "maint_compact",
+    "maint_incremental",
+    "maint_manifest_diff",
+    "maint_merge_upsert",
+    "maint_scd2",
+    "maint_stats_collect",
+    "maint_zorder",
     "llm_dedup_ngram",
-    "udf_scalar",
-    "udf_pandas",
-    "udaf_pandas",
-    "udtf_apply",
-    "llm_dedup_embed",
-    "k8s_envelope_multidim_count",
-    "llm_dedup_exact",
-    "llm_dedup_near",
 ]
 
 

@@ -68,6 +68,13 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
             print(f"BENCH ERROR {name}: {type(e).__name__}: {e}", file=sys.stderr)
+        finally:
+            # plans persist() intermediates; without a clear between
+            # queries every query's cached blocks accumulate for the
+            # session and distort later timings (ADVICE r02). Within a
+            # query, warm runs may still hit the CacheManager (same
+            # logical plan) — intentional, matches prior rounds.
+            spark.catalog.clearCache()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     print(

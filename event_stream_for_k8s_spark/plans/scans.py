@@ -20,6 +20,7 @@ from event_stream_for_k8s_spark.sources.roundtrip import (
     events_as_micros,
     materialize,
     restore_ts,
+    write_single_text,
 )
 
 
@@ -305,12 +306,7 @@ def source_k8s_watch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("line")
         )
-        import os as _os
-
-        _os.makedirs(out, exist_ok=True)
-        with open(_os.path.join(out, "watch.jsonl"), "w") as f:
-            for r in watch.toLocalIterator():
-                f.write(r["line"] + "\n")
+        write_single_text(watch, out, "watch.jsonl")
 
     src = materialize(spark, sf_dir, "k8s_watch_jsonl", build)
     register(spark)
@@ -393,7 +389,6 @@ def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(out: str) -> None:
         ev = events_as_micros(spark, sf_dir)
         lines = ev.select(
-            "event_id",
             F.when(
                 F.col("event_id") % 97 == 0,
                 F.concat(F.lit('{"event_id": '), F.col("event_id").cast("string"), F.lit(', "broke')),
@@ -401,10 +396,7 @@ def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.to_json(F.struct(*ev.columns)))
             .alias("line"),
         )
-        _os.makedirs(out, exist_ok=True)
-        with open(_os.path.join(out, "data.jsonl"), "w") as f:
-            for r in lines.toLocalIterator():
-                f.write(r["line"] + "\n")
+        write_single_text(lines, out, "data.jsonl")
 
     src = materialize(spark, sf_dir, "events_corrupt_json", build)
     schema = EVENTS_MICROS_SCHEMA + ", _corrupt_record STRING"

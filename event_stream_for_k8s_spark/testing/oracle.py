@@ -112,7 +112,13 @@ def check_query(spark, con, q, sf_dir: str) -> CheckResult:
     import time
 
     t0 = time.time()
-    sdf = q.spark(spark, sf_dir).toPandas()
+    try:
+        sdf = q.spark(spark, sf_dir).toPandas()
+    finally:
+        # plans persist() intermediates for multi-consumer reuse within
+        # one materialization; drop them so a 200-query sweep doesn't
+        # accumulate every query's cached blocks (ADVICE r02)
+        spark.catalog.clearCache()
     res = CheckResult(q.name, True, len(sdf), None)
     unsafe = assert_driver_safe(sdf, q.name)
     if unsafe:

@@ -40,19 +40,42 @@ def verified_names(repo_root: str) -> set[str]:
             ok_rows_only = (
                 v.get("err") == "no_oracle"
                 and REGISTRY[base].oracle is None
-                and (v.get("spark_rows") or 0) >= 0
+                and (v.get("spark_rows") or 0) > 0
             )
             if ok_full or ok_rows_only:
                 done.add(base)
     return done
 
 
+def changed_names(repo_root: str) -> set[str]:
+    """Queries whose defining module was edited after the newest
+    CORRECTNESS file landed — i.e. changed THIS round. They carry the
+    most risk, so they jump the rotation queue (ADVICE r02)."""
+    corr = glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))
+    if not corr:
+        return set()
+    cutoff = max(os.path.getmtime(p) for p in corr)
+    out = set()
+    for name, q in REGISTRY.items():
+        src = getattr(q.spark, "__code__", None)
+        if src and os.path.getmtime(src.co_filename) > cutoff:
+            out.add(name)
+    return out
+
+
 def main() -> None:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     done = verified_names(root)
-    pending = [n for n in sorted(REGISTRY) if n not in done]
-    batch = pending[:50]
-    print(f"# verified: {len(done)}  pending: {len(pending)}")
+    hot = changed_names(root)
+    pending = sorted(
+        (n for n in REGISTRY if n not in done),
+        key=lambda n: (n not in hot, n),
+    )
+    batch = sorted(pending[:50])
+    print(
+        f"# verified: {len(done)}  pending: {len(pending)}"
+        f"  changed-this-round prioritized: {len(hot & set(pending))}"
+    )
     print("DRIVER_PROBES = [")
     for n in batch:
         print(f'    "{n}",')
