@@ -29,6 +29,7 @@ from event_stream_for_k8s_spark.operators.similarity import (
     minhash_pairs_native,
 )
 from event_stream_for_k8s_spark.plans.registry import query
+from event_stream_for_k8s_spark.plans.util import dsum, sql_dsum
 
 # --------------------------------------------------------------------------
 # Deduplication family
@@ -135,6 +136,14 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = grams.withColumn(
         "sub", ((rn - 1) / F.lit(NGRAM_BLOCK_CAP)).cast("long")
     )
+    # both self-join sides consume the salted gram relation; persist it
+    # once (doc_id + key + bigram set per doc) so the scan + window +
+    # bigram build don't run twice — the same multi-consumer pattern as
+    # the minhash signature persist (operators/similarity.py). The
+    # harness clears the cache between queries.
+    from pyspark import StorageLevel
+
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = grams.alias("a"), grams.alias("b")
     inter = F.size(F.array_intersect(F.col("a.bg"), F.col("b.bg")))
     union = F.size(F.array_union(F.col("a.bg"), F.col("b.bg")))
@@ -2358,4 +2367,304 @@ def llm_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stored form at scale stays array<bigint> (64 bytes/doc).
     return grams.select(
         "doc_id", F.array_join(sig.cast("array<string>"), ",").alias("sig")
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-3 additions: retrieval scoring, substring dedup, corpus mixing,
+# token-budget selection
+# --------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "llm_bm25",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+), st AS (
+  SELECT count(*) AS nd,
+         sum(len(string_split(text, ' '))) AS ntok
+  FROM documents
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.term, dfreq.df,
+         round(ln((st.nd - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0), 6)
+           AS idf,
+         round(round(ln((st.nd - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0), 6)
+               * (tf.tf * {_BM25_K1 + 1.0!r}
+                  / (tf.tf + {_BM25_K1!r}
+                     * ({1.0 - _BM25_B!r}
+                        + {_BM25_B!r} * dl.dl
+                          / (st.ntok * 1.0 / st.nd)))), 6) AS s6
+  FROM tf
+  JOIN dl USING (doc_id)
+  JOIN dfreq ON tf.term = dfreq.term
+  CROSS JOIN st
+)
+SELECT term, any_value(df) AS df, any_value(idf) AS idf,
+       {{bm25_sum}} AS bm25_sum
+FROM scored GROUP BY term
+""".replace("{bm25_sum}", sql_dsum("s6", 6)),
+    section="C",
+    notes="Okapi BM25 (k1=1.2, b=0.75) corpus index: per-term document "
+    "frequency, idf, and the order-insensitive sum of per-document "
+    "BM25 contributions (the retrieval-side score mass a RAG pipeline "
+    "precomputes). df derives from tf (distinct (doc,term) rows), not "
+    "a second corpus explode; the scalar (N, total-tokens) aggregate "
+    "and the per-term df both broadcast back onto the tf relation, so "
+    "the only wide exchanges are the tf groupBy and the final per-term "
+    "aggregation. Float discipline: idf rounds at 6 dp before the "
+    "product (libm-vs-JVM ln ulp), per-pair scores round at 6 dp and "
+    "sum as scaled int64 (plans/util.py)",
+)
+def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.repartition("doc_id").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+    )
+    st = d.groupBy().agg(
+        F.count("*").alias("nd"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("ntok"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    avgdl = F.col("ntok") * F.lit(1.0) / F.col("nd")
+    idf = F.round(
+        F.log(
+            (F.col("nd") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        6,
+    )
+    tfnorm = (
+        F.col("tf") * F.lit(_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / avgdl)
+        )
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "term",
+            "df",
+            idf.alias("idf"),
+            F.round(idf * tfnorm, 6).alias("s6"),
+        )
+    )
+    return scored.groupBy("term").agg(
+        F.any_value("df").alias("df"),
+        F.any_value("idf").alias("idf"),
+        dsum("s6", 6).alias("bm25_sum"),
+    )
+
+
+@query(
+    "llm_dedup_substring",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), w AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(tk) - 6),
+           i -> array_to_string(tk[i:i+7], ' ')))) AS sh
+  FROM t WHERE len(tk) >= 8
+), dfreq AS (
+  SELECT sh, count(*) AS df FROM w GROUP BY sh
+)
+SELECT w.doc_id,
+       count(*) AS n_windows,
+       count(CASE WHEN dfreq.df > 1 THEN 1 END) AS n_shared,
+       count(CASE WHEN dfreq.df > 1 THEN 1 END) * 1.0 / count(*)
+         AS shared_frac
+FROM w JOIN dfreq USING (sh)
+GROUP BY w.doc_id
+""",
+    section="C",
+    notes="substring-level duplication profile: every distinct 8-token "
+    "window per document, document frequency per window, and the "
+    "fraction of a document's windows that appear in at least one "
+    "other document — the signal behind suffix-array substring dedup "
+    "(train-set memorization trimming), approximated by fixed-length "
+    "windows so it stays a pure explode + two hash aggregations. The "
+    "window relation shuffles once on the shingle (df) and once on "
+    "doc_id (profile); no pairwise join ever forms, so cost is linear "
+    "in total windows at any corpus size. Docs under 8 tokens have no "
+    "window and drop from the profile (same rule both engines)",
+)
+def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = (
+        d.select("doc_id", F.split("text", " ").alias("tk"))
+        .filter(F.size("tk") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(tk) - 7),"
+                        " i -> array_join(slice(tk, i, 8), ' '))"
+                    )
+                )
+            ).alias("sh"),
+        )
+    )
+    dfreq = w.groupBy("sh").agg(F.count("*").alias("df"))
+    return (
+        w.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count(F.when(F.col("df") > 1, 1)).alias("n_shared"),
+            (
+                F.count(F.when(F.col("df") > 1, 1)) * F.lit(1.0)
+                / F.count("*")
+            ).alias("shared_frac"),
+        )
+    )
+
+
+_MIX_INV_T = 1.0 / 0.7  # temperature-0.7 exponent, same IEEE double both engines
+
+
+@query(
+    "llm_mix_temperature",
+    oracle=f"""
+WITH src AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+), st AS (SELECT count(*) AS nd FROM documents),
+w AS (
+  SELECT source, n_docs,
+         round(pow(n_docs * 1.0 / st.nd, {_MIX_INV_T!r}), 6) AS w6
+  FROM src CROSS JOIN st
+), tot AS (
+  SELECT sum(cast(round(w6 * 1000000) AS bigint)) AS ws FROM w
+)
+SELECT source, n_docs,
+       round(n_docs * 1.0 / (SELECT nd FROM st), 6) AS share,
+       cast(round(w6 * 1000000) AS bigint) * 1.0 / tot.ws AS weight
+FROM w CROSS JOIN tot
+""",
+    section="C",
+    notes="temperature-scaled corpus mixing (T=0.7): per-source "
+    "sampling weight proportional to share^(1/T), the standard "
+    "up-weighting of small high-quality sources when assembling a "
+    "training mix. Two scalar aggregations over a source-cardinality "
+    "relation — everything after the per-source count is "
+    "broadcast-sized. Float discipline: pow rounds at 6 dp (libm ulp), "
+    "the normalizer sums scaled int64 exactly, and the final weight is "
+    "one correctly-rounded double division",
+)
+def llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    st = d.groupBy().agg(F.count("*").alias("nd"))
+    w6 = F.round(
+        F.pow(F.col("n_docs") * F.lit(1.0) / F.col("nd"), F.lit(_MIX_INV_T)),
+        6,
+    )
+    w = src.crossJoin(F.broadcast(st)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs") * F.lit(1.0) / F.col("nd"), 6).alias("share"),
+        F.round(w6 * F.lit(1_000_000)).cast("long").alias("w6s"),
+    )
+    tot = w.groupBy().agg(F.sum("w6s").alias("ws"))
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "share",
+        (F.col("w6s") * F.lit(1.0) / F.col("ws")).alias("weight"),
+    )
+
+
+_TOKEN_BUDGET = 50_000
+
+
+@query(
+    "llm_token_budget",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS ntok
+  FROM documents
+), ordered AS (
+  SELECT *, sum(ntok) OVER (ORDER BY ntok DESC, doc_id) AS cum FROM tok
+)
+SELECT source,
+       count(*) AS n_selected,
+       cast(sum(ntok) AS bigint) AS tok_selected
+FROM ordered WHERE cum <= {_TOKEN_BUDGET}
+GROUP BY source
+""",
+    section="C",
+    notes="token-budget head selection: greedily keep the longest "
+    "documents (ties by doc_id) until a 50k-token budget fills — the "
+    "selection step of budgeted corpus assembly. The oracle states it "
+    "as a GLOBAL running sum; the Spark plan refuses that single-"
+    "partition window and instead derives the exact same set from the "
+    "tiny distinct-length histogram: cumulative totals over distinct "
+    "ntok values (a broadcast-scale window) pick fully-included "
+    "lengths, and the one boundary length admits floor(remaining/"
+    "ntok) docs ranked by doc_id WITHIN that length (a partitioned "
+    "window). Every wide op is keyed; nothing global touches per-doc "
+    "rows, so the plan holds at 100 TB where the naive windowed form "
+    "funnels the corpus through one task",
+)
+def llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("ntok"),
+    )
+    by_len = tok.groupBy("ntok").agg(
+        F.count("*").alias("n"), F.sum("ntok").alias("toks")
+    )
+    wl = Window.orderBy(F.desc("ntok"))  # distinct-length domain: tiny
+    by_len = by_len.select(
+        "ntok",
+        F.sum("toks").over(wl).alias("cum"),
+        (F.sum("toks").over(wl) - F.col("toks")).alias("prev_cum"),
+    )
+    full = by_len.filter(F.col("cum") <= F.lit(_TOKEN_BUDGET)).select("ntok")
+    boundary = by_len.filter(
+        (F.col("cum") > F.lit(_TOKEN_BUDGET))
+        & (F.col("prev_cum") < F.lit(_TOKEN_BUDGET))
+    ).select(
+        "ntok",
+        F.floor(
+            (F.lit(_TOKEN_BUDGET) - F.col("prev_cum")) / F.col("ntok")
+        ).alias("k"),
+    )
+    sel_full = tok.join(F.broadcast(full), "ntok")
+    wb = Window.partitionBy("ntok").orderBy("doc_id")
+    sel_bound = (
+        tok.join(F.broadcast(boundary), "ntok")
+        .withColumn("rnk", F.row_number().over(wb))
+        .filter(F.col("rnk") <= F.col("k"))
+        .select(*sel_full.columns)
+    )
+    return (
+        sel_full.unionByName(sel_bound)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_selected"),
+            F.sum("ntok").alias("tok_selected"),
+        )
     )

@@ -347,3 +347,41 @@ def test_arrow_ipc_commit_protocol(spark, tmp_path):
     assert (
         spark.read.format("arrow-ipc").option("path", out).load().count() == 7
     )
+
+
+def test_token_budget_no_global_window_over_docs(spark):
+    """llm_token_budget must never run an unpartitioned window over
+    the per-document relation — only over the tiny distinct-length
+    histogram (post-aggregation). The per-doc boundary rank window is
+    partitioned by ntok."""
+    p = _plan(spark, "llm_token_budget")
+    # the one per-row window (boundary rank) is partitioned by ntok
+    rank_lines = [
+        ln for ln in p.splitlines()
+        if "Window" in ln and "row_number" in ln
+    ]
+    assert rank_lines, p[:400]
+    for ln in rank_lines:
+        assert "ntok" in ln, ln
+    # the unpartitioned cumulative windows run on the post-aggregation
+    # length histogram, so partial aggregation precedes them
+    assert p.count("HashAggregate") >= 2
+
+
+def test_bm25_broadcasts_small_sides(spark):
+    """llm_bm25: the scalar stats and per-term df sides broadcast;
+    wide exchanges are the tf groupBy and the final per-term agg."""
+    p = _plan(spark, "llm_bm25")
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+def test_dedup_ngram_salted_and_single_scan(spark):
+    """The capped ngram dedup reads the corpus once (persisted salted
+    gram relation on both self-join sides) and joins with the salt in
+    the equi-key, so a mega-block spreads across executors."""
+    p = _plan(spark, "llm_dedup_ngram")
+    # both self-join sides read the one persisted relation (the
+    # InMemoryRelation subtree re-prints its parquet source, so count
+    # cache READS, not scan mentions)
+    assert p.count("InMemoryTableScan") >= 2, p.count("InMemoryTableScan")
+    assert "sub" in p  # salt participates in the join key
