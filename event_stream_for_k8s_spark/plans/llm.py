@@ -2668,3 +2668,204 @@ def llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ntok").alias("tok_selected"),
         )
     )
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@query(
+    "llm_gopher_rules",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), m AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w)
+           AS mean_word_len,
+         len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+           / len(w) AS alpha_frac,
+         len(list_filter(w, x -> list_contains(
+           {list(_GOPHER_STOPWORDS)!r}, x))) AS n_stop
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, alpha_frac,
+       cast(n_stop AS bigint) AS n_stop,
+       (n_words >= 10 AND n_words <= 100000
+        AND mean_word_len >= 3 AND mean_word_len <= 10
+        AND alpha_frac >= 0.8 AND n_stop >= 2) AS keep
+FROM m
+""",
+    section="C",
+    notes="Gopher/MassiveText quality ruleset (Rae et al. 2021, the "
+    "published heuristic filter): word-count bounds, mean word "
+    "length in [3,10], >=80% words containing a letter, >=2 common "
+    "English stopwords. One narrow map over the corpus — no shuffle "
+    "at all, embarrassingly parallel at 100 TB; every metric is an "
+    "integer count or a single exact int/int double division, so the "
+    "oracle matches bit-for-bit with no rounding discipline needed",
+)
+def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n_words = F.size(w).cast("long")
+    chars = F.aggregate(
+        F.transform(w, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mean_wl = chars * F.lit(1.0) / n_words
+    alpha = F.size(
+        F.filter(w, lambda x: x.rlike("[A-Za-z]"))
+    ) * F.lit(1.0) / n_words
+    n_stop = F.size(
+        F.filter(
+            w,
+            lambda x: F.array_contains(
+                F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]), x
+            ),
+        )
+    ).cast("long")
+    keep = (
+        (n_words >= 10) & (n_words <= 100000)
+        & (mean_wl >= 3) & (mean_wl <= 10)
+        & (alpha >= 0.8) & (n_stop >= 2)
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha.alias("alpha_frac"),
+        n_stop.alias("n_stop"),
+        keep.alias("keep"),
+    )
+
+
+_VOCAB_K = 1000
+
+
+@query(
+    "llm_tokenizer_coverage",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+), cnt AS (
+  SELECT term, count(*) AS n FROM tok GROUP BY term
+), vocab AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY n DESC, term) AS r FROM cnt
+  ) WHERE r <= {_VOCAB_K}
+)
+SELECT tok.source,
+       count(*) AS n_tokens,
+       count(CASE WHEN vocab.term IS NULL THEN 1 END) AS n_oov,
+       count(CASE WHEN vocab.term IS NULL THEN 1 END) * 1.0 / count(*)
+         AS oov_rate
+FROM tok LEFT JOIN vocab ON tok.term = vocab.term
+GROUP BY tok.source
+""",
+    section="C",
+    notes=f"tokenizer-coverage audit: build the top-{_VOCAB_K} "
+    "frequency vocabulary (ties broken by term so the cut is total "
+    "and deterministic), then per-source token counts, out-of-vocab "
+    "counts, and OOV rate — the go/no-go check before committing a "
+    "tokenizer to a corpus. The vocabulary is top-k of a hash "
+    "aggregation (TakeOrdered, no global sort of the term dictionary) "
+    "and broadcasts into the probe join; the corpus explodes exactly "
+    "once and aggregates by source. oov_rate is one exact int/int "
+    "double division",
+)
+def llm_tokenizer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    cnt = tok.groupBy("term").agg(F.count("*").alias("n"))
+    vocab = (
+        cnt.orderBy(F.desc("n"), "term").limit(_VOCAB_K).select("term")
+    )
+    oov = F.count(F.when(F.col("v").isNull(), 1))
+    return (
+        tok.join(
+            F.broadcast(vocab.withColumn("v", F.lit(1))), "term", "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            oov.alias("n_oov"),
+            (oov * F.lit(1.0) / F.count("*")).alias("oov_rate"),
+        )
+    )
+
+
+@query(
+    "llm_embed_centroids",
+    oracle=f"""
+WITH ex AS (
+  SELECT vec_id, label, pos, embedding[pos + 1]::DOUBLE AS val
+  FROM (SELECT vec_id, label, embedding,
+               unnest(range(len(embedding))) AS pos
+        FROM embeddings)
+), cent AS (
+  SELECT label, pos, {{csum}} / count(*) AS cent
+  FROM ex GROUP BY label, pos
+), pv AS (
+  SELECT ex.vec_id, ex.label,
+         round(cast(sum(cast(round((ex.val - cent.cent)
+                                   * (ex.val - cent.cent)
+                                   * 1000000000000) AS bigint)) AS double)
+               / 1000000000000.0, 6) AS dist2
+  FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+  GROUP BY ex.vec_id, ex.label
+)
+SELECT label,
+       count(*) AS n_vecs,
+       {{msum}} / count(*) AS mean_dist2,
+       max(dist2) AS max_dist2
+FROM pv GROUP BY label
+""".replace("{csum}", sql_dsum("val", 7)).replace(
+        "{msum}", sql_dsum("dist2", 6)
+    ),
+    section="C",
+    notes="embedding-space diagnostics: per-label centroid (element-"
+    "wise mean via posexplode + (label, pos) aggregation — the "
+    "Spark-idiomatic vector mean, no collect, no VectorAssembler) "
+    "and the distribution of squared distances to it (mean/max), the "
+    "standard check for label coherence / collapsed clusters before "
+    "training on embeddings. Two keyed shuffles ((label,pos) then "
+    "vec_id) plus a broadcast of the centroid relation (labels x "
+    "dims rows — small at any corpus size). Float discipline: "
+    "centroid components and distances use scaled-int sums "
+    "(plans/util.py) so partial-aggregation order never shows",
+)
+def llm_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        (dsum("val", 7) / F.count("*")).alias("cent")
+    )
+    sq = (F.col("val") - F.col("cent")) * (F.col("val") - F.col("cent"))
+    pv = (
+        ex.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(sq * F.lit(1_000_000_000_000)).cast("long")
+                ).cast("double")
+                / F.lit(1_000_000_000_000.0),
+                6,
+            ).alias("dist2")
+        )
+    )
+    return pv.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        (dsum("dist2", 6) / F.count("*")).alias("mean_dist2"),
+        F.max("dist2").alias("max_dist2"),
+    )
