@@ -409,3 +409,53 @@ def test_dedup_ngram_block_cap_bounds_pairs(spark, tmp_path):
         assert res.ok, str(res)
     finally:
         con.close()
+
+
+def test_token_budget_boundary_cases(spark, tmp_path):
+    """llm_token_budget's histogram+boundary-rank derivation must equal
+    the naive global running sum on crafted corpora: budget landing
+    exactly on a bucket edge, mid-bucket, and beyond the corpus."""
+    import os
+
+    from tests.conftest import SF_SMOKE
+    from event_stream_for_k8s_spark.catalog import TABLES
+    from event_stream_for_k8s_spark.plans import REGISTRY
+    from event_stream_for_k8s_spark.plans.llm import _TOKEN_BUDGET
+
+    def run_case(tag, docs):
+        sf = str(tmp_path / tag)
+        os.makedirs(sf)
+        for t in TABLES:
+            os.symlink(f"{SF_SMOKE}/{t}.parquet", f"{sf}/{t}.parquet")
+        os.unlink(f"{sf}/documents.parquet")
+        rows = [
+            (i, " ".join(f"w{j}" for j in range(n)), "en", src, n)
+            for i, (n, src) in enumerate(docs)
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).toPandas().to_parquet(f"{sf}/documents.parquet", index=False)
+        got = {
+            r["source"]: (r["n_selected"], r["tok_selected"])
+            for r in REGISTRY["llm_token_budget"].spark(spark, sf).collect()
+        }
+        # naive: global order by (ntok desc, doc_id), running sum <= B
+        order = sorted(enumerate(docs), key=lambda x: (-x[1][0], x[0]))
+        exp: dict = {}
+        cum = 0
+        for i, (n, src) in order:
+            cum += n
+            if cum > _TOKEN_BUDGET:
+                break
+            c, t = exp.get(src, (0, 0))
+            exp[src] = (c + 1, t + n)
+        assert got == exp, (tag, got, exp)
+
+    B = _TOKEN_BUDGET
+    # budget exactly consumed by the first length bucket
+    run_case("edge", [(100, "a")] * (B // 100) + [(50, "b")] * 10)
+    # boundary lands mid-bucket: only a prefix (by doc_id) is admitted
+    run_case("mid", [(70, "a")] * (B // 70 + 40) + [(30, "b")] * 5)
+    # budget exceeds the whole corpus: everything selected
+    run_case("all", [(40, "a"), (25, "b"), (33, "a")])
