@@ -2426,17 +2426,23 @@ FROM scored GROUP BY term
     "sum as scaled int64 (plans/util.py)",
 )
 def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     d = load(spark, sf_dir, "documents")
     tok = d.repartition("doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
+    # single-scan shape: EVERYTHING derives from tf. dl is the sum of
+    # a doc's term frequencies, (N, total tokens) aggregates dl, df
+    # counts tf's distinct (doc, term) rows — so the corpus explodes
+    # once and the persisted tf relation (bounded: distinct doc-term
+    # pairs) feeds all four consumers. The harness clears the cache
+    # between queries.
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = d.select(
-        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
-    )
-    st = d.groupBy().agg(
-        F.count("*").alias("nd"),
-        F.sum(F.size(F.split("text", " ")).cast("long")).alias("ntok"),
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    st = dl.groupBy().agg(
+        F.count("*").alias("nd"), F.sum("dl").alias("ntok")
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     avgdl = F.col("ntok") * F.lit(1.0) / F.col("nd")
@@ -2505,8 +2511,15 @@ GROUP BY w.doc_id
     "windows so it stays a pure explode + two hash aggregations. The "
     "window relation shuffles once on the shingle (df) and once on "
     "doc_id (profile); no pairwise join ever forms, so cost is linear "
-    "in total windows at any corpus size. Docs under 8 tokens have no "
-    "window and drop from the profile (same rule both engines)",
+    "in total windows at any corpus size. The df pass and the probe "
+    "pass each re-derive the window explode (partial aggregation "
+    "below the exchange defeats ReusedExchange): DELIBERATE — the "
+    "lineage is a narrow scan+explode, and recomputing it is cheaper "
+    "at 100 TB than materializing an 8x-corpus string relation to "
+    "disk (recompute-over-materialize; contrast the persisted minhash "
+    "signatures, which cut a multi-shuffle pipeline, not a map). Docs "
+    "under 8 tokens have no window and drop from the profile (same "
+    "rule both engines)",
 )
 def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -2572,9 +2585,15 @@ FROM w CROSS JOIN tot
     "one correctly-rounded double division",
 )
 def llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     d = load(spark, sf_dir, "documents")
+    # one corpus scan: the corpus total derives from the per-source
+    # counts, and the source-cardinality weight relation persists so
+    # the normalizer pass doesn't re-aggregate the corpus
     src = d.groupBy("source").agg(F.count("*").alias("n_docs"))
-    st = d.groupBy().agg(F.count("*").alias("nd"))
+    src = src.persist(StorageLevel.MEMORY_AND_DISK)
+    st = src.groupBy().agg(F.sum("n_docs").alias("nd"))
     w6 = F.round(
         F.pow(F.col("n_docs") * F.lit(1.0) / F.col("nd"), F.lit(_MIX_INV_T)),
         6,
@@ -2627,12 +2646,17 @@ GROUP BY source
     "funnels the corpus through one task",
 )
 def llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     d = load(spark, sf_dir, "documents")
+    # three consumers (length histogram, full-bucket join, boundary
+    # join) read the per-doc length relation; persist it (3 narrow
+    # columns, text never carried) so the corpus scans once
     tok = d.select(
         "doc_id",
         "source",
         F.size(F.split("text", " ")).cast("long").alias("ntok"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     by_len = tok.groupBy("ntok").agg(
         F.count("*").alias("n"), F.sum("ntok").alias("toks")
     )
@@ -2776,24 +2800,33 @@ GROUP BY tok.source
     "double division",
 )
 def llm_tokenizer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     d = load(spark, sf_dir, "documents")
     tok = d.select(
         "source", F.explode(F.split("text", " ")).alias("term")
     )
-    cnt = tok.groupBy("term").agg(F.count("*").alias("n"))
+    # single-scan shape: compress the token stream to (source, term)
+    # counts FIRST (vocab-sized x sources, bounded), persist that, and
+    # derive both the global vocabulary and the per-source probe from
+    # it — the raw corpus explodes exactly once and the second pass
+    # runs over the compressed relation.
+    st = tok.groupBy("source", "term").agg(F.count("*").alias("n"))
+    st = st.persist(StorageLevel.MEMORY_AND_DISK)
+    cnt = st.groupBy("term").agg(F.sum("n").alias("n"))
     vocab = (
         cnt.orderBy(F.desc("n"), "term").limit(_VOCAB_K).select("term")
     )
-    oov = F.count(F.when(F.col("v").isNull(), 1))
+    oov = F.sum(F.when(F.col("v").isNull(), F.col("n")).otherwise(0))
     return (
-        tok.join(
+        st.join(
             F.broadcast(vocab.withColumn("v", F.lit(1))), "term", "left"
         )
         .groupBy("source")
         .agg(
-            F.count("*").alias("n_tokens"),
+            F.sum("n").alias("n_tokens"),
             oov.alias("n_oov"),
-            (oov * F.lit(1.0) / F.count("*")).alias("oov_rate"),
+            (oov * F.lit(1.0) / F.sum("n")).alias("oov_rate"),
         )
     )
 
@@ -2839,14 +2872,20 @@ FROM pv GROUP BY label
     "(plans/util.py) so partial-aggregation order never shows",
 )
 def llm_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     e = load(spark, sf_dir, "embeddings")
+    # the centroid pass (label,pos) and the distance pass (vec join)
+    # both consume the exploded relation and neither shares an
+    # exchange; persist it once (16 B/element, same order as the
+    # source table) instead of exploding the corpus twice
     ex = e.select(
         "vec_id",
         "label",
         F.posexplode(F.col("embedding").cast("array<double>")).alias(
             "pos", "val"
         ),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cent = ex.groupBy("label", "pos").agg(
         (dsum("val", 7) / F.count("*")).alias("cent")
     )
