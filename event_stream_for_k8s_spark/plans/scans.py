@@ -491,3 +491,37 @@ def sink_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     d.write.format("arrow-ipc").mode("overwrite").option("path", out).save()
     return spark.read.format("arrow-ipc").option("path", out).load()
+
+
+@query(
+    "scan_xml",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    section="B.1",
+    notes="Spark 4 native XML scan (rowTag streaming parse): the "
+    "events table roundtrips through the built-in XML writer "
+    "(rootTag/rowTag, entity-escaped props JSON) and reads back with "
+    "an EXPLICIT schema — like the JSON twin, schema inference over "
+    "100 TB of XML is a full extra pass. Timestamps travel as "
+    "epoch-micros longs (roundtrip.py discipline); doubles use "
+    "shortest-roundtrip toString so values hash-match the parquet "
+    "originals exactly",
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = materialize(
+        spark,
+        sf_dir,
+        "events_xml",
+        lambda out: events_as_micros(spark, sf_dir)
+        .coalesce(1)
+        .write.format("xml")
+        .option("rowTag", "ev")
+        .option("rootTag", "evs")
+        .mode("overwrite")
+        .save(out),
+    )
+    return restore_ts(
+        spark.read.format("xml")
+        .option("rowTag", "ev")
+        .schema(EVENTS_MICROS_SCHEMA)
+        .load(src)
+    )
