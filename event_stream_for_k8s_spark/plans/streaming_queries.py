@@ -826,3 +826,87 @@ def stream_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"sro_{abs(hash(sf_dir)) % 10**8}"
     _run_to_memory(joined, sink, state_partitions=2)
     return spark.table(sink)
+
+
+@query(
+    "stream_cdc_upsert",
+    oracle="""
+SELECT user_id, event_id AS last_event_id,
+       event_type AS last_event_type, value AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    section="B.9",
+    notes="CDC latest-state materialization: the event stream is a "
+    "changelog keyed by user_id and foreachBatch MERGEs each "
+    "micro-batch into a persistent snapshot (read state, union the "
+    "batch's per-key winners, re-take latest per key, atomic "
+    "swap-in). Latest-by-(ts, event_id) is a commutative/associative "
+    "max, so the final snapshot is independent of batch boundaries — "
+    "asserted by running 4 single-file micro-batches "
+    "(maxFilesPerTrigger=1). At 100 TB the foreachBatch body becomes "
+    "a MERGE INTO on a table format (Delta/Iceberg) with the same "
+    "per-key winner pre-aggregation; the full-rewrite swap here is "
+    "the fixture-scale stand-in and the pre-aggregation is the part "
+    "that carries over (shrinks the merge input to one row per key "
+    "per batch)",
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    src = materialize(
+        spark,
+        sf_dir,
+        "events_stream4_json",
+        lambda out: events_as_micros(spark, sf_dir)
+        .repartition(4)
+        .write.mode("overwrite")
+        .json(out),
+    )
+    state = os.path.join(cache_dir(sf_dir, "cdc_state"), "snapshot")
+    tmp = state + "_tmp"
+    shutil.rmtree(os.path.dirname(state), ignore_errors=True)
+
+    cols = ("user_id", "ts", "event_id", "event_type", "value")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(*cols)
+        )
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        cur = latest(batch.select(*cols))
+        if os.path.exists(state):
+            cur = latest(sp.read.parquet(state).unionByName(cur))
+        cur.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(state, ignore_errors=True)
+        os.replace(tmp, state)
+
+    q = (
+        _stream(spark, src, maxFilesPerTrigger=1)
+        .writeStream.foreachBatch(merge)
+        .option(
+            "checkpointLocation",
+            os.path.join(cache_dir(sf_dir, "cdc_state"), "ck"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
