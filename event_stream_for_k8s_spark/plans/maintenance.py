@@ -469,3 +469,50 @@ def maint_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(marker, "w") as f:
             f.write("ok")
     return restore_ts(spark.read.parquet(out)).select(*EVENTS_COLS)
+
+
+@query(
+    "maint_snapshot_expire",
+    oracle="""
+WITH refs AS (
+  SELECT DISTINCT 'part-' || (event_id % 300) AS path,
+         (event_id // 300) % 10 AS snap
+  FROM events
+)
+SELECT path,
+       cast(max(snap) AS bigint) AS last_snap,
+       cast(count(*) AS bigint) AS n_refs
+FROM refs
+GROUP BY path
+HAVING max(snap) < 7
+""",
+    section="C",
+    notes="snapshot expiry on the manifest alone (keep-last-3 of 10 "
+    "snapshots): a file is deletable iff NO retained snapshot "
+    "references it, i.e. its newest referencing snapshot is expired "
+    "— the reachability rule behind Iceberg/Delta "
+    "expire_snapshots/VACUUM. The file-reference log derives "
+    "deterministically from events (path = event_id mod 300, snapshot "
+    "= event_id div 300 mod 10) so the result is exactly "
+    "oracle-checkable; the plan is manifest-sized (distinct + one "
+    "aggregation), never touches data files, and the HAVING prunes "
+    "before any output materializes — at any corpus size this costs "
+    "what the manifest costs, which is the point of snapshot "
+    "metadata",
+)
+def maint_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    KEEP_FROM = 7  # retain snapshots 7..9 of 0..9
+    ev = load(spark, sf_dir, "events")
+    refs = ev.select(
+        F.concat(F.lit("part-"), (F.col("event_id") % 300).cast("string"))
+        .alias("path"),
+        F.expr("(event_id div 300) % 10").alias("snap"),
+    ).distinct()
+    return (
+        refs.groupBy("path")
+        .agg(
+            F.max("snap").cast("bigint").alias("last_snap"),
+            F.count("*").cast("bigint").alias("n_refs"),
+        )
+        .filter(F.col("last_snap") < KEEP_FROM)
+    )
