@@ -133,3 +133,29 @@ def udtf_py(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.token FROM documents_v d,"
         " LATERAL first_tokens(d.text) t"
     )
+
+
+@query(
+    "udf_arrow",
+    oracle="""
+SELECT s_suppkey,
+       length(s_name) + abs(s_nationkey) * 3 AS score
+FROM supplier
+""",
+    section="B.10",
+    notes="Arrow-optimized Python UDF (useArrow=True, Spark 4's "
+    "preferred scalar-UDF transport): same per-row Python semantics "
+    "as udf_scalar but rows cross the JVM boundary as Arrow batches "
+    "instead of pickled tuples — the drop-in upgrade path when a "
+    "Python UDF can't be expressed as a pandas UDF. Deterministic "
+    "arithmetic keeps it exactly oracle-checkable",
+)
+def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf(returnType=LongType(), useArrow=True)
+    def score(name: str, nationkey: int) -> int:
+        return len(name) + abs(nationkey) * 3
+
+    s = load(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey", score("s_name", "s_nationkey").alias("score")
+    )
