@@ -516,3 +516,74 @@ def maint_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("last_snap") < KEEP_FROM)
     )
+
+
+@query(
+    "maint_state_inspect",
+    oracle="""
+SELECT user_id, cast(count(*) AS bigint) AS n FROM events GROUP BY user_id
+""",
+    section="C",
+    notes="offline state-store inspection (Spark 4 statestore reader): "
+    "run a keyed streaming aggregation to completion, then read the "
+    "checkpoint's state store AS A DATAFRAME — the operational "
+    "debugging primitive for 'what is my streaming job holding in "
+    "state' without instrumenting the job. In update mode with no "
+    "watermark the state retains every key, so the state contents "
+    "equal the batch aggregate exactly and the read oracle-checks; "
+    "state partitions load in parallel (one task per state-store "
+    "partition), which is how a multi-TB RocksDB state inspects at "
+    "scale",
+)
+def maint_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as _F
+
+    from event_stream_for_k8s_spark.sources.roundtrip import (
+        EVENTS_MICROS_SCHEMA,
+        restore_ts,
+    )
+
+    src = materialize(
+        spark,
+        sf_dir,
+        "events_stream_json",
+        lambda out: events_as_micros(spark, sf_dir)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(out),
+    )
+    root = cache_dir(sf_dir, "state_inspect")
+    ck = os.path.join(root, "ck")
+    # ALWAYS run the stream (no marker short-circuit): with an
+    # existing checkpoint the AvailableNow run sees no new files and
+    # finishes instantly, and running it registers the session's
+    # StateStoreCoordinator — reading format("statestore") in a
+    # session where no streaming query ever ran fails with
+    # CANNOT_LOAD_STATE_STORE (stale coordinator endpoint)
+    stream = restore_ts(
+        spark.readStream.schema(EVENTS_MICROS_SCHEMA).json(src)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.groupBy("user_id")
+            .agg(_F.count("*").alias("n"))
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    st = spark.read.format("statestore").load(ck)
+    # the value struct carries the operator's internal buffer attribute
+    # name (`count` for a count agg), not the query alias — resolve the
+    # first buffer field positionally
+    buf = st.schema["value"].dataType.names[0]
+    return st.select(
+        _F.col("key.user_id").alias("user_id"),
+        _F.col(f"value.{buf}").cast("bigint").alias("n"),
+    )
