@@ -809,3 +809,35 @@ def ts_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("v_interp"),
     )
+
+
+@query(
+    "ts_seasonality",
+    oracle=f"""
+SELECT event_type,
+       cast(dayofweek(ts) + 1 AS bigint) AS dow,
+       cast(count(*) AS bigint) AS n,
+       {sql_dsum('value', 2)} / count(*) AS avg_value
+FROM events
+GROUP BY event_type, dayofweek(ts)
+""",
+    section="C",
+    notes="weekly seasonality profile: event volume and 2dp-rounded "
+    "mean value per (event_type, day-of-week) — the fingerprint "
+    "behind weekday/weekend anomaly baselines. One hash aggregation "
+    "over a tiny key domain (types x 7), map-side partials collapse "
+    "almost everything before the shuffle. Day-of-week parity: Spark "
+    "dayofweek() is 1-7 Sunday-first, DuckDB's is 0-6 — the oracle "
+    "adds 1",
+)
+def ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", F.dayofweek("ts").cast("bigint").alias("dow")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            (dsum("value", 2) / F.count("*")).alias("avg_value"),
+        )
+    )

@@ -459,3 +459,39 @@ def test_token_budget_boundary_cases(spark, tmp_path):
     run_case("mid", [(70, "a")] * (B // 70 + 40) + [(30, "b")] * 5)
     # budget exceeds the whole corpus: everything selected
     run_case("all", [(40, "a"), (25, "b"), (33, "a")])
+
+
+def test_dedup_substring_planted_window(spark, tmp_path):
+    """llm_dedup_substring must flag exactly the docs that share an
+    8-token run, with the shared-window count matching the planted
+    overlap (windows fully inside the common run)."""
+    import os
+
+    from tests.conftest import SF_SMOKE
+    from event_stream_for_k8s_spark.catalog import TABLES
+    from event_stream_for_k8s_spark.plans import REGISTRY
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    for t in TABLES:
+        os.symlink(f"{SF_SMOKE}/{t}.parquet", f"{sf}/{t}.parquet")
+    os.unlink(f"{sf}/documents.parquet")
+    common = " ".join(f"c{i}" for i in range(12))  # 12-token shared run
+    docs = [
+        (1, f"a1 a2 a3 {common} a4 a5", "en", "web", 0),
+        (2, f"b1 b2 {common} b3 b4 b5 b6", "en", "web", 0),
+        (3, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10", "en", "web", 0),  # clean
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).toPandas().to_parquet(f"{sf}/documents.parquet", index=False)
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["llm_dedup_substring"].spark(spark, sf).collect()
+    }
+    # a 12-token common run yields 12-8+1 = 5 fully-shared windows
+    assert rows[1]["n_shared"] == 5, rows[1]
+    assert rows[2]["n_shared"] == 5, rows[2]
+    assert rows[3]["n_shared"] == 0, rows[3]
+    assert rows[3]["shared_frac"] == 0.0
