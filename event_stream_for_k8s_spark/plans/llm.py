@@ -360,6 +360,33 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "nid", "sim", "rnk")
 
 
+@query(
+    "llm_knn_ivf_exact",
+    oracle=KNN_ORACLE,
+    section="B.11",
+    notes="exactness-domain anchor for the IVF tier: probing ALL 16 "
+    "cells makes IVF provably equal to brute force (identical "
+    "rounding and (sim desc, id) tie-break), so the approximate "
+    "path's machinery — KMeans quantizer, centroid probe ranking, "
+    "cell equi-join, per-query top-k — oracle-checks exactly against "
+    "the brute SQL. The production setting (n_probe=4) stays the "
+    "rows-only llm_knn_ivf; this query pins that the ladder collapses "
+    "to exact when the probe budget covers the index",
+)
+def llm_knn_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("cvec")
+    )
+    return knn_ivf(
+        queries, corpus, k=5, q_id="qid", c_id="nid", q_vec="qvec",
+        c_vec="cvec", n_cells=16, n_probe=16,
+    ).select("qid", "nid", "sim", "rnk")
+
+
 # --------------------------------------------------------------------------
 # Text analysis family
 # --------------------------------------------------------------------------
