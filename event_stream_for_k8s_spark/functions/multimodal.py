@@ -105,12 +105,29 @@ def decode_wav(b: bytes) -> tuple[float, float, float, float]:
 
 
 def decode_text(b: bytes) -> tuple[float, float, float, float]:
-    """Byte statistics: (len, sum%997, first byte, last byte)."""
+    """Codepoint statistics: (len, ord-sum%997, first, last codepoint).
+
+    Decodes UTF-8 and works on CODEPOINTS, not bytes, so the features
+    are identical whether the corpus is ASCII or not (a byte-stat
+    version silently diverges from any SQL oracle the first time a
+    multi-byte character appears). Invalid UTF-8 falls back to raw
+    byte statistics."""
+    try:
+        s = b.decode("utf-8")
+    except UnicodeDecodeError:
+        s = None
+    if s is None:
+        return (
+            float(len(b)),
+            float(sum(b) % 997),
+            float(b[0] if b else 0),
+            float(b[-1] if b else 0),
+        )
     return (
-        float(len(b)),
-        float(sum(b) % 997),
-        float(b[0] if b else 0),
-        float(b[-1] if b else 0),
+        float(len(s)),
+        float(sum(map(ord, s)) % 997),
+        float(ord(s[0]) if s else 0),
+        float(ord(s[-1]) if s else 0),
     )
 
 
@@ -252,8 +269,15 @@ def sample_frames(df: DataFrame, stride: int = 128) -> DataFrame:
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
-                for fid, off in enumerate(range(0, len(b), stride)):
-                    frame = b[off : off + stride]
+                # frame over UTF-8 CODEPOINTS when the payload decodes
+                # (offsets/checksums then match a SQL substr/ord oracle
+                # for any corpus, not just ASCII); raw bytes otherwise
+                try:
+                    units = [ord(ch) for ch in b.decode("utf-8")]
+                except UnicodeDecodeError:
+                    units = list(b)
+                for fid, off in enumerate(range(0, len(units), stride)):
+                    frame = units[off : off + stride]
                     out["doc_id"].append(doc_id)
                     out["frame_id"].append(fid)
                     out["offset"].append(off)

@@ -50,8 +50,8 @@ def fingerprint_minhash3(toks: Column) -> Column:
     windows = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(h) - 3, F.lit(0))),
         lambda i: (
-            (F.element_at(h, i + 1) * 31 + F.element_at(h, i + 2)) % MOD * 31
-            + F.element_at(h, i + 3)
+            (F.try_element_at(h, i + 1) * 31 + F.try_element_at(h, i + 2)) % MOD * 31
+            + F.try_element_at(h, i + 3)
         )
         % MOD,
     )
@@ -77,9 +77,13 @@ def quality_features(text: Column | str) -> dict[str, Column]:
     return {
         "n_chars": F.length(c),
         "n_tokens": n_tok,
-        "punct_ratio": n_punct.cast("double") / F.length(c),
-        "stopword_ratio": n_stop.cast("double") / n_tok,
-        "avg_token_len": (F.length(c) - n_tok + 1).cast("double") / n_tok,
+        # try_divide: empty text has length 0 and ANSI '/' would throw;
+        # DuckDB's x/0 is NULL, so NULL ratios are the parity semantics
+        "punct_ratio": F.try_divide(n_punct.cast("double"), F.length(c)),
+        "stopword_ratio": F.try_divide(n_stop.cast("double"), n_tok),
+        "avg_token_len": F.try_divide(
+            (F.length(c) - n_tok + 1).cast("double"), n_tok
+        ),
     }
 
 
@@ -88,9 +92,9 @@ def gram3_hashes(ht: Column) -> Column:
     return F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(ht) - 3, F.lit(0))),
         lambda i: (
-            (F.element_at(ht, i + 1) * 31 + F.element_at(ht, i + 2))
+            (F.try_element_at(ht, i + 1) * 31 + F.try_element_at(ht, i + 2))
             % MOD * 31
-            + F.element_at(ht, i + 3)
+            + F.try_element_at(ht, i + 3)
         )
         % MOD,
     )

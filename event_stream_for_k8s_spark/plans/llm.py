@@ -696,8 +696,8 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(h) - 3, F.lit(0))),
         lambda i: (
-            (F.element_at(h, i + 1) * 31 + F.element_at(h, i + 2)) % MOD * 31
-            + F.element_at(h, i + 3)
+            (F.try_element_at(h, i + 1) * 31 + F.try_element_at(h, i + 2)) % MOD * 31
+            + F.try_element_at(h, i + 3)
         )
         % MOD,
     )
@@ -1230,10 +1230,14 @@ def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def dup_frac(name):
+        # try_divide: a gram-less doc (under n tokens) is 0/0 -> NULL,
+        # matching the oracle's x/0 -> NULL (ANSI '/' would throw)
         return F.round(
             1.0
-            - F.size(F.array_distinct(F.col(name))).cast("double")
-            / F.size(F.col(name)),
+            - F.try_divide(
+                F.size(F.array_distinct(F.col(name))).cast("double"),
+                F.size(F.col(name)),
+            ),
             6,
         )
 
@@ -1285,7 +1289,8 @@ def llm_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH w AS (
   SELECT doc_id, source,
-         5 * (substr(source, 4)::int % 10 + 1) AS keep_pct,
+         5 * (coalesce(try_cast(substr(source, 4) AS int), 0) % 10 + 1)
+           AS keep_pct,
          ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::bigint % 100
            AS bucket
   FROM documents
@@ -1306,7 +1311,14 @@ FROM w GROUP BY source
 )
 def llm_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    keep_pct = 5 * (F.substring("source", 4, 10).cast("int") % 10 + 1)
+    # try_cast+coalesce: a source name without a numeric suffix maps
+    # to the floor rate instead of an ANSI cast failure (data format is
+    # a property of the regenerated corpus, not a contract)
+    keep_pct = 5 * (
+        F.coalesce(
+            F.substring("source", 4, 10).try_cast("int"), F.lit(0)
+        ) % 10 + 1
+    )
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 100
@@ -1515,11 +1527,14 @@ def llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id, 'text/plain' AS mime,
        octet_length(encode(text)) AS byte_len,
        cast(length(text) AS double) AS f0,
-       cast(list_sum(list_transform(range(1, length(text) + 1),
-              i -> ord(substr(text, cast(i AS int), 1)))) % 997 AS double)
-         AS f1,
-       cast(ord(substr(text, 1, 1)) AS double) AS f2,
-       cast(ord(substr(text, length(text), 1)) AS double) AS f3
+       cast(coalesce(list_sum(list_transform(range(1, length(text) + 1),
+              i -> ord(substr(text, cast(i AS int), 1)))), 0) % 997
+            AS double) AS f1,
+       cast(CASE WHEN length(text) = 0 THEN 0
+                 ELSE ord(substr(text, 1, 1)) END AS double) AS f2,
+       cast(CASE WHEN length(text) = 0 THEN 0
+                 ELSE ord(substr(text, length(text), 1)) END AS double)
+         AS f3
 FROM documents
 """,
     section="B.11",
@@ -1529,9 +1544,10 @@ FROM documents
     "PPM images and PCM16 WAV audio are parsed for REAL "
     "(functions/multimodal.py, stdlib-only — pinned by "
     "tests/test_llm.py on synthesized binaries); codec mimes raise "
-    "at the documented external-library boundary. The oracle "
-    "recomputes the text statistics from the bytes, which is EXACT "
-    "because the fixture text is pure ASCII (1 byte = 1 codepoint). "
+    "at the documented external-library boundary. The text decoder "
+    "works on UTF-8 CODEPOINTS (not raw bytes), so the oracle's "
+    "substr/ord recomputation is exact for any corpus, ASCII or not, "
+    "and the empty payload maps to zero features on both engines. "
     "Features emitted as scalar f0..f3 columns (driver-hashable)",
 )
 def llm_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1547,8 +1563,8 @@ def llm_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_mm_frames",
     oracle="""
 WITH f AS (
-  SELECT doc_id, text, octet_length(encode(text)) AS blen,
-         unnest(range(0, octet_length(encode(text)), 128)) AS off
+  SELECT doc_id, text, length(text) AS blen,
+         unnest(range(0, length(text), 128)) AS off
   FROM documents
 )
 SELECT doc_id,
@@ -1565,9 +1581,10 @@ FROM f
     notes="fixed-stride frame sampling over binary payloads (the "
     "video 'every Nth frame' pattern): one row in, ceil(len/stride) "
     "frame rows out, per-frame offset + checksum. mapInPandas "
-    "generator plumbing is real; the byte window stands in for a "
-    "demuxed frame. ASCII fixture makes the byte checksums exactly "
-    "recomputable in SQL",
+    "generator plumbing is real; the codepoint window stands in for "
+    "a demuxed frame (codepoints, not bytes, so the substr/ord "
+    "oracle is exact for unicode corpora too; empty docs yield no "
+    "frames on either engine)",
 )
 def llm_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_stream_for_k8s_spark.functions.multimodal import (
@@ -1582,7 +1599,9 @@ def llm_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_mm_resize",
     oracle="""
 WITH b AS (
-  SELECT doc_id, rpad(substr(text, 1, 768), 768, ' ') AS body
+  SELECT doc_id,
+         rpad(regexp_replace(substr(text, 1, 768), '[^ -~]', '?', 'g'),
+              768, ' ') AS body
   FROM documents
 ), s AS (
   SELECT doc_id,
@@ -1603,7 +1622,8 @@ FROM s
     "inside mapInPandas (functions/multimodal.py::resize_media). "
     "Nearest-neighbor output pixel (i,j) = input (i*H//8, j*W//8), so "
     "the resized byte sum is an exact integer the oracle recomputes "
-    "straight from the text bytes (ASCII fixture: 1 byte = 1 char). "
+    "straight from the text (non-printable chars map to '?' before "
+    "padding on both engines, so 1 char = 1 pixel byte always). "
     "One narrow pass, no shuffle; a PIL bilinear resampler drops into "
     "the same Arrow batch loop",
 )
@@ -1613,14 +1633,21 @@ def llm_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load(spark, sf_dir, "documents")
+    # non-printable/non-ASCII chars map to '?' BEFORE padding so one
+    # char is exactly one pixel byte — without this, a multi-byte
+    # character inflates the encoded block past 16x16x3 and the pixel
+    # math (and the codepoint-indexed oracle) silently shifts
+    body = F.rpad(
+        F.regexp_replace(
+            F.substring("text", 1, 768), r"[^\x20-\x7e]", "?"
+        ),
+        768,
+        " ",
+    )
     ppm = d.select(
         "doc_id",
         F.encode(
-            F.concat(
-                F.lit("P6\n16 16\n255\n"),
-                F.rpad(F.substring("text", 1, 768), 768, " "),
-            ),
-            "UTF-8",
+            F.concat(F.lit("P6\n16 16\n255\n"), body), "UTF-8"
         ).alias("payload"),
     )
     return resize_media(ppm, out_w=8, out_h=8)
@@ -2393,7 +2420,14 @@ def llm_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature serialized for the driver's scalar-cell hasher; the
     # stored form at scale stays array<bigint> (64 bytes/doc).
     return grams.select(
-        "doc_id", F.array_join(sig.cast("array<string>"), ",").alias("sig")
+        "doc_id",
+        # a gram-less doc (<3 tokens) has all-NULL signature slots;
+        # array_join SKIPS nulls ('' instead of the oracle's NULL) —
+        # gate on the first slot so the serialized form is total
+        F.when(
+            sig[0].isNotNull(),
+            F.array_join(sig.cast("array<string>"), ","),
+        ).alias("sig"),
     )
 
 
