@@ -231,8 +231,9 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_json",
     oracle="""
 SELECT event_id,
-       json_extract_string(props, '$.k') AS k_str,
-       cast(json_extract_string(props, '$.k') AS int) AS k_int,
+       json_extract_string(nullif(props, ''), '$.k') AS k_str,
+       try_cast(json_extract_string(nullif(props, ''), '$.k') AS int)
+         AS k_int,
        to_json(struct_pack(event_id := event_id, user_id := user_id)) AS packed
 FROM events
 """,
@@ -241,11 +242,13 @@ FROM events
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A7's JSON serialization (tasks.rs:105) + its inverse as expressions.
     ev = load(spark, sf_dir, "events")
-    parsed = F.from_json("props", "k INT")
+    # nullif/try semantics: props content is a data property — empty
+    # or non-numeric payloads degrade to NULL on both engines
+    parsed = F.from_json("props", "k STRING")
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),
-        parsed.getField("k").alias("k_int"),
+        parsed.getField("k").try_cast("int").alias("k_int"),
         F.to_json(F.struct("event_id", "user_id")).alias("packed"),
     )
 
@@ -506,9 +509,10 @@ def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_variant",
     oracle="""
 SELECT event_id,
-       json_extract(props, '$.k')::int AS k,
-       json(props)::varchar AS canonical,
-       (json_extract(props, '$.k')::int % 10 = 0) AS k_mod10
+       try_cast(json_extract(nullif(props, ''), '$.k') AS int) AS k,
+       json(nullif(props, ''))::varchar AS canonical,
+       (try_cast(json_extract(nullif(props, ''), '$.k') AS int) % 10 = 0)
+         AS k_mod10
 FROM events
 """,
     section="B.8",
@@ -521,12 +525,17 @@ FROM events
 )
 def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    v = e.select("event_id", F.parse_json("props").alias("v"))
+    # try_parse_json / try_variant_get: malformed or empty props (a
+    # data property of the corpus) degrade to NULL like the oracle's
+    # nullif + try_cast, instead of failing the job
+    v = e.select(
+        "event_id", F.try_parse_json(F.nullif("props", F.lit(""))).alias("v")
+    )
     return v.select(
         "event_id",
-        F.expr("variant_get(v, '$.k', 'int')").alias("k"),
+        F.expr("try_variant_get(v, '$.k', 'int')").alias("k"),
         F.col("v").cast("string").alias("canonical"),
-        (F.expr("variant_get(v, '$.k', 'int')") % 10 == 0).alias(
+        (F.expr("try_variant_get(v, '$.k', 'int')") % 10 == 0).alias(
             "k_mod10"
         ),
     )

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from event_stream_for_k8s_spark.catalog import load
 from event_stream_for_k8s_spark.operators import asof_join
@@ -507,6 +508,17 @@ FROM events e LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
 )
 def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    # copy rank: redelivered (identical-duplicate) left rows would
+    # cross-pair in the backward x forward merge below (2 copies -> 4
+    # rows); ranking copies makes the merge key unique so each copy
+    # pairs with itself — identical copies, so the nondeterministic
+    # rank assignment can't show in the output
+    ev = ev.withColumn(
+        "cp",
+        F.row_number().over(
+            Window.partitionBy("event_id").orderBy("ts", "user_id")
+        ),
+    )
     o = load(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
     )
@@ -532,8 +544,8 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload=["o_orderkey", "o_orderdate"],
         tiebreak="o_orderkey",
         suffix="_next",
-    ).select("event_id", "o_orderkey_next", "o_orderdate_next")
-    j = back.join(fwd, "event_id")
+    ).select("event_id", "cp", "o_orderkey_next", "o_orderdate_next")
+    j = back.join(fwd, ["event_id", "cp"])
     t_us = F.unix_micros("ts")
     db = t_us - F.unix_micros(F.col("o_orderdate_asof").cast("timestamp"))
     df_ = F.unix_micros(F.col("o_orderdate_next").cast("timestamp")) - t_us

@@ -375,11 +375,12 @@ def maint_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "maint_partition_overwrite",
     oracle="""
-SELECT event_id, user_id, value, event_type FROM events
-WHERE event_type <> 'error'
+SELECT event_id, user_id, value, nullif(event_type, '') AS event_type
+FROM events WHERE event_type <> 'error'
 UNION ALL
-SELECT event_id, user_id, value * 2 AS value, event_type FROM events
-WHERE event_type = 'error'
+SELECT event_id, user_id, value * 2 AS value,
+       nullif(event_type, '') AS event_type
+FROM events WHERE event_type = 'error'
 """,
     section="C",
     notes="dynamic partition overwrite (INSERT OVERWRITE semantics): "
@@ -390,8 +391,11 @@ WHERE event_type = 'error'
     "rest are untouched on disk, and no session conf leaks. This is "
     "the backfill/restatement primitive of every partitioned lake "
     "table; the doubled value is an exact mantissa-shift so the "
-    "read-back hash-matches. Re-running the restatement is "
-    "idempotent (derived from the source table, not the target)",
+    "read-back hash-matches. Hive partition-value semantics: an "
+    "empty-string partition value round-trips as NULL "
+    "(__HIVE_DEFAULT_PARTITION__), mirrored by the oracle's nullif. "
+    "Re-running the restatement is idempotent (derived from the "
+    "source table, not the target)",
 )
 def maint_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cache_dir(sf_dir, "events_dpo")

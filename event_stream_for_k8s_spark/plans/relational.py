@@ -193,7 +193,8 @@ def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT coalesce(event_type, '-') AS etype,
        user_id % 10 AS ubucket,
        strftime(ts, '%Y-%m') AS month,
-       cast(json_extract_string(props, '$.k') AS int) % 5 AS kbucket,
+       try_cast(json_extract_string(nullif(props, ''), '$.k') AS int) % 5
+         AS kbucket,
        count(*) AS n_events,
        {sql_dsum('value')} AS sum_value
 FROM events
@@ -209,7 +210,11 @@ def agg_multidim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("event_type", F.lit("-")).alias("etype"),
         (F.col("user_id") % 10).alias("ubucket"),
         F.date_format("ts", "yyyy-MM").alias("month"),
-        (F.get_json_object("props", "$.k").cast("int") % 5).alias("kbucket"),
+        # try_cast: a non-numeric $.k (props format is a data property)
+        # buckets as NULL on both engines instead of an ANSI cast crash
+        (
+            F.get_json_object("props", "$.k").try_cast("int") % 5
+        ).alias("kbucket"),
     ).agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
 
 

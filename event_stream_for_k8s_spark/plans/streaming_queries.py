@@ -85,10 +85,13 @@ def _run_to_memory(
 
 @query(
     "stream_dedup_ttl",
-    oracle="SELECT event_id, ts, user_id, event_type, value FROM events",
+    oracle="SELECT DISTINCT event_id, ts, user_id, event_type, value"
+    " FROM events",
     section="B.9",
     notes="the flagship streaming pipeline: every key delivered twice, "
-    "watermark-TTL dedup emits each exactly once",
+    "watermark-TTL dedup emits each exactly once. DISTINCT, not "
+    "SELECT *: if the source table itself carries a redelivered "
+    "duplicate row (a data property), the dedup collapses it too",
 )
 def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _single_file_json(
@@ -268,13 +271,13 @@ def _three_phase_src(spark: SparkSession, sf_dir: str, third: str) -> str:
 @query(
     "stream_watermark",
     oracle="""
-SELECT event_id, ts, event_type FROM events
+SELECT DISTINCT event_id, ts, event_type FROM events
 UNION ALL
 SELECT cast(1000000000 AS bigint) AS event_id,
        (SELECT max(ts) + INTERVAL 10 HOUR FROM events) AS ts,
        'sentinel' AS event_type
 UNION ALL
-SELECT event_id,
+SELECT DISTINCT event_id,
        (SELECT max(ts) + INTERVAL 12 HOUR FROM events) AS ts,
        event_type
 FROM events
@@ -398,13 +401,18 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_foreach_metrics",
     oracle="""
 SELECT cast(count(*) * 2 AS bigint) AS total,
-       cast(count(*) AS bigint) AS misses,
-       cast(count(*) AS bigint) AS hits
+       cast(count(DISTINCT (event_id, ts, user_id, event_type, value))
+            AS bigint) AS misses,
+       cast(count(*) * 2
+            - count(DISTINCT (event_id, ts, user_id, event_type, value))
+            AS bigint) AS hits
 FROM events
 """,
     section="B.9",
     notes="A9 invariant hits + misses == total over a doubled stream, "
-    "computed inside foreachBatch (pre-dedup placement, tasks.rs:92-94)",
+    "computed inside foreachBatch (pre-dedup placement, "
+    "tasks.rs:92-94). Misses count DISTINCT rows so an in-table "
+    "redelivered duplicate scores as a hit, exactly like the engine",
 )
 def stream_foreach_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _single_file_json(

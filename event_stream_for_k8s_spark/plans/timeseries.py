@@ -321,14 +321,16 @@ def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH m AS (
   SELECT user_id,
          count(*) AS n,
-         sum(cast(round(value * 100) AS bigint)) AS s1,
-         sum(cast(round(value * 100) AS bigint)
-             * cast(round(value * 100) AS bigint)) AS s2
+         sum(cast(round(value * 100) AS hugeint)) AS s1,
+         sum(cast(round(value * 100) AS hugeint)
+             * cast(round(value * 100) AS hugeint)) AS s2
   FROM events GROUP BY user_id
 ), z AS (
   SELECT e.event_id, e.user_id, e.value,
-         round((cast(round(e.value * 100) AS bigint) * m.n - m.s1)
-               / sqrt(greatest(m.s2 * m.n - m.s1 * m.s1, 1)), 6) AS zscore
+         round(cast(cast(round(e.value * 100) AS hugeint) * m.n - m.s1
+                    AS double)
+               / sqrt(cast(greatest(m.s2 * m.n - m.s1 * m.s1, 1)
+                           AS double)), 6) AS zscore
   FROM events e JOIN m ON e.user_id = m.user_id
 )
 SELECT event_id, user_id, value, zscore FROM z
@@ -345,11 +347,24 @@ WHERE abs(zscore) > 2
 )
 def ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    sv = F.round(F.col("value") * 100).cast("bigint")
+    # scale-0 DECIMAL(38) moments (hugeint in the oracle): int64 s2
+    # overflows at |value| ~ 3e8 and value magnitude is a DATA
+    # property. Scale-0 decimals stay exact, and the one cast to
+    # double at the end is a single rounding from the same exact
+    # integer on both engines (the two-roundings hazard in
+    # plans/util.py applies only to scaled decimals).
+    sv = F.round(F.col("value") * 100).cast("decimal(38,0)")
     m = e.groupBy("user_id").agg(
         F.count("*").alias("n"),
         F.sum(sv).alias("s1"),
         F.sum(sv * sv).alias("s2"),
+    )
+    num = (sv * F.col("n") - F.col("s1")).cast("double")
+    var = (
+        F.greatest(
+            F.col("s2") * F.col("n") - F.col("s1") * F.col("s1"),
+            F.lit(1).cast("decimal(38,0)"),
+        ).cast("double")
     )
     z = (
         e.join(F.broadcast(m), "user_id")
@@ -357,17 +372,7 @@ def ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             "value",
-            F.round(
-                (sv * F.col("n") - F.col("s1"))
-                / F.sqrt(
-                    F.greatest(
-                        F.col("s2") * F.col("n")
-                        - F.col("s1") * F.col("s1"),
-                        F.lit(1),
-                    ).cast("double")
-                ),
-                6,
-            ).alias("zscore"),
+            F.round(num / F.sqrt(var), 6).alias("zscore"),
         )
     )
     return z.filter(F.abs(F.col("zscore")) > 2)
