@@ -14,6 +14,7 @@ from event_stream_for_k8s_spark.plans import (  # noqa: E402,F401
     joins,
     windows,
     functions,
+    graph,
     llm,
     maintenance,
     streaming_queries,

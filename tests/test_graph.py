@@ -1,0 +1,76 @@
+"""Functional tests for the co-occurrence graph operators
+(plans/graph.py): planted-triangle recall and the per-block cap.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+
+from event_stream_for_k8s_spark.catalog import TABLES
+from event_stream_for_k8s_spark.plans import REGISTRY
+from event_stream_for_k8s_spark.plans.graph import BLOCK_CAP
+
+from tests.conftest import SF_SMOKE
+
+H0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+
+def _sf_with_events(spark, tmp_path, rows):
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    for t in TABLES:
+        os.symlink(f"{SF_SMOKE}/{t}.parquet", f"{sf}/{t}.parquet")
+    os.unlink(f"{sf}/events.parquet")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).toPandas().to_parquet(f"{sf}/events.parquet", index=False)
+    return sf
+
+
+def test_planted_triangle(spark, tmp_path):
+    # users 1,2,3 share a cell (triangle); user 4 co-occurs with 1
+    # only, in a different cell -> degree 1, excluded from output.
+    rows = [
+        (1, H0, 1, "view", 1.0, "{}"),
+        (2, H0, 2, "view", 1.0, "{}"),
+        (3, H0, 3, "view", 1.0, "{}"),
+        (4, H0 + datetime.timedelta(hours=2), 1, "click", 1.0, "{}"),
+        (5, H0 + datetime.timedelta(hours=2), 4, "click", 1.0, "{}"),
+    ]
+    sf = _sf_with_events(spark, tmp_path, rows)
+    out = {
+        r["user_id"]: r.asDict()
+        for r in REGISTRY["graph_triangles"].spark(spark, sf).collect()
+    }
+    assert set(out) == {1, 2, 3}  # user 4 has degree 1
+    assert out[1] == {
+        "user_id": 1,
+        "degree": 3,
+        "n_triangles": 1,
+        "clustering": pytest.approx(1 / 3, abs=1e-6),
+    }
+    for u in (2, 3):
+        assert out[u]["degree"] == 2
+        assert out[u]["n_triangles"] == 1
+        assert out[u]["clustering"] == 1.0
+
+
+def test_block_cap_bounds_pairs(spark, tmp_path):
+    # One Zipf-head cell with BLOCK_CAP + 8 users: the edge set must
+    # be C(BLOCK_CAP, 2) over the first BLOCK_CAP user_ids, never
+    # |block| choose 2.
+    n = BLOCK_CAP + 8
+    rows = [
+        (i, H0, 100 + i, "view", 1.0, "{}") for i in range(n)
+    ]
+    sf = _sf_with_events(spark, tmp_path, rows)
+    deg = REGISTRY["graph_degree"].spark(spark, sf).collect()
+    n_edges = sum(r["degree"] for r in deg) // 2
+    assert n_edges == BLOCK_CAP * (BLOCK_CAP - 1) // 2
+    # the capped membership is deterministic: lowest user_ids win
+    assert {r["user_id"] for r in deg} == {100 + i for i in range(BLOCK_CAP)}

@@ -385,3 +385,18 @@ def test_dedup_ngram_salted_and_single_scan(spark):
     # cache READS, not scan mentions)
     assert p.count("InMemoryTableScan") >= 2, p.count("InMemoryTableScan")
     assert "sub" in p  # salt participates in the join key
+
+
+def test_graph_triangles_no_nested_loop(spark):
+    """Triangle enumeration must stay equi-joins end to end: pair
+    generation blocks on (hour, event_type), the 2-path and closing
+    joins key on oriented endpoints. A nested-loop anywhere here is
+    the all-pairs blowup the degree orientation exists to prevent."""
+    for name in ("graph_degree", "graph_triangles"):
+        p = _plan(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+    # the oriented edge relation is persisted and read by all three
+    # self-join sides + the closing join
+    p = _plan(spark, "graph_triangles")
+    assert p.count("InMemoryTableScan") >= 3, p.count("InMemoryTableScan")
