@@ -846,3 +846,203 @@ def ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dsum("value", 2) / F.count("*")).alias("avg_value"),
         )
     )
+
+
+M4_ROLES = ("first", "last", "min", "max")
+
+_M4_PART = "PARTITION BY event_type, date_trunc('day', ts)"
+M4_ORACLE = f"""
+WITH p AS (
+  SELECT event_type, date_trunc('day', ts) AS d, ts, value,
+    row_number() OVER ({_M4_PART}
+      ORDER BY ts ASC NULLS FIRST, event_id ASC) AS rf,
+    row_number() OVER ({_M4_PART}
+      ORDER BY ts DESC NULLS LAST, event_id DESC) AS rl,
+    row_number() OVER ({_M4_PART}
+      ORDER BY value ASC NULLS FIRST, event_id ASC) AS rmin,
+    row_number() OVER ({_M4_PART}
+      ORDER BY value DESC NULLS LAST, event_id DESC) AS rmax
+  FROM events
+)
+SELECT event_type, d, role, ts, value FROM (
+  SELECT event_type, d, 'first' AS role, ts, value FROM p WHERE rf = 1
+  UNION ALL
+  SELECT event_type, d, 'last', ts, value FROM p WHERE rl = 1
+  UNION ALL
+  SELECT event_type, d, 'min', ts, value FROM p WHERE rmin = 1
+  UNION ALL
+  SELECT event_type, d, 'max', ts, value FROM p WHERE rmax = 1
+)
+"""
+
+
+@query(
+    "ts_downsample_m4",
+    oracle=M4_ORACLE,
+    section="C",
+    notes="M4 downsampling (Jugel et al., VLDB 2014): per "
+    "(event_type, day) bucket keep the ACTUAL first/last/min/max "
+    "(ts, value) points — the 4 points per pixel column that make a "
+    "downsampled line chart render pixel-identically to the raw "
+    "series. Unlike ts_ohlc (which aggregates values), this emits the "
+    "sampled points themselves, role-tagged. One shuffle on the "
+    "bucket key serves all four row_number orderings (same "
+    "partitioning), and the role fan-out is a per-row array filter + "
+    "explode, not four scans; ties are broken on event_id so the "
+    "selection is deterministic on both engines; null ordering pinned "
+    "explicitly (Spark asc=NULLS FIRST / desc=NULLS LAST)",
+)
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events").withColumn(
+        "d", F.date_trunc("day", "ts")
+    )
+    part = Window.partitionBy("event_type", "d")
+    rf = F.row_number().over(
+        part.orderBy(F.col("ts").asc_nulls_first(), F.col("event_id").asc())
+    )
+    rl = F.row_number().over(
+        part.orderBy(
+            F.col("ts").desc_nulls_last(), F.col("event_id").desc()
+        )
+    )
+    rmin = F.row_number().over(
+        part.orderBy(
+            F.col("value").asc_nulls_first(), F.col("event_id").asc()
+        )
+    )
+    rmax = F.row_number().over(
+        part.orderBy(
+            F.col("value").desc_nulls_last(), F.col("event_id").desc()
+        )
+    )
+    flagged = e.select(
+        "event_type",
+        "d",
+        "ts",
+        "value",
+        F.filter(
+            F.array(
+                F.when(rf == 1, F.lit("first")),
+                F.when(rl == 1, F.lit("last")),
+                F.when(rmin == 1, F.lit("min")),
+                F.when(rmax == 1, F.lit("max")),
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("roles"),
+    )
+    return flagged.select(
+        "event_type",
+        "d",
+        F.explode("roles").alias("role"),
+        "ts",
+        "value",
+    )
+
+
+MAD_ORACLE = """
+WITH r1 AS (
+  SELECT event_type, event_id, value,
+    row_number() OVER (PARTITION BY event_type
+      ORDER BY value ASC NULLS FIRST, event_id ASC) AS rv,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), med AS (
+  SELECT event_type, value AS med, n FROM r1 WHERE rv = (n + 1) // 2
+), dev AS (
+  SELECT e.event_type, e.event_id, abs(e.value - m.med) AS dev, m.med,
+         m.n
+  FROM events e JOIN med m USING (event_type)
+), r2 AS (
+  SELECT event_type, dev, med, n,
+    row_number() OVER (PARTITION BY event_type
+      ORDER BY dev ASC NULLS FIRST, event_id ASC) AS rd
+  FROM dev
+), mad AS (
+  SELECT event_type, med, n, dev AS mad FROM r2 WHERE rd = (n + 1) // 2
+)
+SELECT m.event_type, cast(m.n AS bigint) AS n, m.med, m.mad,
+       cast(count(*) FILTER (WHERE d.dev > 3 * 1.4826 * m.mad)
+            AS bigint) AS n_anom
+FROM mad m JOIN dev d USING (event_type)
+GROUP BY m.event_type, m.n, m.med, m.mad
+"""
+
+
+@query(
+    "ts_mad_anomaly",
+    oracle=MAD_ORACLE,
+    section="C",
+    notes="robust anomaly profile per event_type: median + median "
+    "absolute deviation (lower-median rank selection, NOT "
+    "interpolation — the median is an ELEMENT of the data, so parity "
+    "is exact with zero float arithmetic beyond one abs-difference), "
+    "and the count of points beyond the 3-sigma-equivalent "
+    "3*1.4826*MAD fence. The z-score twin (ts_anomaly) breaks under "
+    "a single 1e9 outlier — median/MAD is the estimator that "
+    "survives dirty telemetry. Exact rank selection costs a per-key "
+    "sort; at 100 TB swap in approx_percentile(0.5) (mergeable "
+    "sketch, no sort) — same fence, 1% rank error",
+)
+def ts_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    wpart = Window.partitionBy("event_type")
+    wval = wpart.orderBy(
+        F.col("value").asc_nulls_first(), F.col("event_id").asc()
+    )
+    r1 = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(wval).alias("rv"),
+        F.count("*").over(wpart).alias("n"),
+    )
+    med = (
+        r1.filter(F.col("rv") == F.floor((F.col("n") + 1) / 2))
+        .select("event_type", F.col("value").alias("med"), "n")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+        "med",
+        "n",
+    )
+    wdev = wpart.orderBy(
+        F.col("dev").asc_nulls_first(), F.col("event_id").asc()
+    )
+    mad = (
+        dev.select(
+            "event_type",
+            "med",
+            "n",
+            "dev",
+            F.row_number().over(wdev).alias("rd"),
+        )
+        .filter(F.col("rd") == F.floor((F.col("n") + 1) / 2))
+        .select("event_type", "med", "n", F.col("dev").alias("mad"))
+    )
+    return (
+        dev.select("event_type", "dev")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n", "med", "mad")
+        .agg(
+            F.count(
+                F.when(
+                    F.col("dev") > F.lit(3) * F.lit(1.4826) * F.col("mad"),
+                    True,
+                )
+            ).alias("n_anom")
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            "med",
+            "mad",
+            F.col("n_anom").cast("long").alias("n_anom"),
+        )
+    )

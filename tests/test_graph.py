@@ -74,3 +74,44 @@ def test_block_cap_bounds_pairs(spark, tmp_path):
     assert n_edges == BLOCK_CAP * (BLOCK_CAP - 1) // 2
     # the capped membership is deterministic: lowest user_ids win
     assert {r["user_id"] for r in deg} == {100 + i for i in range(BLOCK_CAP)}
+
+
+def test_m4_emits_four_roles_per_bucket(spark):
+    # every (event_type, day) bucket emits exactly one row per role,
+    # and the min/max roles bound the first/last values
+    from pyspark.sql import functions as F
+    from event_stream_for_k8s_spark.plans import REGISTRY
+
+    df = REGISTRY["ts_downsample_m4"].spark(spark, SF_SMOKE)
+    per = (
+        df.groupBy("event_type", "d")
+        .pivot("role", ["first", "last", "min", "max"])
+        .agg(F.first("value"))
+    ).collect()
+    assert per, "no buckets"
+    for r in per:
+        for role in ("first", "last", "min", "max"):
+            assert r[role] is not None, r
+        assert r["min"] <= min(r["first"], r["last"]) and r["max"] >= max(
+            r["first"], r["last"]
+        ), r
+
+
+def test_mad_fence_survives_outlier(spark, tmp_path):
+    # one 1e9 outlier among 11 well-behaved points: the MAD fence
+    # flags exactly the outlier; a z-score fence would flag nothing
+    # (the outlier inflates the stddev past its own deviation)
+    import datetime
+    from event_stream_for_k8s_spark.plans import REGISTRY
+
+    rows = [
+        (i, H0 + datetime.timedelta(minutes=i), 1, "view",
+         10.0 + (i % 3), "{}")
+        for i in range(11)
+    ] + [(99, H0, 2, "view", 1e9, "{}")]
+    sf = _sf_with_events(spark, tmp_path, rows)
+    out = REGISTRY["ts_mad_anomaly"].spark(spark, sf).collect()
+    (r,) = out
+    assert r["n"] == 12
+    assert 10.0 <= r["med"] <= 12.0
+    assert r["n_anom"] == 1
