@@ -2969,3 +2969,196 @@ def llm_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dsum("dist2", 6) / F.count("*")).alias("mean_dist2"),
         F.max("dist2").alias("max_dist2"),
     )
+
+
+@query(
+    "llm_char_entropy",
+    oracle="""
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+), cc AS (
+  SELECT doc_id, c, count(*) AS k FROM ch WHERE c <> '' GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, cast(sum(k) AS bigint) AS n_cp,
+         cast(sum(cast(round(k * log2(cast(k AS double)) * 1000000)
+                       AS bigint)) AS bigint) AS s6
+  FROM cc GROUP BY 1
+)
+SELECT d.doc_id, coalesce(agg.n_cp, 0) AS n_cp,
+       CASE WHEN agg.n_cp > 0 THEN
+         round(log2(cast(agg.n_cp AS double))
+               - cast(agg.s6 AS double) / 1000000 / agg.n_cp, 6)
+       END AS entropy
+FROM documents d LEFT JOIN agg USING (doc_id)
+""",
+    section="B.11",
+    notes="character-level Shannon entropy per document — the "
+    "cheapest gibberish/binary-paste/compression-artifact detector "
+    "in a quality suite (low entropy = repeated filler, high = "
+    "base64/random bytes). H = log2(N) - (1/N) * sum k_c*log2(k_c) "
+    "so the only order-sensitive sum is over per-(doc,char) terms, "
+    "which are rounded to 6dp and summed as scaled int64 (the "
+    "llm_perplexity discipline). Codepoint-based via regex split "
+    "(BMP-exact; astral pairs would need a codepoint UDF — "
+    "documented boundary). Two narrow hash aggs on doc_id; nothing "
+    "shuffles but (doc_id, char) pairs, bounded by text volume; "
+    "empty docs stay present with n_cp=0 / NULL entropy via the "
+    "left join",
+)
+def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    # Spark split(limit=-1) keeps a trailing '' element (Java regex
+    # split), DuckDB's char split does not — the c <> '' filter makes
+    # both engines see the identical multiset.
+    ch = d.select(
+        "doc_id", F.explode(F.split("text", "")).alias("c")
+    ).filter(F.col("c") != "")
+    cc = ch.groupBy("doc_id", "c").agg(F.count("*").alias("k"))
+    agg = cc.groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("n_cp"),
+        F.sum(
+            F.round(
+                F.col("k") * F.log2(F.col("k").cast("double")) * 1000000
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("s6"),
+    )
+    return d.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_cp", F.lit(0)).alias("n_cp"),
+        F.when(
+            F.col("n_cp") > 0,
+            F.round(
+                F.log2(F.col("n_cp").cast("double"))
+                - F.col("s6").cast("double") / 1000000 / F.col("n_cp"),
+                6,
+            ),
+        ).alias("entropy"),
+    )
+
+
+DSIR_BUCKETS = 1024
+
+
+def _dsir_bucket(col):
+    """md5-derived feature bucket, bit-identical across engines."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+        % DSIR_BUCKETS
+    )
+
+
+_SQL_DSIR_BUCKET = (
+    f"('0x' || substr(md5(g), 1, 8))::bigint % {DSIR_BUCKETS}"
+)
+
+
+@query(
+    "llm_dsir_weights",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, lang, unnest({_sql_word_ngrams('t', 2)}) AS g
+  FROM toks
+), feats AS (
+  SELECT doc_id, lang, {_SQL_DSIR_BUCKET} AS b FROM grams
+), raw AS (
+  SELECT b, count(*) AS cr FROM feats GROUP BY 1
+), tgt AS (
+  SELECT b, count(*) AS ct FROM feats WHERE lang = 'en' GROUP BY 1
+), tot AS (
+  SELECT (SELECT cast(sum(cr) AS bigint) FROM raw) AS tr,
+         (SELECT coalesce(cast(sum(ct) AS bigint), 0) FROM tgt) AS tt
+), lr AS (
+  SELECT raw.b,
+         cast(round(ln(
+           (coalesce(tgt.ct, 0) + 1.0) * (tot.tr + {DSIR_BUCKETS})
+           / ((raw.cr + 1.0) * (tot.tt + {DSIR_BUCKETS}))
+         ) * 1000000) AS bigint) AS lr6
+  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot
+), w AS (
+  SELECT f.doc_id, cast(count(*) AS bigint) AS n_grams,
+         round(cast(sum(lr.lr6) AS double) / 1000000, 6) AS logw
+  FROM feats f JOIN lr USING (b) GROUP BY 1
+)
+SELECT d.doc_id, coalesce(w.n_grams, 0) AS n_grams, w.logw
+FROM documents d LEFT JOIN w USING (doc_id)
+""",
+    section="B.11",
+    notes="DSIR importance weights (Xie et al. 2023, 'Data Selection "
+    "for Language Models via Importance Resampling'): hashed word-"
+    f"bigram features ({DSIR_BUCKETS} md5-parity buckets), target "
+    "distribution = the English slice, raw = whole corpus; per-doc "
+    "log importance weight = sum over gram occurrences of "
+    "log((ct+1)(Tr+B) / ((cr+1)(Tt+B))) — add-one smoothed bag-of-"
+    "hashed-ngrams likelihood ratio. High weight = looks like the "
+    "target domain; resample by weight to select pretraining data. "
+    "Per-bucket log-ratios are 6dp-scaled int64 BEFORE the per-doc "
+    "sum (order-insensitive); the bucket tables are "
+    f"{DSIR_BUCKETS}-row aggregates broadcast back into one gram "
+    "pass — at 100 TB the distributions are two tiny mergeable "
+    "histograms and the doc pass is a single shuffle on doc_id; "
+    "no-bigram docs stay present via the left join (n_grams=0, "
+    "NULL logw)",
+)
+def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.split("text", " ").alias("t")
+    )
+    grams = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(_word_ngrams(F.col("t"), 2)).alias("g"),
+    )
+    feats = grams.select(
+        "doc_id", "lang", _dsir_bucket(F.col("g")).alias("b")
+    ).persist()
+    raw = feats.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt = (
+        feats.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    tot = raw.agg(
+        F.sum("cr").cast("long").alias("tr")
+    ).crossJoin(
+        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("tt"))
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce("ct", F.lit(0)) + F.lit(1.0))
+                    * (F.col("tr") + DSIR_BUCKETS)
+                    / (
+                        (F.col("cr") + F.lit(1.0))
+                        * (F.col("tt") + DSIR_BUCKETS)
+                    )
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("lr6"),
+        )
+    )
+    w = (
+        feats.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.round(F.sum("lr6").cast("double") / 1000000, 6).alias(
+                "logw"
+            ),
+        )
+    )
+    return d.select("doc_id").join(w, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        "logw",
+    )

@@ -495,3 +495,78 @@ def test_dedup_substring_planted_window(spark, tmp_path):
     assert rows[2]["n_shared"] == 5, rows[2]
     assert rows[3]["n_shared"] == 0, rows[3]
     assert rows[3]["shared_frac"] == 0.0
+
+
+def test_char_entropy_extremes(spark, tmp_path):
+    """Entropy pins: a single repeated char is 0 bits, k distinct
+    equiprobable chars are exactly log2(k) bits."""
+    import math
+    import os
+
+    from tests.conftest import SF_SMOKE
+    from event_stream_for_k8s_spark.catalog import TABLES
+    from event_stream_for_k8s_spark.plans import REGISTRY
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    for t in TABLES:
+        os.symlink(f"{SF_SMOKE}/{t}.parquet", f"{sf}/{t}.parquet")
+    os.unlink(f"{sf}/documents.parquet")
+    docs = [
+        (1, "aaaaaaaa", "en", "web", 8),
+        (2, "abcdefgh", "en", "web", 8),
+        (3, "", "en", "web", 0),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).toPandas().to_parquet(f"{sf}/documents.parquet", index=False)
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in REGISTRY["llm_char_entropy"].spark(spark, sf).collect()
+    }
+    assert out[1]["entropy"] == 0.0
+    assert abs(out[2]["entropy"] - math.log2(8)) < 1e-6
+    assert out[3]["n_cp"] == 0 and out[3]["entropy"] is None
+
+
+def test_dsir_weights_prefer_target_like_docs(spark, tmp_path):
+    """DSIR: documents sharing bigrams with the target (English)
+    slice must carry a higher log importance weight than documents
+    whose bigrams only ever appear outside the target."""
+    import os
+
+    from tests.conftest import SF_SMOKE
+    from event_stream_for_k8s_spark.catalog import TABLES
+    from event_stream_for_k8s_spark.plans import REGISTRY
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    for t in TABLES:
+        os.symlink(f"{SF_SMOKE}/{t}.parquet", f"{sf}/{t}.parquet")
+    os.unlink(f"{sf}/documents.parquet")
+    docs = (
+        # target slice: repeated English-y bigrams
+        [(i, "the model learns the data", "en", "web", 25)
+         for i in range(1, 9)]
+        # candidate that looks like the target (same bigrams, not en)
+        + [(20, "the model learns", "de", "web", 16)]
+        # candidate sharing nothing with the target slice
+        + [(21, "der zug kommt spaet an", "de", "web", 22)]
+    )
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).toPandas().to_parquet(f"{sf}/documents.parquet", index=False)
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in REGISTRY["llm_dsir_weights"].spark(spark, sf).collect()
+    }
+    # per-gram normalized comparison: target-like beats target-unlike
+    a = out[20]["logw"] / out[20]["n_grams"]
+    b = out[21]["logw"] / out[21]["n_grams"]
+    assert a > b, (a, b)
+    # target slice docs themselves score highest of all
+    assert max(out[i]["logw"] / out[i]["n_grams"] for i in range(1, 9)) > a
