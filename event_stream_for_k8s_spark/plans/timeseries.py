@@ -1046,3 +1046,103 @@ def ts_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_anom").cast("long").alias("n_anom"),
         )
     )
+
+
+ACF_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS x FROM events GROUP BY 1
+), b AS (
+  SELECT min(h) AS lo, max(h) AS hi FROM hourly
+), grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b
+), s AS (
+  SELECT grid.h, coalesce(hourly.x, 0) AS x
+  FROM grid LEFT JOIN hourly USING (h)
+), stats AS (
+  SELECT cast(count(*) AS bigint) AS n, cast(sum(x) AS bigint) AS sx
+  FROM s
+), d AS (
+  SELECT s.h, (stats.n * s.x - stats.sx) AS dv FROM s CROSS JOIN stats
+), den AS (
+  SELECT cast(sum(dv * dv) AS bigint) AS den FROM d
+), lags AS (SELECT unnest([1, 2, 3]) AS lag),
+num AS (
+  SELECT l.lag, cast(count(*) AS bigint) AS n_pairs,
+         cast(sum(a.dv * b2.dv) AS bigint) AS num
+  FROM lags l CROSS JOIN d a
+  JOIN d b2 ON b2.h = a.h + l.lag * INTERVAL 1 HOUR
+  GROUP BY l.lag
+)
+SELECT num.lag, num.n_pairs,
+       CASE WHEN den.den > 0
+            THEN round(cast(num.num AS double) / den.den, 6) END AS acf
+FROM num CROSS JOIN den
+"""
+
+
+@query(
+    "ts_acf",
+    oracle=ACF_ORACLE,
+    section="C",
+    notes="autocorrelation of the gap-filled global hourly count "
+    "series at lags 1-3 h — the periodicity detector behind "
+    "seasonality-aware alerting (a daily cycle shows up as a lag-24 "
+    "peak). EXACT parity with zero float risk: with integer counts, "
+    "r_k = sum (n*x_t - S)(n*x_{t+k} - S) / sum (n*x_t - S)^2 is a "
+    "ratio of two exact int64 sums (deviations cleared of the "
+    "rational mean by scaling with n), so both engines divide the "
+    "same two integers. Lagged pairs come from an equi-join on the "
+    "shifted hour key (never a range scan); the series is "
+    "calendar-bounded so everything after the first groupBy is "
+    "metadata-sized. Constant series (den=0) yields NULL acf",
+)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").alias("x")
+    )
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
+            "h"
+        )
+    )
+    s = grid.join(hourly, "h", "left").select(
+        "h", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    stats = s.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    d = s.crossJoin(F.broadcast(stats)).select(
+        "h", (F.col("n") * F.col("x") - F.col("sx")).alias("dv")
+    ).persist()
+    den = d.agg(F.sum(F.col("dv") * F.col("dv")).cast("long").alias("den"))
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag"))
+    shifted = d.crossJoin(F.broadcast(lags)).select(
+        "lag",
+        "dv",
+        (
+            F.col("h")
+            + F.expr("make_interval(0, 0, 0, 0, lag, 0, 0)")
+        ).alias("h2"),
+    )
+    num = (
+        shifted.join(
+            d.select(F.col("h").alias("h2"), F.col("dv").alias("dv2")),
+            "h2",
+        )
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.col("dv") * F.col("dv2")).cast("long").alias("num"),
+        )
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        "lag",
+        "n_pairs",
+        F.when(
+            F.col("den") > 0,
+            F.round(F.col("num").cast("double") / F.col("den"), 6),
+        ).alias("acf"),
+    )

@@ -115,3 +115,26 @@ def test_mad_fence_survives_outlier(spark, tmp_path):
     assert r["n"] == 12
     assert 10.0 <= r["med"] <= 12.0
     assert r["n_anom"] == 1
+
+
+def test_acf_detects_planted_period(spark, tmp_path):
+    # alternating busy/quiet hours (period 2): lag-2 autocorrelation
+    # is strongly positive, lag-1 strongly negative
+    import datetime
+    from event_stream_for_k8s_spark.plans import REGISTRY
+
+    rows = []
+    eid = 0
+    for hr in range(48):
+        n = 5 if hr % 2 == 0 else 1
+        for j in range(n):
+            rows.append(
+                (eid, H0 + datetime.timedelta(hours=hr, minutes=j), 1,
+                 "view", 1.0, "{}")
+            )
+            eid += 1
+    sf = _sf_with_events(spark, tmp_path, rows)
+    out = {r["lag"]: r["acf"] for r in
+           REGISTRY["ts_acf"].spark(spark, sf).collect()}
+    assert out[2] > 0.9
+    assert out[1] < -0.9
