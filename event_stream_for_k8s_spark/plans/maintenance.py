@@ -591,3 +591,158 @@ def maint_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         _F.col("key.user_id").alias("user_id"),
         _F.col(f"value.{buf}").cast("bigint").alias("n"),
     )
+
+
+# (probe_id, shipdate_lo, shipdate_hi_excl, qty_lo_excl, qty_hi_incl)
+# NULL bound = unbounded. Predicate semantics: shipdate in [lo, hi)
+# AND quantity in (qlo, qhi].
+ZONEMAP_PROBES = [
+    (1, "1996-01-01", "1997-01-01", None, None),
+    (2, None, None, 45.0, None),
+    (3, None, "1995-03-01", None, 5.0),
+]
+
+
+def _zone_probe_sql() -> str:
+    rows = ", ".join(
+        "({}, {}, {}, {}, {})".format(
+            pid,
+            f"TIMESTAMP '{dlo}'" if dlo else "NULL",
+            f"TIMESTAMP '{dhi}'" if dhi else "NULL",
+            qlo if qlo is not None else "NULL",
+            qhi if qhi is not None else "NULL",
+        )
+        for pid, dlo, dhi, qlo, qhi in ZONEMAP_PROBES
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows})"
+        " AS p(probe_id, dlo, dhi, qlo, qhi)"
+    )
+
+
+@query(
+    "maint_prune_zonemap",
+    oracle=f"""
+WITH zones AS (
+  SELECT year(l_shipdate) * 12 + month(l_shipdate) AS file_id,
+         cast(count(*) AS bigint) AS n_rows,
+         min(l_shipdate) AS sd_min, max(l_shipdate) AS sd_max,
+         min(l_quantity) AS q_min, max(l_quantity) AS q_max
+  FROM lineitem GROUP BY 1
+), probes AS ({_zone_probe_sql()}),
+dec AS (
+  SELECT p.probe_id, z.file_id, z.n_rows,
+         ((p.dlo IS NOT NULL AND z.sd_max < p.dlo)
+          OR (p.dhi IS NOT NULL AND z.sd_min >= p.dhi)
+          OR (p.qlo IS NOT NULL AND z.q_max <= p.qlo)
+          OR (p.qhi IS NOT NULL AND z.q_min > p.qhi)) AS skip
+  FROM zones z CROSS JOIN probes p
+), matches AS (
+  SELECT p.probe_id,
+         year(l.l_shipdate) * 12 + month(l.l_shipdate) AS file_id,
+         cast(count(*) AS bigint) AS m
+  FROM lineitem l CROSS JOIN probes p
+  WHERE (p.dlo IS NULL OR l.l_shipdate >= p.dlo)
+    AND (p.dhi IS NULL OR l.l_shipdate < p.dhi)
+    AND (p.qlo IS NULL OR l.l_quantity > p.qlo)
+    AND (p.qhi IS NULL OR l.l_quantity <= p.qhi)
+  GROUP BY 1, 2
+)
+SELECT d.probe_id,
+       cast(count(*) AS bigint) AS n_files,
+       cast(count(*) FILTER (WHERE d.skip) AS bigint) AS n_skipped,
+       cast(coalesce(sum(d.n_rows) FILTER (WHERE NOT d.skip), 0)
+            AS bigint) AS scan_rows,
+       cast(coalesce(sum(m.m), 0) AS bigint) AS match_rows,
+       cast(coalesce(sum(m.m) FILTER (WHERE d.skip), 0) AS bigint)
+         AS n_false_skip
+FROM dec d LEFT JOIN matches m
+  ON m.probe_id = d.probe_id AND m.file_id = d.file_id
+GROUP BY d.probe_id
+""",
+    section="C",
+    notes="zone-map (min/max) file pruning as data: per-file stats "
+    "(file = l_orderkey div 1000 shard, the maint_stats_collect "
+    "output shape) x a probe-predicate relation -> per-probe skip "
+    "decisions, scanned-row volume, and — the soundness invariant — "
+    "n_false_skip pinned 0: no matching row may live in a skipped "
+    "file (same never-under-claim discipline as "
+    "join_bloom_membership). This is the planner arithmetic behind "
+    "parquet row-group skipping / Delta-Iceberg data skipping; the "
+    "zone relation is manifest-sized (one row per file) and the "
+    "probe side is a constant-sized broadcast, so the decision join "
+    "costs nothing at any corpus size — only the stats build touches "
+    "data, once",
+)
+def maint_prune_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    # time-clustered ingest layout: one file per ship-month — the
+    # layout where shipdate zones are tight (deep pruning on date
+    # probes) while quantity zones span the domain (zone maps are
+    # useless for the uncorrelated column; probe 2 demonstrates it)
+    file_id = (
+        F.year("l_shipdate") * 12 + F.month("l_shipdate")
+    ).cast("long")
+    zones = li.groupBy(file_id.alias("file_id")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("l_shipdate").alias("sd_min"),
+        F.max("l_shipdate").alias("sd_max"),
+        F.min("l_quantity").alias("q_min"),
+        F.max("l_quantity").alias("q_max"),
+    )
+    probes = spark.createDataFrame(
+        [
+            (pid, dlo, dhi, qlo, qhi)
+            for pid, dlo, dhi, qlo, qhi in ZONEMAP_PROBES
+        ],
+        "probe_id int, dlo string, dhi string, qlo double, qhi double",
+    ).select(
+        "probe_id",
+        F.col("dlo").cast("timestamp").alias("dlo"),
+        F.col("dhi").cast("timestamp").alias("dhi"),
+        "qlo",
+        "qhi",
+    )
+    dec = zones.crossJoin(F.broadcast(probes)).select(
+        "probe_id",
+        "file_id",
+        "n_rows",
+        (
+            (F.col("dlo").isNotNull() & (F.col("sd_max") < F.col("dlo")))
+            | (F.col("dhi").isNotNull() & (F.col("sd_min") >= F.col("dhi")))
+            | (F.col("qlo").isNotNull() & (F.col("q_max") <= F.col("qlo")))
+            | (F.col("qhi").isNotNull() & (F.col("q_min") > F.col("qhi")))
+        ).alias("skip"),
+    )
+    matches = (
+        li.crossJoin(F.broadcast(probes))
+        .filter(
+            (F.col("dlo").isNull() | (F.col("l_shipdate") >= F.col("dlo")))
+            & (F.col("dhi").isNull() | (F.col("l_shipdate") < F.col("dhi")))
+            & (F.col("qlo").isNull() | (F.col("l_quantity") > F.col("qlo")))
+            & (F.col("qhi").isNull() | (F.col("l_quantity") <= F.col("qhi")))
+        )
+        .groupBy("probe_id", file_id.alias("file_id"))
+        .agg(F.count("*").cast("long").alias("m"))
+    )
+    return (
+        dec.join(matches, ["probe_id", "file_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.count(F.when(F.col("skip"), True))
+            .cast("long")
+            .alias("n_skipped"),
+            F.coalesce(
+                F.sum(F.when(~F.col("skip"), F.col("n_rows"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("scan_rows"),
+            F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias(
+                "match_rows"
+            ),
+            F.coalesce(F.sum(F.when(F.col("skip"), F.col("m"))), F.lit(0))
+            .cast("long")
+            .alias("n_false_skip"),
+        )
+    )
