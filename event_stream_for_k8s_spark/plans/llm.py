@@ -3162,3 +3162,74 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
         "logw",
     )
+
+
+@query(
+    "llm_ngram_novelty",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, unnest({_sql_word_ngrams('t', 3)}) AS g
+  FROM toks
+), first_seen AS (
+  SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+), per AS (
+  SELECT gr.doc_id,
+         cast(count(*) AS bigint) AS n_grams_distinct,
+         cast(count(*) FILTER (WHERE fs.first_doc = gr.doc_id)
+              AS bigint) AS n_novel
+  FROM grams gr JOIN first_seen fs USING (g)
+  GROUP BY gr.doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_grams_distinct, 0) AS n_grams_distinct,
+       coalesce(per.n_novel, 0) AS n_novel,
+       CASE WHEN per.n_grams_distinct > 0
+            THEN round(cast(per.n_novel AS double)
+                       / per.n_grams_distinct, 6) END AS novelty_frac
+FROM documents d LEFT JOIN per USING (doc_id)
+""",
+    section="B.11",
+    notes="n-gram novelty profile: for each document, the fraction of "
+    "its distinct word 3-grams whose corpus-wide FIRST occurrence "
+    "(min doc_id, i.e. ingest order) is this document — the "
+    "diversity/redundancy signal behind curriculum ordering and "
+    "marginal-value-of-data curves (a doc whose grams all appeared "
+    "earlier adds little). Two shuffles: gram -> min(doc_id) "
+    "aggregate, then one gram-keyed join back and a doc_id rollup; "
+    "the first-seen relation is |distinct grams| and both sides are "
+    "map-side-combinable — no pairwise doc comparison at any size. "
+    "Exact integer ratio rounded 6dp; gramless docs kept via left "
+    "join (NULL fraction)",
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    grams = toks.select(
+        "doc_id", F.explode(_word_ngrams(F.col("t"), 3)).alias("g")
+    ).distinct().persist()
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams_distinct"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), True))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return d.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams_distinct", F.lit(0)).alias("n_grams_distinct"),
+        F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+        F.when(
+            F.col("n_grams_distinct") > 0,
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_grams_distinct"),
+                6,
+            ),
+        ).alias("novelty_frac"),
+    )

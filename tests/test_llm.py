@@ -570,3 +570,39 @@ def test_dsir_weights_prefer_target_like_docs(spark, tmp_path):
     assert a > b, (a, b)
     # target slice docs themselves score highest of all
     assert max(out[i]["logw"] / out[i]["n_grams"] for i in range(1, 9)) > a
+
+
+def test_ngram_novelty_dup_scores_zero(spark, tmp_path):
+    """An exact duplicate (higher doc_id) has novelty 0 — every gram
+    first occurred in the original; the original scores 1."""
+    import os
+
+    from tests.conftest import SF_SMOKE
+    from event_stream_for_k8s_spark.catalog import TABLES
+    from event_stream_for_k8s_spark.plans import REGISTRY
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    for t in TABLES:
+        os.symlink(f"{SF_SMOKE}/{t}.parquet", f"{sf}/{t}.parquet")
+    os.unlink(f"{sf}/documents.parquet")
+    docs = [
+        (1, "alpha beta gamma delta epsilon", "en", "web", 30),
+        (2, "alpha beta gamma delta epsilon", "en", "web", 30),
+        (3, "totally different tokens in here now", "en", "web", 36),
+        (4, "ab", "en", "web", 2),  # under 3 tokens: no grams
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).toPandas().to_parquet(f"{sf}/documents.parquet", index=False)
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in REGISTRY["llm_ngram_novelty"].spark(spark, sf).collect()
+    }
+    assert out[1]["novelty_frac"] == 1.0
+    assert out[2]["novelty_frac"] == 0.0
+    assert out[3]["novelty_frac"] == 1.0
+    assert out[4]["n_grams_distinct"] == 0
+    assert out[4]["novelty_frac"] is None
