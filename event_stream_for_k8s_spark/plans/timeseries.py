@@ -1146,3 +1146,112 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("num").cast("double") / F.col("den"), 6),
         ).alias("acf"),
     )
+
+
+CUSUM_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS x FROM events GROUP BY 1
+), b AS (
+  SELECT min(h) AS lo, max(h) AS hi FROM hourly
+), grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b
+), s AS (
+  SELECT grid.h, coalesce(hourly.x, 0) AS x
+  FROM grid LEFT JOIN hourly USING (h)
+), stats AS (
+  SELECT cast(count(*) AS bigint) AS n, cast(sum(x) AS bigint) AS sx
+  FROM s
+), d AS (
+  SELECT s.h, s.x, (stats.n * s.x - stats.sx) AS dv, stats.n
+  FROM s CROSS JOIN stats
+), den AS (
+  SELECT cast(sum(dv * dv) AS bigint) AS den FROM d
+), p1 AS (
+  SELECT h, x, n, cast(sum(dv) OVER (ORDER BY h) AS bigint) AS p
+  FROM d
+), pre AS (
+  SELECT h, x, n, p,
+         cast(least(0, min(p) OVER (ORDER BY h)) AS bigint) AS floor_p
+  FROM p1
+)
+SELECT pre.h, pre.x, cast(pre.p - pre.floor_p AS bigint) AS cusum_scaled,
+       (pre.p - pre.floor_p) > 0
+         AND (pre.p - pre.floor_p) * (pre.p - pre.floor_p) * pre.n
+             > 9 * den.den AS is_alarm
+FROM pre CROSS JOIN den
+"""
+
+
+@query(
+    "ts_cusum",
+    oracle=CUSUM_ORACLE,
+    section="C",
+    notes="one-sided CUSUM change detection on the gap-filled hourly "
+    "count series — the classic sequential drift detector. The "
+    "textbook recursion S_t = max(0, S_{t-1} + d_t) looks "
+    "un-parallelizable, but it has the closed form S_t = P_t - "
+    "min(0, min_{j<=t} P_j) (prefix sum minus its running floor), "
+    "i.e. two cumulative windows — no recursion, no per-row UDF, "
+    "and at scale it parallelizes like any prefix aggregate. "
+    "Deviations are n-scaled to clear the rational mean (the ts_acf "
+    "trick) so the whole statistic is exact int64; the 3-sigma alarm "
+    "compares S^2*n > 9*den in integers — float parity is "
+    "structurally impossible, not rounded away. Per-entity CUSUMs "
+    "partition the same windows by key; a streaming twin would carry "
+    "(P, min_P) as two numbers of state per key",
+)
+def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").alias("x")
+    )
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
+            "h"
+        )
+    )
+    s = grid.join(hourly, "h", "left").select(
+        "h", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    stats = s.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    d = s.crossJoin(F.broadcast(stats)).select(
+        "h", "x", "n", (F.col("n") * F.col("x") - F.col("sx")).alias("dv")
+    ).persist()
+    den = d.agg(F.sum(F.col("dv") * F.col("dv")).cast("long").alias("den"))
+    w_cum = Window.orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = d.select(
+        "h",
+        "x",
+        "n",
+        F.sum("dv").over(w_cum).cast("long").alias("p"),
+    ).select(
+        "h",
+        "x",
+        "n",
+        "p",
+        F.least(F.lit(0).cast("long"), F.min("p").over(w_cum))
+        .cast("long")
+        .alias("floor_p"),
+    )
+    return pre.crossJoin(F.broadcast(den)).select(
+        "h",
+        "x",
+        (F.col("p") - F.col("floor_p")).cast("long").alias("cusum_scaled"),
+        (
+            ((F.col("p") - F.col("floor_p")) > 0)
+            & (
+                (F.col("p") - F.col("floor_p"))
+                * (F.col("p") - F.col("floor_p"))
+                * F.col("n")
+                > 9 * F.col("den")
+            )
+        ).alias("is_alarm"),
+    )

@@ -138,3 +138,40 @@ def test_acf_detects_planted_period(spark, tmp_path):
            REGISTRY["ts_acf"].spark(spark, sf).collect()}
     assert out[2] > 0.9
     assert out[1] < -0.9
+
+
+def test_cusum_alarms_after_level_shift(spark, tmp_path):
+    # 36 quiet hours (1 event) then 12 busy hours (9 events): the
+    # CUSUM statistic must alarm inside the shifted region and stay
+    # silent through the quiet prefix; the closed-form (prefix sum
+    # minus running floor) must equal the textbook recursion.
+    import datetime
+    from event_stream_for_k8s_spark.plans import REGISTRY
+
+    rows, eid = [], 0
+    for hr in range(48):
+        n = 9 if hr >= 36 else 1
+        for j in range(n):
+            rows.append(
+                (eid, H0 + datetime.timedelta(hours=hr, minutes=j), 1,
+                 "view", 1.0, "{}")
+            )
+            eid += 1
+    sf = _sf_with_events(spark, tmp_path, rows)
+    out = sorted(
+        REGISTRY["ts_cusum"].spark(spark, sf).collect(),
+        key=lambda r: r["h"],
+    )
+    assert len(out) == 48
+    alarms = [i for i, r in enumerate(out) if r["is_alarm"]]
+    assert alarms and min(alarms) >= 36, alarms
+    assert out[47]["is_alarm"]
+    # closed form == recursion (python reference, same integers)
+    n = 48
+    xs = [r["x"] for r in out]
+    sx = sum(xs)
+    s_ref, ref = 0, []
+    for x in xs:
+        s_ref = max(0, s_ref + (n * x - sx))
+        ref.append(s_ref)
+    assert [r["cusum_scaled"] for r in out] == ref
