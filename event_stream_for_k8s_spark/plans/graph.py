@@ -110,7 +110,9 @@ FROM und GROUP BY 1
     "Degree itself is one shuffle over 2|E| int rows",
 )
 def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _edges(spark, sf_dir)
+    # both unionAll branches read the edge relation: persist so the
+    # pair-generation join runs once (harness clears cache after)
+    e = _edges(spark, sf_dir).persist()
     und = e.select(F.col("s").alias("user_id")).unionAll(
         e.select(F.col("d").alias("user_id"))
     )
