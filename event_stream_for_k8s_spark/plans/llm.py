@@ -3113,14 +3113,24 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(_word_ngrams(F.col("t"), 2)).alias("g"),
     )
-    feats = grams.select(
-        "doc_id", "lang", _dsir_bucket(F.col("g")).alias("b")
-    ).persist()
-    raw = feats.groupBy("b").agg(F.count("*").alias("cr"))
+    # Aggregate to (doc, bucket) occurrence counts FIRST: the cached
+    # relation is per-doc-distinct-bucket (<= min(n_grams, 1024) rows
+    # per doc), not per gram occurrence — at 100 TB the per-occurrence
+    # form would cache the corpus. Histograms and per-doc sums all
+    # derive exactly from the counts.
+    feats = (
+        grams.select(
+            "doc_id", "lang", _dsir_bucket(F.col("g")).alias("b")
+        )
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").alias("n_occ"))
+        .persist()
+    )
+    raw = feats.groupBy("b").agg(F.sum("n_occ").alias("cr"))
     tgt = (
         feats.filter(F.col("lang") == "en")
         .groupBy("b")
-        .agg(F.count("*").alias("ct"))
+        .agg(F.sum("n_occ").alias("ct"))
     )
     tot = raw.agg(
         F.sum("cr").cast("long").alias("tr")
@@ -3151,10 +3161,12 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.join(F.broadcast(lr), "b")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_grams"),
-            F.round(F.sum("lr6").cast("double") / 1000000, 6).alias(
-                "logw"
-            ),
+            F.sum("n_occ").cast("long").alias("n_grams"),
+            F.round(
+                F.sum(F.col("n_occ") * F.col("lr6")).cast("double")
+                / 1000000,
+                6,
+            ).alias("logw"),
         )
     )
     return d.select("doc_id").join(w, "doc_id", "left").select(
