@@ -3216,18 +3216,26 @@ FROM documents d LEFT JOIN per USING (doc_id)
     "join (NULL fraction)",
 )
 def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
     grams = toks.select(
         "doc_id", F.explode(_word_ngrams(F.col("t"), 3)).alias("g")
-    ).distinct().persist()
-    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    ).distinct()
+    # first-occurrence as a window over the gram partition: one pass,
+    # no self-join and no corpus-sized persist — min(doc_id) OVER
+    # (PARTITION BY g) is the same shuffle the join-back form pays,
+    # minus the second scan
+    first_doc = F.min("doc_id").over(Window.partitionBy("g"))
     per = (
-        grams.join(first_seen, "g")
+        grams.select(
+            "doc_id", (F.col("doc_id") == first_doc).alias("novel")
+        )
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_grams_distinct"),
-            F.count(F.when(F.col("first_doc") == F.col("doc_id"), True))
+            F.count(F.when(F.col("novel"), True))
             .cast("long")
             .alias("n_novel"),
         )
