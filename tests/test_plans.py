@@ -400,3 +400,35 @@ def test_graph_triangles_no_nested_loop(spark):
     # self-join sides + the closing join
     p = _plan(spark, "graph_triangles")
     assert p.count("InMemoryTableScan") >= 3, p.count("InMemoryTableScan")
+
+
+def test_m4_single_shuffle_serves_four_orderings(spark):
+    """ts_downsample_m4: one Exchange on the bucket key; the four
+    role orderings are in-partition sorts over it, and the role
+    fan-out is an array explode, not four scans."""
+    p = _plan(spark, "ts_downsample_m4")
+    import re
+
+    assert len(re.findall(r"\bExchange (hash|Single)", p)) <= 1, p[:600]
+    assert p.count("Scan parquet") == 1
+    assert p.count("Window") >= 4
+
+
+def test_dsir_histograms_broadcast_back(spark):
+    """llm_dsir_weights: the bucket log-ratio relation and totals
+    join back as broadcasts; the only wide exchanges are the keyed
+    aggregates. The cached feature relation is per-(doc, bucket)
+    counts, read by all three consumers."""
+    p = _plan(spark, "llm_dsir_weights")
+    assert p.count("BroadcastExchange") >= 2
+    assert p.count("InMemoryTableScan") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_novelty_is_window_not_join(spark):
+    """llm_ngram_novelty: first-occurrence must stay a window over
+    the gram partition (one pass), not a first-seen aggregate joined
+    back (second corpus scan + persist)."""
+    p = _plan(spark, "llm_ngram_novelty")
+    assert "Window" in p
+    assert "SortMergeJoin [g" not in p and "ShuffledHashJoin [g" not in p
