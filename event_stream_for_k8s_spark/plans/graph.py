@@ -119,6 +119,59 @@ def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return und.groupBy("user_id").agg(F.count("*").alias("degree"))
 
 
+
+
+def _graph_core(spark: SparkSession, sf_dir: str):
+    """(edges, degree, triangles) of the co-occurrence graph.
+
+    Edges persist (read by the degree agg, the orientation join and —
+    via ``oriented`` — three self-join sides); triangles come from the
+    degree-oriented 2-path join (out-degree O(sqrt(m)) on hubs).
+    Shared by graph_triangles and graph_jaccard.
+    """
+    e = _edges(spark, sf_dir).persist()
+    deg = (
+        e.select(F.col("s").alias("user_id"))
+        .unionAll(e.select(F.col("d").alias("user_id")))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    ds = F.broadcast(deg).alias("ds")
+    dd = F.broadcast(deg).alias("dd")
+    ranked = (
+        e.join(ds, F.col("s") == F.col("ds.user_id"))
+        .join(dd, F.col("d") == F.col("dd.user_id"))
+        .select(
+            "s",
+            "d",
+            F.struct(F.col("ds.degree"), F.col("s")).alias("ks"),
+            F.struct(F.col("dd.degree"), F.col("d")).alias("kd"),
+        )
+    )
+    # Orient: lo -> hi by (degree, id); total order, no self-loops.
+    oriented = ranked.select(
+        F.when(F.col("ks") < F.col("kd"), F.col("s"))
+        .otherwise(F.col("d"))
+        .alias("lo"),
+        F.when(F.col("ks") < F.col("kd"), F.col("d"))
+        .otherwise(F.col("s"))
+        .alias("hi"),
+    ).persist()
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    o3 = oriented.alias("o3")
+    paths = o1.join(o2, F.col("o1.hi") == F.col("o2.lo")).select(
+        F.col("o1.lo").alias("x"),
+        F.col("o1.hi").alias("y"),
+        F.col("o2.hi").alias("z"),
+    )
+    tri = paths.join(
+        o3,
+        (F.col("x") == F.col("o3.lo")) & (F.col("z") == F.col("o3.hi")),
+    ).select("x", "y", "z")
+    return e, deg, tri
+
+
 @query(
     "graph_triangles",
     oracle=f"""
@@ -160,53 +213,7 @@ WHERE deg.degree > 1
     "excluded (coefficient undefined)",
 )
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The edge relation feeds the degree agg AND the orientation join,
-    # and the oriented relation is self-joined 3 ways: persist both so
-    # the capped pair-generation join runs once, not five times (the
-    # harness clears the cache between queries — ADVICE r02 hygiene).
-    e = _edges(spark, sf_dir).persist()
-    # Degree of the undirected graph (used both for orientation and
-    # for the clustering coefficient); small relation, broadcast into
-    # the orientation join.
-    deg = (
-        e.select(F.col("s").alias("user_id"))
-        .unionAll(e.select(F.col("d").alias("user_id")))
-        .groupBy("user_id")
-        .agg(F.count("*").alias("degree"))
-    )
-    ds = F.broadcast(deg).alias("ds")
-    dd = F.broadcast(deg).alias("dd")
-    ranked = (
-        e.join(ds, F.col("s") == F.col("ds.user_id"))
-        .join(dd, F.col("d") == F.col("dd.user_id"))
-        .select(
-            "s",
-            "d",
-            F.struct(F.col("ds.degree"), F.col("s")).alias("ks"),
-            F.struct(F.col("dd.degree"), F.col("d")).alias("kd"),
-        )
-    )
-    # Orient: lo -> hi by (degree, id); total order, no self-loops.
-    oriented = ranked.select(
-        F.when(F.col("ks") < F.col("kd"), F.col("s"))
-        .otherwise(F.col("d"))
-        .alias("lo"),
-        F.when(F.col("ks") < F.col("kd"), F.col("d"))
-        .otherwise(F.col("s"))
-        .alias("hi"),
-    ).persist()
-    o1 = oriented.alias("o1")
-    o2 = oriented.alias("o2")
-    o3 = oriented.alias("o3")
-    paths = o1.join(o2, F.col("o1.hi") == F.col("o2.lo")).select(
-        F.col("o1.lo").alias("x"),
-        F.col("o1.hi").alias("y"),
-        F.col("o2.hi").alias("z"),
-    )
-    tri = paths.join(
-        o3,
-        (F.col("x") == F.col("o3.lo")) & (F.col("z") == F.col("o3.hi")),
-    ).select("x", "y", "z")
+    e, deg, tri = _graph_core(spark, sf_dir)
     pern = (
         tri.select(F.col("x").alias("user_id"))
         .unionAll(tri.select(F.col("y").alias("user_id")))
@@ -227,5 +234,88 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("degree") * (F.col("degree") - 1)),
                 6,
             ).alias("clustering"),
+        )
+    )
+
+
+@query(
+    "graph_jaccard",
+    oracle=f"""
+WITH {SQL_EDGES},
+tri AS (
+  SELECT e1.s AS a, e1.d AS b, e2.d AS c
+  FROM e e1
+  JOIN e e2 ON e2.s = e1.d
+  JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d
+), peredge AS (
+  SELECT s, d, cast(count(*) AS bigint) AS common FROM (
+    SELECT a AS s, b AS d FROM tri
+    UNION ALL SELECT a, c FROM tri
+    UNION ALL SELECT b, c FROM tri
+  ) GROUP BY 1, 2
+), deg AS (
+  SELECT u AS user_id, count(*) AS degree
+  FROM (SELECT s AS u FROM e UNION ALL SELECT d FROM e) GROUP BY 1
+)
+SELECT e.s, e.d, coalesce(pe.common, 0) AS common,
+       round(coalesce(pe.common, 0) * 1.0
+             / (ds.degree + dd.degree - coalesce(pe.common, 0)),
+             6) AS jaccard
+FROM e
+LEFT JOIN peredge pe ON pe.s = e.s AND pe.d = e.d
+JOIN deg ds ON ds.user_id = e.s
+JOIN deg dd ON dd.user_id = e.d
+""",
+    section="C",
+    notes="neighborhood Jaccard similarity per EDGE (the classic "
+    "link-strength / tie-strength score): |N(s) ∩ N(d)| / "
+    "|N(s) ∪ N(d)|. Common neighbors of an edge = triangles through "
+    "it, so the count reuses the degree-oriented triangle "
+    "enumeration (each triangle credits its three edges) instead of "
+    "the naive wedge join at every common neighbor w — the latter "
+    "costs Σ deg(w)^2 and detonates on hubs; triangle reuse keeps "
+    "the O(m^1.5) bound. Union size = deg(s) + deg(d) - common "
+    "(neighbor sets include the endpoints themselves, which cancel). "
+    "Exact integer ratio rounded 6dp; triangle edges are "
+    "re-normalized to id-order so the degree-oriented Spark "
+    "enumeration matches the id-ordered oracle per edge",
+)
+def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e, deg, tri = _graph_core(spark, sf_dir)
+    # Each triangle (x, y, z) credits its three edges; normalize each
+    # credited pair to id-order (least, greatest) to match the
+    # id-ordered edge relation regardless of degree orientation.
+    pairs = (
+        tri.select(F.col("x").alias("u"), F.col("y").alias("v"))
+        .unionAll(tri.select(F.col("x").alias("u"), F.col("z").alias("v")))
+        .unionAll(tri.select(F.col("y").alias("u"), F.col("z").alias("v")))
+    )
+    peredge = (
+        pairs.select(
+            F.least("u", "v").alias("s"), F.greatest("u", "v").alias("d")
+        )
+        .groupBy("s", "d")
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    ds = F.broadcast(deg).alias("ds")
+    dd = F.broadcast(deg).alias("dd")
+    return (
+        e.join(F.broadcast(peredge), ["s", "d"], "left")
+        .join(ds, F.col("s") == F.col("ds.user_id"))
+        .join(dd, F.col("d") == F.col("dd.user_id"))
+        .select(
+            "s",
+            "d",
+            F.coalesce("common", F.lit(0)).alias("common"),
+            F.round(
+                F.coalesce("common", F.lit(0))
+                * F.lit(1.0)
+                / (
+                    F.col("ds.degree")
+                    + F.col("dd.degree")
+                    - F.coalesce("common", F.lit(0))
+                ),
+                6,
+            ).alias("jaccard"),
         )
     )

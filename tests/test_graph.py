@@ -175,3 +175,27 @@ def test_cusum_alarms_after_level_shift(spark, tmp_path):
         s_ref = max(0, s_ref + (n * x - sx))
         ref.append(s_ref)
     assert [r["cusum_scaled"] for r in out] == ref
+
+
+def test_planted_jaccard(spark, tmp_path):
+    # same planted shape as test_planted_triangle: K3 on {1,2,3} plus
+    # a pendant edge (1,4) in another cell
+    rows = [
+        (1, H0, 1, "view", 1.0, "{}"),
+        (2, H0, 2, "view", 1.0, "{}"),
+        (3, H0, 3, "view", 1.0, "{}"),
+        (4, H0 + datetime.timedelta(hours=2), 1, "click", 1.0, "{}"),
+        (5, H0 + datetime.timedelta(hours=2), 4, "click", 1.0, "{}"),
+    ]
+    sf = _sf_with_events(spark, tmp_path, rows)
+    out = {
+        (r["s"], r["d"]): r.asDict()
+        for r in REGISTRY["graph_jaccard"].spark(spark, sf).collect()
+    }
+    assert set(out) == {(1, 2), (1, 3), (2, 3), (1, 4)}
+    # edge (2,3): common neighbor {1}; union N(2)+N(3)-common = 3
+    assert out[(2, 3)]["common"] == 1
+    assert out[(2, 3)]["jaccard"] == pytest.approx(1 / 3, abs=1e-6)
+    # pendant edge (1,4): nothing in common
+    assert out[(1, 4)]["common"] == 0
+    assert out[(1, 4)]["jaccard"] == 0.0
