@@ -525,3 +525,46 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema(EVENTS_MICROS_SCHEMA)
         .load(src)
     )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+         AS o_orderpriority
+FROM orders
+""",
+    section="C",
+    notes="schema-evolution scan: generation 1 files carry "
+    "(o_orderkey, o_custkey, o_totalprice), generation 2 adds "
+    "o_orderpriority — mergeSchema=true reads both under the union "
+    "schema with NULLs for the pre-evolution files, exactly what a "
+    "100 TB table accumulated over years of ingest looks like. The "
+    "oracle reproduces the generation rule arithmetically (parity of "
+    "o_orderkey). Footprint note: mergeSchema reconciles footers at "
+    "planning time — on a real lake this is why the unified schema "
+    "lives in a catalog/manifest (maint_* family) instead of being "
+    "re-derived per query from N million footers",
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def write(out: str) -> None:
+        o = load(spark, sf_dir, "orders")
+        gen1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        gen2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        )
+        gen1.write.mode("overwrite").parquet(os.path.join(out, "gen=1"))
+        gen2.write.mode("overwrite").parquet(os.path.join(out, "gen=2"))
+
+    src = materialize(spark, sf_dir, "schema_evolution_parquet", write)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        )
+    )
