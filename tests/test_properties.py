@@ -340,3 +340,30 @@ def test_ewma_fir_matches_python_float_reference(spark, vals):
         lo = min(vals[max(0, n - 7) : n + 1])
         hi = max(vals[max(0, n - 7) : n + 1])
         assert lo - 1e-12 <= got[n] <= hi + 1e-12
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1,
+             max_size=200)
+)
+@settings(max_examples=200, deadline=None)
+def test_cusum_closed_form_equals_recursion(xs):
+    """ts_cusum's closed form S_t = P_t - min(0, running-min of P)
+    equals the textbook recursion S_t = max(0, S_{t-1} + d_t) for
+    every integer series (d = n-scaled deviations, exactly as the
+    plan computes them)."""
+    n = len(xs)
+    sx = sum(xs)
+    ds = [n * x - sx for x in xs]
+    # recursion
+    s, rec = 0, []
+    for d in ds:
+        s = max(0, s + d)
+        rec.append(s)
+    # closed form
+    p, mn, closed = 0, 0, []
+    for d in ds:
+        p += d
+        mn = min(mn, p)
+        closed.append(p - min(0, mn))
+    assert closed == rec
