@@ -3253,3 +3253,176 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("novelty_frac"),
     )
+
+
+@query(
+    "llm_kl_drift",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT source, unnest({_sql_word_ngrams('t', 2)}) AS g FROM toks
+), feats AS (
+  SELECT source, {_SQL_DSIR_BUCKET} AS b FROM grams
+), per_src AS (
+  SELECT source, b, count(*) AS c FROM feats GROUP BY 1, 2
+), corpus AS (
+  SELECT b, cast(sum(c) AS bigint) AS cq FROM per_src GROUP BY 1
+), tq AS (SELECT cast(sum(cq) AS bigint) AS tq FROM corpus),
+tp AS (
+  SELECT source, cast(sum(c) AS bigint) AS tp FROM per_src GROUP BY 1
+), terms AS (
+  SELECT p.source,
+         cast(round(
+           (cast(p.c AS double) / tp.tp)
+           * ln( (cast(p.c AS double) / tp.tp)
+                 / ((corpus.cq + 1.0) / (tq.tq + {DSIR_BUCKETS})) )
+           * 1000000000) AS bigint) AS t9
+  FROM per_src p
+  JOIN tp USING (source)
+  JOIN corpus USING (b)
+  CROSS JOIN tq
+)
+SELECT tp.source, tp.tp AS n_grams,
+       round(cast((SELECT sum(t9) FROM terms t WHERE t.source = tp.source)
+                  AS double) / 1000000000, 6) AS kl_nats
+FROM tp
+""",
+    section="B.11",
+    notes="per-source distribution drift: KL(P_source || Q_corpus) "
+    "over the same 1024 md5-parity hashed-bigram buckets as "
+    "llm_dsir_weights, corpus side add-one smoothed (so "
+    "log(p/q) is always finite; the unsmoothed source side "
+    "contributes only where p>0). The drift monitor behind 'did "
+    "this crawl snapshot change distribution vs the corpus' — a "
+    "rising KL flags a source whose content shifted. Per-bucket "
+    "terms are 1e-9-scaled int64 before the per-source sum "
+    "(order-insensitive); both distributions are "
+    f"{DSIR_BUCKETS}-row mergeable histograms, so at 100 TB this "
+    "costs one gram pass plus metadata-sized arithmetic",
+)
+def llm_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.split("text", " ").alias("t"))
+    grams = toks.select(
+        "source", F.explode(_word_ngrams(F.col("t"), 2)).alias("g")
+    )
+    per_src = (
+        grams.select("source", _dsir_bucket(F.col("g")).alias("b"))
+        .groupBy("source", "b")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    corpus = per_src.groupBy("b").agg(
+        F.sum("c").cast("long").alias("cq")
+    )
+    tq = corpus.agg(F.sum("cq").cast("long").alias("tq"))
+    tp = per_src.groupBy("source").agg(
+        F.sum("c").cast("long").alias("tp")
+    )
+    p_over = F.col("c").cast("double") / F.col("tp")
+    q_over = (F.col("cq") + F.lit(1.0)) / (
+        F.col("tq") + F.lit(DSIR_BUCKETS)
+    )
+    terms = (
+        per_src.join(F.broadcast(tp), "source")
+        .join(F.broadcast(corpus), "b")
+        .crossJoin(F.broadcast(tq))
+        .select(
+            "source",
+            F.round(p_over * F.log(p_over / q_over) * 1000000000)
+            .cast("long")
+            .alias("t9"),
+        )
+    )
+    kl = terms.groupBy("source").agg(
+        F.round(F.sum("t9").cast("double") / 1000000000, 6).alias(
+            "kl_nats"
+        )
+    )
+    return tp.join(kl, "source").select(
+        "source", F.col("tp").alias("n_grams"), "kl_nats"
+    )
+
+
+@query(
+    "llm_ccnet_buckets",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), lm AS (
+  SELECT w, count(*) AS c FROM tok GROUP BY w
+), total AS (
+  SELECT cast(sum(c) AS bigint) AS n FROM lm
+), logp AS (
+  SELECT w, cast(round(ln(cast(c AS double) / n) * 1000000) AS bigint)
+           AS nlp6
+  FROM lm CROSS JOIN total
+), scored AS (
+  SELECT tok.doc_id,
+         round(-cast(sum(logp.nlp6) AS double) / 1000000 / count(*), 6)
+           AS score
+  FROM tok JOIN logp ON tok.w = logp.w
+  GROUP BY tok.doc_id
+), tiled AS (
+  SELECT doc_id, score,
+         ntile(3) OVER (ORDER BY score, doc_id) AS t
+  FROM scored
+)
+SELECT doc_id, score,
+       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+              ELSE 'tail' END AS bucket
+FROM tiled
+""",
+    section="B.11",
+    notes="CCNet-style quality bucketing (Wenzek et al. 2020): score "
+    "every document with the unigram-LM mean negative log-likelihood "
+    "(the llm_perplexity statistic) and split the corpus into "
+    "head / middle / tail terciles — the published recipe keeps head+"
+    "middle for pretraining and drops tail. ntile(3) over "
+    "(score, doc_id) is deterministic because the ordering is total "
+    "(6dp-rounded scaled-int score, unique doc_id tiebreak). The "
+    "global sort is rank-on-aggregate: it orders |docs| score rows, "
+    "never token rows — at 100 TB swap ntile for approx_percentile "
+    "cutpoints to avoid the single-partition window, same buckets up "
+    "to sketch error at the two boundaries",
+)
+def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    lm = tok.groupBy("w").agg(F.count("*").alias("c"))
+    total = lm.agg(F.sum("c").cast("long").alias("n"))
+    logp = lm.crossJoin(F.broadcast(total)).select(
+        "w",
+        F.round(F.log(F.col("c").cast("double") / F.col("n")) * 1000000)
+        .cast("long")
+        .alias("nlp6"),
+    )
+    scored = (
+        tok.join(F.broadcast(logp), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                -F.sum("nlp6").cast("double") / 1000000 / F.count("*"), 6
+            ).alias("score")
+        )
+    )
+    tiled = scored.select(
+        "doc_id",
+        "score",
+        F.ntile(3)
+        .over(Window.orderBy(F.col("score").asc(), F.col("doc_id").asc()))
+        .alias("t"),
+    )
+    return tiled.select(
+        "doc_id",
+        "score",
+        F.when(F.col("t") == 1, "head")
+        .when(F.col("t") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

@@ -1255,3 +1255,61 @@ def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("is_alarm"),
     )
+
+
+@query(
+    "ts_user_entropy",
+    oracle="""
+WITH ut AS (
+  SELECT user_id, event_type, count(*) AS k
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+), agg AS (
+  SELECT user_id, cast(sum(k) AS bigint) AS n_events,
+         cast(count(*) AS bigint) AS n_types,
+         cast(sum(cast(round(k * log2(cast(k AS double)) * 1000000)
+                       AS bigint)) AS bigint) AS s6
+  FROM ut GROUP BY 1
+)
+SELECT user_id, n_events, n_types,
+       round(log2(cast(n_events AS double))
+             - cast(s6 AS double) / 1000000 / n_events, 6) AS entropy
+FROM agg
+""",
+    section="C",
+    notes="behavioral diversity per user: Shannon entropy of the "
+    "user's event-type mix (0 bits = monomaniac automation, high = "
+    "diverse human-like activity — a standard bot/service-account "
+    "separator). Same H = log2(N) - (1/N) sum k*log2(k) scaled-int64 "
+    "discipline as llm_char_entropy; two map-side-combinable hash "
+    "aggregations on (user, type) then user — shuffle volume is "
+    "bounded by |users| x |types|, not events",
+)
+def ts_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    ut = e.groupBy("user_id", "event_type").agg(F.count("*").alias("k"))
+    return (
+        ut.groupBy("user_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_events"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum(
+                F.round(
+                    F.col("k")
+                    * F.log2(F.col("k").cast("double"))
+                    * 1000000
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("s6"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            F.round(
+                F.log2(F.col("n_events").cast("double"))
+                - F.col("s6").cast("double") / 1000000 / F.col("n_events"),
+                6,
+            ).alias("entropy"),
+        )
+    )
