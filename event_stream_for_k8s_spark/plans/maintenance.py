@@ -746,3 +746,76 @@ def maint_prune_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_false_skip"),
         )
     )
+
+
+@query(
+    "maint_clustering_depth",
+    oracle="""
+WITH files AS (
+  SELECT 'time' AS layout,
+         year(l_shipdate) * 12 + month(l_shipdate) AS file_id,
+         min(l_shipdate) AS lo, max(l_shipdate) AS hi
+  FROM lineitem GROUP BY 1, 2
+  UNION ALL
+  SELECT 'key', l_orderkey % 16, min(l_shipdate), max(l_shipdate)
+  FROM lineitem GROUP BY 1, 2
+), depth AS (
+  SELECT f.layout, f.file_id, cast(count(*) AS bigint) AS d
+  FROM files f JOIN files g
+    ON g.layout = f.layout AND g.lo <= f.lo AND f.lo <= g.hi
+  GROUP BY 1, 2
+)
+SELECT layout, cast(count(*) AS bigint) AS n_files,
+       round(cast(sum(d) AS double) / count(*), 6) AS avg_depth,
+       cast(max(d) AS bigint) AS max_depth
+FROM depth GROUP BY layout
+""",
+    section="C",
+    notes="clustering depth on l_shipdate for two physical layouts — "
+    "the metric (Snowflake's clustering_depth) that PREDICTS whether "
+    "maint_prune_zonemap can skip: depth(file) = how many same-layout "
+    "file intervals overlap the file's min point; avg ~1 = "
+    "well-clustered (time-sharded layout, zone maps prune deeply), "
+    "avg ~ n_files = unclustered (round-robin orderkey layout, every "
+    "file spans the domain, zone maps prune nothing). This is what "
+    "tells a table service WHEN to trigger maint_zorder / "
+    "maint_sorted_layout. The interval join is all-pairs ON THE "
+    "MANIFEST — dozens of metadata rows, never data rows, so the "
+    "quadratic is bounded by file count per partition in any real "
+    "deployment (and a line-sweep window replaces it past ~1e5 "
+    "files)",
+)
+def maint_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    by_time = li.groupBy(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+        .cast("long")
+        .alias("file_id")
+    ).agg(
+        F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi")
+    ).select(F.lit("time").alias("layout"), "file_id", "lo", "hi")
+    by_key = li.groupBy(
+        (F.col("l_orderkey") % 16).cast("long").alias("file_id")
+    ).agg(
+        F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi")
+    ).select(F.lit("key").alias("layout"), "file_id", "lo", "hi")
+    files = by_time.unionAll(by_key).persist()
+    f = files.alias("f")
+    g = files.alias("g")
+    depth = (
+        f.join(
+            F.broadcast(g),
+            (F.col("g.layout") == F.col("f.layout"))
+            & (F.col("g.lo") <= F.col("f.lo"))
+            & (F.col("f.lo") <= F.col("g.hi")),
+        )
+        .groupBy(F.col("f.layout").alias("layout"), F.col("f.file_id"))
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    return depth.groupBy("layout").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.round(F.sum("d").cast("double") / F.count("*"), 6).alias(
+            "avg_depth"
+        ),
+        F.max("d").cast("long").alias("max_depth"),
+    )

@@ -1999,3 +1999,49 @@ def tpch_q22_global_sales_opportunity(
             dsum("c_acctbal", 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "agg_hist_equi_depth",
+    oracle="""
+WITH tiled AS (
+  SELECT l_extendedprice AS v,
+         ntile(16) OVER (ORDER BY l_extendedprice, l_orderkey,
+                         l_linenumber) AS b
+  FROM lineitem
+)
+SELECT b AS bucket, cast(count(*) AS bigint) AS n,
+       min(v) AS lo, max(v) AS hi
+FROM tiled GROUP BY b
+""",
+    section="C",
+    notes="equi-DEPTH histogram of l_extendedprice (16 buckets, equal "
+    "row counts, data-driven boundaries) — the CBO selectivity "
+    "structure that fixed-width bins (ts_histogram) can't provide on "
+    "skewed domains: every bucket answers 'what range holds the next "
+    "1/16th of rows'. ntile over a TOTAL order (price, orderkey, "
+    "linenumber) is deterministic on both engines; lo/hi are element "
+    "selections, zero float arithmetic. The global sort is the cost "
+    "— at 100 TB build it from approx_percentile cutpoints instead "
+    "(same shape, sketch-bounded boundary error), which is exactly "
+    "how ANALYZE computes it",
+)
+def agg_hist_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    tiled = li.select(
+        F.col("l_extendedprice").alias("v"),
+        F.ntile(16)
+        .over(
+            Window.orderBy(
+                "l_extendedprice", "l_orderkey", "l_linenumber"
+            )
+        )
+        .alias("b"),
+    )
+    return tiled.groupBy(F.col("b").alias("bucket")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
