@@ -19,6 +19,7 @@ from event_stream_for_k8s_spark.plans import (  # noqa: E402,F401
     maintenance,
     streaming_queries,
     timeseries,
+    tpch_partsupp,
     udfs,
 )
 
