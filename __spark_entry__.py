@@ -28,66 +28,71 @@ from event_stream_for_k8s_spark.plans import REGISTRY  # noqa: E402
 # each round re-registers a rotating batch of not-yet-verified queries
 # under early-sorting `a_chk_<name>` aliases (same callable, same
 # oracle SQL — pure duplicates, suggested by VERDICT r01 "Next round"
-# #2). Round 3's batch follows VERDICT r02 "Next round" #1's family
-# priority: the whole streaming family (stream_* + source_*/sink_*,
-# the reference-parity core), all TPC-H, all remaining ts_*, the
-# highest-risk maint_*, plus a RE-probe of llm_dedup_ngram whose
-# semantics changed this round (oversized-block cap). The remaining
-# ~58 (rest of maint_*, llm_*, sql_*, scan_*, join variants, udtf_py)
-# are round 4's batch. `tools/rotate_probes.py` computes batches from
-# accumulated CORRECTNESS files and bumps queries whose module changed
-# after the newest CORRECTNESS file landed.
+# #2). Round 4's batch follows VERDICT r03 "Next round" #1's priority:
+# everything added or changed in round 3b (graph_*, the five new ts_*,
+# llm_kl_drift/ccnet_buckets, agg_hist_equi_depth, the two new
+# maint_*), the asof-join family, sql_*, TPC-H Q13/Q15/Q17/Q19/Q22,
+# the six NEW partsupp TPC-H queries landed this round, and a
+# cross-family fill of the remaining never-probed (join variants,
+# scan_*, maint_*, llm_* including the rows-only simhash, udtf_py,
+# stream_cdc_upsert, win_time_range). The ~51 still unprobed after
+# this batch are round 5's rotation. `tools/rotate_probes.py` computes
+# candidate batches from accumulated CORRECTNESS files.
 DRIVER_PROBES = [
-    "stream_dedup_ttl",
-    "stream_foreach_metrics",
-    "stream_full_outer_join",
-    "stream_late_drop",
-    "stream_outer_join",
-    "stream_right_outer_join",
-    "stream_session",
-    "stream_sliding",
-    "stream_stateful_custom",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_topk",
-    "stream_tumbling",
-    "stream_watermark",
-    "source_k8s_watch",
-    "source_rate",
-    "source_stream_file",
-    "sink_console_json",
-    "sink_memory",
-    "sink_python_ds",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q12_shipmode_priority",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_volume_customer",
-    "ts_active_users",
-    "ts_anomaly",
-    "ts_cumulative_users",
-    "ts_ewma",
-    "ts_funnel",
-    "ts_gapfill",
-    "ts_histogram",
-    "ts_interp_linear",
-    "ts_ohlc",
-    "ts_retention",
-    "ts_streaks",
-    "maint_compact",
-    "maint_incremental",
-    "maint_manifest_diff",
-    "maint_merge_upsert",
-    "maint_scd2",
-    "maint_stats_collect",
-    "maint_zorder",
-    "llm_dedup_ngram",
+    # round-3b additions (changed most recently -> highest risk)
+    "graph_degree",
+    "graph_jaccard",
+    "graph_triangles",
+    "ts_acf",
+    "ts_cusum",
+    "ts_downsample_m4",
+    "ts_mad_anomaly",
+    "ts_user_entropy",
+    "llm_kl_drift",
+    "llm_ccnet_buckets",
+    "agg_hist_equi_depth",
+    "maint_clustering_depth",
+    "maint_prune_zonemap",
+    # asof family + sql_*
+    "join_asof_forward",
+    "join_asof_nearest",
+    "join_asof_tolerance",
+    "sql_cte_subquery",
+    "sql_lateral",
+    # TPC-H: round-3 five + the six new partsupp queries
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_parts_supplier_relation",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_suppliers",
+    # cross-family fill of the never-probed
+    "agg_countmin",
+    "join_bloom_membership",
+    "join_bucketed",
+    "join_cross",
+    "join_range_binned",
+    "join_skew_salted",
+    "llm_bm25",
+    "llm_corpus_pipeline",
+    "llm_dedup_clusters",
+    "llm_dedup_simhash",
+    "llm_dedup_substring",
+    "llm_knn_ivf_exact",
+    "llm_winnow",
+    "maint_retention_delete",
+    "maint_sorted_layout",
+    "sample_stratified",
+    "scan_json_corrupt",
+    "scan_xml",
+    "stream_cdc_upsert",
+    "udtf_py",
+    "win_time_range",
 ]
 
 

