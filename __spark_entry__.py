@@ -71,8 +71,8 @@ DRIVER_PROBES = [
     "tpch_q16_parts_supplier_relation",
     "tpch_q20_potential_promotion",
     "tpch_q21_waiting_suppliers",
-    # cross-family fill of the never-probed
-    "agg_countmin",
+    # cross-family fill of the never-probed + the new prom egress
+    "prom_k8s_exposition",
     "join_bloom_membership",
     "join_bucketed",
     "join_cross",

@@ -111,11 +111,12 @@ GROUP BY 1, 2, 3, 4
 """
 
 
-@query("k8s_envelope_multidim_count", oracle=K8S_ORACLE, section="A4-A8")
-def k8s_envelope_multidim_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+def synthetic_k8s(ev: DataFrame) -> DataFrame:
+    """The deterministic k8s-Event shape derived from ``events`` (see
+    comment above K8S_ORACLE). Shared by the multidim-count query and
+    the Prometheus exposition egress (same §3.4 semantic branches)."""
     eid, uid = F.col("event_id"), F.col("user_id")
-    k8s = ev.select(
+    return ev.select(
         F.when(eid % 11 != 0, F.concat(F.lit("uid-"), (eid % 300).cast("string"))).alias("uid"),
         F.when(eid % 13 != 0, (eid % 7).cast("string")).alias("resource_version"),
         F.when(F.col("event_type") == "error", "Warning").otherwise("Normal").alias("type"),
@@ -128,15 +129,26 @@ def k8s_envelope_multidim_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "ts",
     )
-    keyed = k8s.withColumn(
-        "k", dedup_key(["uid", "resource_version"])
-    ).withColumn(
-        "time",
-        F.coalesce(
-            "last_ts", "first_ts", "created_ts",
-            F.lit("1970-01-01").cast("timestamp"),
-        ),
+
+
+def keyed_synthetic_k8s(ev: DataFrame) -> DataFrame:
+    """synthetic_k8s + the A5 dedup key and A4 precedence time."""
+    return (
+        synthetic_k8s(ev)
+        .withColumn("k", dedup_key(["uid", "resource_version"]))
+        .withColumn(
+            "time",
+            F.coalesce(
+                "last_ts", "first_ts", "created_ts",
+                F.lit("1970-01-01").cast("timestamp"),
+            ),
+        )
     )
+
+
+@query("k8s_envelope_multidim_count", oracle=K8S_ORACLE, section="A4-A8")
+def k8s_envelope_multidim_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keyed = keyed_synthetic_k8s(load(spark, sf_dir, "events"))
     deduped = dedup_rank(keyed, ["k"], ["time", "event_id"])
     return deduped.groupBy(
         F.coalesce("type", F.lit("-")).alias("etype"),

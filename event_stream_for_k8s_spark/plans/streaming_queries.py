@@ -919,3 +919,113 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_event_type"),
         F.col("value").alias("last_value"),
     )
+
+
+@query(
+    "prom_k8s_exposition",
+    oracle="""
+WITH k8s AS (
+  SELECT
+    CASE WHEN event_id % 11 = 0 THEN NULL
+         ELSE 'uid-' || cast(event_id % 300 AS varchar) END AS uid,
+    CASE WHEN event_id % 13 = 0 THEN NULL
+         ELSE cast(event_id % 7 AS varchar) END AS resource_version,
+    CASE WHEN event_type = 'error' THEN 'Warning' ELSE 'Normal' END AS type,
+    upper(event_type) AS reason,
+    CASE WHEN user_id % 3 = 0 THEN 'Pod'
+         WHEN user_id % 3 = 1 THEN 'Deployment' ELSE NULL END AS kind,
+    'ns-' || cast(user_id % 5 AS varchar) AS namespace,
+    CASE WHEN event_id % 4 = 0 THEN ts END AS last_ts,
+    CASE WHEN event_id % 4 <= 1 THEN ts + INTERVAL 60 SECOND END AS first_ts,
+    CASE WHEN event_id % 4 <= 2 THEN ts + INTERVAL 120 SECOND END AS created_ts,
+    event_id, ts
+  FROM events
+), keyed AS (
+  SELECT *,
+    concat_ws(':', coalesce(uid, ''), coalesce(resource_version, '')) AS k
+  FROM k8s
+), deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY k
+      ORDER BY coalesce(last_ts, first_ts, created_ts,
+                        timestamp '1970-01-01'), event_id) rn
+    FROM keyed) WHERE rn = 1
+), agg AS (
+  SELECT coalesce(type, '-') AS l0, coalesce(reason, '-') AS l1,
+         coalesce(kind, '-') AS l2, coalesce(namespace, '-') AS l3,
+         count(*) AS n
+  FROM deduped GROUP BY 1, 2, 3, 4
+), kb AS (
+  SELECT cast(sum(strlen(k) + 8) AS bigint) AS b,
+         cast(count(*) AS bigint) AS m
+  FROM deduped
+), tot AS (SELECT cast(2 * count(*) AS bigint) AS t FROM events)
+SELECT 'kube_event_stream_events_count{event_type="' || l0
+       || '",event_reason="' || l1 || '",event_kind="' || l2
+       || '",event_namespace="' || l3 || '"}' AS sample,
+       cast(n AS bigint) AS value
+FROM agg
+UNION ALL SELECT 'kube_event_stream_cachedb_events_processed{type="total"}', t
+          FROM tot
+UNION ALL SELECT
+  'kube_event_stream_cachedb_events_processed{type="cache_hits"}', t - m
+  FROM tot, kb
+UNION ALL SELECT
+  'kube_event_stream_cachedb_events_processed{type="cache_misses"}', m
+  FROM kb
+UNION ALL SELECT 'kube_event_stream_cachedb_sync_bytes', b FROM kb
+UNION ALL SELECT 'kube_event_stream_cachedb_size{type="items"}', m FROM kb
+UNION ALL SELECT 'kube_event_stream_cachedb_size{type="bytes"}', b FROM kb
+""",
+    section="A13",
+    notes="Prometheus exposition egress (reference src/tasks.rs:26-64 "
+    "counter families, src/main.rs:63 endpoint): the doubled events "
+    "stream is reshaped to the synthetic k8s form, a foreachBatch "
+    "observer computes per-batch hit/miss/4-dim-label increments as "
+    "Spark aggregates (only label-cardinality rows reach the "
+    "driver-side registry), and the rendered text exposition is "
+    "parsed back into (sample, value) rows — so the driver oracle "
+    "checks the rendered wire format end-to-end: label ordering, '-' "
+    "defaults, hits+misses=total, and the sled key+8-byte value size "
+    "accounting. The doubled delivery makes cache_hits = misses "
+    "exactly (every key seen twice)",
+)
+def prom_k8s_exposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_stream_for_k8s_spark.plans.reference import keyed_synthetic_k8s
+    from event_stream_for_k8s_spark.streaming.prom_metrics import (
+        K8sStreamMetrics,
+    )
+
+    src = _single_file_json(
+        spark,
+        sf_dir,
+        "events_doubled_json",
+        lambda: events_as_micros(spark, sf_dir).unionAll(
+            events_as_micros(spark, sf_dir)
+        ),
+    )
+    stream = keyed_synthetic_k8s(_stream(_streaming_session(spark), src))
+    metrics = K8sStreamMetrics()
+    q = (
+        stream.writeStream.foreachBatch(
+            metrics.foreach_batch(
+                key_col="k",
+                order_cols=("time", "event_id"),
+                type_col="type",
+                reason_col="reason",
+                kind_col="kind",
+                namespace_col="namespace",
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = []
+    for line in metrics.registry.render().splitlines():
+        if line.startswith("#") or not line.strip():
+            continue
+        sample, value = line.rsplit(" ", 1)
+        rows.append((sample, int(value)))
+    return spark.createDataFrame(rows, "sample string, value bigint")

@@ -1,0 +1,276 @@
+"""Prometheus exposition-format egress (reference parity A13).
+
+The reference exports its counters over HTTP on ``0.0.0.0:9000``
+(``src/main.rs:63``) via the ``prometheus_exporter`` crate, with four
+metric families (``src/tasks.rs:26-64``):
+
+* ``kube_event_stream_events_count`` — IntCounterVec labelled
+  ``event_type, event_reason, event_kind, event_namespace``,
+  incremented once per CACHE-MISS event with ``'-'`` defaults for
+  absent fields (``src/tasks.rs:107-121``);
+* ``kube_event_stream_cachedb_events_processed`` — IntCounterVec
+  labelled ``type`` ∈ {total, cache_hits, cache_misses}
+  (``src/tasks.rs:132-140``);
+* ``kube_event_stream_cachedb_sync_bytes`` — IntCounter, bytes synced
+  to the sled cache per flush (``src/tasks.rs:141``);
+* ``kube_event_stream_cachedb_size`` — IntGaugeVec labelled ``type`` ∈
+  {items, bytes}, the cache size (``src/tasks.rs:210-216``).
+
+This module re-expresses that egress Spark-first: a tiny dependency-
+free metric registry (counters/gauges + text exposition rendering), a
+``foreachBatch`` observer that computes the per-batch increments as
+Spark aggregates (label-cardinality-bounded collect — the only rows
+that reach the driver are the per-label-combination counts, never
+events), and a stdlib HTTP endpoint serving ``GET /metrics``. At
+cluster scale the observer's three per-batch aggregation jobs run on
+executors and the registry lives on the driver, which is exactly
+where a scrape endpoint must live; for multi-query deployments attach
+one observer per query and serve one registry.
+
+Cache seen-ness here is batch-local (first occurrence of a key inside
+the micro-batch = miss): the CROSS-batch state belongs to the dedup
+operator's state store, not a driver-side set, which cannot hold 100
+TB of keys. The reference's sequential drain gives identical counts
+for a batch because its sled lookups also see earlier same-batch
+inserts; attribution of the miss's labels follows the same
+first-by-(event-time, id) order its channel delivery does.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CONTENT_TYPE = "text/plain; version=0.0.4; charset=utf-8"
+
+
+def _escape_label(v: str) -> str:
+    return v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
+@dataclass
+class _Family:
+    name: str
+    help: str
+    kind: str  # "counter" | "gauge"
+    labelnames: tuple[str, ...]
+    # label-values tuple -> int value
+    samples: dict[tuple[str, ...], int] = field(default_factory=dict)
+
+    def labels(self, *values: str) -> "_Child":
+        if len(values) != len(self.labelnames):
+            raise ValueError(
+                f"{self.name}: expected {len(self.labelnames)} label "
+                f"values, got {len(values)}"
+            )
+        return _Child(self, tuple(str(v) for v in values))
+
+
+@dataclass
+class _Child:
+    family: _Family
+    values: tuple[str, ...]
+
+    def inc(self, n: int = 1) -> None:
+        if self.family.kind != "counter":
+            raise TypeError(f"{self.family.name} is not a counter")
+        if n < 0:
+            raise ValueError("counters only go up")
+        self.family.samples[self.values] = (
+            self.family.samples.get(self.values, 0) + n
+        )
+
+    def set(self, v: int) -> None:
+        if self.family.kind != "gauge":
+            raise TypeError(f"{self.family.name} is not a gauge")
+        self.family.samples[self.values] = int(v)
+
+
+class PromRegistry:
+    """Deterministic text-exposition registry.
+
+    Families render sorted by name and samples sorted by label values,
+    so the output is stable for golden-file tests regardless of
+    observation order (the Rust exporter sorts families the same way).
+    """
+
+    def __init__(self) -> None:
+        self._families: dict[str, _Family] = {}
+
+    def counter(
+        self, name: str, help: str, labelnames: tuple[str, ...] = ()
+    ) -> _Family:
+        return self._register(name, help, "counter", labelnames)
+
+    def gauge(
+        self, name: str, help: str, labelnames: tuple[str, ...] = ()
+    ) -> _Family:
+        return self._register(name, help, "gauge", labelnames)
+
+    def _register(
+        self, name: str, help: str, kind: str, labelnames: tuple[str, ...]
+    ) -> _Family:
+        if name in self._families:
+            raise ValueError(f"duplicate metric family {name!r}")
+        fam = _Family(name, help, kind, tuple(labelnames))
+        self._families[name] = fam
+        # a label-less counter/gauge exposes 0 before first touch,
+        # matching the registered-but-untouched behavior of the
+        # reference's IntCounter
+        if not labelnames:
+            fam.samples[()] = 0
+        return fam
+
+    def render(self) -> str:
+        out: list[str] = []
+        for name in sorted(self._families):
+            fam = self._families[name]
+            out.append(f"# HELP {fam.name} {fam.help}")
+            out.append(f"# TYPE {fam.name} {fam.kind}")
+            for values in sorted(fam.samples):
+                if fam.labelnames:
+                    labels = ",".join(
+                        f'{k}="{_escape_label(v)}"'
+                        for k, v in zip(fam.labelnames, values)
+                    )
+                    out.append(f"{fam.name}{{{labels}}} {fam.samples[values]}")
+                else:
+                    out.append(f"{fam.name} {fam.samples[values]}")
+        return "\n".join(out) + "\n"
+
+
+EVENT_LABELS = ("event_type", "event_reason", "event_kind", "event_namespace")
+
+
+class K8sStreamMetrics:
+    """The reference's four metric families over a Spark k8s stream."""
+
+    def __init__(self) -> None:
+        self.registry = PromRegistry()
+        self.events = self.registry.counter(
+            "kube_event_stream_events_count",
+            "Events types seen.",
+            EVENT_LABELS,
+        )
+        self.processed = self.registry.counter(
+            "kube_event_stream_cachedb_events_processed",
+            "Events seen",
+            ("type",),
+        )
+        self.sync_bytes = self.registry.counter(
+            "kube_event_stream_cachedb_sync_bytes",
+            "Bytes synced to cache",
+        )
+        self.size = self.registry.gauge(
+            "kube_event_stream_cachedb_size",
+            "On disk cache sizes, item count and total bytes.",
+            ("type",),
+        )
+        self._items = 0
+        self._bytes = 0
+
+    def observe_batch(
+        self,
+        batch_df: DataFrame,
+        key_col: str,
+        order_cols: tuple[str, ...],
+        type_col: str = "type",
+        reason_col: str = "reason",
+        kind_col: str = "kind",
+        namespace_col: str = "namespace",
+    ) -> None:
+        """Apply one micro-batch's increments.
+
+        ``key_col`` is the A5 dedup key; a batch row is a cache MISS
+        iff it is the first occurrence of its key in
+        ``order_cols``-order (see module docstring on batch-local
+        seen-ness). Misses drive the 4-dim counter (with the
+        reference's ``'-'`` label defaults), the hit/miss/total
+        counters, and the sync-bytes/cache-size accounting (key bytes
+        + the 8-byte u64 seen-timestamp sled stores per key,
+        ``src/tasks.rs:123-126``).
+        """
+        from pyspark.sql import Window
+
+        total = batch_df.count()
+        w = Window.partitionBy(key_col).orderBy(*order_cols)
+        winners = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        per_label = (
+            winners.groupBy(
+                F.coalesce(type_col, F.lit("-")).alias("l0"),
+                F.coalesce(reason_col, F.lit("-")).alias("l1"),
+                F.coalesce(kind_col, F.lit("-")).alias("l2"),
+                F.coalesce(namespace_col, F.lit("-")).alias("l3"),
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.octet_length(key_col) + F.lit(8)).alias("nbytes"),
+            )
+            .collect()
+        )
+        misses, nbytes = 0, 0
+        for r in per_label:
+            self.events.labels(r["l0"], r["l1"], r["l2"], r["l3"]).inc(
+                r["n"]
+            )
+            misses += r["n"]
+            nbytes += r["nbytes"]
+        self.processed.labels("total").inc(total)
+        self.processed.labels("cache_hits").inc(total - misses)
+        self.processed.labels("cache_misses").inc(misses)
+        self.sync_bytes.labels().inc(nbytes)
+        self._items += misses
+        self._bytes += nbytes
+        self.size.labels("items").set(self._items)
+        self.size.labels("bytes").set(self._bytes)
+
+    def foreach_batch(self, key_col: str, order_cols: tuple[str, ...], **cols):
+        """``writeStream.foreachBatch`` adapter."""
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.observe_batch(batch_df, key_col, order_cols, **cols)
+
+        return sink
+
+
+class ExpositionServer:
+    """``GET /metrics`` endpoint (the reference's ``:9000`` semantics:
+    any path serves the exposition; non-GET is 405). Daemon-threaded
+    stdlib server — scrape traffic is tiny and the driver owns it."""
+
+    def __init__(self, registry: PromRegistry, port: int = 0) -> None:
+        reg = registry
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self) -> None:  # noqa: N802 (stdlib API)
+                body = reg.render().encode("utf-8")
+                self.send_response(200)
+                self.send_header("Content-Type", CONTENT_TYPE)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *args) -> None:  # quiet
+                pass
+
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+
+    def start(self) -> "ExpositionServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()

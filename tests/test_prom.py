@@ -1,0 +1,113 @@
+"""Prometheus exposition egress (streaming/prom_metrics.py).
+
+Covers the reference's metric surface (src/tasks.rs:26-64 families,
+src/main.rs:63 endpoint): exact golden exposition text for the A8
+4-dim counters, the hits+misses=total invariant (tasks.rs:143-146
+debug assertion), '-' label defaults (tasks.rs:109-121), and the HTTP
+scrape endpoint.
+"""
+
+from __future__ import annotations
+
+import urllib.request
+
+from event_stream_for_k8s_spark.streaming.prom_metrics import (
+    CONTENT_TYPE,
+    ExpositionServer,
+    K8sStreamMetrics,
+    PromRegistry,
+)
+
+GOLDEN = """\
+# HELP kube_event_stream_cachedb_events_processed Events seen
+# TYPE kube_event_stream_cachedb_events_processed counter
+kube_event_stream_cachedb_events_processed{type="cache_hits"} 2
+kube_event_stream_cachedb_events_processed{type="cache_misses"} 3
+kube_event_stream_cachedb_events_processed{type="total"} 5
+# HELP kube_event_stream_cachedb_size On disk cache sizes, item count and total bytes.
+# TYPE kube_event_stream_cachedb_size gauge
+kube_event_stream_cachedb_size{type="bytes"} 31
+kube_event_stream_cachedb_size{type="items"} 3
+# HELP kube_event_stream_cachedb_sync_bytes Bytes synced to cache
+# TYPE kube_event_stream_cachedb_sync_bytes counter
+kube_event_stream_cachedb_sync_bytes 31
+# HELP kube_event_stream_events_count Events types seen.
+# TYPE kube_event_stream_events_count counter
+kube_event_stream_events_count{event_type="-",event_reason="-",event_kind="-",event_namespace="-"} 1
+kube_event_stream_events_count{event_type="Warning",event_reason="BACKOFF",event_kind="Pod",event_namespace="ns-1"} 2
+"""
+
+
+def _batch(spark):
+    # 5 rows, 3 distinct keys; key "a:1" delivered 3x (2 hits), one
+    # all-NULL-label row exercising the reference's '-' defaults
+    rows = [
+        # (k, time_order, type, reason, kind, namespace)
+        ("a:1", 1, "Warning", "BACKOFF", "Pod", "ns-1"),
+        ("a:1", 2, "Warning", "BACKOFF", "Pod", "ns-1"),
+        ("a:1", 3, "Warning", "BACKOFF", "Pod", "ns-1"),
+        ("b:2", 1, "Warning", "BACKOFF", "Pod", "ns-1"),
+        (":", 1, None, None, None, None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "k string, t int, type string, reason string, kind string,"
+        " namespace string",
+    )
+
+
+def test_golden_exposition(spark):
+    m = K8sStreamMetrics()
+    m.observe_batch(_batch(spark), key_col="k", order_cols=("t",))
+    # bytes: 3 missed keys "a:1","b:2",":" = 3+3+1 key bytes plus the
+    # 8-byte u64 seen-timestamp sled stores per key = 31 total
+    assert m.registry.render() == GOLDEN
+
+
+def test_hits_misses_total_invariant(spark):
+    m = K8sStreamMetrics()
+    m.observe_batch(_batch(spark), key_col="k", order_cols=("t",))
+    fam = m.processed.samples
+    assert (
+        fam[("cache_hits",)] + fam[("cache_misses",)] == fam[("total",)] == 5
+    )
+    assert fam[("cache_misses",)] == 3
+
+
+def test_multi_batch_accumulation(spark):
+    m = K8sStreamMetrics()
+    b = _batch(spark)
+    m.observe_batch(b, key_col="k", order_cols=("t",))
+    m.observe_batch(b, key_col="k", order_cols=("t",))
+    fam = m.processed.samples
+    assert fam[("total",)] == 10 and fam[("cache_misses",)] == 6
+    # gauge reflects cumulative items; counter families accumulate
+    assert m.size.samples[("items",)] == 6
+    assert (
+        m.events.samples[("Warning", "BACKOFF", "Pod", "ns-1")] == 4
+    )
+
+
+def test_http_endpoint(spark):
+    m = K8sStreamMetrics()
+    m.observe_batch(_batch(spark), key_col="k", order_cols=("t",))
+    srv = ExpositionServer(m.registry, port=0).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/metrics"
+        ) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"] == CONTENT_TYPE
+            body = resp.read().decode("utf-8")
+        assert body == m.registry.render()
+        assert "kube_event_stream_events_count" in body
+    finally:
+        srv.stop()
+
+
+def test_label_escaping():
+    reg = PromRegistry()
+    c = reg.counter("x_total", "help", ("lbl",))
+    c.labels('we"ird\nv\\al').inc(1)
+    rendered = reg.render()
+    assert 'lbl="we\\"ird\\nv\\\\al"' in rendered
