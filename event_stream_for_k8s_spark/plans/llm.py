@@ -3426,3 +3426,105 @@ def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+@query(
+    "llm_semdedup",
+    oracle="""
+WITH corpus AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, label, embedding FROM embeddings
+), q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM corpus
+), n AS (
+  SELECT vec_id, label, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE) AS nrm
+  FROM q
+)
+SELECT DISTINCT b.vec_id AS dropped_id, b.label
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+                                   p -> p[1] * p[2])) AS DOUBLE) > 0
+  AND pow(CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+                                       p -> p[1] * p[2])) AS DOUBLE), 2)
+      > 0.81 * a.nrm * b.nrm
+""",
+    section="B.11",
+    notes="SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic "
+    "dedup drops documents whose embedding cosine exceeds tau=0.9 "
+    "against a lower-id representative WITHIN a cluster — pairwise "
+    "comparison never crosses cluster blocks, which is the paper's "
+    "own trick for avoiding the corpus-wide O(n^2). The fixture "
+    "plants exact duplicates (self-union with shifted ids, the "
+    "dedup-fixture pattern from FIXTURES.md) since the synthetic "
+    "vectors' natural max cosine is ~0.45. The label column stands "
+    "in for the k-means cell id (llm_embed_centroids computes real "
+    "ones); production swaps the block key and caps block size with "
+    "the NGRAM_BLOCK_CAP salt pattern. Exactness: components "
+    "quantize to 1e-6 ints, dot/norms are exact int64 sums "
+    "(JVM-side zip_with/aggregate, no UDF), and the tau check "
+    "compares dot^2 > tau^2*|a||b| in doubles derived identically "
+    "from those ints — engine-exact, no float tolerance",
+)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "label", "embedding").unionAll(
+        emb.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            "label",
+            "embedding",
+        )
+    )
+    q = corpus.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000000.0).cast("long"),
+        ).alias("qv"),
+    )
+    zero = F.lit(0).cast("long")
+    n = q.withColumn(
+        "nrm",
+        F.aggregate(
+            F.transform("qv", lambda x: x * x), zero, lambda a, v: a + v
+        ).cast("double"),
+    )
+    a = n.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("label"),
+        F.col("qv").alias("a_qv"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        F.col("qv").alias("b_qv"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("a_qv", "b_qv", lambda x, y: x * y),
+        zero,
+        lambda acc, v: acc + v,
+    ).cast("double")
+    return (
+        a.join(
+            b,
+            (F.col("label") == F.col("b_label"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot") * F.col("dot")
+                > F.lit(0.81) * F.col("a_nrm") * F.col("b_nrm")
+            )
+        )
+        .select(F.col("b_id").alias("dropped_id"), "label")
+        .distinct()
+    )

@@ -568,3 +568,85 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
         )
     )
+
+
+@query(
+    "scan_text",
+    oracle="SELECT text AS value FROM documents",
+    section="B.1",
+    notes="line-oriented text source (spark.read.text): the raw-corpus "
+    "ingestion path for LLM pipelines — one row per line, no parsing. "
+    "The fixture writes each document as one line (the corpus has no "
+    "embedded newlines), so the scan reproduces the documents text "
+    "column exactly. At 100 TB this is a pure narrow scan: splittable "
+    "by byte range within uncompressed files, no schema inference",
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = materialize(
+        spark,
+        sf_dir,
+        "documents_text",
+        lambda out: load(spark, sf_dir, "documents")
+        .select("text")
+        .write.mode("overwrite")
+        .text(out),
+    )
+    return spark.read.text(src)
+
+
+@query(
+    "scan_binaryfile",
+    oracle="""
+WITH per_source AS (
+  SELECT source,
+         string_agg(text, chr(10) ORDER BY doc_id) AS body
+  FROM documents GROUP BY source
+)
+SELECT source,
+       cast(strlen(body) + 1 AS bigint) AS n_bytes,
+       md5(body || chr(10)) AS content_md5
+FROM per_source
+""",
+    section="B.1",
+    notes="whole-file binary source (spark.read.format('binaryFile')): "
+    "the multimodal-ingestion entry point — one row per file with "
+    "(path, length, content bytes). The fixture materializes one text "
+    "file per document source (content = docs joined by newline, "
+    "written as a single line-per-doc text file by an executor task), "
+    "and the query reads them back as opaque binaries, checking "
+    "length and md5 against the content derived from the documents "
+    "view — so the oracle never touches the filesystem. At scale "
+    "binaryFile splits per FILE (contents aren't splittable), so "
+    "shard size = file size; decode work distributes via mapInPandas "
+    "downstream (llm_mm_decode)",
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+
+    def write_files(out: str) -> None:
+        # one file per source, content ordered by doc_id — written by
+        # executor tasks (partitionBy), then the marker protects reuse
+        (
+            docs.select("source", "doc_id", "text")
+            .repartition("source")
+            .sortWithinPartitions("source", "doc_id")
+            .select("source", "text")
+            .write.mode("overwrite")
+            .partitionBy("source")
+            .text(out)
+        )
+
+    src = materialize(spark, sf_dir, "documents_binfiles", write_files)
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*")
+        .option("recursiveFileLookup", "false")
+        .load(f"{src}/source=*")
+        .select(
+            F.regexp_extract(
+                F.input_file_name(), r"source=([^/]+)/", 1
+            ).alias("source"),
+            F.col("length").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+    )

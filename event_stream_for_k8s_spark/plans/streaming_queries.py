@@ -69,7 +69,30 @@ def _streaming_session(
     clone = spark.newSession()
     if state_partitions is not None:
         clone.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    clone._esk_parent = spark  # for _restore_parent after the run
     return clone
+
+
+def _restore_parent(session: SparkSession) -> None:
+    """Re-activate the parent session after a clone-session run.
+
+    Starting a streaming query on a clone leaves the clone as the JVM
+    thread's ACTIVE session; later data-source lookups on this thread
+    (e.g. a Python DataSource registered on the parent, like
+    arrow-ipc) would then resolve against the clone's empty registry —
+    observed on Spark 4.1 as DATA_SOURCE_NOT_FOUND. Pointing the
+    active session back at the parent restores thread-neutral
+    behavior for everything that runs after a streaming query.
+    """
+    parent = getattr(session, "_esk_parent", None)
+    if parent is None:
+        return
+    jvm = parent._jvm
+    try:
+        jcls = jvm.org.apache.spark.sql.classic.SparkSession
+    except Exception:
+        jcls = jvm.org.apache.spark.sql.SparkSession
+    jcls.setActiveSession(parent._jsparkSession)
 
 
 def _run_to_memory(df: DataFrame, name: str, mode: str = "append") -> DataFrame:
@@ -87,7 +110,9 @@ def _run_to_memory(df: DataFrame, name: str, mode: str = "append") -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return df.sparkSession.table(name)
+    out = df.sparkSession.table(name)
+    _restore_parent(df.sparkSession)
+    return out
 
 
 @query(
@@ -395,7 +420,9 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return out.sparkSession.table(sink)
+    res = out.sparkSession.table(sink)
+    _restore_parent(out.sparkSession)
+    return res
 
 
 @query(
@@ -438,6 +465,7 @@ def stream_foreach_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    _restore_parent(stream.sparkSession)
     total = sum(m["total"] for m in collected)
     misses = sum(m["misses"] for m in collected)
     return spark.createDataFrame(
@@ -902,9 +930,11 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(state, ignore_errors=True)
         os.replace(tmp, state)
 
+    cdc_stream = _stream(
+        _streaming_session(spark), src, maxFilesPerTrigger=1
+    )
     q = (
-        _stream(_streaming_session(spark), src, maxFilesPerTrigger=1)
-        .writeStream.foreachBatch(merge)
+        cdc_stream.writeStream.foreachBatch(merge)
         .option(
             "checkpointLocation",
             os.path.join(cache_dir(sf_dir, "cdc_state"), "ck"),
@@ -913,6 +943,7 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    _restore_parent(cdc_stream.sparkSession)
     return spark.read.parquet(state).select(
         "user_id",
         F.col("event_id").alias("last_event_id"),
@@ -1022,6 +1053,7 @@ def prom_k8s_exposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    _restore_parent(stream.sparkSession)
     rows = []
     for line in metrics.registry.render().splitlines():
         if line.startswith("#") or not line.strip():

@@ -66,6 +66,10 @@ class K8sWatchSpooler:
             {"Authorization": f"Bearer {bearer_token}"} if bearer_token else {}
         )
         self.resource_version: str | None = None
+        # exact count of NDJSON lines ever appended — the accounting
+        # source of truth (a mid-watch disconnect flushes a partial
+        # batch whose count the raised exception would otherwise lose)
+        self.events_spooled = 0
 
     def _events_path(self) -> str:
         if self.namespace:
@@ -88,6 +92,7 @@ class K8sWatchSpooler:
         buf = "".join(json.dumps(e, separators=(",", ":")) + "\n" for e in events)
         with open(self.spool_path, "a", encoding="utf-8") as f:
             f.write(buf)
+        self.events_spooled += len(events)
         return len(events)
 
     def list_once(self) -> int:
@@ -101,38 +106,61 @@ class K8sWatchSpooler:
 
     def watch(self, max_events: int | None = None) -> int:
         """WATCH from the last seen resourceVersion; returns events
-        spooled. Ends at server EOF or after ``max_events``."""
+        spooled. Ends at server EOF or after ``max_events``.
+
+        ``resource_version`` only advances when the lines carrying it
+        are FLUSHED to the spool (including the flush-on-disconnect in
+        the finally block): if it advanced per message, a connection
+        drop with an unflushed batch would resume PAST events never
+        written — silent loss. With flush-then-commit, a reconnect can
+        only re-deliver already-spooled events, and the downstream
+        watermark dedup absorbs exactly that overlap.
+        """
         q = "watch=true"
         if self.resource_version is not None:
             q += f"&resourceVersion={self.resource_version}"
         n = 0
         batch: list[dict] = []
-        with self._open(q) as resp:
-            for raw in resp:
-                line = raw.strip()
-                if not line:
-                    continue
-                msg = json.loads(line)
-                kind, obj = msg.get("type"), msg.get("object") or {}
-                rv = (obj.get("metadata") or {}).get("resourceVersion")
-                if rv is not None:
-                    self.resource_version = rv
-                if kind == "BOOKMARK":
-                    continue  # progress marker only — nothing to spool
-                if kind == "ERROR":
-                    # 410 Gone => resourceVersion too old: caller
-                    # re-lists; identical to the reference's restart
-                    # path, dedup absorbs the overlap.
-                    raise _WatchExpired(str(obj))
-                if kind in ("ADDED", "MODIFIED"):
-                    batch.append(obj)
-                    n += 1
-                    if len(batch) >= 256:
-                        self._append(batch)
-                        batch.clear()
-                    if max_events is not None and n >= max_events:
-                        break
-        self._append(batch)
+        pending_rv = self.resource_version
+        try:
+            resp = self._open(q)
+        except urllib.error.HTTPError as e:
+            if e.code == 410:  # Gone: resourceVersion expired server-side
+                raise _WatchExpired(f"HTTP 410 at resourceVersion "
+                                    f"{self.resource_version}") from e
+            raise
+        try:
+            with resp:
+                for raw in resp:
+                    line = raw.strip()
+                    if not line:
+                        continue
+                    msg = json.loads(line)
+                    kind, obj = msg.get("type"), msg.get("object") or {}
+                    rv = (obj.get("metadata") or {}).get("resourceVersion")
+                    if rv is not None:
+                        pending_rv = rv
+                    if kind == "BOOKMARK":
+                        continue  # progress marker only — nothing to spool
+                    if kind == "ERROR":
+                        # 410 Gone => resourceVersion too old: caller
+                        # re-lists; identical to the reference's restart
+                        # path, dedup absorbs the overlap.
+                        raise _WatchExpired(str(obj))
+                    if kind in ("ADDED", "MODIFIED"):
+                        batch.append(obj)
+                        n += 1
+                        if len(batch) >= 256:
+                            self._append(batch)
+                            batch.clear()
+                            self.resource_version = pending_rv
+                        if max_events is not None and n >= max_events:
+                            break
+        finally:
+            # flush whatever parsed cleanly before EOF/disconnect, THEN
+            # commit the resume offset (see docstring)
+            self._append(batch)
+            self.resource_version = pending_rv
         return n
 
     def run(self, max_events: int | None = None) -> int:
@@ -148,6 +176,75 @@ class K8sWatchSpooler:
             self.resource_version = None
             n += self.list_once()
         return n
+
+    def run_with_reconnect(
+        self,
+        max_events: int | None = None,
+        max_rounds: int | None = None,
+        backoff_initial: float = 0.8,
+        backoff_max: float = 30.0,
+        sleep=None,
+    ) -> int:
+        """The production loop: LIST-then-WATCH forever with
+        exponential backoff, reference parity with
+        ``watcher(...).default_backoff()`` (tasks.rs:165-167, kube-rs's
+        client-go-style reflector backoff: ~800 ms doubling to a 30 s
+        cap, reset on progress).
+
+        Transport errors (connection drop, torn NDJSON tail, timeouts)
+        reconnect from the last COMMITTED resourceVersion after the
+        backoff delay; 410-Gone — as a watch ERROR event or an HTTP
+        status — clears the offset and re-LISTs, exactly the
+        reference's restart path. Both overlaps re-deliver only
+        already-spooled events, which the downstream dedup stage drops
+        (asserted by tests/test_streaming.py's 3-reconnect scenario).
+
+        ``max_events``/``max_rounds`` bound the loop for tests and
+        batch catch-up; a daemon passes neither. ``sleep`` is
+        injectable for deterministic tests.
+        """
+        import http.client
+        import time as _time
+
+        do_sleep = _time.sleep if sleep is None else sleep
+        start, rounds = self.events_spooled, 0
+        delay = backoff_initial
+
+        def total() -> int:
+            return self.events_spooled - start
+
+        while max_events is None or total() < max_events:
+            rounds += 1
+            before = self.events_spooled
+            try:
+                if self.resource_version is None:
+                    self.list_once()
+                    if max_events is not None and total() >= max_events:
+                        break
+                self.watch(
+                    None if max_events is None else max_events - total()
+                )
+                got = self.events_spooled - before
+                if got > 0:
+                    delay = backoff_initial  # progress resets backoff
+                else:
+                    # clean EOF with nothing new: back off before the
+                    # re-watch so an idle apiserver isn't hot-looped
+                    do_sleep(delay)
+                    delay = min(delay * 2, backoff_max)
+            except _WatchExpired:
+                # 410: offsets beyond repair — full re-list, overlap is
+                # deduped downstream
+                self.resource_version = None
+                delay = backoff_initial
+            except (OSError, http.client.HTTPException, ValueError):
+                # connection drop / torn line / timeout: resume from
+                # the last committed resourceVersion after backoff
+                do_sleep(delay)
+                delay = min(delay * 2, backoff_max)
+            if max_rounds is not None and rounds >= max_rounds:
+                break
+        return total()
 
 
 class _WatchExpired(RuntimeError):

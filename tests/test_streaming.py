@@ -584,3 +584,127 @@ def test_k8s_datasource_restart_never_regresses_offset(tmp_path):
     assert nxt > size
     body = open(path, "rb").read()
     assert body[size:nxt].count(b"\n") == 3  # line cap active again
+
+
+def test_k8s_watch_reconnect_410_no_loss(spark, tmp_path):
+    """run_with_reconnect survives 3 forced disruptions — an abrupt
+    mid-stream connection drop (torn NDJSON tail), a 410-Gone ERROR
+    event (full re-list), and a clean idle EOF — with exponential
+    backoff (tasks.rs:165-167 parity) and NO event loss: every event
+    the server ever emitted is in the spool, re-deliveries are
+    confined to already-spooled events, and the downstream dedup
+    stage emits each key exactly once."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from event_stream_for_k8s_spark.sources.k8s_watch_http import (
+        K8sWatchSpooler,
+    )
+
+    def ev(uid, rv):
+        return {
+            "metadata": {"uid": uid, "resourceVersion": str(rv)},
+            "type": "Normal",
+            "reason": "W",
+            "involvedObject": {"kind": "Pod", "namespace": "d"},
+        }
+
+    def wline(kind, obj):
+        return (_json.dumps({"type": kind, "object": obj}) + "\n").encode()
+
+    watch_rvs: list[str] = []
+    list_calls: list[int] = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            if "watch=true" in self.path:
+                rv = self.path.split("resourceVersion=")[1].split("&")[0]
+                watch_rvs.append(rv)
+                call = len(watch_rvs)
+                if call == 1:
+                    # u3 complete, then an abruptly torn line ->
+                    # client must flush u3, commit rv=3, reconnect
+                    self.wfile.write(wline("ADDED", ev("u3", 3)))
+                    self.wfile.write(b'{"type":"ADDED","obj')
+                elif call == 2:
+                    # resourceVersion expired: watch-level 410
+                    self.wfile.write(
+                        wline("ERROR", {"code": 410, "reason": "Gone"})
+                    )
+                elif call == 3:
+                    self.wfile.write(wline("ADDED", ev("u5", 7)))
+                # call >= 4: clean empty EOF (idle watch)
+            else:
+                list_calls.append(1)
+                if len(list_calls) == 1:
+                    items, rv = [ev("u1", 1), ev("u2", 2)], "2"
+                else:
+                    # post-410 re-list: overlap (u2, u3) + fresh u4
+                    items, rv = [ev("u2", 2), ev("u3", 3), ev("u4", 6)], "6"
+                self.wfile.write(
+                    _json.dumps(
+                        {
+                            "kind": "EventList",
+                            "metadata": {"resourceVersion": rv},
+                            "items": items,
+                        }
+                    ).encode()
+                )
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    sleeps: list[float] = []
+    try:
+        spool = str(tmp_path / "spool.jsonl")
+        sp = K8sWatchSpooler(f"http://127.0.0.1:{srv.server_port}", spool)
+        total = sp.run_with_reconnect(
+            max_rounds=5, backoff_initial=0.5, sleep=sleeps.append
+        )
+        # 2 listed + u3 + (re-list: u2,u3,u4) + u5; nothing from the
+        # idle round
+        assert total == 7
+        # round 1 watch resumed from the LIST rv; round 2 from the rv
+        # COMMITTED at the torn-tail flush (3, proving u3 was spooled
+        # before the offset moved); round 3 from the re-list rv
+        assert watch_rvs[:3] == ["2", "3", "6"] and len(list_calls) == 2
+        # torn-line drop and the idle EOF both backed off; the second
+        # backoff doubles only after consecutive no-progress rounds
+        assert sleeps and sleeps[0] == 0.5
+
+        spooled = [
+            _json.loads(line)
+            for line in open(spool, encoding="utf-8")
+        ]
+        keys = [
+            f'{e["metadata"]["uid"]}:{e["metadata"]["resourceVersion"]}'
+            for e in spooled
+        ]
+        # no loss: every event the server emitted reached the spool
+        assert {k.split(":")[0] for k in keys} == {
+            "u1", "u2", "u3", "u4", "u5"
+        }
+        # overlap exists (the 410 re-list redelivered u2,u3) ...
+        assert len(keys) == 7 > len(set(keys)) == 5
+        # ... and dedup downstream emits each key exactly once
+        deduped = (
+            spark.read.json(spool)
+            .select(
+                F.concat_ws(
+                    ":",
+                    F.col("metadata.uid"),
+                    F.col("metadata.resourceVersion"),
+                ).alias("k")
+            )
+            .dropDuplicates(["k"])
+        )
+        assert deduped.count() == 5
+    finally:
+        srv.shutdown()
+        srv.server_close()
