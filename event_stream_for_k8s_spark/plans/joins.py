@@ -339,45 +339,126 @@ FROM events a JOIN events b
 GROUP BY a.event_id
 """,
     section="B.3",
-    notes="PURE range join (no equality conjunct) rewritten to an "
-    "equi-join on 1h time bins: probe side explodes to its <=2 "
-    "candidate bins, build side maps to its bin, hash-join on bin, "
-    "exact residual filter. Turns the O(N*M) nested loop Spark would "
-    "otherwise pick into a shuffle hash join — the generic range-join "
-    "strategy when there is no co-key to hash on",
+    notes="PURE range join (no equality conjunct) answering a COUNT: "
+    "n_nearby(a) = cum(ta+30m) - cum(ta-30m-1us) - 1 via a "
+    "distributed two-level prefix sum instead of materializing the "
+    "pair stream. The round-4 sf1 soak flagged the previous binned "
+    "self-join at 30x for 10x data: with a fixed time span, event "
+    "density grows with SF, so any plan that STREAMS the qualifying "
+    "pairs does O(N*density) work — quadratic in SF — while the "
+    "count itself is O(1) per event. Shape: (1) per-timestamp counts; "
+    "(2) per-day bucket totals, prefix-summed on a bucket-cardinality "
+    "relation (tiny, single-partition window is fine); (3) in-bucket "
+    "running sums + the two probe points per event resolved by a "
+    "last-non-null window per bucket, seeded with a synthetic "
+    "bucket-start anchor carrying the prior-bucket cumulative so a "
+    "probe before any in-bucket event still resolves. All shuffles "
+    "are keyed (ts, day-bucket, event_id); bucket width is the skew "
+    "knob at scale. A JOIN that must emit the pairs themselves keeps "
+    "the binned equi-join shape (join_interval); a count/aggregate "
+    "over a range predicate should always take this prefix form",
 )
 def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    bin_us = 3600 * 1_000_000  # 1h bins; probe interval 1h wide -> <=2
+    from pyspark.sql import Window
+
     half_us = 1800 * 1_000_000
+    day_us = 86_400 * 1_000_000
     # microsecond arithmetic: unix_seconds would truncate sub-second
     # precision and admit rows just past the boundary
-    b = ev.select(
-        F.col("event_id").alias("bid"),
-        F.unix_micros("ts").alias("tb"),
-        F.floor(F.unix_micros("ts") / bin_us).cast("long").alias("bin"),
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("t")
     )
-    a = ev.select(
-        F.col("event_id").alias("event_id"),
-        F.unix_micros("ts").alias("ta"),
+    # (1) collapse to distinct timestamps with multiplicities
+    pts = (
+        ev.groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .withColumn("r", F.floor(F.col("t") / day_us).cast("long"))
+    )
+    # probes: hi inclusive at ta+half; lo exclusive at ta-half =>
+    # inclusive at ta-half-1us (timestamps are integral micros)
+    probes = ev.select(
+        "event_id",
         F.explode(
-            F.array_distinct(
-                F.array(
-                    F.floor((F.unix_micros("ts") - half_us) / bin_us).cast("long"),
-                    F.floor((F.unix_micros("ts") + half_us) / bin_us).cast("long"),
-                )
+            F.array(
+                F.struct(
+                    (F.col("t") + half_us).alias("t"),
+                    F.lit(1).alias("sign"),
+                ),
+                F.struct(
+                    (F.col("t") - half_us - 1).alias("t"),
+                    F.lit(-1).alias("sign"),
+                ),
             )
-        ).alias("bin"),
+        ).alias("p"),
+    ).select(
+        "event_id",
+        F.col("p.t").alias("t"),
+        F.col("p.sign").alias("sign"),
+        F.floor(F.col("p.t") / day_us).cast("long").alias("r"),
+    )
+    # (2) bucket relation over EVERY bucket either side touches, with
+    # exclusive prefix totals — bucket-cardinality, window is cheap
+    buckets = (
+        pts.select("r")
+        .union(probes.select("r"))
+        .distinct()
+        .join(pts.groupBy("r").agg(F.sum("c").alias("bc")), "r", "left")
+        .na.fill({"bc": 0})
+    )
+    w_b = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, -1)
+    pref = buckets.withColumn(
+        "p", F.coalesce(F.sum("bc").over(w_b), F.lit(0)).cast("long")
+    ).select("r", "p")
+    # (3) one ordered pass per bucket: synthetic bucket-start anchors
+    # (kind -1, cum = prior-bucket total), real anchors (kind 0,
+    # running cum), probes (kind 1, resolve to last anchor cum)
+    w_run = Window.partitionBy("r").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    anchors = (
+        pts.join(pref, "r")
+        .withColumn("cum", F.col("p") + F.sum("c").over(w_run))
+        .select(
+            "r",
+            "t",
+            F.lit(0).alias("kind"),
+            "cum",
+            F.lit(None).cast("bigint").alias("event_id"),
+            F.lit(None).cast("int").alias("sign"),
+        )
+    )
+    seeds = pref.select(
+        "r",
+        (F.col("r") * day_us).alias("t"),
+        F.lit(-1).alias("kind"),
+        F.col("p").alias("cum"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("int").alias("sign"),
+    )
+    probe_rows = probes.select(
+        "r",
+        "t",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("bigint").alias("cum"),
+        "event_id",
+        "sign",
+    )
+    w_asof = Window.partitionBy("r").orderBy("t", "kind").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    resolved = (
+        seeds.unionByName(anchors)
+        .unionByName(probe_rows)
+        .withColumn("cum_at", F.last("cum", ignorenulls=True).over(w_asof))
+        .filter(F.col("kind") == 1)
     )
     return (
-        a.join(b, "bin")
-        .filter(
-            (F.col("tb") >= F.col("ta") - half_us)
-            & (F.col("tb") <= F.col("ta") + half_us)
-            & (F.col("bid") != F.col("event_id"))
+        resolved.groupBy("event_id")
+        .agg(F.sum(F.col("cum_at") * F.col("sign")).alias("s"))
+        .select(
+            "event_id", (F.col("s") - F.lit(1)).cast("bigint").alias("n_nearby")
         )
-        .groupBy("event_id")
-        .agg(F.count("*").alias("n_nearby"))
+        .filter(F.col("n_nearby") > 0)
     )
 
 

@@ -129,9 +129,15 @@ def test_kafka_transport_wiring(spark):
 
 
 def test_range_binned_join_is_hash_not_nested_loop(spark):
+    """Round-4 rewrite: the range-COUNT runs as a two-level prefix sum
+    (per-bucket windows), never a pair-materializing join — the sf1
+    soak measured the old binned self-join at 30x for 10x data."""
     df = REGISTRY["join_range_binned"].spark(spark, SF)
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in p and "CartesianProduct" not in p, p[:800]
+    # the ordered prefix/as-of passes are Window nodes partitioned by
+    # the day bucket
+    assert "Window" in p
 
 
 def test_hll_sketch_estimates_and_merge(spark):
@@ -432,3 +438,63 @@ def test_novelty_is_window_not_join(spark):
     p = _plan(spark, "llm_ngram_novelty")
     assert "Window" in p
     assert "SortMergeJoin [g" not in p and "ShuffledHashJoin [g" not in p
+
+
+def test_tpch_q9_partsupp_join_shape(spark):
+    """Q9 on the derived partsupp: dimension legs broadcast, the
+    partsupp pair join is an equi hash/merge join (never a cartesian),
+    and the partsupp derivation itself contributes no shuffle (its
+    only exchange inputs are broadcasts)."""
+    p = _plan(spark, "tpch_q9_product_type_profit")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    # the 4x explode over part must not sit under its own Exchange
+    assert "Generate explode" in p or "Generate" in p
+
+
+def test_tpch_q2_min_cost_probe_no_cartesian(spark):
+    """Q2's min-cost equality probe joins on (partkey, cost) — an
+    equi-join, not a theta/cartesian shape. The only nested-loop
+    nodes allowed are the single-row |supplier| scalar broadcasts
+    inside the partsupp derivation (IdentityBroadcastMode over a
+    SinglePartition aggregate), one per derivation occurrence."""
+    p = _plan(spark, "tpch_q2_min_cost_supplier")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 2
+    assert p.count("IdentityBroadcastMode") == p.count(
+        "BroadcastNestedLoopJoin"
+    )
+    # the probe itself is an equi join on (partkey, cost)
+    assert "SortMergeJoin [ps_partkey" in p or "BroadcastHashJoin [ps_partkey" in p
+
+
+def test_tpch_q21_single_aggregate_formulation(spark):
+    """Q21's EXISTS/NOT-EXISTS pair must stay rewritten as the
+    per-order distinct-supplier aggregate: no inequality-conditioned
+    self-join (which plans as SMJ-with-residual or nested-loop over
+    the whole lineitem twice), and no cartesian."""
+    p = _plan(spark, "tpch_q21_waiting_suppliers")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the rewrite computes both distinct counts in ONE aggregate chain
+    # over l_orderkey (expand for the two count-distincts is fine)
+    assert "count(distinct" in p.lower() or "Expand" in p
+
+
+def test_semdedup_blocked_not_global_pairs(spark):
+    """SemDeDup pairs only within the cluster block: the self-join is
+    an equi hash/merge join on label, never an unblocked pair
+    construction."""
+    p = _plan(spark, "llm_semdedup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # higher-order functions stay Catalyst-native: no Python UDF in
+    # the dot-product path
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_scan_binaryfile_projects_metadata_only(spark):
+    """The binary scan carries (path-derived source, length, md5) —
+    no Python evaluation; md5 runs JVM-side."""
+    p = _plan(spark, "scan_binaryfile")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
