@@ -214,10 +214,16 @@ WHERE deg.degree > 1
 )
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e, deg, tri = _graph_core(spark, sf_dir)
+    # ONE pass over the triangle stream: explode each triangle to its
+    # three corners in the same task that enumerates it. The unionAll
+    # formulation read `tri` three times, and since the triangle set
+    # is far too large to persist (it dwarfs the edge relation on a
+    # dense graph), that re-ran the 2-path join per branch — measured
+    # 3x the whole query's cost at sf0.1 (180M triangles)
     pern = (
-        tri.select(F.col("x").alias("user_id"))
-        .unionAll(tri.select(F.col("y").alias("user_id")))
-        .unionAll(tri.select(F.col("z").alias("user_id")))
+        tri.select(
+            F.explode(F.array("x", "y", "z")).alias("user_id")
+        )
         .groupBy("user_id")
         .agg(F.count("*").alias("n_triangles"))
     )
@@ -285,11 +291,18 @@ def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Each triangle (x, y, z) credits its three edges; normalize each
     # credited pair to id-order (least, greatest) to match the
     # id-ordered edge relation regardless of degree orientation.
-    pairs = (
-        tri.select(F.col("x").alias("u"), F.col("y").alias("v"))
-        .unionAll(tri.select(F.col("x").alias("u"), F.col("z").alias("v")))
-        .unionAll(tri.select(F.col("y").alias("u"), F.col("z").alias("v")))
-    )
+    # ONE pass over the triangle stream (see graph_triangles): each
+    # triangle explodes to its three edges in the enumerating task —
+    # the unionAll form re-ran the 2-path join per branch.
+    pairs = tri.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("x").alias("u"), F.col("y").alias("v")),
+                F.struct(F.col("x").alias("u"), F.col("z").alias("v")),
+                F.struct(F.col("y").alias("u"), F.col("z").alias("v")),
+            )
+        ).alias("p")
+    ).select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
     peredge = (
         pairs.select(
             F.least("u", "v").alias("s"), F.greatest("u", "v").alias("d")
