@@ -452,11 +452,35 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cum_at", F.last("cum", ignorenulls=True).over(w_asof))
         .filter(F.col("kind") == 1)
     )
+    # Exclusion is by event_id, not row identity: a redelivered
+    # duplicate id within range must NOT count as a neighbor of its
+    # twin (b.event_id <> a.event_id), so subtract the same-id pair
+    # count — for each row x of an id, the id's rows within x's range
+    # (including x itself, which replaces the naive "-1 per row").
+    # Equi-join on event_id; id multiplicities are ~1, cost linear.
+    # (The sf0.001 degenerate-events sweep caught the "-1" version.)
+    sx = ev.alias("sx")
+    sy = ev.select(
+        F.col("event_id").alias("event_id"), F.col("t").alias("t2")
+    ).alias("sy")
+    same = (
+        sx.join(sy, "event_id")
+        .filter(
+            (F.col("t2") >= F.col("t") - half_us)
+            & (F.col("t2") <= F.col("t") + half_us)
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("self_pairs"))
+    )
     return (
         resolved.groupBy("event_id")
         .agg(F.sum(F.col("cum_at") * F.col("sign")).alias("s"))
+        .join(same, "event_id")
         .select(
-            "event_id", (F.col("s") - F.lit(1)).cast("bigint").alias("n_nearby")
+            "event_id",
+            (F.col("s") - F.col("self_pairs")).cast("bigint").alias(
+                "n_nearby"
+            ),
         )
         .filter(F.col("n_nearby") > 0)
     )
