@@ -784,3 +784,39 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("lev") == 0, 1)).alias("n_exact"),
         F.count(F.when(F.col("lev").between(1, 10), 1)).alias("n_near"),
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+WITH a AS (
+  SELECT nullif(c_mktsegment, 'BUILDING') AS seg, c_custkey FROM customer
+), b AS (
+  SELECT nullif(c_mktsegment, 'BUILDING') AS seg,
+         count(*) AS seg_total
+  FROM customer GROUP BY 1
+)
+SELECT a.c_custkey, a.seg, b.seg_total
+FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+""",
+    section="B.3",
+    notes="null-safe equi-join (Spark <=>, SQL IS NOT DISTINCT FROM): "
+    "NULL keys match each other instead of vanishing — the semantics "
+    "SCD/dimension pipelines need when 'unknown' is a real bucket. "
+    "One segment is NULLified to exercise the null bucket. Plans as a "
+    "regular hash join (null-safe equality is hashable); the "
+    "broadcast side is segment-cardinality",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    a = c.select(seg.alias("seg"), "c_custkey")
+    b = (
+        c.select(seg.alias("bseg"))
+        .groupBy("bseg")
+        .agg(F.count("*").alias("seg_total"))
+    )
+    return (
+        a.join(F.broadcast(b), a.seg.eqNullSafe(b.bseg))
+        .select("c_custkey", "seg", "seg_total")
+    )

@@ -3528,3 +3528,143 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("b_id").alias("dropped_id"), "label")
         .distinct()
     )
+
+
+@query(
+    "llm_code_detect",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(text) - length(translate(text, '[]{};=<>()#', ''))
+           AS n_symbols,
+         len(list_filter(string_split(lower(text), ' '),
+             x -> x IN ('def', 'class', 'return', 'import', 'function',
+                        'var', 'const', 'void', 'if', 'else')))
+           AS n_keywords
+  FROM documents
+)
+SELECT doc_id, n_chars, n_symbols, n_keywords,
+       CASE WHEN n_chars = 0 THEN NULL
+            ELSE round(CAST(n_symbols AS DOUBLE) / n_chars, 6)
+       END AS symbol_ratio,
+       (n_chars > 0 AND (CAST(n_symbols AS DOUBLE) / n_chars > 0.05
+                         OR n_keywords >= 2)) AS is_code
+FROM m
+""",
+    section="B.11",
+    notes="code-document detector (the C4/MassiveText-style corpus "
+    "router: code goes to a code pipeline, not the prose filters): "
+    "symbol-density via translate-strip (byte-exact in both engines, "
+    "no regex dialect risk) + a keyword-hit count via a higher-order "
+    "list filter (JVM-side in Spark, no UDF). Ratios are exact-int "
+    "divisions rounded 6dp; empty docs yield NULL ratio and "
+    "is_code=false. Zero-shuffle narrow map",
+)
+def llm_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    kw = [
+        "def", "class", "return", "import", "function",
+        "var", "const", "void", "if", "else",
+    ]
+    n_chars = F.length("text")
+    n_symbols = F.length("text") - F.length(
+        F.translate("text", "[]{};=<>()#", "")
+    )
+    n_keywords = F.size(
+        F.filter(
+            F.split(F.lower("text"), " "),
+            lambda x: x.isin(kw),
+        )
+    )
+    m = docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_symbols.alias("n_symbols"),
+        n_keywords.cast("bigint").alias("n_keywords"),
+    )
+    ratio = F.col("n_symbols").cast("double") / F.col("n_chars")
+    return m.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_symbols").cast("bigint").alias("n_symbols"),
+        "n_keywords",
+        F.when(F.col("n_chars") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(ratio, 6))
+        .alias("symbol_ratio"),
+        (
+            (F.col("n_chars") > 0)
+            & ((ratio > 0.05) | (F.col("n_keywords") >= 2))
+        ).alias("is_code"),
+    )
+
+
+@query(
+    "llm_bigram_lm",
+    oracle="""
+WITH tok AS (
+  SELECT string_split(lower(text), ' ') AS l FROM documents
+), bg AS (
+  SELECT l[g.i] AS w1, l[g.i + 1] AS w2
+  FROM tok, unnest(generate_series(1, len(l) - 1)) g(i)
+), pairs AS (
+  SELECT w1, w2, count(*) AS c12
+  FROM bg GROUP BY 1, 2
+), uni AS (
+  SELECT w1, cast(sum(c12) AS bigint) AS c1 FROM pairs GROUP BY 1
+)
+SELECT p.w1, p.w2, cast(p.c12 AS bigint) AS c12, u.c1,
+       round(CAST(p.c12 AS DOUBLE) / u.c1, 6) AS cond_p
+FROM pairs p JOIN uni u USING (w1)
+WHERE p.c12 >= 3
+""",
+    section="B.11",
+    notes="bigram language-model trainer (the n-gram LM that powers "
+    "CCNet/KenLM-style perplexity filters, one order up from "
+    "llm_perplexity's unigram): per-doc bigram generation is a "
+    "zero-shuffle zip of the token array with its own tail "
+    "(slice+arrays_zip, JVM-side), then ONE shuffle for the bigram "
+    "counts; the left-context totals reuse the bigram counts "
+    "(sum over w2) instead of re-tokenizing. cond_p is an exact-int "
+    "division rounded 6dp. The c12 >= 3 support floor bounds the "
+    "output vocabulary the way production n-gram pruning does",
+)
+def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    n = F.size(toks)
+    # split() never yields an empty array (split('') = ['']), so
+    # n - 1 >= 0 and the zip is total: a 1-token doc zips two empty
+    # slices into zero bigrams. arrays_zip names its fields "0"/"1".
+    bg = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, n - 1),
+                F.slice(toks, 2, n - 1),
+            )
+        ).alias("b")
+    )
+    pairs = (
+        bg.select(
+            F.col("b").getField("0").alias("w1"),
+            F.col("b").getField("1").alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    uni = pairs.groupBy(F.col("w1").alias("u_w1")).agg(
+        F.sum("c12").cast("bigint").alias("c1")
+    )
+    return (
+        pairs.filter(F.col("c12") >= 3)
+        .join(uni, F.col("w1") == F.col("u_w1"))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            "c1",
+            F.round(
+                F.col("c12").cast("double") / F.col("c1"), 6
+            ).alias("cond_p"),
+        )
+    )

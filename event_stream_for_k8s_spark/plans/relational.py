@@ -2045,3 +2045,34 @@ def agg_hist_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("lo"),
         F.max("v").alias("hi"),
     )
+
+
+@query(
+    "sql_qualify",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+FROM orders
+QUALIFY rn <= 2
+""",
+    section="B.7",
+    notes="QUALIFY surface parity (top-2 orders per customer): DuckDB "
+    "runs the literal QUALIFY clause; Spark SQL has no QUALIFY, so "
+    "the engine runs the canonical desugaring — window in a subquery, "
+    "filter above it — over a temp view. Same single partitionBy "
+    "shuffle either way; the deterministic (price DESC, orderkey) "
+    "tie-break makes the kept set engine-exact",
+)
+def sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_q4")
+    return spark.sql(
+        """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders_q4
+) WHERE rn <= 2
+"""
+    )
