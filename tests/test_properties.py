@@ -367,3 +367,55 @@ def test_cusum_closed_form_equals_recursion(xs):
         mn = min(mn, p)
         closed.append(p - min(0, mn))
     assert closed == rec
+
+
+range_events = st.lists(
+    st.tuples(
+        st.integers(1, 8),  # event_id — small domain FORCES dup ids
+        st.integers(0, 7200),  # seconds offset within 2h — forces
+                               # neighbors across the ±30min window
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(data=range_events)
+@SETTINGS
+def test_range_count_prefix_sum_matches_brute(spark, data, tmp_path_factory):
+    """join_range_binned's two-level prefix-sum (round-4 rewrite) must
+    agree with the brute O(n^2) pair count for ANY id/timestamp
+    multiset — including duplicate event_ids (the same-id exclusion
+    the degenerate sweep caught) and boundary-exact ±30min ties."""
+    import datetime as dt
+
+    from event_stream_for_k8s_spark.plans import REGISTRY
+
+    half = 1800
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (eid, base + dt.timedelta(seconds=s), 1, "click", 0.0, "{}")
+        for eid, s in data
+    ]
+    sf = str(tmp_path_factory.mktemp("rng"))
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    got = {
+        r["event_id"]: r["n_nearby"]
+        for r in REGISTRY["join_range_binned"].spark(spark, sf).collect()
+    }
+
+    expect: dict[int, int] = {}
+    for eid_a, sa in data:
+        n = sum(
+            1
+            for eid_b, sb in data
+            if eid_b != eid_a and sa - half <= sb <= sa + half
+        )
+        if n:
+            expect[eid_a] = expect.get(eid_a, 0) + n
+    assert got == expect
