@@ -88,11 +88,18 @@ def _restore_parent(session: SparkSession) -> None:
     if parent is None:
         return
     jvm = parent._jvm
-    try:
-        jcls = jvm.org.apache.spark.sql.classic.SparkSession
-    except Exception:
-        jcls = jvm.org.apache.spark.sql.SparkSession
-    jcls.setActiveSession(parent._jsparkSession)
+    # py4j returns a silent JavaPackage for a missing class, so probe
+    # by CALLING (Spark 4 moved the class to .classic); the second
+    # path covers older layouts.
+    for jcls in (
+        jvm.org.apache.spark.sql.classic.SparkSession,
+        jvm.org.apache.spark.sql.SparkSession,
+    ):
+        try:
+            jcls.setActiveSession(parent._jsparkSession)
+            return
+        except Exception:
+            continue
 
 
 def _run_to_memory(df: DataFrame, name: str, mode: str = "append") -> DataFrame:

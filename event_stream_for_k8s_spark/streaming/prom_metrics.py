@@ -243,8 +243,9 @@ class K8sStreamMetrics:
 
 class ExpositionServer:
     """``GET /metrics`` endpoint (the reference's ``:9000`` semantics:
-    any path serves the exposition; non-GET is 405). Daemon-threaded
-    stdlib server — scrape traffic is tiny and the driver owns it."""
+    any path serves the exposition; other methods get the stdlib 501).
+    Daemon-threaded stdlib server — scrape traffic is tiny and the
+    driver owns it."""
 
     def __init__(self, registry: PromRegistry, port: int = 0) -> None:
         reg = registry
