@@ -2076,3 +2076,56 @@ SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
 ) WHERE rn <= 2
 """
     )
+
+
+@query(
+    "agg_hist_equi_width",
+    oracle="""
+WITH ext AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+), binned AS (
+  SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 20.0))
+                    AS BIGINT), 19) AS bin,
+         lo, hi
+  FROM orders CROSS JOIN ext
+)
+SELECT bin,
+       round(lo + bin * ((hi - lo) / 20.0), 6) AS bin_lo,
+       round(lo + (bin + 1) * ((hi - lo) / 20.0), 6) AS bin_hi,
+       count(*) AS n
+FROM binned GROUP BY bin, lo, hi
+""",
+    section="C",
+    notes="equi-WIDTH histogram (the CBO twin of agg_hist_equi_depth): "
+    "global min/max as a broadcast one-row scalar, then a zero-extra-"
+    "shuffle bin map and one aggregation. The max value clamps into "
+    "the last bin (least(..., 19)). Bin edges are doubles derived "
+    "identically from the same min/max in both engines; counts are "
+    "exact. At 100 TB the min/max pass is a map-side-combined scan — "
+    "or comes free from zone-map stats (maint_stats_collect)",
+)
+def agg_hist_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    ext = o.groupBy().agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(20.0)
+    binned = o.crossJoin(F.broadcast(ext)).select(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast(
+                "bigint"
+            ),
+            F.lit(19).cast("bigint"),
+        ).alias("bin"),
+        "lo",
+        "hi",
+    )
+    width2 = (F.col("hi") - F.col("lo")) / F.lit(20.0)
+    return binned.groupBy("bin", "lo", "hi").agg(
+        F.count("*").alias("n")
+    ).select(
+        "bin",
+        F.round(F.col("lo") + F.col("bin") * width2, 6).alias("bin_lo"),
+        F.round(F.col("lo") + (F.col("bin") + 1) * width2, 6).alias("bin_hi"),
+        "n",
+    )

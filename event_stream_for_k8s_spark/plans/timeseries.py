@@ -1313,3 +1313,73 @@ def ts_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("entropy"),
         )
     )
+
+
+def _sql_fir(col: str, taps: int = 8) -> str:
+    """DuckDB twin of plans.util.ewma_fir over window ``w`` (alpha=1/2):
+    power-of-two weights, renormalized over the lags present."""
+    num = [col] + [
+        f"coalesce(lag({col}, {k}) OVER w, 0) * {0.5 ** k!r}"
+        for k in range(1, taps)
+    ]
+    den = ["1.0"] + [
+        f"CASE WHEN lag({col}, {k}) OVER w IS NULL THEN 0"
+        f" ELSE {0.5 ** k!r} END"
+        for k in range(1, taps)
+    ]
+    return f"({' + '.join(num)}) / ({' + '.join(den)})"
+
+
+@query(
+    "ts_holt",
+    oracle=f"""
+WITH s1 AS (
+  SELECT user_id, event_id, value, ts,
+         round({_sql_fir('value')}, 6) AS s1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, value, s1,
+       round({_sql_fir('s1')}, 6) AS s2,
+       round(2 * s1 - round({_sql_fir('s1')}, 6), 6) AS level,
+       round(s1 - round({_sql_fir('s1')}, 6), 6) AS trend
+FROM s1
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    section="C",
+    notes="Brown's double exponential smoothing (Holt-style "
+    "level+trend forecast state, the classic ops-metrics forecaster): "
+    "s2 = EWMA of s1, level = 2*s1 - s2, trend = (alpha/(1-alpha))"
+    "(s1 - s2) = s1 - s2 at alpha=1/2. Both smoothing passes are the "
+    "8-tap truncated FIR from ts_ewma (power-of-two weights = exact "
+    "mantissa shifts; renormalized partial windows), with s1 ROUNDED "
+    "to 6dp before the second pass as part of the operator's defined "
+    "semantics — that pins bit-identical inputs to pass two in both "
+    "engines. TWO window passes over the SAME (user_id; ts, event_id) "
+    "ordering = one shuffle then two sorts Catalyst collapses into "
+    "one sort + two Window nodes; nothing widens beyond the partition",
+)
+def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from event_stream_for_k8s_spark.plans.util import ewma_fir
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s1 = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        "ts",
+        F.round(ewma_fir("value", w), 6).alias("s1"),
+    )
+    s2 = F.round(ewma_fir("s1", w), 6)
+    return s1.select(
+        "user_id",
+        "event_id",
+        "value",
+        "s1",
+        s2.alias("s2"),
+        F.round(2 * F.col("s1") - s2, 6).alias("level"),
+        F.round(F.col("s1") - s2, 6).alias("trend"),
+    )
