@@ -39,7 +39,8 @@ DEGEN_DOCS = [
 
 NAMES = sorted(
     n for n in REGISTRY
-    if n.startswith("llm_") or n == "join_fuzzy_blocked"
+    if n.startswith("llm_")
+    or n in ("join_fuzzy_blocked", "scan_text", "scan_binaryfile")
 )
 
 
