@@ -708,3 +708,85 @@ def test_k8s_watch_reconnect_410_no_loss(spark, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_k8s_watch_http_410_status_relists(tmp_path):
+    """A watch request answered with HTTP status 410 (not a watch
+    ERROR event) must also clear the offset and re-LIST — kube
+    apiservers use both forms for expired resourceVersions."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from event_stream_for_k8s_spark.sources.k8s_watch_http import (
+        K8sWatchSpooler,
+    )
+
+    watch_calls: list[str] = []
+    list_rvs = iter(["2", "9"])
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if "watch=true" in self.path:
+                watch_calls.append(self.path)
+                if len(watch_calls) == 1:
+                    self.send_error(410, "Gone")
+                    return
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(
+                    (
+                        _json.dumps(
+                            {
+                                "type": "ADDED",
+                                "object": {
+                                    "metadata": {
+                                        "uid": "u9",
+                                        "resourceVersion": "10",
+                                    }
+                                },
+                            }
+                        )
+                        + "\n"
+                    ).encode()
+                )
+            else:
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(
+                    _json.dumps(
+                        {
+                            "kind": "EventList",
+                            "metadata": {"resourceVersion": next(list_rvs)},
+                            "items": [
+                                {
+                                    "metadata": {
+                                        "uid": "u1",
+                                        "resourceVersion": "1",
+                                    }
+                                }
+                            ],
+                        }
+                    ).encode()
+                )
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    sleeps: list[float] = []
+    try:
+        spool = str(tmp_path / "spool.jsonl")
+        sp = K8sWatchSpooler(f"http://127.0.0.1:{srv.server_port}", spool)
+        total = sp.run_with_reconnect(max_rounds=2, sleep=sleeps.append)
+        # round 1: LIST(rv=2) + watch -> HTTP 410; round 2: re-LIST
+        # (rv=9) + watch delivering u9
+        assert total == 3  # u1, u1 again from the re-list, u9
+        assert len(watch_calls) == 2
+        assert "resourceVersion=2" in watch_calls[0]
+        assert "resourceVersion=9" in watch_calls[1]
+        assert sp.resource_version == "10"
+    finally:
+        srv.shutdown()
+        srv.server_close()
