@@ -111,3 +111,80 @@ def test_label_escaping():
     c.labels('we"ird\nv\\al').inc(1)
     rendered = reg.render()
     assert 'lbl="we\\"ird\\nv\\\\al"' in rendered
+
+
+def test_pipeline_to_exposition_end_to_end(spark, tmp_path):
+    """Full A1->A7+A13 wiring: doubled k8s-shaped stream ->
+    watermark-TTL dedup (run_reference_pipeline) -> metrics observer
+    as the foreachBatch sink -> live HTTP scrape. Post-dedup
+    placement means every observed row is a miss (hits stay 0) and
+    the 4-dim counter totals equal the deduped row count."""
+    from pyspark.sql import functions as F
+
+    from event_stream_for_k8s_spark.catalog import load
+    from event_stream_for_k8s_spark.plans.reference import (
+        keyed_synthetic_k8s,
+    )
+    from event_stream_for_k8s_spark.sources.roundtrip import (
+        EVENTS_MICROS_SCHEMA,
+        events_as_micros,
+        restore_ts,
+    )
+    from event_stream_for_k8s_spark.streaming.dedup_pipeline import (
+        run_reference_pipeline,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "src")
+    # exclude the all-NULL-timestamp derivation branch (event_id%4==3
+    # -> time pinned at 1970): those rows are 54-years-late vs the
+    # stream's watermark and the dedup stage rightly drops them —
+    # stream_watermark covers that contract; this test wires egress
+    base = events_as_micros(spark, sf).filter(
+        "event_id < 200 AND event_id % 4 != 3"
+    )
+    base.unionAll(base).coalesce(1).write.mode("overwrite").json(src)
+
+    stream = keyed_synthetic_k8s(
+        restore_ts(spark.readStream.schema(EVENTS_MICROS_SCHEMA).json(src))
+    )
+    m = K8sStreamMetrics()
+    srv = ExpositionServer(m.registry, port=0).start()
+    try:
+        q = run_reference_pipeline(
+            stream,
+            key_col="k",
+            time_col="time",
+            ttl_seconds=3600,
+            checkpoint=str(tmp_path / "ck"),
+            sink=m.foreach_batch(
+                key_col="k",
+                order_cols=("time", "event_id"),
+                type_col="type",
+                reason_col="reason",
+                kind_col="kind",
+                namespace_col="namespace",
+            ),
+        )
+        q.awaitTermination()
+        expected = (
+            keyed_synthetic_k8s(
+                load(spark, sf, "events").filter(
+                    "event_id < 200 AND event_id % 4 != 3"
+                )
+            )
+            .select("k")
+            .distinct()
+            .count()
+        )
+        fam = m.processed.samples
+        assert fam[("total",)] == fam[("cache_misses",)] == expected
+        assert fam[("cache_hits",)] == 0
+        assert sum(m.events.samples.values()) == expected
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/metrics"
+        ) as resp:
+            body = resp.read().decode()
+        assert f'type="total"}} {expected}' in body
+    finally:
+        srv.stop()
