@@ -1,0 +1,218 @@
+"""The reference daemon, assembled (``src/main.rs``).
+
+The reference binary wires four tasks: a cluster-wide Event watcher
+(``main.rs:68``), a writer that dedups against the sled cache and
+prints each new event as one NDJSON line (``tasks.rs:66-148``), a TTL
+cache cleaner (``tasks.rs:184-224``), and a Prometheus exporter on
+``0.0.0.0:9000`` (``main.rs:63``), with SIGTERM/SIGINT broadcast
+shutdown (``main.rs:70-80``). Configuration comes from the
+environment (``config.rs``: ``CACHE_TTL`` default 3600, ``CACHE_DB``
+default ``events-db``).
+
+This module assembles the same daemon from the engine's parts, each
+mapped Spark-first:
+
+| reference task | here |
+|---|---|
+| kube watcher + backoff | `K8sWatchSpooler.run_with_reconnect` in a daemon thread, spooling NDJSON that the partition-capable `k8s-events` source serves to executors |
+| sled cache + writer | `dedup_within_ttl` (watermark-bounded `dropDuplicatesWithinWatermark`; the checkpointed state store IS the cache db) + foreachBatch NDJSON emit |
+| cache cleaner | watermark state eviction (no separate task needed) |
+| prometheus_exporter | `K8sStreamMetrics` + `ExpositionServer` |
+| SIGTERM/SIGINT handling | `signal` -> `StreamingQuery.stop()` (graceful: the current batch commits, then the query ends) |
+
+Env config (reference names kept where they exist):
+  CACHE_TTL      dedup TTL seconds (default 3600, config.rs:11)
+  CACHE_DB       checkpoint directory (default ./events-db)
+  KES_SPOOL      spool directory (default ./kes-spool)
+  KES_API_URL    k8s API base URL; if unset, the spool is expected to
+                 be appended by an external collector (file-tail mode)
+  KES_NAMESPACE  optional namespace scope for the watch
+  METRICS_PORT   exposition port (default 9000, main.rs:63)
+
+Scale note: stdout NDJSON mirrors the reference's emit
+(``tasks.rs:105``) and streams through ``toLocalIterator`` (one
+partition at a time on the driver — the print point is inherently a
+single process). A cluster deployment passes ``emit=None`` and a
+``sink_dir`` instead, which writes NDJSON from executors.
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_stream_for_k8s_spark.streaming.dedup_pipeline import (
+    dedup_within_ttl,
+)
+from event_stream_for_k8s_spark.streaming.prom_metrics import (
+    ExpositionServer,
+    K8sStreamMetrics,
+)
+
+
+class DaemonConfig:
+    """config.rs twin — env with defaults, read eagerly at start."""
+
+    def __init__(self, env=os.environ):
+        self.cache_ttl = int(env.get("CACHE_TTL", "3600"))
+        self.cache_db = env.get("CACHE_DB", "events-db")
+        self.spool_dir = env.get("KES_SPOOL", "kes-spool")
+        self.api_url = env.get("KES_API_URL")
+        self.namespace = env.get("KES_NAMESPACE")
+        self.metrics_port = int(env.get("METRICS_PORT", "9000"))
+
+
+def _keyed_stream(spark: SparkSession, spool_dir: str) -> DataFrame:
+    """Spool -> keyed envelope stream.
+
+    The ``k8s-events`` source extracts the reference's field set as
+    FLAT string columns on executors (k8s_datasource._to_batch); this
+    builds from that projection: A4 timestamp precedence
+    (types.rs:40-51, falling back to now() exactly as the reference
+    does for timestamp-less events), the A5 ``uid:resourceVersion``
+    key with ``''`` for missing parts, the 4-dim label columns with
+    ``'-'`` defaults (tasks.rs:109-121), and the {time,
+    kubernetes_event} envelope (types.rs:10-18) the NDJSON emit
+    serializes.
+    """
+    from event_stream_for_k8s_spark.operators.dedup import dedup_key
+    from event_stream_for_k8s_spark.sources.k8s_datasource import register
+
+    register(spark)
+    raw = (
+        spark.readStream.format("k8s-events")
+        .option("path", os.path.join(spool_dir, "watch.jsonl"))
+        .load()
+    )
+    ts = lambda c: F.col(c).cast("timestamp")  # noqa: E731 (ISO8601)
+    return raw.select(
+        F.coalesce(
+            ts("last_timestamp"),
+            ts("first_timestamp"),
+            ts("creation_timestamp"),
+            F.current_timestamp(),
+        ).alias("time"),
+        F.struct(*raw.columns).alias("kubernetes_event"),
+        dedup_key([F.col("uid"), F.col("resource_version")]).alias("k"),
+        F.coalesce(F.col("type"), F.lit("-")).alias("etype"),
+        F.coalesce(F.col("reason"), F.lit("-")).alias("ereason"),
+        F.coalesce(F.col("kind"), F.lit("-")).alias("ekind"),
+        F.coalesce(F.col("namespace"), F.lit("-")).alias("ens"),
+    )
+
+
+def run_daemon(
+    spark: SparkSession,
+    config: DaemonConfig | None = None,
+    emit=print,
+    sink_dir: str | None = None,
+    available_now: bool = False,
+    install_signal_handlers: bool = True,
+    spool_max_events: int | None = None,
+):
+    """Assemble and run the daemon; returns (query, metrics, server).
+
+    ``available_now=True`` gives the bounded batch-catch-up mode
+    (tests, replay); the default runs continuously until a signal.
+    ``emit`` receives each NDJSON line driver-side (the reference's
+    stdout contract); pass ``emit=None`` with ``sink_dir`` to write
+    NDJSON from executors instead (the cluster deployment shape).
+    """
+    cfg = config or DaemonConfig()
+    os.makedirs(cfg.spool_dir, exist_ok=True)
+    spool_path = os.path.join(cfg.spool_dir, "watch.jsonl")
+
+    spooler_thread = None
+    if cfg.api_url:
+        from event_stream_for_k8s_spark.sources.k8s_watch_http import (
+            K8sWatchSpooler,
+        )
+
+        spooler = K8sWatchSpooler(
+            cfg.api_url, spool_path, namespace=cfg.namespace
+        )
+        spooler_thread = threading.Thread(
+            target=lambda: spooler.run_with_reconnect(
+                max_events=spool_max_events
+            ),
+            daemon=True,
+            name="kes-watch-spooler",
+        )
+        spooler_thread.start()
+        if available_now and spool_max_events is not None:
+            # bounded mode: let the catch-up pull finish before the
+            # one-shot stream lists its input files
+            spooler_thread.join(timeout=60)
+    elif not os.path.exists(spool_path):
+        # file-tail mode: the collector appends; start from empty
+        open(spool_path, "a").close()
+
+    metrics = K8sStreamMetrics()
+    server = ExpositionServer(metrics.registry, port=cfg.metrics_port)
+    server.start()
+
+    keyed = _keyed_stream(spark, cfg.spool_dir)
+    deduped = dedup_within_ttl(
+        keyed, key_col="k", time_col="time", ttl_seconds=cfg.cache_ttl
+    ).observe("kes_emitted", F.count(F.lit(1)).alias("n"))
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        # metrics first (aggregates only reach the driver), then the
+        # NDJSON emit — same per-batch order as the reference's
+        # writer loop (count, print, commit; tasks.rs:95-131)
+        metrics.observe_batch(
+            batch,
+            key_col="k",
+            order_cols=("time",),
+            type_col="etype",
+            reason_col="ereason",
+            kind_col="ekind",
+            namespace_col="ens",
+        )
+        lines = batch.select(
+            F.to_json(F.struct("time", "kubernetes_event")).alias("line")
+        )
+        if emit is not None:
+            for row in lines.toLocalIterator():
+                emit(row["line"])
+        if sink_dir is not None:
+            lines.write.mode("append").text(sink_dir)
+
+    writer = (
+        deduped.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", cfg.cache_db)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+
+    if install_signal_handlers and not available_now:
+        # main.rs:70-80: first signal requests a graceful stop (the
+        # in-flight batch commits); a repeat escalates to JVM exit
+        def _stop(signum, frame):
+            query.stop()
+
+        signal.signal(signal.SIGTERM, _stop)
+        signal.signal(signal.SIGINT, _stop)
+
+    return query, metrics, server
+
+
+def main() -> None:  # pragma: no cover - thin CLI shim
+    from event_stream_for_k8s_spark.session import get_spark
+
+    spark = get_spark("event-stream-for-k8s")
+    query, _, server = run_daemon(spark)
+    try:
+        query.awaitTermination()
+    finally:
+        server.stop()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -1,0 +1,114 @@
+"""Daemon assembly (event_stream_for_k8s_spark/daemon.py) — the full
+main.rs twin: live watch transport -> spool -> k8s-events source ->
+watermark dedup -> NDJSON emit + Prometheus scrape, bounded run."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+from event_stream_for_k8s_spark.daemon import DaemonConfig, run_daemon
+
+
+def _event(uid, rv, reason, ns):
+    return {
+        "metadata": {
+            "uid": uid,
+            "resourceVersion": str(rv),
+            "namespace": ns,
+            "creationTimestamp": "2024-03-01T10:00:00Z",
+        },
+        "type": "Warning",
+        "reason": reason,
+        "involvedObject": {"kind": "Pod", "namespace": ns, "name": "p"},
+        "lastTimestamp": "2024-03-01T10:00:05Z",
+        "count": 1,
+    }
+
+
+def test_daemon_end_to_end(spark, tmp_path):
+    # LIST returns u1,u2; WATCH redelivers u2 (same uid:rv -> dedup
+    # must drop it) and adds u3
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            self.send_response(200)
+            self.end_headers()
+            if "watch=true" in self.path:
+                for ev in (_event("u2", 2, "BackOff", "ns-a"),
+                           _event("u3", 3, "Failed", "ns-b")):
+                    self.wfile.write(
+                        (json.dumps({"type": "ADDED", "object": ev})
+                         + "\n").encode()
+                    )
+            else:
+                self.wfile.write(
+                    json.dumps(
+                        {
+                            "kind": "EventList",
+                            "metadata": {"resourceVersion": "2"},
+                            "items": [
+                                _event("u1", 1, "BackOff", "ns-a"),
+                                _event("u2", 2, "BackOff", "ns-a"),
+                            ],
+                        }
+                    ).encode()
+                )
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    cfg = DaemonConfig(
+        env={
+            "CACHE_TTL": "3600",
+            "CACHE_DB": str(tmp_path / "ck"),
+            "KES_SPOOL": str(tmp_path / "spool"),
+            "KES_API_URL": f"http://127.0.0.1:{srv.server_port}",
+            "METRICS_PORT": "0",
+        }
+    )
+    lines: list[str] = []
+    try:
+        query, metrics, mserver = run_daemon(
+            spark,
+            cfg,
+            emit=lines.append,
+            available_now=True,
+            spool_max_events=4,
+        )
+        query.awaitTermination()
+        try:
+            # 4 spooled (u1, u2, u2-again, u3) -> 3 unique after dedup
+            objs = [json.loads(ln) for ln in lines]
+            assert len(objs) == 3
+            assert {o["kubernetes_event"]["uid"]
+                    for o in objs} == {"u1", "u2", "u3"}
+            # envelope shape: A4 time + full event (types.rs:10-18)
+            assert all("time" in o and "kubernetes_event" in o
+                       for o in objs)
+            # A9 invariant via the registry
+            fam = metrics.processed.samples
+            assert fam[("cache_misses",)] == 3
+            assert fam[("total",)] == fam[("cache_hits",)] + 3
+            # 4-dim counters with real label values
+            assert metrics.events.samples[
+                ("Warning", "BackOff", "Pod", "ns-a")
+            ] == 2
+            assert metrics.events.samples[
+                ("Warning", "Failed", "Pod", "ns-b")
+            ] == 1
+            # live scrape
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{mserver.port}/metrics"
+            ) as resp:
+                body = resp.read().decode()
+            assert 'event_namespace="ns-b"} 1' in body
+        finally:
+            mserver.stop()
+    finally:
+        srv.shutdown()
+        srv.server_close()
