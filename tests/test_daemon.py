@@ -112,3 +112,49 @@ def test_daemon_end_to_end(spark, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_daemon_continuous_sigterm_graceful(spark, tmp_path):
+    """Continuous (non-availableNow) mode: the daemon processes what
+    the collector appends, a SIGTERM triggers the installed handler,
+    the in-flight batch commits, and the query ends without error —
+    main.rs:70-80 parity."""
+    import os
+    import signal as _signal
+    import time
+
+    prev_term = _signal.getsignal(_signal.SIGTERM)
+    cfg = DaemonConfig(
+        env={
+            "CACHE_TTL": "3600",
+            "CACHE_DB": str(tmp_path / "ck"),
+            "KES_SPOOL": str(tmp_path / "spool"),
+            "METRICS_PORT": "0",
+        }
+    )
+    # file-tail mode: pre-append two events, like a collector would
+    os.makedirs(cfg.spool_dir, exist_ok=True)
+    with open(os.path.join(cfg.spool_dir, "watch.jsonl"), "w") as f:
+        for uid in ("a", "b"):
+            f.write(json.dumps(_event(uid, 1, "BackOff", "ns")) + "\n")
+
+    lines: list[str] = []
+    query, metrics, mserver = run_daemon(
+        spark, cfg, emit=lines.append, available_now=False
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(lines) < 2:
+            time.sleep(0.5)
+        assert len(lines) == 2
+        os.kill(os.getpid(), _signal.SIGTERM)
+        deadline = time.time() + 30
+        while time.time() < deadline and query.isActive:
+            time.sleep(0.5)
+        assert not query.isActive
+        assert query.exception() is None  # graceful, not crashed
+    finally:
+        mserver.stop()
+        if query.isActive:
+            query.stop()
+        _signal.signal(_signal.SIGTERM, prev_term)
