@@ -3668,3 +3668,43 @@ def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cond_p"),
         )
     )
+
+
+@query(
+    "llm_badwords_filter",
+    oracle="""
+WITH hits AS (
+  SELECT doc_id,
+         len(list_filter(string_split(lower(text), ' '),
+             x -> x IN ('cold', 'gear', 'bolt'))) AS n_hits,
+         len(string_split(lower(text), ' ')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, cast(n_hits AS bigint) AS n_hits,
+       cast(n_tokens AS bigint) AS n_tokens,
+       n_hits = 0 AS kept
+FROM hits
+""",
+    section="B.11",
+    notes="C4-style blocklist filter (Raffel et al. 2020 drop any "
+    "document containing a listed word; the 'bad words' stage every "
+    "web-corpus pipeline runs before training): token-exact matching "
+    "via a higher-order list filter — JVM-side, zero-shuffle, no "
+    "regex (substring regexes over-match: 'class' vs 'classic'). "
+    "The blocklist here is three innocuous synthetic-vocabulary "
+    "words standing in for a real denylist, which is a config input, "
+    "not an algorithm. Emits hit counts rather than silently "
+    "dropping, so the filter is auditable (the kept flag is the "
+    "pipeline's predicate)",
+)
+def llm_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    blocklist = ["cold", "gear", "bolt"]
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: x.isin(blocklist)))
+        .cast("bigint")
+        .alias("n_hits"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    ).withColumn("kept", F.col("n_hits") == 0)
