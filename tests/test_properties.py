@@ -419,3 +419,66 @@ def test_range_count_prefix_sum_matches_brute(spark, data, tmp_path_factory):
         if n:
             expect[eid_a] = expect.get(eid_a, 0) + n
     assert got == expect
+
+
+q21_rows = st.lists(
+    st.tuples(
+        st.integers(1, 6),   # orderkey — small domain forces sharing
+        st.integers(1, 4),   # suppkey
+        st.integers(1, 5),   # linenumber
+    ),
+    min_size=1,
+    max_size=30,
+    unique=True,
+)
+
+
+@given(data=q21_rows)
+@settings(max_examples=60, deadline=None)
+def test_q21_aggregate_rewrite_equals_literal_exists(data):
+    """tpch_q21's EXISTS/NOT-EXISTS -> per-order distinct-supplier
+    aggregate rewrite (n_supp >= 2 AND n_late = 1), proved equivalent
+    to the LITERAL spec formulation on random order/supplier/line
+    multisets — pure DuckDB, no Spark job, so hypothesis can afford
+    real example counts. Lateness uses the same derived commit/receipt
+    day-offset hashes as plans/tpch_partsupp.py."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE li (ok BIGINT, sk BIGINT, ln BIGINT)")
+    con.executemany("INSERT INTO li VALUES (?, ?, ?)", data)
+    base = """
+WITH ext AS (
+  SELECT ok, sk,
+         (ok * 5 + ln * 11) % 30 + 1 > (ok * 7 + ln * 3) % 31 - 15
+           AS late
+  FROM li
+), late AS (SELECT * FROM ext WHERE late)
+"""
+    literal = con.execute(
+        base
+        + """
+SELECT l1.sk, count(*) AS numwait
+FROM late l1
+WHERE EXISTS (SELECT 1 FROM ext l2
+              WHERE l2.ok = l1.ok AND l2.sk <> l1.sk)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.ok = l1.ok AND l3.sk <> l1.sk)
+GROUP BY 1 ORDER BY 1
+"""
+    ).fetchall()
+    rewrite = con.execute(
+        base
+        + """
+, ords AS (
+  SELECT ok, count(DISTINCT sk) AS n_supp,
+         count(DISTINCT CASE WHEN late THEN sk END) AS n_late
+  FROM ext GROUP BY ok
+)
+SELECT l1.sk, count(*) AS numwait
+FROM late l1 JOIN ords USING (ok)
+WHERE ords.n_supp >= 2 AND ords.n_late = 1
+GROUP BY 1 ORDER BY 1
+"""
+    ).fetchall()
+    assert literal == rewrite
