@@ -3442,11 +3442,14 @@ WITH corpus AS (
   FROM corpus
 ), n AS (
   SELECT vec_id, label, qv,
-         CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE) AS nrm
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE) AS nrm,
+         (row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1)
+           // 4096 AS salt
   FROM q
 )
 SELECT DISTINCT b.vec_id AS dropped_id, b.label
-FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM n a JOIN n b ON a.label = b.label AND a.salt = b.salt
+                 AND a.vec_id < b.vec_id
 WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
                                    p -> p[1] * p[2])) AS DOUBLE) > 0
   AND pow(CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
@@ -3463,8 +3466,15 @@ WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
     "dedup-fixture pattern from FIXTURES.md) since the synthetic "
     "vectors' natural max cosine is ~0.45. The label column stands "
     "in for the k-means cell id (llm_embed_centroids computes real "
-    "ones); production swaps the block key and caps block size with "
-    "the NGRAM_BLOCK_CAP salt pattern. Exactness: components "
+    "ones). Oversized clusters are CAPPED by the NGRAM_BLOCK_CAP "
+    "salt pattern: a deterministic in-cluster salt "
+    "(row_number div 4096 by vec_id) joins as part of the equi-key, "
+    "bounding any block at 4096^2 pairs — a Zipf-head mega-cluster "
+    "costs linearly in its size instead of quadratically. Pairs "
+    "straddling a salt boundary are forgone, the same declared "
+    "tradeoff as llm_dedup_ngram (SemDeDup itself caps cluster "
+    "sizes); every tested SF has blocks under the cap, so the salt "
+    "is semantics-neutral there. Exactness: components "
     "quantize to 1e-6 ints, dot/norms are exact int64 sums "
     "(JVM-side zip_with/aggregate, no UDF), and the tau check "
     "compares dot^2 > tau^2*|a||b| in doubles derived identically "
@@ -3487,22 +3497,30 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x.cast("double") * 1000000.0).cast("long"),
         ).alias("qv"),
     )
+    from pyspark.sql import Window
+
     zero = F.lit(0).cast("long")
+    w_cap = Window.partitionBy("label").orderBy("vec_id")
     n = q.withColumn(
         "nrm",
         F.aggregate(
             F.transform("qv", lambda x: x * x), zero, lambda a, v: a + v
         ).cast("double"),
+    ).withColumn(
+        "salt",
+        ((F.row_number().over(w_cap) - 1) / F.lit(4096)).cast("long"),
     )
     a = n.select(
         F.col("vec_id").alias("a_id"),
         F.col("label").alias("label"),
+        F.col("salt").alias("salt"),
         F.col("qv").alias("a_qv"),
         F.col("nrm").alias("a_nrm"),
     )
     b = n.select(
         F.col("vec_id").alias("b_id"),
         F.col("label").alias("b_label"),
+        F.col("salt").alias("b_salt"),
         F.col("qv").alias("b_qv"),
         F.col("nrm").alias("b_nrm"),
     )
@@ -3515,6 +3533,7 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("label") == F.col("b_label"))
+            & (F.col("salt") == F.col("b_salt"))
             & (F.col("a_id") < F.col("b_id")),
         )
         .withColumn("dot", dot)

@@ -483,11 +483,19 @@ def test_tpch_q21_single_aggregate_formulation(spark):
 
 def test_semdedup_blocked_not_global_pairs(spark):
     """SemDeDup pairs only within the cluster block: the self-join is
-    an equi hash/merge join on label, never an unblocked pair
-    construction."""
+    an equi hash/merge join on (label, salt) — the salt is the
+    mega-cluster cap (row_number div 4096), so it must be part of the
+    JOIN KEY, not a post-join filter."""
     p = _plan(spark, "llm_semdedup")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+    import re
+    join_lines = [
+        ln for ln in p.splitlines()
+        if ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+            or "BroadcastHashJoin" in ln)
+    ]
+    assert any("salt" in ln for ln in join_lines), join_lines
     # higher-order functions stay Catalyst-native: no Python UDF in
     # the dot-product path
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
