@@ -650,3 +650,48 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("content").alias("content_md5"),
         )
     )
+
+
+@query(
+    "scan_json_multiline",
+    oracle="""
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer WHERE c_nationkey < 10
+""",
+    section="B.1",
+    notes="multiline (whole-file JSON array) scan — the API-dump "
+    "ingestion shape, vs scan_json's line-delimited one: the fixture "
+    "writes customers as ONE pretty-printed JSON array and the "
+    "reader parses it with multiLine=true and an explicit schema. "
+    "At scale a multiline JSON file is NOT splittable (one parser "
+    "per file, unlike NDJSON's byte-range splits), so shard size = "
+    "file size — the reason pipelines convert API dumps to NDJSON/ "
+    "parquet at the edge; this operator IS that conversion's read "
+    "half. The post-scan filter still prunes (non-pushable into "
+    "JSON, applied in the scan's filter node)",
+)
+def scan_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    def build(out: str) -> None:
+        # one JSON ARRAY document, built and written by an EXECUTOR
+        # task (to_json over collect_list + write_single_text — the
+        # round-3 fixture-writer discipline, no driver-side loop)
+        c = load(spark, sf_dir, "customer")
+        doc = c.groupBy().agg(
+            F.to_json(
+                F.collect_list(F.struct(*c.columns))
+            ).alias("line")
+        )
+        write_single_text(doc, out, "customers.json")
+
+    src = materialize(spark, sf_dir, "customer_multiline_json", build)
+    return (
+        spark.read.schema(
+            "c_custkey BIGINT, c_name STRING, c_nationkey INT,"
+            " c_acctbal DOUBLE, c_mktsegment STRING"
+        )
+        .option("multiLine", True)
+        .json(_os.path.join(src, "customers.json"))
+        .filter(F.col("c_nationkey") < 10)
+    )
