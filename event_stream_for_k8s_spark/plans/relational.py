@@ -2129,3 +2129,52 @@ def agg_hist_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("lo") + (F.col("bin") + 1) * width2, 6).alias("bin_hi"),
         "n",
     )
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+INTERSECT ALL
+SELECT l_suppkey AS k FROM lineitem WHERE l_quantity >= 25
+""",
+    section="B.7",
+    notes="bag-semantics INTERSECT ALL (multiplicity = min of the two "
+    "sides' counts — the multiset operator BI diffing needs, distinct "
+    "from set_intersect's dedup): Spark plans intersectAll as a "
+    "count-aggregated join under the hood, one shuffle per side on "
+    "the compared columns",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_suppkey").alias("k")
+    )
+    b = li.filter(F.col("l_quantity") >= 25).select(
+        F.col("l_suppkey").alias("k")
+    )
+    return a.intersectAll(b)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+EXCEPT ALL
+SELECT l_suppkey AS k FROM lineitem WHERE l_quantity >= 25
+""",
+    section="B.7",
+    notes="bag-semantics EXCEPT ALL (multiplicity = left count minus "
+    "right count, floored at zero — 'what remains after cancelling "
+    "one-for-one'): completes the multiset algebra with "
+    "set_intersect_all / set_union_all",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_suppkey").alias("k")
+    )
+    b = li.filter(F.col("l_quantity") >= 25).select(
+        F.col("l_suppkey").alias("k")
+    )
+    return a.exceptAll(b)
