@@ -674,3 +674,49 @@ def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("mask(c_name, NULL, NULL, '#', NULL)").alias("name_digits"),
         F.expr("mask(c_mktsegment)").alias("seg_masked"),
     )
+
+
+@query(
+    "fn_array_setops",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(string_split(lower(text), ' ')) AS ta,
+         ['the', 'and', 'of', 'small', 'red'] AS tb
+  FROM documents
+)
+SELECT doc_id,
+       cast(len(list_filter(ta, x -> list_contains(tb, x)))
+            AS bigint) AS n_inter,
+       cast(len(list_distinct(list_cat(ta, tb))) AS bigint) AS n_union,
+       cast(len(list_filter(ta, x -> NOT list_contains(tb, x)))
+            AS bigint) AS n_except,
+       coalesce(array_to_string(
+           list_sort(list_filter(ta, x -> list_contains(tb, x))), ','
+       ), '') AS inter_str
+FROM t
+""",
+    section="B.8",
+    notes="array set algebra (intersect/union/except) over the "
+    "distinct token set vs a probe vocabulary — the stopword-overlap "
+    "primitive text filters build on. Inputs are DISTINCT arrays so "
+    "both engines' dup semantics are moot, and outputs are SCALARS "
+    "(sizes + a sorted joined string) because the driver's hasher "
+    "can't take list cells; the sorted join also removes any "
+    "engine-order dependence (DuckDB renders the empty join as NULL "
+    "where Spark gives '' — coalesced). Zero-shuffle narrow map, "
+    "JVM-side",
+)
+def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    probe = F.array(*[F.lit(w) for w in ("the", "and", "of", "small", "red")])
+    ta = F.array_distinct(F.split(F.lower("text"), " "))
+    return d.select(
+        "doc_id",
+        F.size(F.array_intersect(ta, probe)).cast("bigint").alias("n_inter"),
+        F.size(F.array_union(ta, probe)).cast("bigint").alias("n_union"),
+        F.size(F.array_except(ta, probe)).cast("bigint").alias("n_except"),
+        F.array_join(
+            F.sort_array(F.array_intersect(ta, probe)), ","
+        ).alias("inter_str"),
+    )

@@ -40,7 +40,8 @@ DEGEN_DOCS = [
 NAMES = sorted(
     n for n in REGISTRY
     if n.startswith("llm_")
-    or n in ("join_fuzzy_blocked", "scan_text", "scan_binaryfile")
+    or n in ("join_fuzzy_blocked", "scan_text", "scan_binaryfile",
+             "fn_array_setops")
 )
 
 
