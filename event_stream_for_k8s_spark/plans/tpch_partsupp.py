@@ -10,7 +10,12 @@ plan and the DuckDB oracle from the tables both engines share:
   ``ps_suppkey = (p_partkey + i*37) % |supplier|`` for i in 0..3
   (distinct for the fixture supplier counts 10/100/1000 — dbgen's own
   4-suppliers-per-part scheme, TPC-H spec §4.2.3, uses the same
-  partkey-offset-mod-S shape). ``ps_availqty``/``ps_supplycost`` are
+  partkey-offset-mod-S shape). Key distinctness caveat: the four
+  offsets {0, 37, 74, 111} collide mod S only when S divides one of
+  their pairwise differences, i.e. S ∈ {1, 2, 3, 37, 74, 111} — no
+  fixture SF hits those; if one ever did, the derivation would yield
+  duplicate (partkey, suppkey) pairs IDENTICALLY in both engines
+  (differential still exact), inflating join multiplicities. ``ps_availqty``/``ps_supplycost`` are
   deterministic integer hashes of the key pair, supplycost with
   exactly 2 decimal digits so min()/equality/products stay exact
   under the scaled-int discipline (plans/util.py).
