@@ -28,6 +28,8 @@ Env config (reference names kept where they exist):
                  be appended by an external collector (file-tail mode)
   KES_NAMESPACE  optional namespace scope for the watch
   METRICS_PORT   exposition port (default 9000, main.rs:63)
+  METRICS_HOST   exposition bind address (default 0.0.0.0, as the
+                 reference binds — a pod-IP scrape must reach it)
 
 Scale note: stdout NDJSON mirrors the reference's emit
 (``tasks.rs:105``) and streams through ``toLocalIterator`` (one
@@ -64,6 +66,7 @@ class DaemonConfig:
         self.api_url = env.get("KES_API_URL")
         self.namespace = env.get("KES_NAMESPACE")
         self.metrics_port = int(env.get("METRICS_PORT", "9000"))
+        self.metrics_host = env.get("METRICS_HOST", "0.0.0.0")
 
 
 def _keyed_stream(spark: SparkSession, spool_dir: str) -> DataFrame:
@@ -126,7 +129,6 @@ def run_daemon(
     os.makedirs(cfg.spool_dir, exist_ok=True)
     spool_path = os.path.join(cfg.spool_dir, "watch.jsonl")
 
-    spooler_thread = None
     if cfg.api_url:
         from event_stream_for_k8s_spark.sources.k8s_watch_http import (
             K8sWatchSpooler,
@@ -135,24 +137,48 @@ def run_daemon(
         spooler = K8sWatchSpooler(
             cfg.api_url, spool_path, namespace=cfg.namespace
         )
-        spooler_thread = threading.Thread(
-            target=lambda: spooler.run_with_reconnect(
-                max_events=spool_max_events
-            ),
-            daemon=True,
-            name="kes-watch-spooler",
-        )
-        spooler_thread.start()
-        if available_now and spool_max_events is not None:
-            # bounded mode: let the catch-up pull finish before the
-            # one-shot stream lists its input files
-            spooler_thread.join(timeout=60)
+        if available_now:
+            # bounded replay: the catch-up pull must COMPLETE before
+            # the one-shot stream lists its input, or the run silently
+            # truncates. With a max_events bound, wait for the thread
+            # and fail loudly on timeout; without one, do a single
+            # synchronous LIST+WATCH-to-EOF pull (spooler.run) instead
+            # of the endless reconnect loop.
+            if spool_max_events is None:
+                spooler.run()
+            else:
+                spooler_thread = threading.Thread(
+                    target=lambda: spooler.run_with_reconnect(
+                        max_events=spool_max_events
+                    ),
+                    daemon=True,
+                    name="kes-watch-spooler",
+                )
+                spooler_thread.start()
+                spooler_thread.join(timeout=120)
+                if spooler_thread.is_alive():
+                    raise TimeoutError(
+                        "watch catch-up did not reach "
+                        f"{spool_max_events} events within 120s; "
+                        "raise the timeout or lower the bound"
+                    )
+        else:
+            spooler_thread = threading.Thread(
+                target=lambda: spooler.run_with_reconnect(
+                    max_events=spool_max_events
+                ),
+                daemon=True,
+                name="kes-watch-spooler",
+            )
+            spooler_thread.start()
     elif not os.path.exists(spool_path):
         # file-tail mode: the collector appends; start from empty
         open(spool_path, "a").close()
 
     metrics = K8sStreamMetrics()
-    server = ExpositionServer(metrics.registry, port=cfg.metrics_port)
+    server = ExpositionServer(
+        metrics.registry, port=cfg.metrics_port, host=cfg.metrics_host
+    )
     server.start()
 
     keyed = _keyed_stream(spark, cfg.spool_dir)
@@ -193,8 +219,11 @@ def run_daemon(
 
     if install_signal_handlers and not available_now:
         # main.rs:70-80: first signal requests a graceful stop (the
-        # in-flight batch commits); a repeat escalates to JVM exit
+        # in-flight batch commits); the handler then restores the
+        # DEFAULT disposition, so a second signal escalates to
+        # process termination if the stop hangs
         def _stop(signum, frame):
+            signal.signal(signum, signal.SIG_DFL)
             query.stop()
 
         signal.signal(signal.SIGTERM, _stop)

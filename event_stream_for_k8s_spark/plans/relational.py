@@ -2109,6 +2109,8 @@ def agg_hist_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext = o.groupBy().agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
+    # one width expression reused on both sides of the aggregation
+    # (lo/hi are carried through the group key, so it stays valid)
     width = (F.col("hi") - F.col("lo")) / F.lit(20.0)
     binned = o.crossJoin(F.broadcast(ext)).select(
         F.least(
@@ -2120,13 +2122,12 @@ def agg_hist_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lo",
         "hi",
     )
-    width2 = (F.col("hi") - F.col("lo")) / F.lit(20.0)
     return binned.groupBy("bin", "lo", "hi").agg(
         F.count("*").alias("n")
     ).select(
         "bin",
-        F.round(F.col("lo") + F.col("bin") * width2, 6).alias("bin_lo"),
-        F.round(F.col("lo") + (F.col("bin") + 1) * width2, 6).alias("bin_hi"),
+        F.round(F.col("lo") + F.col("bin") * width, 6).alias("bin_lo"),
+        F.round(F.col("lo") + (F.col("bin") + 1) * width, 6).alias("bin_hi"),
         "n",
     )
 

@@ -109,17 +109,20 @@ def _run_to_memory(df: DataFrame, name: str, mode: str = "append") -> DataFrame:
     `_streaming_session` clone), so the result must be read back from
     there — returning it keeps callers session-correct by construction.
     """
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = df.sparkSession.table(name)
-    _restore_parent(df.sparkSession)
-    return out
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return df.sparkSession.table(name)
+    finally:
+        # ALWAYS re-activate the parent — a failed run would otherwise
+        # leave the clone active and poison later data-source lookups
+        _restore_parent(df.sparkSession)
 
 
 @query(
@@ -419,17 +422,18 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"ssc_{abs(hash(sf_dir)) % 10**8}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    res = out.sparkSession.table(sink)
-    _restore_parent(out.sparkSession)
-    return res
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return out.sparkSession.table(sink)
+    finally:
+        _restore_parent(out.sparkSession)
 
 
 @query(
@@ -466,13 +470,15 @@ def stream_foreach_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         collected.append(batch_metrics(batch_df, "dedup_key"))
 
-    q = (
-        stream.writeStream.foreachBatch(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    _restore_parent(stream.sparkSession)
+    try:
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        _restore_parent(stream.sparkSession)
     total = sum(m["total"] for m in collected)
     misses = sum(m["misses"] for m in collected)
     return spark.createDataFrame(
@@ -940,17 +946,19 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdc_stream = _stream(
         _streaming_session(spark), src, maxFilesPerTrigger=1
     )
-    q = (
-        cdc_stream.writeStream.foreachBatch(merge)
-        .option(
-            "checkpointLocation",
-            os.path.join(cache_dir(sf_dir, "cdc_state"), "ck"),
+    try:
+        q = (
+            cdc_stream.writeStream.foreachBatch(merge)
+            .option(
+                "checkpointLocation",
+                os.path.join(cache_dir(sf_dir, "cdc_state"), "ck"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    _restore_parent(cdc_stream.sparkSession)
+        q.awaitTermination()
+    finally:
+        _restore_parent(cdc_stream.sparkSession)
     return spark.read.parquet(state).select(
         "user_id",
         F.col("event_id").alias("last_event_id"),
@@ -1045,22 +1053,24 @@ def prom_k8s_exposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream = keyed_synthetic_k8s(_stream(_streaming_session(spark), src))
     metrics = K8sStreamMetrics()
-    q = (
-        stream.writeStream.foreachBatch(
-            metrics.foreach_batch(
-                key_col="k",
-                order_cols=("time", "event_id"),
-                type_col="type",
-                reason_col="reason",
-                kind_col="kind",
-                namespace_col="namespace",
+    try:
+        q = (
+            stream.writeStream.foreachBatch(
+                metrics.foreach_batch(
+                    key_col="k",
+                    order_cols=("time", "event_id"),
+                    type_col="type",
+                    reason_col="reason",
+                    kind_col="kind",
+                    namespace_col="namespace",
+                )
             )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    _restore_parent(stream.sparkSession)
+        q.awaitTermination()
+    finally:
+        _restore_parent(stream.sparkSession)
     rows = []
     for line in metrics.registry.render().splitlines():
         if line.startswith("#") or not line.strip():

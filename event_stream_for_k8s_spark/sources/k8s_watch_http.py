@@ -233,10 +233,13 @@ class K8sWatchSpooler:
                     do_sleep(delay)
                     delay = min(delay * 2, backoff_max)
             except _WatchExpired:
-                # 410: offsets beyond repair — full re-list, overlap is
-                # deduped downstream
+                # 410: offsets beyond repair — back off, then full
+                # re-list (an immediate retry would hot-loop LIST
+                # storms against an apiserver with a churning watch
+                # cache); progress after the re-list resets the delay
                 self.resource_version = None
-                delay = backoff_initial
+                do_sleep(delay)
+                delay = min(delay * 2, backoff_max)
             except (OSError, http.client.HTTPException, ValueError):
                 # connection drop / torn line / timeout: resume from
                 # the last committed resourceVersion after backoff

@@ -245,9 +245,13 @@ class ExpositionServer:
     """``GET /metrics`` endpoint (the reference's ``:9000`` semantics:
     any path serves the exposition; other methods get the stdlib 501).
     Daemon-threaded stdlib server — scrape traffic is tiny and the
-    driver owns it."""
+    driver owns it. ``host`` defaults to loopback for tests; the
+    daemon binds ``0.0.0.0`` like the reference (main.rs:63) so a
+    pod-IP Prometheus scrape can reach it."""
 
-    def __init__(self, registry: PromRegistry, port: int = 0) -> None:
+    def __init__(
+        self, registry: PromRegistry, port: int = 0, host: str = "127.0.0.1"
+    ) -> None:
         reg = registry
 
         class Handler(BaseHTTPRequestHandler):
@@ -262,7 +266,7 @@ class ExpositionServer:
             def log_message(self, *args) -> None:  # quiet
                 pass
 
-        self._httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True

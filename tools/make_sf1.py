@@ -124,6 +124,10 @@ def scale(spark, out_dir: str) -> None:
                 "text": F.concat(F.lit(f"r{i} "), F.col("text"))
                 if i
                 else F.col("text"),
+                # keep the fixture invariant n_chars == length(text)
+                # (functions.py relies on it; llm multibyte detection
+                # compares octet_length vs n_chars)
+                "n_chars": F.col("n_chars") + (len(f"r{i} ") if i else 0),
             }
         ),
     )
