@@ -65,6 +65,13 @@ def _streaming_session(
     instead of mutate-and-restore on the shared session means a
     concurrent query on the same SparkSession can never observe the
     pinned value (VERDICT r03 "What's wrong" #1).
+
+    Lifecycle note: the clone (and its memory-sink table holding the
+    query RESULT) stays referenced until the caller releases the
+    returned DataFrame — at fixture scale results are small and the
+    harnesses collect immediately, so a few MB per streaming run is
+    the steady state of a sweep; a service embedding these queries
+    should reuse one clone per layout instead of one per call.
     """
     clone = spark.newSession()
     if state_partitions is not None:
