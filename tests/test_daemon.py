@@ -72,11 +72,13 @@ def test_daemon_end_to_end(spark, tmp_path):
         }
     )
     lines: list[str] = []
+    sink_dir = str(tmp_path / "ndjson_out")
     try:
         query, metrics, mserver = run_daemon(
             spark,
             cfg,
             emit=lines.append,
+            sink_dir=sink_dir,
             available_now=True,
             spool_max_events=4,
         )
@@ -90,6 +92,9 @@ def test_daemon_end_to_end(spark, tmp_path):
             # envelope shape: A4 time + full event (types.rs:10-18)
             assert all("time" in o and "kubernetes_event" in o
                        for o in objs)
+            # the executor-side NDJSON sink got the same 3 lines
+            sunk = spark.read.text(sink_dir).count()
+            assert sunk == 3
             # A9 invariant via the registry
             fam = metrics.processed.samples
             assert fam[("cache_misses",)] == 3
