@@ -163,3 +163,52 @@ def test_daemon_continuous_sigterm_graceful(spark, tmp_path):
         if query.isActive:
             query.stop()
         _signal.signal(_signal.SIGTERM, prev_term)
+
+
+def test_daemon_restart_resumes_from_checkpoint(spark, tmp_path):
+    """A15 parity at the daemon level: a restart over the same
+    CACHE_DB (checkpoint) and spool re-emits NOTHING — the file
+    source's offsets and the dedup state both survive the restart,
+    like the reference's sled db. New spool lines after the restart
+    emit exactly once."""
+    import json as _json
+    import os
+
+    cfg_env = {
+        "CACHE_TTL": "3600",
+        "CACHE_DB": str(tmp_path / "ck"),
+        "KES_SPOOL": str(tmp_path / "spool"),
+        "METRICS_PORT": "0",
+    }
+    spool = os.path.join(cfg_env["KES_SPOOL"], "watch.jsonl")
+    os.makedirs(cfg_env["KES_SPOOL"], exist_ok=True)
+    with open(spool, "w") as f:
+        for uid in ("a", "b"):
+            f.write(_json.dumps(_event(uid, 1, "BackOff", "ns")) + "\n")
+
+    def bounded_run():
+        lines: list[str] = []
+        q, m, srv = run_daemon(
+            spark,
+            DaemonConfig(env=cfg_env),
+            emit=lines.append,
+            available_now=True,
+        )
+        q.awaitTermination()
+        srv.stop()
+        return lines
+
+    first = bounded_run()
+    assert len(first) == 2
+    # restart, same checkpoint + unchanged spool: nothing re-emits
+    second = bounded_run()
+    assert second == []
+    # append one NEW event and one REDELIVERY of a committed key:
+    # only the new key emits (offsets resume past old bytes; the
+    # dedup state still holds 'a')
+    with open(spool, "a") as f:
+        f.write(_json.dumps(_event("a", 1, "BackOff", "ns")) + "\n")
+        f.write(_json.dumps(_event("c", 3, "Failed", "ns")) + "\n")
+    third = bounded_run()
+    assert len(third) == 1
+    assert _json.loads(third[0])["kubernetes_event"]["uid"] == "c"
