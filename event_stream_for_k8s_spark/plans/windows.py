@@ -341,3 +341,42 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
              PARTITION BY user_id ORDER BY ts, event_id)
              AS next_purchase_value""",
     )
+
+
+@query(
+    "win_nth_value",
+    oracle="""
+SELECT user_id, event_id,
+       nth_value(value, 3) OVER w AS third_value,
+       nth_value(CASE WHEN event_type = 'purchase' THEN value END,
+                 2 IGNORE NULLS) OVER w AS second_purchase_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    section="B.5",
+    notes="nth_value over the full partition frame, respect- and "
+    "ignore-nulls variants ('the user's 3rd event value' / 'their "
+    "2nd purchase value' — positional lookups session analytics "
+    "ask for; DuckDB spells the modifier INSIDE the call — "
+    "nth_value(x, n IGNORE NULLS)). The explicit unbounded-both-ways "
+    "frame matters: the "
+    "default running frame would make nth_value row-dependent. Tie "
+    "broken to uniqueness by (ts, event_id); one shuffle",
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "user_id",
+        "event_id",
+        F.nth_value("value", 3).over(w).alias("third_value"),
+        F.nth_value(purchase_val, 2, ignoreNulls=True)
+        .over(w)
+        .alias("second_purchase_value"),
+    )
