@@ -92,6 +92,28 @@ def _keyed_stream(spark: SparkSession, spool_dir: str) -> DataFrame:
         .load()
     )
     ts = lambda c: F.col(c).cast("timestamp")  # noqa: E731 (ISO8601)
+    # the reference serializes the FULL nested k8s Event (types.rs:
+    # 10-18: metadata.uid, involvedObject.kind, ...); rebuild that
+    # shape from the source's flat projection so NDJSON consumers of
+    # the reference's output parse ours unchanged. to_json drops null
+    # fields, matching serde's Option-skipping.
+    nested_event = F.struct(
+        F.struct(
+            F.col("uid").alias("uid"),
+            F.col("resource_version").alias("resourceVersion"),
+            F.col("namespace").alias("namespace"),
+            F.col("creation_timestamp").alias("creationTimestamp"),
+        ).alias("metadata"),
+        F.struct(
+            F.col("kind").alias("kind"),
+            F.col("namespace").alias("namespace"),
+        ).alias("involvedObject"),
+        F.col("type").alias("type"),
+        F.col("reason").alias("reason"),
+        F.col("message").alias("message"),
+        F.col("first_timestamp").alias("firstTimestamp"),
+        F.col("last_timestamp").alias("lastTimestamp"),
+    )
     return raw.select(
         F.coalesce(
             ts("last_timestamp"),
@@ -99,7 +121,7 @@ def _keyed_stream(spark: SparkSession, spool_dir: str) -> DataFrame:
             ts("creation_timestamp"),
             F.current_timestamp(),
         ).alias("time"),
-        F.struct(*raw.columns).alias("kubernetes_event"),
+        nested_event.alias("kubernetes_event"),
         dedup_key([F.col("uid"), F.col("resource_version")]).alias("k"),
         F.coalesce(F.col("type"), F.lit("-")).alias("etype"),
         F.coalesce(F.col("reason"), F.lit("-")).alias("ereason"),
@@ -181,7 +203,13 @@ def run_daemon(
     )
     server.start()
 
-    keyed = _keyed_stream(spark, cfg.spool_dir)
+    # `total`/`cache_hits` count EVERY received event (duplicates
+    # included, tasks.rs:132-140), so the received count is observed
+    # PRE-dedup; the post-dedup sink records the misses and the two
+    # are reconciled per batch_id (prom_metrics.sync_received).
+    keyed = _keyed_stream(spark, cfg.spool_dir).observe(
+        "kes_received", F.count(F.lit(1)).alias("n")
+    )
     deduped = dedup_within_ttl(
         keyed, key_col="k", time_col="time", ttl_seconds=cfg.cache_ttl
     ).observe("kes_emitted", F.count(F.lit(1)).alias("n"))
@@ -198,6 +226,7 @@ def run_daemon(
             reason_col="ereason",
             kind_col="ekind",
             namespace_col="ens",
+            defer_totals_batch_id=batch_id,
         )
         lines = batch.select(
             F.to_json(F.struct("time", "kubernetes_event")).alias("line")
@@ -216,6 +245,24 @@ def run_daemon(
     if available_now:
         writer = writer.trigger(availableNow=True)
     query = writer.start()
+
+    # received-count reconciliation: progress (with the kes_received
+    # observation) is emitted after each batch commits; a light poll
+    # keeps the scrape endpoint's total/hit counters current, with a
+    # final flush when the query ends. sync_from_query is idempotent
+    # per batch_id, so callers may also invoke it directly (tests do,
+    # for determinism after awaitTermination).
+    def _sync_loop() -> None:
+        import time as _time
+
+        while query.isActive:
+            metrics.sync_from_query(query)
+            _time.sleep(0.5)
+        metrics.sync_from_query(query)
+
+    threading.Thread(
+        target=_sync_loop, daemon=True, name="kes-metrics-sync"
+    ).start()
 
     if install_signal_handlers and not available_now:
         # main.rs:70-80: first signal requests a graceful stop (the

@@ -36,8 +36,17 @@ local stdlib http.server speaking the same protocol
 from __future__ import annotations
 
 import json
+import logging
 import os
+import urllib.error
 import urllib.request
+
+log = logging.getLogger(__name__)
+
+#: HTTP statuses that no amount of retrying will fix: bad/expired
+#: credentials, RBAC denial, or a wrong URL. The reconnect loop
+#: raises on these instead of silently backing off forever.
+FATAL_HTTP_CODES = frozenset({401, 403, 404})
 
 
 class K8sWatchSpooler:
@@ -240,9 +249,36 @@ class K8sWatchSpooler:
                 self.resource_version = None
                 do_sleep(delay)
                 delay = min(delay * 2, backoff_max)
-            except (OSError, http.client.HTTPException, ValueError):
+            except urllib.error.HTTPError as e:
+                # auth/RBAC/URL errors are permanent: retrying at 30s
+                # forever would leave a daemon that looks healthy while
+                # spooling nothing (the reference's watcher bubbles
+                # these up through watcher::Error the same way)
+                if e.code in FATAL_HTTP_CODES:
+                    log.error(
+                        "k8s watch: fatal HTTP %d from %s — not retrying",
+                        e.code,
+                        self.base_url,
+                    )
+                    raise
+                log.warning(
+                    "k8s watch: HTTP %d from %s; retrying in %.1fs",
+                    e.code,
+                    self.base_url,
+                    delay,
+                )
+                do_sleep(delay)
+                delay = min(delay * 2, backoff_max)
+            except (OSError, http.client.HTTPException, ValueError) as e:
                 # connection drop / torn line / timeout: resume from
                 # the last committed resourceVersion after backoff
+                log.warning(
+                    "k8s watch: %s: %s; reconnecting to %s in %.1fs",
+                    type(e).__name__,
+                    e,
+                    self.base_url,
+                    delay,
+                )
                 do_sleep(delay)
                 delay = min(delay * 2, backoff_max)
             if max_rounds is not None and rounds >= max_rounds:

@@ -22,7 +22,7 @@ free metric registry (counters/gauges + text exposition rendering), a
 Spark aggregates (label-cardinality-bounded collect — the only rows
 that reach the driver are the per-label-combination counts, never
 events), and a stdlib HTTP endpoint serving ``GET /metrics``. At
-cluster scale the observer's three per-batch aggregation jobs run on
+cluster scale the observer's single per-batch aggregation job runs on
 executors and the registry lives on the driver, which is exactly
 where a scrape endpoint must live; for multi-query deployments attach
 one observer per query and serve one registry.
@@ -38,6 +38,7 @@ first-by-(event-time, id) order its channel delivery does.
 
 from __future__ import annotations
 
+import json
 import threading
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -60,6 +61,11 @@ class _Family:
     labelnames: tuple[str, ...]
     # label-values tuple -> int value
     samples: dict[tuple[str, ...], int] = field(default_factory=dict)
+    # shared registry lock: render() runs on the scrape thread while
+    # observers mutate samples on the driver thread — without it a
+    # scrape racing a first-seen label combination can die with
+    # "dictionary changed size during iteration"
+    lock: threading.RLock = field(default_factory=threading.RLock)
 
     def labels(self, *values: str) -> "_Child":
         if len(values) != len(self.labelnames):
@@ -80,14 +86,16 @@ class _Child:
             raise TypeError(f"{self.family.name} is not a counter")
         if n < 0:
             raise ValueError("counters only go up")
-        self.family.samples[self.values] = (
-            self.family.samples.get(self.values, 0) + n
-        )
+        with self.family.lock:
+            self.family.samples[self.values] = (
+                self.family.samples.get(self.values, 0) + n
+            )
 
     def set(self, v: int) -> None:
         if self.family.kind != "gauge":
             raise TypeError(f"{self.family.name} is not a gauge")
-        self.family.samples[self.values] = int(v)
+        with self.family.lock:
+            self.family.samples[self.values] = int(v)
 
 
 class PromRegistry:
@@ -100,6 +108,7 @@ class PromRegistry:
 
     def __init__(self) -> None:
         self._families: dict[str, _Family] = {}
+        self._lock = threading.RLock()
 
     def counter(
         self, name: str, help: str, labelnames: tuple[str, ...] = ()
@@ -114,10 +123,13 @@ class PromRegistry:
     def _register(
         self, name: str, help: str, kind: str, labelnames: tuple[str, ...]
     ) -> _Family:
-        if name in self._families:
-            raise ValueError(f"duplicate metric family {name!r}")
-        fam = _Family(name, help, kind, tuple(labelnames))
-        self._families[name] = fam
+        with self._lock:
+            if name in self._families:
+                raise ValueError(f"duplicate metric family {name!r}")
+            fam = _Family(
+                name, help, kind, tuple(labelnames), lock=self._lock
+            )
+            self._families[name] = fam
         # a label-less counter/gauge exposes 0 before first touch,
         # matching the registered-but-untouched behavior of the
         # reference's IntCounter
@@ -127,6 +139,10 @@ class PromRegistry:
 
     def render(self) -> str:
         out: list[str] = []
+        with self._lock:
+            return self._render_locked(out)
+
+    def _render_locked(self, out: list[str]) -> str:
         for name in sorted(self._families):
             fam = self._families[name]
             out.append(f"# HELP {fam.name} {fam.help}")
@@ -172,6 +188,11 @@ class K8sStreamMetrics:
         )
         self._items = 0
         self._bytes = 0
+        # batch_id -> miss count, for deferred total/hit accounting
+        # when the received count comes from a pre-dedup .observe()
+        self._pending_misses: dict[int, int] = {}
+        self._synced_batches: set[int] = set()
+        self._lock = self.registry._lock
 
     def observe_batch(
         self,
@@ -182,8 +203,9 @@ class K8sStreamMetrics:
         reason_col: str = "reason",
         kind_col: str = "kind",
         namespace_col: str = "namespace",
-    ) -> None:
-        """Apply one micro-batch's increments.
+        defer_totals_batch_id: int | None = None,
+    ) -> int:
+        """Apply one micro-batch's increments; returns the miss count.
 
         ``key_col`` is the A5 dedup key; a batch row is a cache MISS
         iff it is the first occurrence of its key in
@@ -193,44 +215,90 @@ class K8sStreamMetrics:
         counters, and the sync-bytes/cache-size accounting (key bytes
         + the 8-byte u64 seen-timestamp sled stores per key,
         ``src/tasks.rs:123-126``).
-        """
-        from pyspark.sql import Window
 
-        total = batch_df.count()
-        w = Window.partitionBy(key_col).orderBy(*order_cols)
-        winners = (
-            batch_df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+        ONE Spark job per batch: a per-key ``min_by`` picks the
+        first-occurrence labels, then a per-label-combination rollup
+        — only label-cardinality-bounded rows reach the driver.
+
+        With ``defer_totals_batch_id`` set, the ``total``/``cache_hits``
+        counters are NOT incremented here: the caller observes the
+        PRE-dedup stream (where the reference counts every received
+        event, ``src/tasks.rs:132-140``) and later reconciles via
+        :meth:`sync_received` / :meth:`sync_from_query`.
+        """
+        order_struct = F.struct(*[F.col(c) for c in order_cols])
+        label_struct = F.struct(
+            F.coalesce(type_col, F.lit("-")).alias("l0"),
+            F.coalesce(reason_col, F.lit("-")).alias("l1"),
+            F.coalesce(kind_col, F.lit("-")).alias("l2"),
+            F.coalesce(namespace_col, F.lit("-")).alias("l3"),
+        )
+        per_key = batch_df.groupBy(key_col).agg(
+            F.count("*").alias("_rows"),
+            F.min_by(label_struct, order_struct).alias("_lbl"),
         )
         per_label = (
-            winners.groupBy(
-                F.coalesce(type_col, F.lit("-")).alias("l0"),
-                F.coalesce(reason_col, F.lit("-")).alias("l1"),
-                F.coalesce(kind_col, F.lit("-")).alias("l2"),
-                F.coalesce(namespace_col, F.lit("-")).alias("l3"),
-            )
+            per_key.groupBy("_lbl")
             .agg(
                 F.count("*").alias("n"),
-                F.sum(F.octet_length(key_col) + F.lit(8)).alias("nbytes"),
+                F.sum("_rows").alias("rows"),
+                F.sum(F.octet_length(F.col(key_col)) + F.lit(8)).alias(
+                    "nbytes"
+                ),
             )
             .collect()
         )
-        misses, nbytes = 0, 0
+        total, misses, nbytes = 0, 0, 0
         for r in per_label:
-            self.events.labels(r["l0"], r["l1"], r["l2"], r["l3"]).inc(
+            lbl = r["_lbl"]
+            self.events.labels(lbl["l0"], lbl["l1"], lbl["l2"], lbl["l3"]).inc(
                 r["n"]
             )
             misses += r["n"]
+            total += r["rows"]
             nbytes += r["nbytes"]
-        self.processed.labels("total").inc(total)
-        self.processed.labels("cache_hits").inc(total - misses)
-        self.processed.labels("cache_misses").inc(misses)
-        self.sync_bytes.labels().inc(nbytes)
-        self._items += misses
-        self._bytes += nbytes
-        self.size.labels("items").set(self._items)
-        self.size.labels("bytes").set(self._bytes)
+        with self._lock:
+            if defer_totals_batch_id is None:
+                self.processed.labels("total").inc(total)
+                self.processed.labels("cache_hits").inc(total - misses)
+            else:
+                self._pending_misses[defer_totals_batch_id] = misses
+            self.processed.labels("cache_misses").inc(misses)
+            self.sync_bytes.labels().inc(nbytes)
+            self._items += misses
+            self._bytes += nbytes
+            self.size.labels("items").set(self._items)
+            self.size.labels("bytes").set(self._bytes)
+        return misses
+
+    def sync_received(self, batch_id: int, received: int) -> None:
+        """Reconcile one batch's RECEIVED count (pre-dedup) with the
+        misses its emitted batch recorded: ``total`` counts every
+        received event and ``cache_hits`` the duplicate deliveries the
+        dedup state absorbed — the reference writer's semantics
+        (``src/tasks.rs:132-140``). Idempotent per batch_id."""
+        with self._lock:
+            if batch_id in self._synced_batches:
+                return
+            self._synced_batches.add(batch_id)
+            misses = self._pending_misses.pop(batch_id, 0)
+            self.processed.labels("total").inc(received)
+            self.processed.labels("cache_hits").inc(max(0, received - misses))
+
+    def sync_from_query(
+        self, query, observation_name: str = "kes_received"
+    ) -> None:
+        """Pull ``observedMetrics[observation_name]`` rows out of a
+        streaming query's recent progress and apply them. Safe to call
+        repeatedly (poll loop or one final flush after termination)."""
+        for p in query.recentProgress:
+            if not isinstance(p, dict):  # StreamingQueryProgress object
+                p = json.loads(p.json)
+            om = p.get("observedMetrics") or {}
+            row = om.get(observation_name)
+            if row is None:
+                continue
+            self.sync_received(int(p["batchId"]), int(row["n"]))
 
     def foreach_batch(self, key_col: str, order_cols: tuple[str, ...], **cols):
         """``writeStream.foreachBatch`` adapter."""

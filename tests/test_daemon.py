@@ -87,18 +87,28 @@ def test_daemon_end_to_end(spark, tmp_path):
             # 4 spooled (u1, u2, u2-again, u3) -> 3 unique after dedup
             objs = [json.loads(ln) for ln in lines]
             assert len(objs) == 3
-            assert {o["kubernetes_event"]["uid"]
-                    for o in objs} == {"u1", "u2", "u3"}
-            # envelope shape: A4 time + full event (types.rs:10-18)
+            # envelope shape: A4 time + the NESTED k8s Event object
+            # (types.rs:10-18: metadata.uid / involvedObject.kind),
+            # so reference NDJSON consumers parse ours unchanged
             assert all("time" in o and "kubernetes_event" in o
                        for o in objs)
+            assert {o["kubernetes_event"]["metadata"]["uid"]
+                    for o in objs} == {"u1", "u2", "u3"}
+            assert all(
+                o["kubernetes_event"]["involvedObject"]["kind"] == "Pod"
+                for o in objs
+            )
             # the executor-side NDJSON sink got the same 3 lines
             sunk = spark.read.text(sink_dir).count()
             assert sunk == 3
-            # A9 invariant via the registry
+            # reference writer semantics (tasks.rs:132-140): total
+            # counts every RECEIVED event (4, duplicates included);
+            # the u2 redelivery the dedup state absorbed is a hit
+            metrics.sync_from_query(query)
             fam = metrics.processed.samples
             assert fam[("cache_misses",)] == 3
-            assert fam[("total",)] == fam[("cache_hits",)] + 3
+            assert fam[("total",)] == 4
+            assert fam[("cache_hits",)] == 1
             # 4-dim counters with real label values
             assert metrics.events.samples[
                 ("Warning", "BackOff", "Pod", "ns-a")
@@ -211,4 +221,5 @@ def test_daemon_restart_resumes_from_checkpoint(spark, tmp_path):
         f.write(_json.dumps(_event("c", 3, "Failed", "ns")) + "\n")
     third = bounded_run()
     assert len(third) == 1
-    assert _json.loads(third[0])["kubernetes_event"]["uid"] == "c"
+    ev = _json.loads(third[0])["kubernetes_event"]
+    assert ev["metadata"]["uid"] == "c"
