@@ -292,6 +292,70 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(batches, "doc_id bigint, simhash bigint")
 
 
+_SIMHASH32_ORACLE = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM tok
+), v AS (
+  SELECT doc_id, count(*) AS n,
+         {", ".join(f"sum((h >> {i}) & 1) AS s{i}" for i in range(32))}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id,
+       ({" + ".join(f"(CASE WHEN 2 * s{i} > n THEN {1 << i} ELSE 0 END)"
+                    for i in range(32))})::BIGINT AS simhash32
+FROM v
+"""
+
+
+@query(
+    "llm_dedup_simhash_exact",
+    oracle=_SIMHASH32_ORACLE,
+    section="B.11",
+    notes="exactness anchor for llm_dedup_simhash (VERDICT r04 gap "
+    "#4, mirroring llm_knn_ivf_exact's role for the ANN tier): the "
+    "same token-vote SimHash construction, but expression-level so "
+    "DuckDB can replay it bit for bit — per distinct (doc, token) "
+    "the 32-bit md5 prefix votes +/-1 on every bit position, and a "
+    "bit is set iff its vote is positive (2*set_count > n_tokens). "
+    "Engine-exact because both sides share md5 and integer "
+    "arithmetic only. ONE keyed shuffle (groupBy doc_id, 32 "
+    "codegen'd partial sums) — no per-bit row fan-out, no Python; "
+    "linear at 100 TB. The 64-bit Arrow variant stays the production "
+    "path; this pins the algorithm",
+)
+def llm_dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+    )
+    h = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    v = h.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(
+                f"s{i}"
+            )
+            for i in range(32)
+        ],
+    )
+    sig = None
+    for i in range(32):
+        term = F.when(
+            F.col(f"s{i}") * 2 > F.col("n"), F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return v.select("doc_id", sig.cast("long").alias("simhash32"))
+
+
 # --------------------------------------------------------------------------
 # Similarity search family
 # --------------------------------------------------------------------------
@@ -3345,6 +3409,32 @@ def llm_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ccnet_scored(d: DataFrame) -> DataFrame:
+    """Unigram-LM mean negative log-likelihood per document — the
+    CCNet quality score shared by the exact (ntile) and scale-safe
+    (sketch-cutpoint) bucketing variants."""
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    lm = tok.groupBy("w").agg(F.count("*").alias("c"))
+    total = lm.agg(F.sum("c").cast("long").alias("n"))
+    logp = lm.crossJoin(F.broadcast(total)).select(
+        "w",
+        F.round(F.log(F.col("c").cast("double") / F.col("n")) * 1000000)
+        .cast("long")
+        .alias("nlp6"),
+    )
+    return (
+        tok.join(F.broadcast(logp), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                -F.sum("nlp6").cast("double") / 1000000 / F.count("*"), 6
+            ).alias("score")
+        )
+    )
+
+
 @query(
     "llm_ccnet_buckets",
     oracle="""
@@ -3383,34 +3473,15 @@ FROM tiled
     "(score, doc_id) is deterministic because the ordering is total "
     "(6dp-rounded scaled-int score, unique doc_id tiebreak). The "
     "global sort is rank-on-aggregate: it orders |docs| score rows, "
-    "never token rows — at 100 TB swap ntile for approx_percentile "
-    "cutpoints to avoid the single-partition window, same buckets up "
-    "to sketch error at the two boundaries",
+    "never token rows — the ORACLE ANCHOR for the scale-safe "
+    "llm_ccnet_buckets_approx, which replaces the ntile with "
+    "approx_percentile cutpoints (no single-partition window) and is "
+    "the documented default at 100 TB",
 )
 def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    d = load(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
-    )
-    lm = tok.groupBy("w").agg(F.count("*").alias("c"))
-    total = lm.agg(F.sum("c").cast("long").alias("n"))
-    logp = lm.crossJoin(F.broadcast(total)).select(
-        "w",
-        F.round(F.log(F.col("c").cast("double") / F.col("n")) * 1000000)
-        .cast("long")
-        .alias("nlp6"),
-    )
-    scored = (
-        tok.join(F.broadcast(logp), "w")
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                -F.sum("nlp6").cast("double") / 1000000 / F.count("*"), 6
-            ).alias("score")
-        )
-    )
+    scored = _ccnet_scored(load(spark, sf_dir, "documents"))
     tiled = scored.select(
         "doc_id",
         "score",
@@ -3423,6 +3494,37 @@ def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         F.when(F.col("t") == 1, "head")
         .when(F.col("t") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+@query(
+    "llm_ccnet_buckets_approx",
+    oracle=None,
+    section="B.11",
+    notes="the 100 TB default for CCNet bucketing: tercile cutpoints "
+    "from ONE approx_percentile sketch over the per-doc scores "
+    "(mergeable partial state, no single-partition ntile window), "
+    "broadcast back for bucket assignment — every stage is a narrow "
+    "map or a keyed shuffle. Rows-only by design (the two boundary "
+    "scores carry sketch rank error); tests/test_llm.py binds it to "
+    "the exact llm_ccnet_buckets anchor: identical scores, bucket "
+    "agreement on all but a sketch-error band of documents, and the "
+    "plan test asserts no Window node",
+)
+def llm_ccnet_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _ccnet_scored(load(spark, sf_dir, "documents"))
+    cuts = scored.agg(
+        F.percentile_approx(
+            "score", [1.0 / 3.0, 2.0 / 3.0], 10000
+        ).alias("cuts")
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "score",
+        F.when(F.col("score") <= F.get("cuts", 0), "head")
+        .when(F.col("score") <= F.get("cuts", 1), "middle")
         .otherwise("tail")
         .alias("bucket"),
     )

@@ -2179,3 +2179,111 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").alias("k")
     )
     return a.exceptAll(b)
+
+
+@query(
+    "agg_hist_equi_depth_approx",
+    oracle=None,
+    section="C",
+    notes="the 100 TB twin of agg_hist_equi_depth: equi-depth "
+    "histogram from approx_percentile cutpoints broadcast-joined "
+    "back for bucket assignment — NO global-order window (the exact "
+    "form's ntile sorts the world in one task; this plan is a "
+    "mergeable sketch + a map). Rows-only by design (sketch "
+    "boundaries), but tests/test_properties.py binds it to the exact "
+    "form: identical bucket count and per-bucket depth within sketch "
+    "rank error. Plan test asserts no Window node",
+)
+def agg_hist_equi_depth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    cuts = li.agg(
+        F.percentile_approx(
+            "l_extendedprice", [i / 16.0 for i in range(1, 16)], 10000
+        ).alias("cuts")
+    )
+    # bucket = 1 + number of cutpoints strictly below v; ties land in
+    # the lower bucket, matching ntile's stable ordering up to sketch
+    # error at the 15 boundaries
+    b = (
+        li.crossJoin(F.broadcast(cuts))
+        .select(
+            F.col("l_extendedprice").alias("v"),
+            (
+                F.lit(1)
+                + F.size(
+                    F.filter(
+                        F.col("cuts"),
+                        lambda c: c < F.col("l_extendedprice"),
+                    )
+                )
+            ).alias("bucket"),
+        )
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+
+
+@query(
+    "agg_approx_distinct_exact",
+    oracle="""
+SELECT l_returnflag,
+       cast(count(DISTINCT l_linestatus) AS bigint) AS approx_status,
+       cast(count(DISTINCT l_linenumber) AS bigint) AS approx_lines,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+    section="B.4",
+    notes="exactness anchor for agg_approx_distinct (VERDICT r04 gap "
+    "#4): HLL++ runs in its exact (sparse/linear-counting) regime "
+    "when the true cardinality is far below the sketch size, so on "
+    "the 2-value l_linestatus and 7-value l_linenumber domains "
+    "approx_count_distinct provably equals the exact COUNT(DISTINCT) "
+    "the DuckDB oracle computes — the same sketch code path the "
+    "rows-only operator exercises, hash-matched here",
+)
+def agg_approx_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_linestatus", rsd=0.01).alias(
+            "approx_status"
+        ),
+        F.approx_count_distinct("l_linenumber", rsd=0.01).alias(
+            "approx_lines"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "agg_approx_percentile_exact",
+    oracle="""
+SELECT l_returnflag,
+       cast(quantile_disc(l_linenumber, 0.21) AS bigint) AS p21,
+       cast(quantile_disc(l_linenumber, 0.50) AS bigint) AS p50,
+       cast(quantile_disc(l_linenumber, 0.78) AS bigint) AS p78,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+    section="B.4",
+    notes="exactness anchor for agg_approx_percentile (VERDICT r04 "
+    "gap #4): Greenwald-Khanna with accuracy 10000 has rank error "
+    "n/10000 (and is EXACT below ~10k rows/group); on the 7-value "
+    "l_linenumber domain every queried percentile (0.21/0.50/0.78) "
+    "sits >6%% of mass inside a value plateau, so the sketch answer "
+    "equals DuckDB's exact discrete quantile — same sketch code path "
+    "as the rows-only operator, hash-matched here",
+)
+def agg_approx_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pcts = F.percentile_approx(
+        "l_linenumber", [0.21, 0.50, 0.78], 10000
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.get(pcts, 0).cast("long").alias("p21"),
+        F.get(pcts, 1).cast("long").alias("p50"),
+        F.get(pcts, 2).cast("long").alias("p78"),
+        F.count("*").alias("n"),
+    )

@@ -506,3 +506,13 @@ def test_scan_binaryfile_projects_metadata_only(spark):
     no Python evaluation; md5 runs JVM-side."""
     p = _plan(spark, "scan_binaryfile")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_equi_depth_approx_has_no_global_window(spark):
+    """The 100 TB variants must not contain the exact forms' global-
+    order ntile window (a single-partition sort of the world)."""
+    for name in ("agg_hist_equi_depth_approx", "llm_ccnet_buckets_approx"):
+        p = _plan(spark, name)
+        assert "Window" not in p, f"{name} regressed to a window plan"
+        # cutpoints reach the rows via a broadcast, not a sort
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p

@@ -482,3 +482,51 @@ GROUP BY 1 ORDER BY 1
 """
     ).fetchall()
     assert literal == rewrite
+
+
+def test_equi_depth_approx_binds_to_exact(spark):
+    """The sketch-cutpoint histogram must agree with the exact ntile
+    form up to sketch rank error: same total mass, same bucket count,
+    near-equal depths, contiguous non-overlapping ranges."""
+    from event_stream_for_k8s_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r["bucket"]: r
+        for r in REGISTRY["agg_hist_equi_depth"].spark(spark, sf).collect()
+    }
+    approx = sorted(
+        REGISTRY["agg_hist_equi_depth_approx"].spark(spark, sf).collect(),
+        key=lambda r: r["bucket"],
+    )
+    n_total = sum(r["n"] for r in exact.values())
+    assert sum(r["n"] for r in approx) == n_total
+    assert len(approx) == 16
+    target = n_total / 16
+    for r in approx:
+        # accuracy=10000 -> rank error n/10000 < 1 row at this SF;
+        # the slack covers ties at boundary values
+        assert abs(r["n"] - target) <= max(10, 0.1 * target), r
+    # ranges are ordered and non-overlapping
+    for a, b in zip(approx, approx[1:]):
+        assert a["hi"] <= b["lo"]
+
+
+def test_ccnet_approx_binds_to_exact(spark):
+    """Sketch-cutpoint terciles agree with the exact ntile terciles
+    on all but a boundary band of documents, with identical scores."""
+    from event_stream_for_k8s_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r["doc_id"]: r
+        for r in REGISTRY["llm_ccnet_buckets"].spark(spark, sf).collect()
+    }
+    approx = REGISTRY["llm_ccnet_buckets_approx"].spark(spark, sf).collect()
+    assert len(approx) == len(exact)
+    agree = 0
+    for r in approx:
+        e = exact[r["doc_id"]]
+        assert r["score"] == e["score"]  # scoring is shared + exact
+        agree += r["bucket"] == e["bucket"]
+    assert agree / len(approx) >= 0.95
