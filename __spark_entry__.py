@@ -28,71 +28,69 @@ from event_stream_for_k8s_spark.plans import REGISTRY  # noqa: E402
 # each round re-registers a rotating batch of not-yet-verified queries
 # under early-sorting `a_chk_<name>` aliases (same callable, same
 # oracle SQL — pure duplicates, suggested by VERDICT r01 "Next round"
-# #2). Round 4's batch follows VERDICT r03 "Next round" #1's priority:
-# everything added or changed in round 3b (graph_*, the five new ts_*,
-# llm_kl_drift/ccnet_buckets, agg_hist_equi_depth, the two new
-# maint_*), the asof-join family, sql_*, TPC-H Q13/Q15/Q17/Q19/Q22,
-# the six NEW partsupp TPC-H queries landed this round, and a
-# cross-family fill of the remaining never-probed (join variants,
-# scan_*, maint_*, llm_* including the rows-only simhash, udtf_py,
-# stream_cdc_upsert, win_time_range). The ~51 still unprobed after
-# this batch are round 5's rotation. `tools/rotate_probes.py` computes
-# candidate batches from accumulated CORRECTNESS files.
+# #2). Round 5's batch follows VERDICT r04 "Next round" #1's priority:
+# the five round-5 additions (two scale-safe bucketing variants, three
+# exactness anchors), the fifteen round-4 additions the r04 probe
+# batch predated, then the llm_*/scan_* tail. The 22 still unprobed
+# after this batch (fn/join/maint/scan/set/sql/ts/udf/win tail) are
+# round 6's final rotation, after which DRIVER_PROBES is retired
+# (VERDICT r04 #8). `tools/rotate_probes.py` computes candidate
+# batches from accumulated CORRECTNESS files.
 DRIVER_PROBES = [
-    # round-3b additions (changed most recently -> highest risk)
-    "graph_degree",
-    "graph_jaccard",
-    "graph_triangles",
-    "ts_acf",
-    "ts_cusum",
-    "ts_downsample_m4",
-    "ts_mad_anomaly",
-    "ts_user_entropy",
-    "llm_kl_drift",
-    "llm_ccnet_buckets",
-    "agg_hist_equi_depth",
-    "maint_clustering_depth",
-    "maint_prune_zonemap",
-    # asof family + sql_*
-    "join_asof_forward",
-    "join_asof_nearest",
-    "join_asof_tolerance",
-    "sql_cte_subquery",
-    "sql_lateral",
-    # TPC-H: round-3 five + the six new partsupp queries
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q16_parts_supplier_relation",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_waiting_suppliers",
-    # cross-family fill of the never-probed + the new prom egress
-    "prom_k8s_exposition",
-    "join_bloom_membership",
-    "join_bucketed",
-    "join_cross",
-    "join_range_binned",
-    "join_skew_salted",
-    "llm_bm25",
-    "llm_corpus_pipeline",
-    "llm_dedup_clusters",
-    "llm_dedup_simhash",
-    "llm_dedup_substring",
-    "llm_knn_ivf_exact",
-    "llm_winnow",
-    "maint_retention_delete",
-    "maint_sorted_layout",
-    "sample_stratified",
-    "scan_json_corrupt",
-    "scan_xml",
-    "stream_cdc_upsert",
-    "udtf_py",
-    "win_time_range",
+    # round-5 additions (changed this round -> highest risk): the two
+    # scale-safe bucketing variants + the three exactness anchors
+    "agg_approx_distinct_exact",
+    "agg_approx_percentile_exact",
+    "agg_hist_equi_depth_approx",
+    "llm_ccnet_buckets_approx",
+    "llm_dedup_simhash_exact",
+    # round-4 additions never probed (VERDICT r04 "Next round" #1)
+    "agg_hist_equi_width",
+    "fn_array_setops",
+    "join_null_safe",
+    "llm_badwords_filter",
+    "llm_bigram_lm",
+    "llm_code_detect",
+    "llm_semdedup",
+    "scan_binaryfile",
+    "scan_json_multiline",
+    "scan_text",
+    "set_except_all",
+    "set_intersect_all",
+    "sql_qualify",
+    "ts_holt",
+    "win_nth_value",
+    # llm/scan tail fill (driver-unprobed; local oracle green)
+    "agg_countmin",
+    "llm_char_entropy",
+    "llm_dedup_incremental",
+    "llm_docstats",
+    "llm_dsir_weights",
+    "llm_embed_centroids",
+    "llm_fingerprint",
+    "llm_gopher_rules",
+    "llm_knn_brute",
+    "llm_knn_ivf",
+    "llm_knn_lsh",
+    "llm_knn_pq",
+    "llm_langid",
+    "llm_mix_temperature",
+    "llm_mm_frames",
+    "llm_multimodal",
+    "llm_ngram_novelty",
+    "llm_normalize",
+    "llm_pack_sequences",
+    "llm_perplexity",
+    "llm_pii_redact",
+    "llm_quality",
+    "llm_repetition",
+    "llm_shard_manifest",
+    "llm_split",
+    "llm_text_stats",
+    "llm_text_tfidf",
+    "llm_token_budget",
+    "llm_tokenizer_coverage",
+    "llm_tokens",
 ]
 
 

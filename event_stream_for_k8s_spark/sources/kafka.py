@@ -47,28 +47,43 @@ def kafka_available(spark: SparkSession) -> bool:
         return False
 
 
-def read_kafka_events(
-    spark: SparkSession,
+def kafka_reader_options(
     brokers: str,
     topic: str,
     starting_offsets: str = "earliest",
     max_offsets_per_trigger: int = REFERENCE_BATCH_CAP,
     min_partitions: int | None = None,
+) -> dict[str, str]:
+    """The read-side option contract, as a pure dict so it is testable
+    without a broker or the connector jars (this image has neither and
+    no network to vendor them — see ROADMAP 'Environment-blocked').
+    ``maxOffsetsPerTrigger`` defaults to the reference's 1024 batch
+    cap; ``failOnDataLoss=false`` is the at-least-once A7 stance."""
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "maxOffsetsPerTrigger": str(max_offsets_per_trigger),
+        "failOnDataLoss": "false",  # at-least-once, like A7
+    }
+    if min_partitions is not None:
+        opts["minPartitions"] = str(min_partitions)
+    return opts
+
+
+def read_kafka_events(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    **opts,
 ) -> DataFrame:
     """Streaming read of NDJSON event payloads from a Kafka topic,
     parsed to ``EVENTS_MICROS_SCHEMA`` rows. Requires the connector
     (``kafka_available``); raises Spark's data-source-not-found
     AnalysisException otherwise."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .option("maxOffsetsPerTrigger", max_offsets_per_trigger)
-        .option("failOnDataLoss", "false")  # at-least-once, like A7
+    reader = spark.readStream.format("kafka").options(
+        **kafka_reader_options(brokers, topic, **opts)
     )
-    if min_partitions is not None:
-        reader = reader.option("minPartitions", min_partitions)
     raw = reader.load()
     parsed = raw.select(
         F.from_json(

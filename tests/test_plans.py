@@ -112,6 +112,22 @@ def test_kafka_transport_wiring(spark):
         events_as_micros, materialize,
     )
 
+    # option contract pinned WITHOUT a broker (this image has no
+    # connector jars and no network to vendor them — the live
+    # roundtrip is environment-blocked, documented in ROADMAP):
+    # per-trigger admission = the reference's 1024 channel batch cap
+    # (src/main.rs:61), at-least-once delivery, read-parallelism knob
+    opts = K.kafka_reader_options(
+        "b:9092", "kube-events", min_partitions=64
+    )
+    assert opts["maxOffsetsPerTrigger"] == str(K.REFERENCE_BATCH_CAP)
+    assert K.REFERENCE_BATCH_CAP == 1024
+    assert opts["failOnDataLoss"] == "false"
+    assert opts["minPartitions"] == "64"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["subscribe"] == "kube-events"
+    assert "minPartitions" not in K.kafka_reader_options("b", "t")
+
     available = K.kafka_available(spark)
     src = materialize(
         spark, SF, "events_stream_json",
