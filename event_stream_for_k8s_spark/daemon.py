@@ -231,11 +231,19 @@ def run_daemon(
         lines = batch.select(
             F.to_json(F.struct("time", "kubernetes_event")).alias("line")
         )
-        if emit is not None:
-            for row in lines.toLocalIterator():
-                emit(row["line"])
-        if sink_dir is not None:
-            lines.write.mode("append").text(sink_dir)
+        both = emit is not None and sink_dir is not None
+        if both:
+            # don't recompute the batch for the second consumer
+            lines = lines.persist()
+        try:
+            if emit is not None:
+                for row in lines.toLocalIterator():
+                    emit(row["line"])
+            if sink_dir is not None:
+                lines.write.mode("append").text(sink_dir)
+        finally:
+            if both:
+                lines.unpersist()
 
     writer = (
         deduped.writeStream.foreachBatch(sink)
