@@ -3511,7 +3511,12 @@ def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scores carry sketch rank error); tests/test_llm.py binds it to "
     "the exact llm_ccnet_buckets anchor: identical scores, bucket "
     "agreement on all but a sketch-error band of documents, and the "
-    "plan test asserts no Window node",
+    "plan test asserts no Window node. Fine print: the scoring DAG "
+    "evaluates twice (cutpoint pass + output pass; Catalyst does not "
+    "canonicalize the two subplans to one exchange) — a 2x constant, "
+    "still linear; a production pipeline persists the per-doc score "
+    "relation (16 bytes/doc, ~0.1%% of corpus bytes) between the "
+    "passes",
 )
 def llm_ccnet_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _ccnet_scored(load(spark, sf_dir, "documents"))

@@ -2192,7 +2192,11 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mergeable sketch + a map). Rows-only by design (sketch "
     "boundaries), but tests/test_properties.py binds it to the exact "
     "form: identical bucket count and per-bucket depth within sketch "
-    "rank error. Plan test asserts no Window node",
+    "rank error. Plan test asserts no Window node. Fine print: the "
+    "cutpoint pass and the assignment pass each scan the table once "
+    "— but both scans are pruned to the single histogram column "
+    "(plan-verified), the exact two-pass shape ANALYZE uses; the "
+    "sketch pass's shuffle is one 15-element row",
 )
 def agg_hist_equi_depth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
