@@ -191,7 +191,11 @@ class K8sStreamMetrics:
         # batch_id -> miss count, for deferred total/hit accounting
         # when the received count comes from a pre-dedup .observe()
         self._pending_misses: dict[int, int] = {}
+        # seen-batch bookkeeping is watermark-compacted: batch ids are
+        # monotone, so contiguous prefixes collapse into _synced_floor
+        # and the set stays O(out-of-order window), not O(daemon age)
         self._synced_batches: set[int] = set()
+        self._synced_floor = -1
         self._lock = self.registry._lock
 
     def observe_batch(
@@ -278,10 +282,21 @@ class K8sStreamMetrics:
         dedup state absorbed — the reference writer's semantics
         (``src/tasks.rs:132-140``). Idempotent per batch_id."""
         with self._lock:
-            if batch_id in self._synced_batches:
+            if batch_id <= self._synced_floor or batch_id in self._synced_batches:
                 return
             self._synced_batches.add(batch_id)
+            while self._synced_floor + 1 in self._synced_batches:
+                self._synced_floor += 1
+                self._synced_batches.discard(self._synced_floor)
             misses = self._pending_misses.pop(batch_id, 0)
+            # a pending entry whose progress event was lost (the
+            # recentProgress ring holds ~100) must not pin memory
+            for bid in [
+                b
+                for b in self._pending_misses
+                if b < self._synced_floor - 1000
+            ]:
+                del self._pending_misses[bid]
             self.processed.labels("total").inc(received)
             self.processed.labels("cache_hits").inc(max(0, received - misses))
 

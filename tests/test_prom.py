@@ -188,3 +188,23 @@ def test_pipeline_to_exposition_end_to_end(spark, tmp_path):
         assert f'type="total"}} {expected}' in body
     finally:
         srv.stop()
+
+
+def test_sync_received_watermark_compaction():
+    """Long-daemon memory bound: seen-batch bookkeeping collapses
+    contiguous prefixes into a floor (O(out-of-order window), not
+    O(daemon age)); replays below the floor are ignored; pending miss
+    entries whose progress was lost are pruned."""
+    m = K8sStreamMetrics()
+    m._pending_misses.update({0: 1, 1: 2, 5: 1})
+    for b in (0, 1, 2, 3, 4):  # ordered arrivals collapse
+        m.sync_received(b, 10)
+    assert m._synced_floor == 4 and m._synced_batches == set()
+    m.sync_received(6, 10)  # out-of-order: held
+    assert m._synced_floor == 4 and m._synced_batches == {6}
+    m.sync_received(5, 10)  # gap fills -> floor jumps past both
+    assert m._synced_floor == 6 and m._synced_batches == set()
+    m.sync_received(3, 99)  # replay below floor: no double count
+    s = m.processed.samples
+    assert s[("total",)] == 70
+    assert s[("cache_hits",)] == 66  # 70 received - 4 misses popped
