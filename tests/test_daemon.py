@@ -12,6 +12,10 @@ from http.server import BaseHTTPRequestHandler, HTTPServer
 from event_stream_for_k8s_spark.daemon import DaemonConfig, run_daemon
 
 
+def m_samples(metrics):
+    return dict(metrics.processed.samples)
+
+
 def _event(uid, rv, reason, ns):
     return {
         "metadata": {
@@ -162,6 +166,19 @@ def test_daemon_continuous_sigterm_graceful(spark, tmp_path):
         while time.time() < deadline and len(lines) < 2:
             time.sleep(0.5)
         assert len(lines) == 2
+        # the background sync loop reconciles received counts from
+        # query progress while the daemon runs (reference total/hit
+        # semantics without caller involvement)
+        deadline = time.time() + 30
+        while (
+            time.time() < deadline
+            and m_samples(metrics).get(("total",), 0) < 2
+        ):
+            time.sleep(0.5)
+        s = m_samples(metrics)
+        assert s[("total",)] == 2
+        assert s[("cache_misses",)] == 2
+        assert s[("cache_hits",)] == 0
         os.kill(os.getpid(), _signal.SIGTERM)
         deadline = time.time() + 30
         while time.time() < deadline and query.isActive:
