@@ -38,10 +38,11 @@ from event_stream_for_k8s_spark.plans import REGISTRY  # noqa: E402
 # batches from accumulated CORRECTNESS files.
 DRIVER_PROBES = [
     # round-5 additions (changed this round -> highest risk): the two
-    # scale-safe bucketing variants + the three exactness anchors
+    # scale-safe bucketing variants + the four exactness anchors
     "agg_approx_distinct_exact",
     "agg_approx_percentile_exact",
     "agg_hist_equi_depth_approx",
+    "graph_pagerank_exact",
     "llm_ccnet_buckets_approx",
     "llm_dedup_simhash_exact",
     # round-4 additions never probed (VERDICT r04 "Next round" #1)
@@ -90,7 +91,6 @@ DRIVER_PROBES = [
     "llm_text_tfidf",
     "llm_token_budget",
     "llm_tokenizer_coverage",
-    "llm_tokens",
 ]
 
 

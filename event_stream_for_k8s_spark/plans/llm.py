@@ -1876,6 +1876,125 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_T = 1_000_000_000_000  # rank mass scale: 1.0 == 10^12
+
+
+def _pagerank_exact_oracle(iters: int) -> str:
+    """Unrolled all-integer PageRank the oracle replays bit-for-bit:
+    fixed iteration count -> plain chained CTEs (no recursion), every
+    update integer-only (// is exact and engine-identical on
+    nonnegative operands)."""
+    blocks = []
+    for i in range(1, iters + 1):
+        p = f"pr{i - 1}"
+        blocks.append(f"""
+, inflow{i} AS (
+  SELECT e.dst AS v, sum(p.r // d.deg) AS s
+  FROM edges e JOIN {p} p ON p.v = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+), dang{i} AS (
+  SELECT COALESCE(sum(p.r), 0) AS dmass
+  FROM {p} p LEFT JOIN deg d ON d.src = p.v WHERE d.src IS NULL
+), pr{i} AS (
+  SELECT n.v,
+         ((15 * {_PR_T}) // (100 * nn.n)
+          + (85 * (COALESCE(i.s, 0) + dg.dmass // nn.n)) // 100
+         )::BIGINT AS r
+  FROM nodes n CROSS JOIN nn CROSS JOIN dang{i} dg
+  LEFT JOIN inflow{i} i ON i.v = n.v
+)""")
+    return f"""
+WITH pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND (a.vec_id // 100) = (b.vec_id // 100)
+   AND a.vec_id < b.vec_id
+  WHERE round({sql_cosine('a.embedding', 'b.embedding')}, 6) >= 0.2
+), edges AS (
+  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+), nodes AS (
+  SELECT vec_id AS v FROM embeddings
+), nn AS (
+  SELECT cast(count(*) AS bigint) AS n FROM nodes
+), deg AS (
+  SELECT src, cast(count(*) AS bigint) AS deg FROM edges GROUP BY src
+), pr0 AS (
+  SELECT v, ({_PR_T} // n)::BIGINT AS r FROM nodes CROSS JOIN nn
+){"".join(blocks)}
+SELECT v, r AS rank_scaled FROM pr{iters}
+"""
+
+
+@query(
+    "graph_pagerank_exact",
+    oracle=_pagerank_exact_oracle(3),
+    section="C",
+    notes="exactness anchor for graph_pagerank, extending the anchor "
+    "pattern to the ITERATIVE class the r04 verdict called "
+    "non-SQL-expressible: with a fixed iteration count the recurrence "
+    "unrolls into chained CTEs, and with ranks held as scaled int64 "
+    "(1.0 == 10^12) every update is integer division + integer sums "
+    "— order-insensitive and engine-identical, so DuckDB hash-matches "
+    "the full rank vector after 3 rounds (same graph, same damping "
+    "0.85 as the float production operator; its merge-order-dependent "
+    "float masses are WHY it is rows-only). Per round: one equi-join "
+    "+ one keyed agg + two broadcast scalars (n, dangling mass) — "
+    "the edge relation is re-derived per round here for plan purity; "
+    "a production run persists it (graph_pagerank's operator does, "
+    "via localCheckpoint)",
+)
+def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    sim = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.expr("a.vec_id div 100") == F.expr("b.vec_id div 100"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(sim >= 0.2)
+        .select(
+            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
+        )
+    )
+    und = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = e.select(F.col("vec_id").alias("v"))
+    nn = nodes.agg(F.count("*").cast("long").alias("n"))
+    deg = und.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "v", F.expr(f"{_PR_T} div n").cast("long").alias("r")
+    )
+    for _ in range(3):
+        contrib = (
+            und.join(ranks, und.src == ranks.v)
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r div deg")).alias("s"))
+        )
+        dang = ranks.join(deg, ranks.v == deg.src, "left_anti").agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dmass")
+        )
+        ranks = (
+            nodes.join(contrib, nodes.v == contrib.dst, "left")
+            .crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "v",
+                F.expr(
+                    f"(15 * {_PR_T}) div (100 * n)"
+                    f" + (85 * (coalesce(s, 0) + dmass div n)) div 100"
+                )
+                .cast("long")
+                .alias("r"),
+            )
+        )
+    return ranks.select("v", F.col("r").alias("rank_scaled"))
+
+
 @query(
     "llm_bpe_pairs",
     oracle="""
