@@ -3704,7 +3704,17 @@ WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
     "quantize to 1e-6 ints, dot/norms are exact int64 sums "
     "(JVM-side zip_with/aggregate, no UDF), and the tau check "
     "compares dot^2 > tau^2*|a||b| in doubles derived identically "
-    "from those ints — engine-exact, no float tolerance",
+    "from those ints — engine-exact, no float tolerance. Scaling "
+    "(round-5 sf1 soak, 25x for 10x data): the fixture's FIXED label "
+    "count makes cluster size grow with N, so sf0.1->sf1 crosses the "
+    "sub-cap->at-cap transition where pair count grows "
+    "quadratically; once the cap binds everywhere the plan is "
+    "Sigma|block|*CAP/2 = N*2048 pairs — LINEAR with a 2048-dot/doc "
+    "constant, and CAP is the recall/cost knob. SemDeDup as "
+    "published runs k-means with k PROPORTIONAL to N (clusters stay "
+    "~constant-size, under the cap); the fixed-k fixture is the "
+    "stress case the salt cap exists for — without it this would be "
+    "O(N^2/k)",
 )
 def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
