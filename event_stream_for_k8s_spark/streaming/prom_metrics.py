@@ -271,8 +271,15 @@ class K8sStreamMetrics:
             self.sync_bytes.labels().inc(nbytes)
             self._items += misses
             self._bytes += nbytes
-            self.size.labels("items").set(self._items)
-            self.size.labels("bytes").set(self._bytes)
+            if defer_totals_batch_id is None:
+                # standalone (no state store in sight): cumulative
+                # insert accounting approximates the cache size
+                self.size.labels("items").set(self._items)
+                self.size.labels("bytes").set(self._bytes)
+            # daemon mode: sync_from_query owns the size gauges and
+            # points them at the live dedup state store (which SHRINKS
+            # on watermark eviction, like the reference's sled db
+            # after its TTL cleaner runs)
         return misses
 
     def sync_received(self, batch_id: int, received: int) -> None:
@@ -305,15 +312,43 @@ class K8sStreamMetrics:
     ) -> None:
         """Pull ``observedMetrics[observation_name]`` rows out of a
         streaming query's recent progress and apply them. Safe to call
-        repeatedly (poll loop or one final flush after termination)."""
+        repeatedly (poll loop or one final flush after termination).
+
+        Also repoints the ``cachedb_size`` gauges at the live dedup
+        STATE STORE totals (``stateOperators.numRowsTotal`` /
+        state memory bytes): the reference's gauge tracks the sled db
+        after TTL eviction shrinks it (``src/tasks.rs:210-216``), so a
+        cumulative miss count would only ever grow — the state store
+        is the cache db here, and its row count is the honest twin."""
+        latest_batch, state_rows, state_bytes = -1, None, None
         for p in query.recentProgress:
             if not isinstance(p, dict):  # StreamingQueryProgress object
                 p = json.loads(p.json)
             om = p.get("observedMetrics") or {}
             row = om.get(observation_name)
-            if row is None:
-                continue
-            self.sync_received(int(p["batchId"]), int(row["n"]))
+            if row is not None:
+                self.sync_received(int(p["batchId"]), int(row["n"]))
+            ops = p.get("stateOperators") or []
+            if ops and int(p["batchId"]) > latest_batch:
+                latest_batch = int(p["batchId"])
+                state_rows, state_bytes = 0, 0
+                for o in ops:
+                    # dedupeWithinWatermark keeps N stores per shuffle
+                    # partition (key store + event-time index), and
+                    # numRowsTotal counts every store's rows — divide
+                    # by stores-per-partition to recover the KEY count
+                    # (the sled-items analog)
+                    parts = int(o.get("numShufflePartitions", 0)) or 1
+                    inst = int(o.get("numStateStoreInstances", 0)) or parts
+                    per_part = max(1, inst // parts)
+                    state_rows += int(o.get("numRowsTotal", 0)) // per_part
+                    state_bytes += int(
+                        o.get("stateMemory", o.get("memoryUsedBytes", 0))
+                    )
+        if state_rows is not None:
+            with self._lock:
+                self.size.labels("items").set(state_rows)
+                self.size.labels("bytes").set(state_bytes)
 
     def foreach_batch(self, key_col: str, order_cols: tuple[str, ...], **cols):
         """``writeStream.foreachBatch`` adapter."""

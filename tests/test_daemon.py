@@ -113,6 +113,10 @@ def test_daemon_end_to_end(spark, tmp_path):
             assert fam[("cache_misses",)] == 3
             assert fam[("total",)] == 4
             assert fam[("cache_hits",)] == 1
+            # cachedb_size{items} mirrors the LIVE dedup state store
+            # (the cache db): 3 unique keys resident, none evicted yet
+            assert metrics.size.samples[("items",)] == 3
+            assert metrics.size.samples[("bytes",)] > 0
             # 4-dim counters with real label values
             assert metrics.events.samples[
                 ("Warning", "BackOff", "Pod", "ns-a")
