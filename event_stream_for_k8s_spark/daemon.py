@@ -150,6 +150,10 @@ def run_daemon(
     cfg = config or DaemonConfig()
     os.makedirs(cfg.spool_dir, exist_ok=True)
     spool_path = os.path.join(cfg.spool_dir, "watch.jsonl")
+    # set after the query starts; the continuous-mode watch thread
+    # reads it to shut the daemon down if the watch loop dies
+    _daemon_state: dict = {"query": None}
+    watch_thread: threading.Thread | None = None
 
     if cfg.api_url:
         from event_stream_for_k8s_spark.sources.k8s_watch_http import (
@@ -185,14 +189,28 @@ def run_daemon(
                         "raise the timeout or lower the bound"
                     )
         else:
-            spooler_thread = threading.Thread(
-                target=lambda: spooler.run_with_reconnect(
-                    max_events=spool_max_events
-                ),
+            # main.rs:75 parity (select_all): when ANY task ends, the
+            # whole daemon shuts down. If the watch loop dies — a
+            # fatal 401/403/404 raises out of run_with_reconnect — the
+            # query must stop too, not keep running against a spool
+            # that will never grow again.
+            def _spool_loop() -> None:
+                try:
+                    spooler.run_with_reconnect(max_events=spool_max_events)
+                finally:
+                    q = _daemon_state.get("query")
+                    if q is not None:
+                        try:
+                            q.stop()
+                        except Exception:  # noqa: BLE001 best-effort
+                            pass
+
+            watch_thread = threading.Thread(
+                target=_spool_loop,
                 daemon=True,
                 name="kes-watch-spooler",
             )
-            spooler_thread.start()
+            watch_thread.start()
     elif not os.path.exists(spool_path):
         # file-tail mode: the collector appends; start from empty
         open(spool_path, "a").close()
@@ -253,6 +271,11 @@ def run_daemon(
     if available_now:
         writer = writer.trigger(availableNow=True)
     query = writer.start()
+    _daemon_state["query"] = query
+    if watch_thread is not None and not watch_thread.is_alive():
+        # the watch loop died before the query even started (e.g. a
+        # fatal auth error on the first connect) — don't zombie
+        query.stop()
 
     # received-count reconciliation: progress (with the kes_received
     # observation) is emitted after each batch commits; a light poll

@@ -244,3 +244,51 @@ def test_daemon_restart_resumes_from_checkpoint(spark, tmp_path):
     assert len(third) == 1
     ev = _json.loads(third[0])["kubernetes_event"]
     assert ev["metadata"]["uid"] == "c"
+
+
+def test_daemon_stops_when_watch_dies_fatally(spark, tmp_path):
+    """main.rs:75 parity (select_all): any task ending stops the
+    daemon. A fatal 401 from the apiserver kills the watch loop, which
+    must stop the streaming query rather than leave a daemon that
+    looks healthy while spooling nothing (ADVICE r04)."""
+    import time
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            self.send_response(401)
+            self.end_headers()
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    cfg = DaemonConfig(
+        env={
+            "CACHE_TTL": "3600",
+            "CACHE_DB": str(tmp_path / "ck"),
+            "KES_SPOOL": str(tmp_path / "spool"),
+            "KES_API_URL": f"http://127.0.0.1:{srv.server_port}",
+            "METRICS_PORT": "0",
+        }
+    )
+    try:
+        query, metrics, mserver = run_daemon(
+            spark,
+            cfg,
+            emit=lambda s: None,
+            available_now=False,
+            install_signal_handlers=False,
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline and query.isActive:
+                time.sleep(0.5)
+            assert not query.isActive  # daemon shut down, not zombied
+        finally:
+            mserver.stop()
+            if query.isActive:
+                query.stop()
+    finally:
+        srv.shutdown()
+        srv.server_close()
