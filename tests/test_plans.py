@@ -532,3 +532,11 @@ def test_equi_depth_approx_has_no_global_window(spark):
         assert "Window" not in p, f"{name} regressed to a window plan"
         # cutpoints reach the rows via a broadcast, not a sort
         assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_pagerank_exact_has_no_cartesian_beyond_broadcast(spark):
+    """3 unrolled integer rounds: every join is an equi-join or a
+    broadcast of a 1-row scalar (n, dangling mass) — no shuffled
+    cartesian anywhere."""
+    p = _plan(spark, "graph_pagerank_exact")
+    assert "CartesianProduct" not in p, p[:800]
