@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Registry-wide shuffle census: count Exchange nodes in every
+registered query's physical plan (the brief's discipline — explain
+every operator — made systematic and repeatable).
+
+For each query: build the DataFrame at the given SF and count
+  - `shuffles`: `Exchange hashpartitioning/rangepartitioning/...`
+    nodes (real data movement; SinglePartition exchanges counted
+    separately — they are the global-sort / scalar-agg tells),
+  - `broadcasts`: `BroadcastExchange` nodes (bounded-side movement,
+    the cheap kind),
+and print one JSON line per query plus a summary with the heaviest
+plans. A plan with many shuffles is not automatically wrong (TPC-H
+multi-joins earn theirs) — the census exists so a NEW unjustified
+exchange shows up as a diff against the recorded distribution.
+
+Usage: python tools/shuffle_census.py [--sf DIR] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from event_stream_for_k8s_spark.plans import REGISTRY  # noqa: E402
+from event_stream_for_k8s_spark.session import get_spark  # noqa: E402
+
+
+def census(plan: str) -> dict[str, int]:
+    # BroadcastExchange is not a shuffle; ReusedExchange references an
+    # already-counted node
+    shuffles = len(re.findall(r"(?<!Broadcast)(?<!Reused)Exchange ", plan))
+    single = len(re.findall(r"Exchange SinglePartition", plan))
+    return {
+        "shuffles": shuffles,
+        "single_partition": single,
+        "broadcasts": plan.count("BroadcastExchange"),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--top", type=int, default=12)
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+    names = args.names or sorted(REGISTRY)
+
+    spark = get_spark("shuffle_census")
+    rows = {}
+    errors = {}
+    for name in names:
+        try:
+            df = REGISTRY[name].spark(spark, args.sf)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001 - census must finish
+            errors[name] = f"{type(e).__name__}: {e}"[:120]
+            continue
+        rows[name] = census(plan)
+        print(json.dumps({"query": name, **rows[name]}), flush=True)
+
+    counts = sorted(r["shuffles"] for r in rows.values())
+    n = len(counts)
+    top = sorted(rows.items(), key=lambda kv: -kv[1]["shuffles"])[: args.top]
+    print(
+        json.dumps(
+            {
+                "census": "shuffles",
+                "n": n,
+                "errors": errors,
+                "median": counts[n // 2] if n else 0,
+                "p90": counts[int(n * 0.9)] if n else 0,
+                "max": counts[-1] if n else 0,
+                "top": [
+                    {"query": k, **v} for k, v in top
+                ],
+            }
+        )
+    )
+    return 1 if errors else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
