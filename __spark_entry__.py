@@ -29,10 +29,11 @@ from event_stream_for_k8s_spark.plans import REGISTRY  # noqa: E402
 # under early-sorting `a_chk_<name>` aliases (same callable, same
 # oracle SQL — pure duplicates, suggested by VERDICT r01 "Next round"
 # #2). Round 5's batch follows VERDICT r04 "Next round" #1's priority:
-# the five round-5 additions (two scale-safe bucketing variants, three
+# the six round-5 additions (two scale-safe bucketing variants, four
 # exactness anchors), the fifteen round-4 additions the r04 probe
-# batch predated, then the llm_*/scan_* tail. The 22 still unprobed
-# after this batch (fn/join/maint/scan/set/sql/ts/udf/win tail) are
+# batch predated, then the llm_*/scan_* tail. The 23 still unprobed
+# after this batch (llm/maint/scan/ts/udf/win tail; the authoritative
+# list is `tools/rotate_probes.py` output) are
 # round 6's final rotation, after which DRIVER_PROBES is retired
 # (VERDICT r04 #8). `tools/rotate_probes.py` computes candidate
 # batches from accumulated CORRECTNESS files.

@@ -40,6 +40,7 @@ single process). A cluster deployment passes ``emit=None`` and a
 
 from __future__ import annotations
 
+import logging
 import os
 import signal
 import threading
@@ -54,6 +55,8 @@ from event_stream_for_k8s_spark.streaming.prom_metrics import (
     ExpositionServer,
     K8sStreamMetrics,
 )
+
+log = logging.getLogger(__name__)
 
 
 class DaemonConfig:
@@ -101,7 +104,7 @@ def _keyed_stream(spark: SparkSession, spool_dir: str) -> DataFrame:
         F.struct(
             F.col("uid").alias("uid"),
             F.col("resource_version").alias("resourceVersion"),
-            F.col("namespace").alias("namespace"),
+            F.col("meta_namespace").alias("namespace"),
             F.col("creation_timestamp").alias("creationTimestamp"),
         ).alias("metadata"),
         F.struct(
@@ -130,6 +133,27 @@ def _keyed_stream(spark: SparkSession, spool_dir: str) -> DataFrame:
     )
 
 
+def _stop_on_watch_exit(state: dict) -> None:
+    """select_all shutdown (main.rs:75), race-free and idempotent:
+    called by the watch thread after it sets ``watch_done`` AND by the
+    starter after it publishes ``query`` — whichever runs second sees
+    both writes. A bounded watch that completed normally drains the
+    spooled events through the stream before stopping; a fatal exit
+    stops immediately."""
+    q = state.get("query")
+    if q is None or not state["watch_done"].is_set():
+        return
+    if state.get("stopped"):
+        return
+    state["stopped"] = True
+    try:
+        if state.get("watch_ok"):
+            q.processAllAvailable()
+        q.stop()
+    except Exception:  # noqa: BLE001 - best-effort teardown
+        pass
+
+
 def run_daemon(
     spark: SparkSession,
     config: DaemonConfig | None = None,
@@ -152,7 +176,12 @@ def run_daemon(
     spool_path = os.path.join(cfg.spool_dir, "watch.jsonl")
     # set after the query starts; the continuous-mode watch thread
     # reads it to shut the daemon down if the watch loop dies
-    _daemon_state: dict = {"query": None}
+    _daemon_state: dict = {
+        "query": None,
+        "watch_done": threading.Event(),
+        "watch_ok": False,
+        "stopped": False,
+    }
     watch_thread: threading.Thread | None = None
 
     if cfg.api_url:
@@ -193,17 +222,30 @@ def run_daemon(
             # whole daemon shuts down. If the watch loop dies — a
             # fatal 401/403/404 raises out of run_with_reconnect — the
             # query must stop too, not keep running against a spool
-            # that will never grow again.
+            # that will never grow again. A bounded watch that ends
+            # NORMALLY first drains the spooled events through the
+            # stream before stopping (the available_now path gets the
+            # same guarantee by joining the spooler pre-start).
+            # Handoff is race-free: the thread SETS watch_done before
+            # reading the query slot, the starter PUBLISHES the query
+            # before checking watch_done — whichever side loses the
+            # race still observes the other's write (_stop_on_watch_
+            # exit is idempotent).
             def _spool_loop() -> None:
+                ok = False
                 try:
                     spooler.run_with_reconnect(max_events=spool_max_events)
+                    ok = True
+                except Exception:  # noqa: BLE001 - shutdown IS the handling
+                    # the watch module already logged the specific
+                    # failure; stopping the daemon below is the
+                    # select_all response, so don't re-raise into an
+                    # unhandlable thread exception
+                    log.exception("watch loop died; stopping the daemon")
                 finally:
-                    q = _daemon_state.get("query")
-                    if q is not None:
-                        try:
-                            q.stop()
-                        except Exception:  # noqa: BLE001 best-effort
-                            pass
+                    _daemon_state["watch_ok"] = ok
+                    _daemon_state["watch_done"].set()
+                    _stop_on_watch_exit(_daemon_state)
 
             watch_thread = threading.Thread(
                 target=_spool_loop,
@@ -272,10 +314,11 @@ def run_daemon(
         writer = writer.trigger(availableNow=True)
     query = writer.start()
     _daemon_state["query"] = query
-    if watch_thread is not None and not watch_thread.is_alive():
-        # the watch loop died before the query even started (e.g. a
-        # fatal auth error on the first connect) — don't zombie
-        query.stop()
+    if _daemon_state["watch_done"].is_set():
+        # the watch loop ended before the query was published (e.g. a
+        # fatal auth error on the first connect) — don't zombie; the
+        # helper is idempotent with the thread's own call
+        _stop_on_watch_exit(_daemon_state)
 
     # received-count reconciliation: progress (with the kes_received
     # observation) is emitted after each batch commits; a light poll

@@ -41,7 +41,8 @@ from pyspark.sql.datasource import (
 
 K8S_DS_SCHEMA = (
     "uid string, resource_version string, type string, reason string,"
-    " kind string, namespace string, message string,"
+    " kind string, namespace string, meta_namespace string,"
+    " message string,"
     " last_timestamp string, first_timestamp string, creation_timestamp string"
 )
 
@@ -52,6 +53,7 @@ _FIELDS = (
     "reason",
     "kind",
     "namespace",
+    "meta_namespace",
     "message",
     "last_timestamp",
     "first_timestamp",
@@ -72,7 +74,12 @@ def _to_batch(lines: list[str]) -> pa.RecordBatch:
         cols["type"].append(ev.get("type"))
         cols["reason"].append(ev.get("reason"))
         cols["kind"].append(obj.get("kind"))
+        # the Event object's OWN namespace (metadata.namespace) is a
+        # distinct field from the involved object's — the 4-dim label
+        # uses the involvedObject one (tasks.rs:109-121), the nested
+        # NDJSON re-serialization needs both
         cols["namespace"].append(obj.get("namespace"))
+        cols["meta_namespace"].append(meta.get("namespace"))
         cols["message"].append(ev.get("message"))
         cols["last_timestamp"].append(ev.get("lastTimestamp"))
         cols["first_timestamp"].append(ev.get("firstTimestamp"))

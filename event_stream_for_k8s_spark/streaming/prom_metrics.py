@@ -265,9 +265,13 @@ class K8sStreamMetrics:
             if defer_totals_batch_id is None:
                 self.processed.labels("total").inc(total)
                 self.processed.labels("cache_hits").inc(total - misses)
+                self.processed.labels("cache_misses").inc(misses)
             else:
+                # the whole processed triple moves atomically in
+                # sync_received — incrementing misses now would let a
+                # scrape observe misses > total, breaking the A9
+                # invariant on the wire
                 self._pending_misses[defer_totals_batch_id] = misses
-            self.processed.labels("cache_misses").inc(misses)
             self.sync_bytes.labels().inc(nbytes)
             self._items += misses
             self._bytes += nbytes
@@ -291,20 +295,35 @@ class K8sStreamMetrics:
         with self._lock:
             if batch_id <= self._synced_floor or batch_id in self._synced_batches:
                 return
+            if self._synced_floor == -1 and not self._synced_batches:
+                # first batch after construction: a checkpoint restart
+                # resumes at an arbitrary batch N, so the floor must
+                # seed from the first id seen, not from 0 — otherwise
+                # the contiguous-prefix compaction below never fires
+                # and the set grows for the daemon's lifetime
+                self._synced_floor = batch_id - 1
             self._synced_batches.add(batch_id)
             while self._synced_floor + 1 in self._synced_batches:
                 self._synced_floor += 1
                 self._synced_batches.discard(self._synced_floor)
+            if len(self._synced_batches) > 1024:
+                # a progress event fell out of the ~100-entry
+                # recentProgress ring and will never arrive: abandon
+                # the gap (its pending entry is pruned below) instead
+                # of letting the set grow unboundedly behind it
+                self._synced_floor = min(self._synced_batches) - 1
+                while self._synced_floor + 1 in self._synced_batches:
+                    self._synced_floor += 1
+                    self._synced_batches.discard(self._synced_floor)
             misses = self._pending_misses.pop(batch_id, 0)
-            # a pending entry whose progress event was lost (the
-            # recentProgress ring holds ~100) must not pin memory
+            # a pending entry whose progress event was lost must not
+            # pin memory
             for bid in [
-                b
-                for b in self._pending_misses
-                if b < self._synced_floor - 1000
+                b for b in self._pending_misses if b <= self._synced_floor
             ]:
                 del self._pending_misses[bid]
             self.processed.labels("total").inc(received)
+            self.processed.labels("cache_misses").inc(misses)
             self.processed.labels("cache_hits").inc(max(0, received - misses))
 
     def sync_from_query(
@@ -320,17 +339,39 @@ class K8sStreamMetrics:
         after TTL eviction shrinks it (``src/tasks.rs:210-216``), so a
         cumulative miss count would only ever grow — the state store
         is the cache db here, and its row count is the honest twin."""
-        latest_batch, state_rows, state_bytes = -1, None, None
+        def as_dict(p) -> dict:
+            return p if isinstance(p, dict) else json.loads(p.json)
+
+        def batch_id(p) -> int:
+            # attribute access avoids parsing the full progress JSON
+            # just to discover the entry was already processed
+            if isinstance(p, dict):
+                return int(p["batchId"])
+            bid = getattr(p, "batchId", None)
+            return int(as_dict(p)["batchId"] if bid is None else bid)
+
         for p in query.recentProgress:
-            if not isinstance(p, dict):  # StreamingQueryProgress object
-                p = json.loads(p.json)
-            om = p.get("observedMetrics") or {}
+            bid = batch_id(p)
+            with self._lock:
+                seen = (
+                    bid <= self._synced_floor or bid in self._synced_batches
+                )
+            if seen:
+                continue
+            d = as_dict(p)
+            om = d.get("observedMetrics") or {}
             row = om.get(observation_name)
-            if row is not None:
-                self.sync_received(int(p["batchId"]), int(row["n"]))
-            ops = p.get("stateOperators") or []
-            if ops and int(p["batchId"]) > latest_batch:
-                latest_batch = int(p["batchId"])
+            # a zero-data batch carries no observation: record it as
+            # 0 received so the entry is marked seen (otherwise it
+            # would be re-parsed on every poll forever)
+            self.sync_received(bid, int(row["n"]) if row is not None else 0)
+        # size gauges need only the LATEST progress, not the ring
+        last = query.lastProgress
+        state_rows, state_bytes = None, None
+        if last is not None:
+            d = as_dict(last)
+            ops = d.get("stateOperators") or []
+            if ops:
                 state_rows, state_bytes = 0, 0
                 for o in ops:
                     # dedupeWithinWatermark keeps N stores per shuffle

@@ -102,6 +102,14 @@ def test_daemon_end_to_end(spark, tmp_path):
                 o["kubernetes_event"]["involvedObject"]["kind"] == "Pod"
                 for o in objs
             )
+            # metadata.namespace comes from the Event's OWN metadata,
+            # not from involvedObject (they coincide in this fixture,
+            # but each is sourced from its own JSON path)
+            assert all(
+                o["kubernetes_event"]["metadata"]["namespace"]
+                == o["kubernetes_event"]["involvedObject"]["namespace"]
+                for o in objs
+            )
             # the executor-side NDJSON sink got the same 3 lines
             sunk = spark.read.text(sink_dir).count()
             assert sunk == 3

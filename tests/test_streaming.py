@@ -891,3 +891,24 @@ def test_dedup_on_rocksdb_state_store(spark, tmp_path):
         f.write(_json.dumps({"k": "c", "time": "2024-01-01T00:10:01"}) + "\n")
     second, _ = run_once()
     assert second == ["c"]  # 'a' deduped by RocksDB-resident state
+
+
+def test_to_batch_distinguishes_metadata_and_object_namespace():
+    """metadata.namespace and involvedObject.namespace are distinct
+    JSON paths (types.rs Event shape); the flat projection carries
+    both so the daemon's nested re-serialization can be faithful."""
+    import json as _json
+
+    from event_stream_for_k8s_spark.sources.k8s_datasource import _to_batch
+
+    ev = {
+        "metadata": {"uid": "u", "resourceVersion": "1",
+                     "namespace": "meta-ns"},
+        "involvedObject": {"kind": "Pod", "namespace": "obj-ns"},
+        "type": "Normal",
+        "reason": "Started",
+    }
+    batch = _to_batch([_json.dumps(ev)])
+    d = batch.to_pydict()
+    assert d["namespace"] == ["obj-ns"]       # 4-dim label source
+    assert d["meta_namespace"] == ["meta-ns"]  # nested emit source

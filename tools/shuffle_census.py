@@ -32,14 +32,22 @@ from event_stream_for_k8s_spark.session import get_spark  # noqa: E402
 
 
 def census(plan: str) -> dict[str, int]:
-    # BroadcastExchange is not a shuffle; ReusedExchange references an
-    # already-counted node
-    shuffles = len(re.findall(r"(?<!Broadcast)(?<!Reused)Exchange ", plan))
-    single = len(re.findall(r"Exchange SinglePartition", plan))
+    # A ReusedExchange line EMBEDS the referenced exchange's own text
+    # ("ReusedExchange [...], Exchange hashpartitioning(...)"), so
+    # count on the plan with those lines dropped entirely — the
+    # referenced node is counted once where it is defined.
+    kept = "\n".join(
+        ln for ln in plan.splitlines() if "ReusedExchange" not in ln
+    )
+    total = len(re.findall(r"(?<!Broadcast)Exchange ", kept))
+    single = len(re.findall(r"Exchange SinglePartition", kept))
     return {
-        "shuffles": shuffles,
+        # keyed data movement only; SinglePartition (global-sort /
+        # scalar-agg reductions) reported separately, not double-
+        # counted here
+        "shuffles": total - single,
         "single_partition": single,
-        "broadcasts": plan.count("BroadcastExchange"),
+        "broadcasts": kept.count("BroadcastExchange"),
     }
 
 
