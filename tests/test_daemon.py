@@ -300,3 +300,38 @@ def test_daemon_stops_when_watch_dies_fatally(spark, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_daemon_executor_sink_only(spark, tmp_path):
+    """The cluster deployment shape: emit=None + sink_dir — NDJSON is
+    written from executors, nothing streams through the driver."""
+    import os
+
+    cfg = DaemonConfig(
+        env={
+            "CACHE_TTL": "3600",
+            "CACHE_DB": str(tmp_path / "ck"),
+            "KES_SPOOL": str(tmp_path / "spool"),
+            "METRICS_PORT": "0",
+        }
+    )
+    os.makedirs(cfg.spool_dir, exist_ok=True)
+    with open(os.path.join(cfg.spool_dir, "watch.jsonl"), "w") as f:
+        for uid in ("a", "b", "a"):  # one duplicate
+            f.write(json.dumps(_event(uid, 1, "BackOff", "ns")) + "\n")
+    sink_dir = str(tmp_path / "out")
+    query, metrics, mserver = run_daemon(
+        spark, cfg, emit=None, sink_dir=sink_dir, available_now=True
+    )
+    query.awaitTermination()
+    mserver.stop()
+    lines = [json.loads(r["value"])
+             for r in spark.read.text(sink_dir).collect()]
+    assert {ln["kubernetes_event"]["metadata"]["uid"]
+            for ln in lines} == {"a", "b"}
+    assert len(lines) == 2
+    metrics.sync_from_query(query)
+    s = metrics.processed.samples
+    assert s[("total",)] == 3
+    assert s[("cache_hits",)] == 1
+    assert s[("cache_misses",)] == 2
