@@ -327,7 +327,14 @@ FROM v
     "path; this pins the algorithm",
 )
 def llm_dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    return simhash32(load(spark, sf_dir, "documents"))
+
+
+def simhash32(d: DataFrame) -> DataFrame:
+    """Expression-level 32-bit SimHash over a (doc_id, text) relation
+    — the reusable pipeline behind llm_dedup_simhash_exact; the
+    hypothesis property test binds it to a pure-Python reference on
+    arbitrary token sets."""
     tok = d.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
@@ -1963,12 +1970,22 @@ def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     nodes = e.select(F.col("vec_id").alias("v"))
+    return pagerank_exact_int(nodes, und, iters=3)
+
+
+def pagerank_exact_int(
+    nodes: DataFrame, und: DataFrame, iters: int
+) -> DataFrame:
+    """All-integer PageRank over (v) nodes and (src, dst) directed
+    edges — the reusable recurrence behind graph_pagerank_exact; the
+    hypothesis property test binds it to a pure-Python reference on
+    arbitrary small graphs."""
     nn = nodes.agg(F.count("*").cast("long").alias("n"))
     deg = und.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "v", F.expr(f"{_PR_T} div n").cast("long").alias("r")
     )
-    for _ in range(3):
+    for _ in range(iters):
         contrib = (
             und.join(ranks, und.src == ranks.v)
             .join(deg, "src")

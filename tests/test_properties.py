@@ -530,3 +530,100 @@ def test_ccnet_approx_binds_to_exact(spark):
         assert r["score"] == e["score"]  # scoring is shared + exact
         agree += r["bucket"] == e["bucket"]
     assert agree / len(approx) >= 0.95
+
+
+docs_strategy = st.lists(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll", "Nd"), max_codepoint=0x7F
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(docs_strategy)
+@SETTINGS
+def test_simhash32_expression_matches_python_reference(spark, docs):
+    """The anchor's SQL construction IS the algorithm: md5-prefix bit
+    votes, bit set iff vote positive — checked against a pure-Python
+    implementation on arbitrary token lists."""
+    import hashlib
+
+    from event_stream_for_k8s_spark.plans.llm import simhash32
+
+    def ref(tokens):
+        votes = [0] * 32
+        for t in set(tokens):
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            for i in range(32):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        return sum(1 << i for i in range(32) if votes[i] > 0)
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["simhash32"] for r in simhash32(df).collect()}
+    for i, toks in enumerate(docs):
+        # split(" ") on the joined string reproduces the token list
+        # (tokens are non-empty and space-free by construction)
+        assert got[i] == ref(toks), (toks, got[i], ref(toks))
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(
+        lambda p: p[0] != p[1]
+    ),
+    min_size=0,
+    max_size=14,
+    unique=True,
+)
+
+
+@given(edges_strategy)
+@SETTINGS
+def test_pagerank_exact_int_matches_python_reference(spark, edges):
+    """The unrolled integer recurrence equals a sequential Python
+    implementation on arbitrary small digraphs (nodes 0..7, any edge
+    set, dangling nodes included)."""
+    from event_stream_for_k8s_spark.plans.llm import _PR_T, pagerank_exact_int
+
+    N = 8
+    iters = 3
+
+    def ref():
+        deg = {}
+        for s, _ in edges:
+            deg[s] = deg.get(s, 0) + 1
+        r = {v: _PR_T // N for v in range(N)}
+        for _ in range(iters):
+            inflow = {v: 0 for v in range(N)}
+            for s, d in edges:
+                inflow[d] += r[s] // deg[s]
+            dmass = sum(r[v] for v in range(N) if v not in deg)
+            r = {
+                v: (15 * _PR_T) // (100 * N)
+                + (85 * (inflow[v] + dmass // N)) // 100
+                for v in range(N)
+            }
+        return r
+
+    nodes = spark.createDataFrame([(v,) for v in range(N)], "v long")
+    und = spark.createDataFrame(
+        edges or [(0, 1)], "src long, dst long"
+    )
+    if not edges:
+        und = und.filter("src < 0")  # truly empty edge relation
+    got = {
+        r["v"]: r["rank_scaled"]
+        for r in pagerank_exact_int(nodes, und, iters).collect()
+    }
+    assert got == ref()
