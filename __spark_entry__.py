@@ -28,70 +28,39 @@ from event_stream_for_k8s_spark.plans import REGISTRY  # noqa: E402
 # each round re-registers a rotating batch of not-yet-verified queries
 # under early-sorting `a_chk_<name>` aliases (same callable, same
 # oracle SQL — pure duplicates, suggested by VERDICT r01 "Next round"
-# #2). Round 5's batch follows VERDICT r04 "Next round" #1's priority:
-# the six round-5 additions (two scale-safe bucketing variants, four
-# exactness anchors), the fifteen round-4 additions the r04 probe
-# batch predated, then the llm_*/scan_* tail. The 23 still unprobed
-# after this batch (llm/maint/scan/ts/udf/win tail; the authoritative
-# list is `tools/rotate_probes.py` output) are
-# round 6's final rotation, after which DRIVER_PROBES is retired
-# (VERDICT r04 #8). `tools/rotate_probes.py` computes candidate
-# batches from accumulated CORRECTNESS files.
+# #2). Round 6's batch is the FINAL rotation: the 23 names never yet
+# sampled across CORRECTNESS_r01..r05 (authoritative list recomputed
+# by `tools/rotate_probes.py`; VERDICT r05 "What's missing" #1 lists
+# the same 23). Once CORRECTNESS_r06 attests these, every one of the
+# 267 registered queries carries an external driver verdict and this
+# list RETIRES (deleted, per VERDICT r04 #8) — the contract file then
+# exposes the plain sorted registry with no sampling-shaped aliases.
 DRIVER_PROBES = [
-    # round-5 additions (changed this round -> highest risk): the two
-    # scale-safe bucketing variants + the four exactness anchors
-    "agg_approx_distinct_exact",
-    "agg_approx_percentile_exact",
-    "agg_hist_equi_depth_approx",
-    "graph_pagerank_exact",
-    "llm_ccnet_buckets_approx",
-    "llm_dedup_simhash_exact",
-    # round-4 additions never probed (VERDICT r04 "Next round" #1)
-    "agg_hist_equi_width",
-    "fn_array_setops",
-    "join_null_safe",
-    "llm_badwords_filter",
-    "llm_bigram_lm",
-    "llm_code_detect",
-    "llm_semdedup",
-    "scan_binaryfile",
-    "scan_json_multiline",
-    "scan_text",
-    "set_except_all",
-    "set_intersect_all",
-    "sql_qualify",
-    "ts_holt",
-    "win_nth_value",
-    # llm/scan tail fill (driver-unprobed; local oracle green)
-    "agg_countmin",
-    "llm_char_entropy",
-    "llm_dedup_incremental",
-    "llm_docstats",
-    "llm_dsir_weights",
-    "llm_embed_centroids",
-    "llm_fingerprint",
-    "llm_gopher_rules",
-    "llm_knn_brute",
-    "llm_knn_ivf",
-    "llm_knn_lsh",
-    "llm_knn_pq",
-    "llm_langid",
-    "llm_mix_temperature",
-    "llm_mm_frames",
-    "llm_multimodal",
-    "llm_ngram_novelty",
-    "llm_normalize",
-    "llm_pack_sequences",
-    "llm_perplexity",
-    "llm_pii_redact",
-    "llm_quality",
-    "llm_repetition",
-    "llm_shard_manifest",
-    "llm_split",
-    "llm_text_stats",
-    "llm_text_tfidf",
-    "llm_token_budget",
-    "llm_tokenizer_coverage",
+    # final batch: the llm/maint/scan/ts/udf/win tail (all green in the
+    # local 267-case exact-value oracle differential, rounds 3-5)
+    "llm_boilerplate",
+    "llm_bpe_pairs",
+    "llm_chat_format",
+    "llm_chunk",
+    "llm_corpus_filter",
+    "llm_corpus_mix",
+    "llm_corpus_rebuild",
+    "llm_decontaminate",
+    "llm_dedup_url",
+    "llm_doc_topk_terms",
+    "llm_tokens",
+    "maint_partition_overwrite",
+    "maint_snapshot_expire",
+    "maint_state_inspect",
+    "scan_orc",
+    "scan_partitioned",
+    "scan_recursive_glob",
+    "scan_schema_evolution",
+    "ts_seasonality",
+    "udf_arrow",
+    "win_distribution",
+    "win_ignore_nulls",
+    "win_running_distinct",
 ]
 
 
