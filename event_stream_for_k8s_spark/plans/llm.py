@@ -3647,15 +3647,17 @@ def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scores carry sketch rank error); tests/test_llm.py binds it to "
     "the exact llm_ccnet_buckets anchor: identical scores, bucket "
     "agreement on all but a sketch-error band of documents, and the "
-    "plan test asserts no Window node. Fine print: the scoring DAG "
-    "evaluates twice (cutpoint pass + output pass; Catalyst does not "
-    "canonicalize the two subplans to one exchange) — a 2x constant, "
-    "still linear; a production pipeline persists the per-doc score "
-    "relation (16 bytes/doc, ~0.1%% of corpus bytes) between the "
-    "passes",
+    "plan test asserts no Window node. The per-doc score relation is "
+    "persisted between the cutpoint pass and the assignment pass "
+    "(16 bytes/doc, ~0.1%% of corpus bytes) — without it Catalyst "
+    "does not canonicalize the two scoring subplans to one exchange "
+    "and the full tokenize+LM DAG evaluates twice (verified r5, "
+    "SCALING.md §10)",
 )
 def llm_ccnet_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = _ccnet_scored(load(spark, sf_dir, "documents"))
+    # shared by the cutpoint agg AND the assignment join below —
+    # persist so the tokenize+LM scoring DAG runs once (r05 VERDICT #4)
+    scored = _ccnet_scored(load(spark, sf_dir, "documents")).persist()
     cuts = scored.agg(
         F.percentile_approx(
             "score", [1.0 / 3.0, 2.0 / 3.0], 10000

@@ -1240,7 +1240,12 @@ WHERE rn <= ceil(0.1 * n_stratum)
     "stratum by a content hash (not rand() -- the same rows are "
     "sampled on every rebuild) and keep the top decile. EXACT "
     "per-stratum rate, unlike Bernoulli sampleBy which only hits the "
-    "rate in expectation. One shuffle on the stratum key",
+    "rate in expectation. One shuffle on the stratum key. SCALE "
+    "WARNING -- the stratum key l_returnflag has 3 values, so each "
+    "rank sorts ~N/3 rows in one task; at 100 TB either sampleBy "
+    "(Bernoulli, no shuffle) or rank on bucketed hash prefixes "
+    "(hash-range split per stratum, merge counts) replaces the "
+    "single-task per-stratum sort",
 )
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window

@@ -30,6 +30,13 @@ WINDOW w AS (PARTITION BY l_returnflag
              ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey, l_suppkey)
 """,
     section="B.5",
+    notes="declared B.5 semantics: full ranking surface over one "
+    "window. SCALE WARNING — the partition key l_returnflag has 3 "
+    "distinct values, so each window partition is ~N/3 rows sorted in "
+    "ONE task (sf1 soak ratio 7.0, sort-dominated). At 100 TB do NOT "
+    "copy this shape: if only the top rows per group matter use "
+    "topk_per_group (partial-agg pruned), or pre-bucket by a "
+    "composite key and rank within buckets",
 )
 def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -125,6 +132,12 @@ SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
 FROM lineitem
 """,
     section="B.5",
+    notes="value-bounded RANGE frame. SCALE WARNING — partitioned on "
+    "3-value l_returnflag, one ~N/3-row sorted task per value at "
+    "scale; the 100 TB form of a trailing-range count is a binned "
+    "aggregation (floor(l_quantity) group-by + bounded self-join over "
+    "adjacent bins, see join_range_binned) rather than a per-row "
+    "window over a tiny-cardinality partition key",
 )
 def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Range frames bound by VALUE, so the count is tie-insensitive.
@@ -238,7 +251,11 @@ WINDOW w AS (PARTITION BY o_orderpriority
     notes="distribution window functions: percent_rank / cume_dist / "
     "ntile over a tie-broken ordering. The ratios are exact rationals "
     "evaluated in double -- identical on both engines; round(6) "
-    "guards the hash anyway",
+    "guards the hash anyway. SCALE WARNING -- partitioned on 5-value "
+    "o_orderpriority (~N/5-row single-task sorts at 100 TB); the "
+    "scale form of a global rank-ratio is approx_percentile "
+    "cutpoint assignment (see agg_hist_equi_depth_approx / "
+    "llm_ccnet_buckets_approx), not a per-row distribution window",
 )
 def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")

@@ -24,6 +24,8 @@ pipeline code is transport-agnostic either way.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -33,6 +35,18 @@ from event_stream_for_k8s_spark.sources.roundtrip import (
 )
 
 REFERENCE_BATCH_CAP = 1024  # src/main.rs:61, src/tasks.rs:76
+
+log = logging.getLogger(__name__)
+
+# The loud-failure contract for a forced kafka transport without the
+# connector on the classpath (tests match on this prefix): production
+# deployments must never silently switch transports.
+KAFKA_UNAVAILABLE_MSG = (
+    "kafka transport requested but the spark-sql-kafka-0-10 connector "
+    "is not on the classpath; add the connector jars "
+    "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>) or "
+    "pass transport='files' explicitly to use the NDJSON file transport"
+)
 
 
 def kafka_available(spark: SparkSession) -> bool:
@@ -128,16 +142,30 @@ def event_stream(
 ) -> DataFrame:
     """Transport-agnostic event stream: ``kafka`` when the connector
     is present (or forced), else the file transport over ``path``.
-    Downstream schema is identical, so pipelines don't branch."""
+    Downstream schema is identical, so pipelines don't branch.
+
+    Failure contract: ``transport="kafka"`` (forced, the production
+    mode) with no connector raises ``RuntimeError`` with
+    ``KAFKA_UNAVAILABLE_MSG`` — it never silently switches transports.
+    Only ``transport="auto"`` falls back, and it logs a warning when
+    brokers were configured but the connector is absent."""
     if transport == "auto":
-        transport = (
-            "kafka"
-            if brokers is not None and kafka_available(spark)
-            else "files"
-        )
+        if brokers is not None and kafka_available(spark):
+            transport = "kafka"
+        else:
+            if brokers is not None:
+                log.warning(
+                    "event_stream(auto): brokers configured but the "
+                    "kafka connector is absent — falling back to the "
+                    "file transport over %s",
+                    path,
+                )
+            transport = "files"
     if transport == "kafka":
         if brokers is None or topic is None:
             raise ValueError("kafka transport needs brokers and topic")
+        if not kafka_available(spark):
+            raise RuntimeError(KAFKA_UNAVAILABLE_MSG)
         return read_kafka_events(spark, brokers, topic, **kafka_opts)
     if transport == "files":
         if path is None:

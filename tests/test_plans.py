@@ -142,6 +142,19 @@ def test_kafka_transport_wiring(spark):
     if not available:
         with _pytest.raises(Exception, match="kafka|KAFKA|DATA_SOURCE"):
             K.read_kafka_events(spark, "localhost:9092", "events")
+        # forced kafka transport (production mode) must fail LOUDLY
+        # with the documented message — never silently switch
+        # transports (VERDICT r05 #5)
+        with _pytest.raises(
+            RuntimeError, match="kafka transport requested"
+        ):
+            K.event_stream(
+                spark,
+                transport="kafka",
+                brokers="localhost:9092",
+                topic="kube-events",
+                path=src,  # a valid fallback path must NOT rescue it
+            )
 
 
 def test_range_binned_join_is_hash_not_nested_loop(spark):
