@@ -553,3 +553,41 @@ def test_pagerank_exact_has_no_cartesian_beyond_broadcast(spark):
     cartesian anywhere."""
     p = _plan(spark, "graph_pagerank_exact")
     assert "CartesianProduct" not in p, p[:800]
+
+
+def test_shuffle_census_gate(spark):
+    """The registry-wide shuffle census (tools/shuffle_census.py) as a
+    regression GATE, not a report (VERDICT r05 #6): for the headline
+    bench set plus the recorded top shuffle outliers, a plan whose
+    keyed-shuffle count RISES above tools/census_baseline.json fails.
+    Dropping below the baseline is fine (that's an optimization — then
+    re-record the baseline)."""
+    import json
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    from bench import HEADLINE
+    from tools.shuffle_census import census
+
+    baseline = json.loads(
+        (
+            pathlib.Path(__file__).resolve().parents[1]
+            / "tools"
+            / "census_baseline.json"
+        ).read_text()
+    )
+    recorded = baseline["queries"]
+    outliers = sorted(
+        recorded, key=lambda n: -recorded[n]["shuffles"]
+    )[:12]
+    worse = {}
+    for name in sorted(set(HEADLINE) | set(outliers)):
+        now = census(_plan(spark, name))
+        base = recorded[name]
+        if now["shuffles"] > base["shuffles"]:
+            worse[name] = {"now": now, "recorded": base}
+    assert not worse, (
+        "keyed-shuffle count rose vs tools/census_baseline.json "
+        f"(re-justify or fix the plan): {worse}"
+    )
