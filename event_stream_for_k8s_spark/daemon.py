@@ -96,10 +96,13 @@ def _keyed_stream(spark: SparkSession, spool_dir: str) -> DataFrame:
     )
     ts = lambda c: F.col(c).cast("timestamp")  # noqa: E731 (ISO8601)
     # the reference serializes the FULL nested k8s Event (types.rs:
-    # 10-18: metadata.uid, involvedObject.kind, ...); rebuild that
-    # shape from the source's flat projection so NDJSON consumers of
-    # the reference's output parse ours unchanged. to_json drops null
-    # fields, matching serde's Option-skipping.
+    # 10-18: metadata.uid, involvedObject.{kind,name,namespace},
+    # count, source.component, ...); rebuild that shape from the
+    # source's flat projection so NDJSON consumers keying on any of
+    # those fields (ADVICE r05: involvedObject.name in particular)
+    # parse ours unchanged. to_json drops null fields, matching
+    # serde's Option-skipping — an Event without source/count omits
+    # them here too.
     nested_event = F.struct(
         F.struct(
             F.col("uid").alias("uid"),
@@ -109,11 +112,17 @@ def _keyed_stream(spark: SparkSession, spool_dir: str) -> DataFrame:
         ).alias("metadata"),
         F.struct(
             F.col("kind").alias("kind"),
+            F.col("obj_name").alias("name"),
             F.col("namespace").alias("namespace"),
         ).alias("involvedObject"),
         F.col("type").alias("type"),
         F.col("reason").alias("reason"),
         F.col("message").alias("message"),
+        F.col("count").cast("int").alias("count"),
+        F.when(
+            F.col("source_component").isNotNull(),
+            F.struct(F.col("source_component").alias("component")),
+        ).alias("source"),
         F.col("first_timestamp").alias("firstTimestamp"),
         F.col("last_timestamp").alias("lastTimestamp"),
     )
@@ -137,15 +146,19 @@ def _stop_on_watch_exit(state: dict) -> None:
     """select_all shutdown (main.rs:75), race-free and idempotent:
     called by the watch thread after it sets ``watch_done`` AND by the
     starter after it publishes ``query`` — whichever runs second sees
-    both writes. A bounded watch that completed normally drains the
-    spooled events through the stream before stopping; a fatal exit
-    stops immediately."""
+    both writes, and the ``stop_lock`` makes the stopped test-and-set
+    atomic so exactly ONE caller performs the drain-and-stop (ADVICE
+    r05: the bare check-then-set let both enter and interleave
+    processAllAvailable()/stop()). A bounded watch that completed
+    normally drains the spooled events through the stream before
+    stopping; a fatal exit stops immediately."""
     q = state.get("query")
     if q is None or not state["watch_done"].is_set():
         return
-    if state.get("stopped"):
-        return
-    state["stopped"] = True
+    with state["stop_lock"]:
+        if state.get("stopped"):
+            return
+        state["stopped"] = True
     try:
         if state.get("watch_ok"):
             q.processAllAvailable()
@@ -181,6 +194,7 @@ def run_daemon(
         "watch_done": threading.Event(),
         "watch_ok": False,
         "stopped": False,
+        "stop_lock": threading.Lock(),
     }
     watch_thread: threading.Thread | None = None
 

@@ -41,8 +41,9 @@ from pyspark.sql.datasource import (
 
 K8S_DS_SCHEMA = (
     "uid string, resource_version string, type string, reason string,"
-    " kind string, namespace string, meta_namespace string,"
-    " message string,"
+    " kind string, namespace string, obj_name string,"
+    " meta_namespace string, message string, count string,"
+    " source_component string,"
     " last_timestamp string, first_timestamp string, creation_timestamp string"
 )
 
@@ -53,8 +54,11 @@ _FIELDS = (
     "reason",
     "kind",
     "namespace",
+    "obj_name",
     "meta_namespace",
     "message",
+    "count",
+    "source_component",
     "last_timestamp",
     "first_timestamp",
     "creation_timestamp",
@@ -79,8 +83,17 @@ def _to_batch(lines: list[str]) -> pa.RecordBatch:
         # uses the involvedObject one (tasks.rs:109-121), the nested
         # NDJSON re-serialization needs both
         cols["namespace"].append(obj.get("namespace"))
+        cols["obj_name"].append(obj.get("name"))
         cols["meta_namespace"].append(meta.get("namespace"))
         cols["message"].append(ev.get("message"))
+        # count is int in the Event API; carried as string in the flat
+        # projection (all-string Arrow batch), re-typed at the nested
+        # NDJSON re-serialization boundary
+        c = ev.get("count")
+        cols["count"].append(None if c is None else str(c))
+        cols["source_component"].append(
+            (ev.get("source") or {}).get("component")
+        )
         cols["last_timestamp"].append(ev.get("lastTimestamp"))
         cols["first_timestamp"].append(ev.get("firstTimestamp"))
         cols["creation_timestamp"].append(meta.get("creationTimestamp"))

@@ -43,10 +43,20 @@ import urllib.request
 
 log = logging.getLogger(__name__)
 
-#: HTTP statuses that no amount of retrying will fix: bad/expired
-#: credentials, RBAC denial, or a wrong URL. The reconnect loop
-#: raises on these instead of silently backing off forever.
+#: HTTP statuses that normally mean bad/expired credentials, RBAC
+#: denial, or a wrong URL. These CAN be transient (a 403 during token
+#: rotation or RBAC propagation), so the reconnect loop allows
+#: ``FATAL_HTTP_RETRIES`` consecutive occurrences with backoff before
+#: declaring the failure permanent and raising. This is an intentional
+#: divergence from the reference (kube-rs ``default_backoff`` retries
+#: ALL errors indefinitely, ``src/tasks.rs:173-175`` merely warns):
+#: retrying auth errors forever leaves a daemon that looks healthy
+#: while spooling nothing.
 FATAL_HTTP_CODES = frozenset({401, 403, 404})
+
+#: Consecutive fatal-status responses tolerated (with backoff) before
+#: the loop raises — rides out token rotation / RBAC propagation.
+FATAL_HTTP_RETRIES = 3
 
 
 class K8sWatchSpooler:
@@ -218,6 +228,7 @@ class K8sWatchSpooler:
         do_sleep = _time.sleep if sleep is None else sleep
         start, rounds = self.events_spooled, 0
         delay = backoff_initial
+        fatal_seen = 0  # consecutive FATAL_HTTP_CODES responses
 
         def total() -> int:
             return self.events_spooled - start
@@ -233,6 +244,7 @@ class K8sWatchSpooler:
                 self.watch(
                     None if max_events is None else max_events - total()
                 )
+                fatal_seen = 0  # a successful round clears the streak
                 got = self.events_spooled - before
                 if got > 0:
                     delay = backoff_initial  # progress resets backoff
@@ -250,23 +262,41 @@ class K8sWatchSpooler:
                 do_sleep(delay)
                 delay = min(delay * 2, backoff_max)
             except urllib.error.HTTPError as e:
-                # auth/RBAC/URL errors are permanent: retrying at 30s
-                # forever would leave a daemon that looks healthy while
-                # spooling nothing (the reference's watcher bubbles
-                # these up through watcher::Error the same way)
+                # auth/RBAC/URL statuses get FATAL_HTTP_RETRIES
+                # consecutive backoff retries (token rotation / RBAC
+                # propagation is transient) and THEN raise — a bounded
+                # middle ground between the reference's retry-forever
+                # (kube-rs default_backoff; tasks.rs:173-175 warns) and
+                # a daemon that silently spools nothing for hours
                 if e.code in FATAL_HTTP_CODES:
-                    log.error(
-                        "k8s watch: fatal HTTP %d from %s — not retrying",
+                    fatal_seen += 1
+                    if fatal_seen > FATAL_HTTP_RETRIES:
+                        log.error(
+                            "k8s watch: HTTP %d from %s persisted "
+                            "across %d retries — treating as "
+                            "permanent",
+                            e.code,
+                            self.base_url,
+                            FATAL_HTTP_RETRIES,
+                        )
+                        raise
+                    log.warning(
+                        "k8s watch: HTTP %d from %s (possible "
+                        "credential/RBAC rotation); retry %d/%d in "
+                        "%.1fs",
                         e.code,
                         self.base_url,
+                        fatal_seen,
+                        FATAL_HTTP_RETRIES,
+                        delay,
                     )
-                    raise
-                log.warning(
-                    "k8s watch: HTTP %d from %s; retrying in %.1fs",
-                    e.code,
-                    self.base_url,
-                    delay,
-                )
+                else:
+                    log.warning(
+                        "k8s watch: HTTP %d from %s; retrying in %.1fs",
+                        e.code,
+                        self.base_url,
+                        delay,
+                    )
                 do_sleep(delay)
                 delay = min(delay * 2, backoff_max)
             except (OSError, http.client.HTTPException, ValueError) as e:

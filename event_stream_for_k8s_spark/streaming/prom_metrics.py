@@ -39,12 +39,15 @@ first-by-(event-time, id) order its channel delivery does.
 from __future__ import annotations
 
 import json
+import logging
 import threading
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 CONTENT_TYPE = "text/plain; version=0.0.4; charset=utf-8"
 
@@ -188,9 +191,15 @@ class K8sStreamMetrics:
         )
         self._items = 0
         self._bytes = 0
-        # batch_id -> miss count, for deferred total/hit accounting
-        # when the received count comes from a pre-dedup .observe()
-        self._pending_misses: dict[int, int] = {}
+        # batch_id -> the batch's ENTIRE staged increment set (miss
+        # count, per-label counts, byte totals) for deferred
+        # accounting when the received count comes from a pre-dedup
+        # .observe(). Staging everything (not just misses) makes a
+        # foreachBatch RETRY idempotent across the board: re-observing
+        # a batch overwrites its staged entry instead of double-
+        # incrementing events/sync_bytes while total reconciles once
+        # (ADVICE r05).
+        self._pending: dict[int, dict] = {}
         # seen-batch bookkeeping is watermark-compacted: batch ids are
         # monotone, so contiguous prefixes collapse into _synced_floor
         # and the set stays O(out-of-order window), not O(daemon age)
@@ -253,38 +262,61 @@ class K8sStreamMetrics:
             .collect()
         )
         total, misses, nbytes = 0, 0, 0
+        labels: list[tuple[str, str, str, str, int]] = []
         for r in per_label:
             lbl = r["_lbl"]
-            self.events.labels(lbl["l0"], lbl["l1"], lbl["l2"], lbl["l3"]).inc(
-                r["n"]
-            )
+            labels.append((lbl["l0"], lbl["l1"], lbl["l2"], lbl["l3"], r["n"]))
             misses += r["n"]
             total += r["rows"]
             nbytes += r["nbytes"]
         with self._lock:
             if defer_totals_batch_id is None:
+                self._apply_labels_and_bytes(labels, nbytes)
                 self.processed.labels("total").inc(total)
                 self.processed.labels("cache_hits").inc(total - misses)
                 self.processed.labels("cache_misses").inc(misses)
-            else:
-                # the whole processed triple moves atomically in
-                # sync_received — incrementing misses now would let a
-                # scrape observe misses > total, breaking the A9
-                # invariant on the wire
-                self._pending_misses[defer_totals_batch_id] = misses
-            self.sync_bytes.labels().inc(nbytes)
-            self._items += misses
-            self._bytes += nbytes
-            if defer_totals_batch_id is None:
                 # standalone (no state store in sight): cumulative
                 # insert accounting approximates the cache size
                 self.size.labels("items").set(self._items)
                 self.size.labels("bytes").set(self._bytes)
+            elif (
+                defer_totals_batch_id <= self._synced_floor
+                or defer_totals_batch_id in self._synced_batches
+            ):
+                # totals for this batch already reconciled (progress
+                # beat the observer): apply the label/byte increments
+                # directly — staging would strand them
+                self._apply_labels_and_bytes(labels, nbytes)
+            else:
+                # EVERYTHING moves atomically in sync_received —
+                # incrementing misses now would let a scrape observe
+                # misses > total (A9 invariant), and incrementing
+                # events/sync_bytes now would double-count on a
+                # foreachBatch retry. Same-batch re-observation
+                # overwrites (idempotent).
+                self._pending[defer_totals_batch_id] = {
+                    "misses": misses,
+                    "labels": labels,
+                    "nbytes": nbytes,
+                }
             # daemon mode: sync_from_query owns the size gauges and
             # points them at the live dedup state store (which SHRINKS
             # on watermark eviction, like the reference's sled db
             # after its TTL cleaner runs)
         return misses
+
+    def _apply_labels_and_bytes(
+        self,
+        labels: list[tuple[str, str, str, str, int]],
+        nbytes: int,
+    ) -> None:
+        """Apply one batch's per-label counts and byte totals. Caller
+        holds the lock."""
+        for l0, l1, l2, l3, n in labels:
+            self.events.labels(l0, l1, l2, l3).inc(n)
+        self.sync_bytes.labels().inc(nbytes)
+        self._items += sum(n for *_, n in labels)
+        self._bytes += nbytes
 
     def sync_received(self, batch_id: int, received: int) -> None:
         """Reconcile one batch's RECEIVED count (pre-dedup) with the
@@ -309,19 +341,38 @@ class K8sStreamMetrics:
             if len(self._synced_batches) > 1024:
                 # a progress event fell out of the ~100-entry
                 # recentProgress ring and will never arrive: abandon
-                # the gap (its pending entry is pruned below) instead
-                # of letting the set grow unboundedly behind it
+                # the gap instead of letting the set grow unboundedly
+                # behind it. The abandoned batches' received counts
+                # and staged increments are LOST (permanent undercount
+                # of total/cache_hits) — make that observable to the
+                # operator instead of silent (ADVICE r05)
+                old_floor = self._synced_floor
                 self._synced_floor = min(self._synced_batches) - 1
                 while self._synced_floor + 1 in self._synced_batches:
                     self._synced_floor += 1
                     self._synced_batches.discard(self._synced_floor)
-            misses = self._pending_misses.pop(batch_id, 0)
+                lost = [
+                    b for b in self._pending if b <= self._synced_floor
+                ]
+                log.warning(
+                    "metrics observer: abandoned batch-id gap "
+                    "(%d, %d] — progress events lost; dropping %d "
+                    "staged batch(es) with %d pending misses; "
+                    "total/cache_hits will undercount from here",
+                    old_floor,
+                    self._synced_floor,
+                    len(lost),
+                    sum(self._pending[b]["misses"] for b in lost),
+                )
+            staged = self._pending.pop(
+                batch_id, {"misses": 0, "labels": [], "nbytes": 0}
+            )
             # a pending entry whose progress event was lost must not
             # pin memory
-            for bid in [
-                b for b in self._pending_misses if b <= self._synced_floor
-            ]:
-                del self._pending_misses[bid]
+            for bid in [b for b in self._pending if b <= self._synced_floor]:
+                del self._pending[bid]
+            self._apply_labels_and_bytes(staged["labels"], staged["nbytes"])
+            misses = staged["misses"]
             self.processed.labels("total").inc(received)
             self.processed.labels("cache_misses").inc(misses)
             self.processed.labels("cache_hits").inc(max(0, received - misses))

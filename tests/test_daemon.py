@@ -29,6 +29,7 @@ def _event(uid, rv, reason, ns):
         "involvedObject": {"kind": "Pod", "namespace": ns, "name": "p"},
         "lastTimestamp": "2024-03-01T10:00:05Z",
         "count": 1,
+        "source": {"component": "kubelet"},
     }
 
 
@@ -100,6 +101,16 @@ def test_daemon_end_to_end(spark, tmp_path):
                     for o in objs} == {"u1", "u2", "u3"}
             assert all(
                 o["kubernetes_event"]["involvedObject"]["kind"] == "Pod"
+                for o in objs
+            )
+            # consumers keying on involvedObject.name, count or
+            # source.component (ADVICE r05) see them intact and TYPED
+            # (count back to int through the all-string projection)
+            assert all(
+                o["kubernetes_event"]["involvedObject"]["name"] == "p"
+                and o["kubernetes_event"]["count"] == 1
+                and o["kubernetes_event"]["source"]["component"]
+                == "kubelet"
                 for o in objs
             )
             # metadata.namespace comes from the Event's OWN metadata,

@@ -196,7 +196,8 @@ def test_sync_received_watermark_compaction():
     O(daemon age)); replays below the floor are ignored; pending miss
     entries whose progress was lost are pruned."""
     m = K8sStreamMetrics()
-    m._pending_misses.update({0: 1, 1: 2, 5: 1})
+    stage = lambda n: {"misses": n, "labels": [], "nbytes": 0}  # noqa: E731
+    m._pending.update({0: stage(1), 1: stage(2), 5: stage(1)})
     for b in (0, 1, 2, 3, 4):  # ordered arrivals collapse
         m.sync_received(b, 10)
     assert m._synced_floor == 4 and m._synced_batches == set()
@@ -208,3 +209,39 @@ def test_sync_received_watermark_compaction():
     s = m.processed.samples
     assert s[("total",)] == 70
     assert s[("cache_hits",)] == 66  # 70 received - 4 misses popped
+
+
+def test_deferred_observe_retry_is_fully_idempotent(spark):
+    """A foreachBatch RETRY re-observes the same batch_id. With
+    deferred totals, EVERY counter family must apply exactly once
+    (ADVICE r05: previously events/sync_bytes/_items re-incremented
+    per retry while total reconciled once, so sum(events) could
+    exceed cache_misses)."""
+    m = K8sStreamMetrics()
+    b = _batch(spark)
+    kw = dict(key_col="k", order_cols=("t",), defer_totals_batch_id=7)
+    m.observe_batch(b, **kw)
+    m.observe_batch(b, **kw)  # the retry: overwrites the staged entry
+    # nothing visible until the progress event reconciles the batch
+    assert sum(m.events.samples.values()) == 0
+    assert m.processed.samples == {}
+    m.sync_received(7, 5)
+    fam = m.processed.samples
+    assert fam[("total",)] == 5
+    assert fam[("cache_misses",)] == 3
+    assert fam[("cache_hits",)] == 2
+    # per-label events == misses (the implied invariant), applied once
+    assert sum(m.events.samples.values()) == 3
+    assert m.sync_bytes.samples[()] == 31
+    # a replayed progress event after reconciliation is also a no-op
+    m.sync_received(7, 5)
+    assert sum(m.events.samples.values()) == 3
+
+    # progress-beats-observer race: totals reconciled first (misses
+    # unknown -> 0), the late observe applies label/bytes directly
+    m2 = K8sStreamMetrics()
+    m2.sync_received(3, 5)
+    m2.observe_batch(b, key_col="k", order_cols=("t",),
+                     defer_totals_batch_id=3)
+    assert sum(m2.events.samples.values()) == 3  # not stranded
+    assert m2._pending == {}

@@ -792,6 +792,89 @@ def test_k8s_watch_http_410_status_relists(tmp_path):
         srv.server_close()
 
 
+def test_k8s_watch_http_fatal_codes_bounded_retry(tmp_path):
+    """401/403/404 are retried a BOUNDED number of times with backoff
+    (a 403 during token rotation / RBAC propagation is transient —
+    ADVICE r05), then raised as permanent. Two scenarios against the
+    same handler shape: (a) a persistent 403 raises after exactly
+    FATAL_HTTP_RETRIES retries; (b) a 403 that clears after two
+    occurrences recovers and spools."""
+    import threading
+    import urllib.error
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    import pytest as _pytest
+
+    from event_stream_for_k8s_spark.sources.k8s_watch_http import (
+        FATAL_HTTP_RETRIES,
+        K8sWatchSpooler,
+    )
+
+    calls = {"n": 0}
+    deny_first = {"n": 10**9}  # persistent denial by default
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            calls["n"] += 1
+            if calls["n"] <= deny_first["n"]:
+                self.send_error(403, "Forbidden")
+                return
+            import json as _json
+
+            self.send_response(200)
+            self.end_headers()
+            if "watch=true" in self.path:
+                return  # clean empty EOF
+            self.wfile.write(
+                _json.dumps(
+                    {
+                        "kind": "EventList",
+                        "metadata": {"resourceVersion": "5"},
+                        "items": [
+                            {
+                                "metadata": {
+                                    "uid": "u1",
+                                    "resourceVersion": "1",
+                                }
+                            }
+                        ],
+                    }
+                ).encode()
+            )
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        # (a) persistent 403: bounded retries, then the error surfaces
+        sleeps: list[float] = []
+        sp = K8sWatchSpooler(
+            f"http://127.0.0.1:{srv.server_port}",
+            str(tmp_path / "a.jsonl"),
+        )
+        with _pytest.raises(urllib.error.HTTPError):
+            sp.run_with_reconnect(sleep=sleeps.append)
+        assert calls["n"] == FATAL_HTTP_RETRIES + 1  # retries + final
+        assert len(sleeps) == FATAL_HTTP_RETRIES  # backoff per retry
+        assert sp.events_spooled == 0
+
+        # (b) transient 403 (clears after 2): the loop rides it out
+        calls["n"], deny_first["n"] = 0, 2
+        sp2 = K8sWatchSpooler(
+            f"http://127.0.0.1:{srv.server_port}",
+            str(tmp_path / "b.jsonl"),
+        )
+        total = sp2.run_with_reconnect(
+            max_rounds=3, sleep=lambda _s: None
+        )
+        assert total == 1  # the listed u1 arrived post-rotation
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_concurrent_streaming_queries_isolated_conf(spark):
     """The round-4 clone-session harness exists precisely so two
     streaming queries with DIFFERENT state-partition layouts can run
