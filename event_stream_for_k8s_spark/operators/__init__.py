@@ -2,6 +2,7 @@
 
 from event_stream_for_k8s_spark.operators.dedup import (
     dedup_exact,
+    dedup_first_agg,
     dedup_key,
     dedup_rank,
 )
@@ -10,6 +11,7 @@ from event_stream_for_k8s_spark.operators.topk import top_k, top_k_per_group
 
 __all__ = [
     "dedup_exact",
+    "dedup_first_agg",
     "dedup_key",
     "dedup_rank",
     "asof_join",

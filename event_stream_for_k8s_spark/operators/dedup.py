@@ -12,7 +12,13 @@ Scale notes (100 TB): ``dedup_exact`` is a hash aggregation on the key
 — one shuffle, map-side partial dedup for free, AQE handles skew.
 ``dedup_rank`` is a window — same single shuffle on the key but keeps a
 deterministic "which row survives" contract, which the plain
-``dropDuplicates`` does not.
+``dropDuplicates`` does not. ``dedup_first_agg`` keeps dedup_rank's
+deterministic contract but runs as a ``min_by`` HASH AGGREGATION:
+map-side partial aggregation pre-collapses duplicates before the
+shuffle (when key cardinality << row count the exchange carries
+~|keys| rows per mapper instead of every row) and no per-partition
+sort ever runs — the preferred form whenever downstream doesn't need
+the non-surviving rows.
 """
 
 from __future__ import annotations
@@ -52,6 +58,32 @@ def dedup_rank(
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+    )
+
+
+def dedup_first_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[Column | str],
+) -> DataFrame:
+    """Deterministic dedup as an AGGREGATION: the surviving row per
+    key is the ``min_by`` under ``order`` — row-for-row equivalent to
+    ``dedup_rank`` whenever ``order`` is total within each key (or
+    order-ties carry identical payloads, e.g. exact re-deliveries).
+
+    Scale: hash aggregate instead of sort+window — partial (map-side)
+    combine collapses duplicates before the exchange, and nothing is
+    ever sorted. Column order in the result is keys-first (select by
+    name downstream, as everywhere else).
+    """
+    other = [c for c in df.columns if c not in set(keys)]
+    ord_struct = F.struct(
+        *[F.col(c) if isinstance(c, str) else c for c in order]
+    )
+    return (
+        df.groupBy(*keys)
+        .agg(F.min_by(F.struct(*other), ord_struct).alias("__first"))
+        .select(*keys, "__first.*")
     )
 
 

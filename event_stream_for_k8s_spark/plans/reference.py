@@ -18,7 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from event_stream_for_k8s_spark.catalog import load
-from event_stream_for_k8s_spark.operators import dedup_key, dedup_rank
+from event_stream_for_k8s_spark.operators import (
+    dedup_first_agg,
+    dedup_key,
+    dedup_rank,
+)
 from event_stream_for_k8s_spark.plans.registry import query
 from event_stream_for_k8s_spark.plans.util import dsum, sql_dsum
 
@@ -149,7 +153,21 @@ def keyed_synthetic_k8s(ev: DataFrame) -> DataFrame:
 @query("k8s_envelope_multidim_count", oracle=K8S_ORACLE, section="A4-A8")
 def k8s_envelope_multidim_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = keyed_synthetic_k8s(load(spark, sf_dir, "events"))
-    deduped = dedup_rank(keyed, ["k"], ["time", "event_id"])
+    # A6 dedup as a min_by AGGREGATION (dedup_first_agg), not a
+    # window: the A5 key space here is tiny (~2.1k uid x rv combos)
+    # relative to the stream, so map-side partial aggregation
+    # collapses duplicates BEFORE the exchange — the shuffle carries
+    # ~|keys| rows per mapper instead of every event, and no
+    # per-partition sort runs. Row-for-row equal to dedup_rank:
+    # (time, event_id) is total within each key. Payload pruned to
+    # the four label columns the A8 rollup needs.
+    deduped = dedup_first_agg(
+        keyed.select(
+            "k", "time", "event_id", "type", "reason", "kind", "namespace"
+        ),
+        ["k"],
+        ["time", "event_id"],
+    )
     return deduped.groupBy(
         F.coalesce("type", F.lit("-")).alias("etype"),
         F.coalesce("reason", F.lit("-")).alias("ereason"),

@@ -555,6 +555,22 @@ def test_pagerank_exact_has_no_cartesian_beyond_broadcast(spark):
     assert "CartesianProduct" not in p, p[:800]
 
 
+def test_multidim_dedup_is_partial_agg_not_window(spark):
+    """k8s_envelope_multidim_count's A6 dedup runs as a min_by
+    AGGREGATION with a PARTIAL (map-side) phase — duplicates collapse
+    to ~|keys| rows per mapper BEFORE the exchange — not as a window
+    (which ships every row through the shuffle and sorts it on the
+    reducer). Round-6 rewrite, measured 22% faster at sf0.1.
+    (The min_by lands as SortAggregate, not HashAggregate — struct-
+    typed agg buffers aren't Tungsten-hashable — but the partial
+    phase, the shuffle-volume collapse, is what matters.)"""
+    p = _plan(spark, "k8s_envelope_multidim_count")
+    assert "Window" not in p, p[:800]
+    assert "partial_min_by" in p, p[:800]  # map-side combine present
+    # label rollup keeps its partial+final HashAggregate pair
+    assert p.count("HashAggregate") >= 2, p[:800]
+
+
 def test_shuffle_census_gate(spark):
     """The registry-wide shuffle census (tools/shuffle_census.py) as a
     regression GATE, not a report (VERDICT r05 #6): for the headline

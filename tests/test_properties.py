@@ -55,6 +55,31 @@ def test_dedup_idempotent_and_unique(spark, data):
     assert got_once == sorted((k, ts, v) for k, (ts, v) in expect.items())
 
 
+@given(data=rows)
+@SETTINGS
+def test_dedup_first_agg_equals_dedup_rank(spark, data):
+    """The min_by-aggregation dedup (map-side-combinable, no sort)
+    is row-for-row the window dedup whenever the order is total per
+    key — here (ts, v) over distinct rows; duplicate (k, ts, v) rows
+    carry identical payloads so ties are harmless either way."""
+    from event_stream_for_k8s_spark.operators.dedup import (
+        dedup_first_agg,
+        dedup_rank,
+    )
+
+    df = spark.createDataFrame(data, "k int, ts long, v int")
+    ranked = sorted(
+        map(tuple, dedup_rank(df, ["k"], ["ts", "v"]).collect())
+    )
+    agged = sorted(
+        tuple(r)
+        for r in dedup_first_agg(df, ["k"], ["ts", "v"])
+        .select("k", "ts", "v")  # same column order as the input
+        .collect()
+    )
+    assert ranked == agged
+
+
 @given(
     pairs=st.lists(
         st.tuples(st.integers(0, 1023), st.integers(0, 1023)),
