@@ -32,8 +32,13 @@ def l2norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity; formula shape must match the oracle SQL
-    (dot / (sqrt(dot aa) * sqrt(dot bb))) for bit-stable comparison."""
-    return dot(a, b) / (l2norm(a) * l2norm(b))
+    (dot / (sqrt(dot aa) * sqrt(dot bb))) for bit-stable comparison.
+
+    ``try_divide``, not ``/``: a zero-norm vector makes the
+    denominator 0 and ANSI ``/`` THROWS where DuckDB's ``/`` yields
+    NULL — try_divide restores the NULL-on-zero parity (found by
+    tests/test_degenerate_embeddings.py round 6)."""
+    return F.try_divide(dot(a, b), l2norm(a) * l2norm(b))
 
 
 def sql_dot(a: str, b: str) -> str:

@@ -455,6 +455,13 @@ def knn_pq(
             f"knn_pq query set exceeds {max_queries} rows; chunk the "
             "queries or use the LSH/IVF paths for query-heavy workloads"
         )
+    if not qrows:
+        # empty query set: a legitimate serving state (e.g. nothing
+        # sampled this cycle) — return an empty result with the
+        # contract schema instead of letting np.stack([]) throw
+        return spark.createDataFrame(
+            [], f"{q_id} bigint, {c_id} bigint, sim double, rnk int"
+        )
     luts, qids, qnorms = [], [], []
     for r in qrows:
         qv = np.asarray(r[1], dtype=np.float64)

@@ -844,18 +844,26 @@ def llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT vec_id,
        round(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 6)
          AS scale,
-       array_to_string(
-         list_transform(embedding::DOUBLE[],
-                        x -> cast(round(x / list_max(
-                              list_transform(embedding::DOUBLE[], y -> abs(y)))
-                              * 127) AS int)), ',') AS qvec
+       CASE WHEN list_max(list_transform(embedding::DOUBLE[],
+                                         y -> abs(y))) <> 0
+            THEN array_to_string(
+              list_transform(embedding::DOUBLE[],
+                             x -> cast(round(x / list_max(
+                                   list_transform(embedding::DOUBLE[],
+                                                  y -> abs(y)))
+                                   * 127) AS int)), ',')
+       END AS qvec
 FROM embeddings
 """,
     section="B.11",
     notes="symmetric int8 quantization as pure expressions — the "
     "storage/bandwidth scale path for embedding corpora (4x smaller, "
     "dot products in int arithmetic); per-row double math is exact on "
-    "both engines",
+    "both engines. Zero-vector contract: scale 0 has no quantization "
+    "(qvec NULL on both engines) — ANSI / would throw and the two "
+    "engines' NULL-element list serializations disagree ('' vs "
+    "NULL), so the degenerate case is pinned explicitly "
+    "(tests/test_degenerate_embeddings.py)",
 )
 def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
@@ -866,14 +874,19 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(amax, 6).alias("scale"),
         # int8 vector serialized for the driver's scalar-cell hasher; the
         # storage form at scale is the raw array<tinyint> column.
-        F.array_join(
-            F.transform(
-                v,
-                lambda x: F.round(x.cast("double") / amax * 127)
-                .cast("int")
-                .cast("string"),
+        F.when(
+            amax != 0,
+            F.array_join(
+                F.transform(
+                    v,
+                    lambda x: F.round(
+                        F.try_divide(x.cast("double"), amax) * 127
+                    )
+                    .cast("int")
+                    .cast("string"),
+                ),
+                ",",
             ),
-            ",",
         ).alias("qvec"),
     )
 
@@ -949,7 +962,10 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    sim = raw_dot / (F.col("na") * F.col("nb"))
+    # try_divide: zero-norm vectors make the denominator 0 — ANSI /
+    # throws where DuckDB yields NULL (and NULL > 0.4 is false on
+    # both engines, so zero vectors simply never pair)
+    sim = F.try_divide(raw_dot, F.col("na") * F.col("nb"))
     pairs = (
         a.crossJoin(b)
         .filter(F.col("src") < F.col("dst"))
