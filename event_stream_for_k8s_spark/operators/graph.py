@@ -37,6 +37,11 @@ def pagerank(
         F.col(nodes.columns[0]).alias("node")
     ).distinct()
     n = all_nodes.count()
+    if n == 0:
+        # an empty node set is a reachable serving state (every doc
+        # filtered out upstream): empty contract-schema result, not a
+        # driver-side 1.0/0 (tests/test_empty_inputs.py)
+        return all_nodes.select("node", F.lit(0.0).alias("rank")).limit(0)
     ranks = all_nodes.select(
         "node", F.lit(1.0 / n).alias("rank")
     ).localCheckpoint(eager=True)

@@ -51,6 +51,27 @@ def _to_ml_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     return df.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
 
 
+def _empty_knn_result(
+    queries: DataFrame, q_id: str, corpus: DataFrame, c_id: str
+) -> DataFrame:
+    """Empty (q_id, c_id, sim, rnk) result with the input id types —
+    the contract for an empty corpus or query set (a reachable serving
+    state: everything filtered upstream). The MLlib fits and numpy
+    codebook trainers all throw on zero rows, so the tiers guard
+    before fitting (tests/test_empty_inputs.py)."""
+    return (
+        queries.select(q_id)
+        .limit(0)
+        .crossJoin(corpus.select(c_id).limit(0))
+        .select(
+            q_id,
+            c_id,
+            F.lit(0.0).alias("sim"),
+            F.lit(0).alias("rnk"),
+        )
+    )
+
+
 def knn_lsh(
     queries: DataFrame,
     corpus: DataFrame,
@@ -70,6 +91,8 @@ def knn_lsh(
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
 
+    if corpus.isEmpty() or queries.isEmpty():
+        return _empty_knn_result(queries, q_id, corpus, c_id)
     q = _to_ml_vectors(queries.withColumnRenamed(q_vec, "__raw"), "__raw")
     c = _to_ml_vectors(corpus.withColumnRenamed(c_vec, "__raw"), "__raw")
     lsh = BucketedRandomProjectionLSH(
@@ -108,6 +131,8 @@ def knn_ivf(
     ``n_probe`` nearest cells per query, exact-search inside them."""
     from pyspark.ml.clustering import KMeans
 
+    if corpus.isEmpty() or queries.isEmpty():
+        return _empty_knn_result(queries, q_id, corpus, c_id)
     c = _to_ml_vectors(corpus, c_vec)
     km = KMeans(k=n_cells, seed=42, featuresCol="__v", predictionCol="cell")
     model = km.fit(c)
@@ -400,7 +425,6 @@ def knn_pq(
     """
     import numpy as np
 
-    spark = corpus.sparkSession
     train = np.array(
         [
             r[0]
@@ -411,6 +435,11 @@ def knn_pq(
         ],
         dtype=np.float64,
     )
+    if train.size == 0:
+        # empty corpus: nothing to train a codebook on (reuses the
+        # already-collected training sample as the emptiness probe —
+        # no extra job)
+        return _empty_knn_result(queries, q_id, corpus, c_id)
     # dim comes from the training sample already collected — the
     # array<float> schema doesn't carry it, and probing .first() would
     # cost one extra Spark job per call (VERDICT r03 "What's wrong" #2)
@@ -459,9 +488,7 @@ def knn_pq(
         # empty query set: a legitimate serving state (e.g. nothing
         # sampled this cycle) — return an empty result with the
         # contract schema instead of letting np.stack([]) throw
-        return spark.createDataFrame(
-            [], f"{q_id} bigint, {c_id} bigint, sim double, rnk int"
-        )
+        return _empty_knn_result(queries, q_id, corpus, c_id)
     luts, qids, qnorms = [], [], []
     for r in qrows:
         qv = np.asarray(r[1], dtype=np.float64)

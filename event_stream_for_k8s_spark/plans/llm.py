@@ -1844,16 +1844,23 @@ def llm_docstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
     )
+    # try_divide: an empty corpus still produces the one summary row
+    # (ungrouped aggregate) and its 0/0 ratios must be NULL as in
+    # DuckDB, not an ANSI throw (tests/test_empty_inputs.py)
     return tok.agg(
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
         F.countDistinct("lang").cast("bigint").alias("n_langs"),
         F.count("*").cast("bigint").alias("total_tokens"),
         F.countDistinct("w").cast("bigint").alias("vocab_size"),
         F.round(
-            F.countDistinct("w").cast("double") / F.count("*"), 6
+            F.try_divide(F.countDistinct("w").cast("double"), F.count("*")),
+            6,
         ).alias("type_token_ratio"),
         F.round(
-            F.count("*").cast("double") / F.countDistinct("doc_id"), 6
+            F.try_divide(
+                F.count("*").cast("double"), F.countDistinct("doc_id")
+            ),
+            6,
         ).alias("avg_doc_tokens"),
     )
 

@@ -428,7 +428,13 @@ def maint_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("event_type")
         .parquet(out)
     )
-    return spark.read.parquet(out).select(*cols)
+    # explicit schema: an empty source writes a partitioned dir with
+    # zero part files, which schema inference rejects
+    # (tests/test_empty_inputs.py); declaring it is also the 100 TB
+    # read discipline
+    return spark.read.schema(
+        "event_id long, user_id long, value double, event_type string"
+    ).parquet(out).select(*cols)
 
 
 @query(

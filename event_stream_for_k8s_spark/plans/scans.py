@@ -8,6 +8,7 @@ batch DataFrame so the driver can compare them like any other query.
 
 from __future__ import annotations
 
+import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -17,6 +18,7 @@ from event_stream_for_k8s_spark.catalog import load
 from event_stream_for_k8s_spark.plans.registry import query
 from event_stream_for_k8s_spark.sources.roundtrip import (
     EVENTS_MICROS_SCHEMA,
+    cache_dir,
     events_as_micros,
     materialize,
     restore_ts,
@@ -179,12 +181,9 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Write-then-read through the parquet sink (long-term storage per
     # the reference README); at scale this write is partitioned by a
     # date column instead of flat.
-    out = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".data_cache",
-        os.path.basename(os.path.normpath(sf_dir)),
-        "sink_parquet_out",
-    )
+    # cache_dir (path-hashed key, not bare basename) so two fixtures
+    # with the same dir name can never overwrite each other's sink
+    out = cache_dir(sf_dir, "sink_parquet_out")
     ev = load(spark, sf_dir, "events").filter(F.col("event_type") != "heartbeat")
     ev.select("event_id", "user_id", "event_type", "value").write.mode(
         "overwrite"
@@ -249,15 +248,21 @@ def scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("day")
         .parquet(o),
     )
-    df = spark.read.parquet(out)
-    # partition-value inference types `day` as DATE; normalize to the
-    # oracle's string AFTER the pruning filter.
+    # EXPLICIT schema (same discipline as scan_json): schema inference
+    # over a 100 TB archive is an extra full listing pass, and an
+    # empty archive (no part files yet) can't be inferred at all —
+    # UNABLE_TO_INFER_SCHEMA (tests/test_empty_inputs.py). Declaring
+    # `day` string also pins the partition-value type the oracle uses.
+    df = spark.read.schema(
+        "event_id long, user_id long, event_type string, value double,"
+        " day string"
+    ).parquet(out)
     return df.filter(F.col("day") == "2024-01-15").select(
         "event_id",
         "user_id",
         "event_type",
         "value",
-        F.col("day").cast("string").alias("day"),
+        "day",
     )
 
 
@@ -482,12 +487,7 @@ def sink_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_stream_for_k8s_spark.sources import arrow_ipc
 
     arrow_ipc.register(spark)
-    out = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".data_cache",
-        os.path.basename(os.path.normpath(sf_dir)),
-        "sink_arrow_ipc_out",
-    )
+    out = cache_dir(sf_dir, "sink_arrow_ipc_out")
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     d.write.format("arrow-ipc").mode("overwrite").option("path", out).save()
     return spark.read.format("arrow-ipc").option("path", out).load()
@@ -637,6 +637,13 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     src = materialize(spark, sf_dir, "documents_binfiles", write_files)
+    if not glob.glob(os.path.join(src, "source=*")):
+        # an empty corpus writes no source= dirs and the glob path
+        # would be PATH_NOT_FOUND: empty contract-schema result
+        # (tests/test_empty_inputs.py)
+        return spark.createDataFrame(
+            [], "source string, n_bytes bigint, content_md5 string"
+        )
     return (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "part-*")

@@ -289,7 +289,10 @@ def _three_phase_src(spark: SparkSession, sf_dir: str, third: str) -> str:
         import shutil
 
         base = events_as_micros(spark, sf_dir)
-        mx = base.agg(F.max("ts_us")).collect()[0][0]
+        # epoch fallback: max(ts) is NULL on an empty table and the
+        # sentinel arithmetic below must stay total (the sentinels are
+        # synthetic watermark fuel either way) — tests/test_empty_inputs.py
+        mx = base.agg(F.max("ts_us")).collect()[0][0] or 0
         sentinel = spark.createDataFrame(
             [(10**9, mx + 10 * 3600 * 1_000_000, 0, "sentinel", 0.0, "{}")],
             EVENTS_MICROS_SCHEMA,
@@ -603,7 +606,10 @@ def _sentinel_src(spark: SparkSession, sf_dir: str) -> str:
         from pyspark.sql import Window
 
         base = events_as_micros(spark, sf_dir)
-        mx = base.agg(F.max("ts_us")).collect()[0][0]
+        # epoch fallback: max(ts) is NULL on an empty table and the
+        # sentinel arithmetic below must stay total (the sentinels are
+        # synthetic watermark fuel either way) — tests/test_empty_inputs.py
+        mx = base.agg(F.max("ts_us")).collect()[0][0] or 0
         nt = F.ntile(3).over(
             Window.orderBy("ts_us", "event_id")
         )

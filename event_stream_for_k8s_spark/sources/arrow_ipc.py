@@ -60,8 +60,9 @@ def _part_files(path: str) -> list[str]:
 
 
 class ArrowIpcWriter(DataSourceArrowWriter):
-    def __init__(self, options, overwrite: bool) -> None:
+    def __init__(self, options, overwrite: bool, schema=None) -> None:
         self.path = options["path"]
+        self.schema = schema  # Spark schema, for the empty-job file
         # Driver-side, before any task launches: overwrite truncates
         # the previous committed generation (and stale tmp litter).
         os.makedirs(self.path, exist_ok=True)
@@ -95,6 +96,7 @@ class ArrowIpcWriter(DataSourceArrowWriter):
 
     def commit(self, messages) -> None:
         total = 0
+        committed = 0
         for m in messages:
             if m is None or m.tmp_name is None:
                 continue
@@ -104,6 +106,19 @@ class ArrowIpcWriter(DataSourceArrowWriter):
                 os.path.join(self.path, final),
             )
             total += m.rows
+            committed += 1
+        if committed == 0 and self.schema is not None:
+            # all partitions empty: still commit ONE schema-bearing
+            # empty file, exactly like parquet, so the self-describing
+            # read-back works on an empty dataset instead of failing
+            # with "no committed files" (tests/test_empty_inputs.py)
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            with pa.ipc.new_file(
+                os.path.join(self.path, f"part-empty-00000{_SUFFIX}"),
+                to_arrow_schema(self.schema),
+            ):
+                pass
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write(str(total))
 
@@ -157,7 +172,7 @@ class ArrowIpcDataSource(DataSource):
             return from_arrow_schema(rd.schema)
 
     def writer(self, schema, overwrite: bool) -> ArrowIpcWriter:
-        return ArrowIpcWriter(self.options, overwrite)
+        return ArrowIpcWriter(self.options, overwrite, schema)
 
     def reader(self, schema) -> ArrowIpcReader:
         return ArrowIpcReader(self.options)

@@ -51,7 +51,22 @@ def restore_ts(df: DataFrame) -> DataFrame:
 
 
 def cache_dir(sf_dir: str, kind: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    # Tag = basename PLUS a full-path hash: basename alone collided —
+    # every pytest tmp fixture named .../sf (degenerate sweeps, empty-
+    # input sweeps) mapped to the same .data_cache/sf/<kind> and the
+    # _DONE marker made later fixtures silently read STALE files
+    # materialized from an earlier, different table (found round 6 by
+    # the empty-tables sweep: scan_json returned a previous fixture's
+    # rows). The hash keeps /root/testdata/sf0.1 etc. stable across
+    # runs while making distinct paths collision-free.
+    import hashlib
+
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    tag = (
+        os.path.basename(norm)
+        + "-"
+        + hashlib.md5(norm.encode()).hexdigest()[:8]
+    )
     return os.path.join(CACHE_ROOT, tag, kind)
 
 
