@@ -98,10 +98,9 @@ WHERE event_id % 2 = 1
     "checkpointed file-streams build on",
 )
 def maint_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = cache_dir(sf_dir, "events_incremental")
-    marker = os.path.join(out, "_DONE")
     cutoff = "2026-01-01T00:00:00"
-    if not os.path.exists(marker):
+
+    def build(out: str) -> None:
         base = events_as_micros(spark, sf_dir)
         for name, pred, mtime in (
             # batch 1: mtime before the cutoff; batch 2: after it
@@ -117,8 +116,8 @@ def maint_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             import shutil
 
             shutil.rmtree(part_dir)
-        with open(marker, "w") as f:
-            f.write("ok")
+
+    out = materialize(spark, sf_dir, "events_incremental", build)
     return restore_ts(
         spark.read.option("modifiedAfter", cutoff).parquet(out)
     )
@@ -355,9 +354,7 @@ SELECT event_id, ts, user_id, event_type, value FROM events
 def maint_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
-    out = cache_dir(sf_dir, "events_sorted_layout")
-    marker = _os.path.join(out, "_DONE")
-    if not _os.path.exists(marker):
+    def build(out: str) -> None:
         ev = load(spark, sf_dir, "events").select(
             "event_id", "ts", "user_id", "event_type", "value"
         )
@@ -367,8 +364,8 @@ def maint_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(_os.path.join(out, "data"))
         )
-        with open(marker, "w") as f:
-            f.write("ok")
+
+    out = materialize(spark, sf_dir, "events_sorted_layout", build)
     return spark.read.parquet(_os.path.join(out, "data"))
 
 
@@ -398,19 +395,21 @@ FROM events WHERE event_type = 'error'
     "source table, not the target)",
 )
 def maint_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = cache_dir(sf_dir, "events_dpo")
-    marker = out + "_BASE_DONE"
     cols = ["event_id", "user_id", "value", "event_type"]
-    if not os.path.exists(marker):
+
+    def build_base(out_: str) -> None:
         (
             load(spark, sf_dir, "events")
             .select(*cols)
             .write.mode("overwrite")
             .partitionBy("event_type")
-            .parquet(out)
+            .parquet(out_)
         )
-        with open(marker, "w") as f:
-            f.write("ok")
+
+    # the _DONE marker lives inside the dir; underscore-prefixed files
+    # are invisible to the parquet reader (like _SUCCESS), and the
+    # dynamic overwrite below only replaces partition subdirs
+    out = materialize(spark, sf_dir, "events_dpo", build_base)
     # the restatement: recompute the 'error' partition from source
     restated = (
         load(spark, sf_dir, "events")

@@ -261,6 +261,11 @@ FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """,
     section="B.4",
+    notes="empty-input fine print: on a ZERO-ROW table Spark's "
+    "rollup/cube emit no rows while DuckDB (per the SQL standard) "
+    "still emits the grand-total () grouping-set row with count 0 — "
+    "a documented engine divergence, exercised crash-free by "
+    "tests/test_empty_inputs.py",
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -282,6 +287,9 @@ FROM orders
 GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """,
     section="B.4",
+    notes="empty-input fine print: see agg_rollup — Spark emits no "
+    "rows on a zero-row table where the standard (and DuckDB) keep "
+    "the grand-total row",
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")

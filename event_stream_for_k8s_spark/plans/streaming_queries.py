@@ -282,9 +282,7 @@ def _three_phase_src(spark: SparkSession, sf_dir: str, third: str) -> str:
                reference's TTL re-delivery), ``third='late'`` keeps the
                original (late) event times.
     """
-    out = cache_dir(sf_dir, f"events_threephase_{third}")
-    marker = os.path.join(out, "_DONE")
-    if not os.path.exists(marker):
+    def build(out: str) -> None:
         import glob
         import shutil
 
@@ -311,9 +309,8 @@ def _three_phase_src(spark: SparkSession, sf_dir: str, third: str) -> str:
             shutil.rmtree(os.path.join(out, f"p{i}"))
             t = time.time() - 300 + i * 60
             os.utime(dst, (t, t))
-        with open(marker, "w") as f:
-            f.write("ok")
-    return out
+
+    return materialize(spark, sf_dir, f"events_threephase_{third}", build)
 
 
 @query(
@@ -597,9 +594,7 @@ def _sentinel_src(spark: SparkSession, sf_dir: str) -> str:
     through batch N-2 on this Spark, and AvailableNow appends a final
     empty flush batch) push the watermark past every REAL window at
     the end; their own windows stay open so they never emit."""
-    out = cache_dir(sf_dir, "events_sentinel3c")
-    marker = os.path.join(out, "_DONE")
-    if not os.path.exists(marker):
+    def build(out: str) -> None:
         import glob
         import shutil
 
@@ -639,9 +634,8 @@ def _sentinel_src(spark: SparkSession, sf_dir: str) -> str:
             shutil.rmtree(os.path.join(out, f"p{i}"))
             t = time.time() - 300 + i * 60
             os.utime(dst, (t, t))
-        with open(marker, "w") as f:
-            f.write("ok")
-    return out
+
+    return materialize(spark, sf_dir, "events_sentinel3c", build)
 
 
 @query(

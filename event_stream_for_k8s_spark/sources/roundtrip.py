@@ -73,13 +73,47 @@ def cache_dir(sf_dir: str, kind: str) -> str:
 def materialize(
     spark: SparkSession, sf_dir: str, kind: str, writer
 ) -> str:
-    """Write once (marker-protected), return the directory."""
+    """Write once (marker-protected), return the directory.
+
+    Concurrency: the bare check-then-write had a TOCTOU — two sessions
+    (parallel test runs, a bench next to a soak) could both see the
+    missing marker and interleave their overwrite-mode writes into the
+    same directory. An O_CREAT|O_EXCL lock file makes exactly one
+    writer win; losers poll for the _DONE marker (bounded, then raise
+    so a crashed winner can't hang everyone forever — delete the
+    stale .lock to retry)."""
+    import time
+
     out = cache_dir(sf_dir, kind)
     marker = os.path.join(out, "_DONE")
-    if not os.path.exists(marker):
-        writer(out)
-        with open(marker, "w") as f:
-            f.write("ok")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    lock = os.path.join(out, "_WRITING.lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        deadline = time.time() + 600
+        while not os.path.exists(marker):
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"materialize({kind}): another writer holds {lock} "
+                    "but never produced _DONE; remove the stale lock "
+                    "to retry"
+                )
+            time.sleep(0.2)
+        return out
+    try:
+        os.close(fd)
+        if not os.path.exists(marker):  # re-check under the lock
+            writer(out)
+            with open(marker, "w") as f:
+                f.write("ok")
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
     return out
 
 
