@@ -607,3 +607,41 @@ def test_shuffle_census_gate(spark):
         "keyed-shuffle count rose vs tools/census_baseline.json "
         f"(re-justify or fix the plan): {worse}"
     )
+
+
+def test_materialize_serializes_concurrent_writers(spark, tmp_path):
+    """Two threads materializing the SAME fixture: exactly one build
+    runs (the O_EXCL lock), the loser blocks until _DONE then reuses
+    the winner's files — no interleaved overwrite-mode writes
+    (round-6 TOCTOU fix)."""
+    import threading
+    import time as _time
+
+    from event_stream_for_k8s_spark.sources.roundtrip import materialize
+
+    sf = str(tmp_path / "sf")
+    builds: list[str] = []
+
+    def writer(out: str) -> None:
+        builds.append(out)
+        _time.sleep(0.5)  # hold the lock so the loser must wait
+        with open(f"{out}/data.txt", "w") as f:
+            f.write("payload")
+
+    results: list[str] = []
+    threads = [
+        threading.Thread(
+            target=lambda: results.append(
+                materialize(spark, sf, "lock_probe", writer)
+            )
+        )
+        for _ in range(2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert len(builds) == 1, "both threads ran the builder"
+    assert len(results) == 2 and results[0] == results[1]
+    with open(f"{results[0]}/data.txt") as f:
+        assert f.read() == "payload"
