@@ -90,19 +90,26 @@ def materialize(
         return out
     os.makedirs(out, exist_ok=True)
     lock = os.path.join(out, "_WRITING.lock")
-    try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        deadline = time.time() + 600
-        while not os.path.exists(marker):
+    deadline = time.time() + 600
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            # a writer holds the lock: wait for its marker — but keep
+            # retrying the ACQUIRE, so a writer that failed (lock
+            # released, no marker) hands the build to a waiter instead
+            # of stranding it until the timeout
+            if os.path.exists(marker):
+                return out
             if time.time() > deadline:
                 raise TimeoutError(
-                    f"materialize({kind}): another writer holds {lock} "
-                    "but never produced _DONE; remove the stale lock "
-                    "to retry"
+                    f"materialize({kind}): writer holds {lock} but "
+                    "never produced _DONE; remove the stale lock to "
+                    "retry"
                 )
             time.sleep(0.2)
-        return out
+            continue
+        break
     try:
         os.close(fd)
         if not os.path.exists(marker):  # re-check under the lock

@@ -645,3 +645,44 @@ def test_materialize_serializes_concurrent_writers(spark, tmp_path):
     assert len(results) == 2 and results[0] == results[1]
     with open(f"{results[0]}/data.txt") as f:
         assert f.read() == "payload"
+
+
+def test_materialize_failed_writer_hands_off(spark, tmp_path):
+    """If the winning writer RAISES (lock released, no marker), a
+    waiting thread takes over the build instead of timing out."""
+    import threading
+    import time as _time
+
+    from event_stream_for_k8s_spark.sources.roundtrip import materialize
+
+    sf = str(tmp_path / "sf")
+    attempts: list[int] = []
+
+    def flaky_writer(out: str) -> None:
+        attempts.append(1)
+        if len(attempts) == 1:
+            _time.sleep(0.3)  # make the second thread wait on the lock
+            raise RuntimeError("simulated writer crash")
+        with open(f"{out}/data.txt", "w") as f:
+            f.write("recovered")
+
+    results: list[str] = []
+    errors: list[Exception] = []
+
+    def run() -> None:
+        try:
+            results.append(materialize(spark, sf, "flaky_probe", flaky_writer))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=run) for _ in range(2)]
+    for t in threads:
+        t.start()
+        _time.sleep(0.05)  # deterministic winner
+    for t in threads:
+        t.join(timeout=30)
+    assert len(attempts) == 2  # crash, then the waiter's retry
+    assert len(errors) == 1 and "simulated" in str(errors[0])
+    assert len(results) == 1
+    with open(f"{results[0]}/data.txt") as f:
+        assert f.read() == "recovered"
