@@ -606,3 +606,31 @@ def test_ngram_novelty_dup_scores_zero(spark, tmp_path):
     assert out[3]["novelty_frac"] == 1.0
     assert out[4]["n_grams_distinct"] == 0
     assert out[4]["novelty_frac"] is None
+
+
+def test_semdedup_cap_knob_matches_oracle_at_cap():
+    """SPARK_GRAFT_SEMDEDUP_CAP is a real knob (round 6): with a tiny
+    cap the fixture goes fully AT-CAP (every cluster salted into many
+    blocks) and the Spark result must still hash-match the oracle,
+    which interpolates the same constant. Runs in a subprocess because
+    the cap is bound at registry import (a reload would re-register
+    every query). This empirically pins the at-cap salt semantics the
+    sf1 soak analysis reasons about."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    env = dict(os.environ, SPARK_GRAFT_SEMDEDUP_CAP="7")
+    proc = subprocess.run(
+        [sys.executable, "tools/selfcheck.py", "llm_semdedup",
+         "--sf", "/root/testdata/sf0.001"],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "1/1 ok" in proc.stdout
