@@ -69,7 +69,10 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the salt is part of the shuffle key. Pairs that straddle sub-blocks
 # are the documented recall cost of the cap — the probabilistic tier
 # (llm_dedup_near, MinHash-LSH) is the 100 TB recall path.
-NGRAM_BLOCK_CAP = 128
+# Env-overridable like SPARK_GRAFT_SEMDEDUP_CAP; the oracle SQL
+# interpolates the same constant so the differential holds at any
+# setting.
+NGRAM_BLOCK_CAP = int(os.environ.get("SPARK_GRAFT_NGRAM_BLOCK_CAP", "128"))
 
 
 @query(
