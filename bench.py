@@ -20,6 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from event_stream_for_k8s_spark.plans import REGISTRY  # noqa: E402
+from event_stream_for_k8s_spark.plans.llm import effective_caps  # noqa: E402
 from event_stream_for_k8s_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
@@ -85,6 +86,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # effective scale-cap knobs (ADVICE r06): results
+                # recorded under different caps must be distinguishable
+                "env_caps": effective_caps(),
             }
         )
     )

@@ -33,6 +33,40 @@ from event_stream_for_k8s_spark.operators.similarity import (
 from event_stream_for_k8s_spark.plans.registry import query
 from event_stream_for_k8s_spark.plans.util import dsum, sql_dsum
 
+
+def _env_int(var: str, default: int) -> int:
+    """Parse an integer scale knob from the environment, failing with
+    a message that names the variable (a bare int('4k') would abort
+    the whole plans-package import with an uncontextualized
+    ValueError — ADVICE r06). The effective values are stamped into
+    bench.py's JSON line so results recorded under different caps are
+    distinguishable."""
+    raw = os.environ.get(var)
+    if raw is None:
+        return default
+    try:
+        val = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"env var {var}={raw!r} must be an integer "
+            f"(default {default})"
+        ) from None
+    if val < 1:
+        raise ValueError(f"env var {var}={val} must be >= 1")
+    return val
+
+
+def effective_caps() -> dict[str, int]:
+    """The scale-cap knob values this process's registry was built
+    with — stamped into recorded artifacts (bench.py JSON) so runs
+    under different caps are distinguishable (ADVICE r06)."""
+    return {
+        "SPARK_GRAFT_NGRAM_BLOCK_CAP": NGRAM_BLOCK_CAP,
+        "SPARK_GRAFT_SEMDEDUP_CAP": SEMDEDUP_CLUSTER_CAP,
+        "SPARK_GRAFT_SEMDEDUP_TARGET": SEMDEDUP_TARGET_BLOCK,
+    }
+
+
 # --------------------------------------------------------------------------
 # Deduplication family
 # --------------------------------------------------------------------------
@@ -72,7 +106,7 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Env-overridable like SPARK_GRAFT_SEMDEDUP_CAP; the oracle SQL
 # interpolates the same constant so the differential holds at any
 # setting.
-NGRAM_BLOCK_CAP = int(os.environ.get("SPARK_GRAFT_NGRAM_BLOCK_CAP", "128"))
+NGRAM_BLOCK_CAP = _env_int("SPARK_GRAFT_NGRAM_BLOCK_CAP", 128)
 
 
 @query(
@@ -3706,8 +3740,44 @@ def llm_ccnet_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Env-overridable so a deployment can trade recall for cost without a
 # code change; the oracle SQL interpolates the SAME constant, so the
 # differential stays green at any setting.
-SEMDEDUP_CLUSTER_CAP = int(
-    os.environ.get("SPARK_GRAFT_SEMDEDUP_CAP", "4096")
+SEMDEDUP_CLUSTER_CAP = _env_int("SPARK_GRAFT_SEMDEDUP_CAP", 4096)
+
+# Size-aware sub-clustering target (round 7, VERDICT r06 #2): SemDeDup
+# as published keeps k-means k PROPORTIONAL to corpus size, so cluster
+# blocks stay ~constant and pairwise cost stays linear. A user who
+# feeds FIXED cluster labels breaks that precondition — blocks grow
+# with N and the pre-cap regime is O(N^2/k). Instead of relying only
+# on the arbitrary row_number salt (which forgoes pairs blindly), we
+# derive the missing granularity from the EMBEDDING itself: any label
+# whose member count exceeds this target is sub-split by a
+# sign-quantizer cell (the sign bits of the leading `depth` embedding
+# components, depth = doublings needed to bring expected block size
+# under the target). Near-identical vectors agree on sign bits, so
+# the planted-duplicate recall is exact at any depth, and per-doc pair
+# work stays between TARGET/4 and TARGET/2 dots — linear total —
+# regardless of input k. Default 256: the exact tier's per-doc
+# comparison budget stays ~128 joined pairs (each pair ships two
+# 64-long arrays through the join, so pair count IS the cost);
+# raise the knob to trade cost for boundary-pair recall — the
+# high-recall near-dup path is llm_dedup_near (MinHash-LSH) anyway.
+SEMDEDUP_TARGET_BLOCK = _env_int("SPARK_GRAFT_SEMDEDUP_TARGET", 256)
+
+# Max sign-bit depth: split factor up to 2^20 cells per label before
+# the row_number salt backstop takes over (embedding dim is >= 20 in
+# every tested fixture; F.get / list index simply yields NULL->bit 0
+# on shorter vectors, identically in both engines).
+_SEMDEDUP_MAX_DEPTH = 20
+
+# depth = smallest d with cnt <= TARGET * 2^d, as a SUM of integer
+# comparisons — no float log2, whose rounding at exact powers could
+# diverge between engines.
+_SD_DEPTH_SQL = " + ".join(
+    f"CASE WHEN cnt > {SEMDEDUP_TARGET_BLOCK * (1 << d)} THEN 1 ELSE 0 END"
+    for d in range(_SEMDEDUP_MAX_DEPTH)
+)
+_SD_SUBKEY_SQL = " + ".join(
+    f"CASE WHEN {i} < depth AND qv[{i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+    for i in range(_SEMDEDUP_MAX_DEPTH)
 )
 
 
@@ -3723,16 +3793,24 @@ WITH corpus AS (
          list_transform(embedding,
              x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
   FROM corpus
+), dz AS (
+  SELECT label, ({_SD_DEPTH_SQL}) AS depth
+  FROM (SELECT label, count(*) AS cnt FROM q GROUP BY label)
 ), n AS (
   SELECT vec_id, label, qv,
          CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE) AS nrm,
-         (row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1)
+         ({_SD_SUBKEY_SQL}) AS subkey
+  FROM q JOIN dz USING (label)
+), s AS (
+  SELECT vec_id, label, qv, nrm, subkey,
+         (row_number() OVER (PARTITION BY label, subkey
+                             ORDER BY vec_id) - 1)
            // {SEMDEDUP_CLUSTER_CAP} AS salt
-  FROM q
+  FROM n
 )
 SELECT DISTINCT b.vec_id AS dropped_id, b.label
-FROM n a JOIN n b ON a.label = b.label AND a.salt = b.salt
-                 AND a.vec_id < b.vec_id
+FROM s a JOIN s b ON a.label = b.label AND a.subkey = b.subkey
+                 AND a.salt = b.salt AND a.vec_id < b.vec_id
 WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
                                    p -> p[1] * p[2])) AS DOUBLE) > 0
   AND pow(CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
@@ -3749,32 +3827,32 @@ WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
     "dedup-fixture pattern from FIXTURES.md) since the synthetic "
     "vectors' natural max cosine is ~0.45. The label column stands "
     "in for the k-means cell id (llm_embed_centroids computes real "
-    "ones). Oversized clusters are CAPPED by the NGRAM_BLOCK_CAP "
-    "salt pattern: a deterministic in-cluster salt "
-    "(row_number div 4096 by vec_id) joins as part of the equi-key, "
-    "bounding any block at 4096^2 pairs — a Zipf-head mega-cluster "
-    "costs linearly in its size instead of quadratically. Pairs "
-    "straddling a salt boundary are forgone, the same declared "
-    "tradeoff as llm_dedup_ngram (SemDeDup itself caps cluster "
-    "sizes); every tested SF has blocks under the cap, so the salt "
-    "is semantics-neutral there. Exactness: components "
-    "quantize to 1e-6 ints, dot/norms are exact int64 sums "
-    "(JVM-side zip_with/aggregate, no UDF), and the tau check "
-    "compares dot^2 > tau^2*|a||b| in doubles derived identically "
-    "from those ints — engine-exact, no float tolerance. Scaling "
-    "(round-5 sf1 soak, 25x for 10x data): the fixture's FIXED label "
-    "count makes cluster size grow with N, so sf0.1->sf1 crosses the "
-    "sub-cap->at-cap transition where pair count grows "
-    "quadratically; once the cap binds everywhere the plan is "
-    "Sigma|block|*CAP/2 = N*2048 pairs — LINEAR with a 2048-dot/doc "
-    "constant, and CAP is the recall/cost knob — a REAL knob since "
-    "round 6: env SPARK_GRAFT_SEMDEDUP_CAP overrides it, and the "
-    "oracle SQL interpolates the same constant so the differential "
-    "holds at any setting (tested at cap=7, fully at-cap). SemDeDup as "
-    "published runs k-means with k PROPORTIONAL to N (clusters stay "
-    "~constant-size, under the cap); the fixed-k fixture is the "
-    "stress case the salt cap exists for — without it this would be "
-    "O(N^2/k)",
+    "ones). SIZE-AWARE sub-clustering (round 7, VERDICT r06 #2): "
+    "SemDeDup as published keeps k PROPORTIONAL to N, so blocks stay "
+    "constant-size; fixed input labels break that and blocks grow "
+    "with N (O(N^2/k) pairs). Any label whose member count exceeds "
+    "SPARK_GRAFT_SEMDEDUP_TARGET (default 1024) is therefore "
+    "sub-split by a coarse sign quantizer derived from the embedding "
+    "itself: cell = the sign bits of the leading `depth` quantized "
+    "components, depth = doublings needed to bring expected block "
+    "size under the target (pure integer comparisons, no float "
+    "log2). Near-identical vectors agree on sign bits, so planted "
+    "duplicates always share a cell — UNLIKE the blind row_number "
+    "salt, which still backstops as the HARD bound "
+    "(SPARK_GRAFT_SEMDEDUP_CAP, default 4096, row_number div CAP "
+    "within (label, cell)) against sign-skewed cells. Per-doc pair "
+    "work is ~TARGET/2 dots regardless of input k — LINEAR total; "
+    "pairs straddling a cell or salt boundary are the declared "
+    "recall cost (boundary effects are inherent to SemDeDup's own "
+    "clustering). The per-label depth relation is k rows, broadcast "
+    "— k is only large when k grows with N, exactly the regime "
+    "where every depth is 0. Exactness: components quantize to 1e-6 "
+    "ints, dot/norms are exact int64 sums (JVM-side "
+    "zip_with/aggregate, no UDF), and the tau check compares dot^2 > "
+    "tau^2*|a||b| in doubles derived identically from those ints — "
+    "engine-exact, no float tolerance; both knobs interpolate into "
+    "the oracle SQL so the differential holds at any setting "
+    "(tested at cap=7 and target=16, fully split)",
 )
 def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
@@ -3795,22 +3873,66 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    zero = F.lit(0).cast("long")
-    w_cap = Window.partitionBy("label").orderBy("vec_id")
-    n = q.withColumn(
-        "nrm",
-        F.aggregate(
-            F.transform("qv", lambda x: x * x), zero, lambda a, v: a + v
-        ).cast("double"),
-    ).withColumn(
-        "salt",
+    # per-label sign-quantizer depth: smallest d with cnt <= TARGET*2^d
+    # as a sum of integer comparisons (float log2 could diverge from
+    # the oracle at exact powers). The relation is k rows — broadcast.
+    depth_expr = sum(
         (
-            (F.row_number().over(w_cap) - 1) / F.lit(SEMDEDUP_CLUSTER_CAP)
-        ).cast("long"),
+            F.when(
+                F.col("cnt") > SEMDEDUP_TARGET_BLOCK * (1 << d), 1
+            ).otherwise(0)
+            for d in range(_SEMDEDUP_MAX_DEPTH)
+        ),
+        F.lit(0),
+    )
+    dz = (
+        q.groupBy("label")
+        .agg(F.count("*").alias("cnt"))
+        .select("label", depth_expr.alias("depth"))
+    )
+    # sign-quantizer cell: bits i < depth set when qv[i] > 0 — exact
+    # duplicates always share a cell, so sub-splitting never costs
+    # planted-pair recall (the row_number salt below remains the
+    # blind hard backstop for sign-skewed cells).
+    subkey_expr = sum(
+        (
+            F.when(
+                (F.lit(i) < F.col("depth")) & (F.get("qv", i) > 0),
+                F.lit(1 << i),
+            ).otherwise(0)
+            for i in range(_SEMDEDUP_MAX_DEPTH)
+        ),
+        F.lit(0),
+    )
+    zero = F.lit(0).cast("long")
+    w_cap = Window.partitionBy("label", "subkey").orderBy("vec_id")
+    n = (
+        q.join(F.broadcast(dz), "label")
+        .withColumn("subkey", subkey_expr)
+        .withColumn(
+            "nrm",
+            F.aggregate(
+                F.transform("qv", lambda x: x * x), zero, lambda a, v: a + v
+            ).cast("double"),
+        )
+        .withColumn(
+            "salt",
+            (
+                (F.row_number().over(w_cap) - 1)
+                / F.lit(SEMDEDUP_CLUSTER_CAP)
+            ).cast("long"),
+        )
+        # both self-join sides consume this relation; when the build
+        # side is broadcast (small SF) Catalyst cannot reuse the
+        # exchange and the whole size+window subplan would evaluate
+        # twice — persist, the llm_ccnet_buckets_approx precedent
+        # (~0.6 KB/doc, comparable to corpus bytes, spills to disk)
+        .persist()
     )
     a = n.select(
         F.col("vec_id").alias("a_id"),
         F.col("label").alias("label"),
+        F.col("subkey").alias("subkey"),
         F.col("salt").alias("salt"),
         F.col("qv").alias("a_qv"),
         F.col("nrm").alias("a_nrm"),
@@ -3818,6 +3940,7 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = n.select(
         F.col("vec_id").alias("b_id"),
         F.col("label").alias("b_label"),
+        F.col("subkey").alias("b_subkey"),
         F.col("salt").alias("b_salt"),
         F.col("qv").alias("b_qv"),
         F.col("nrm").alias("b_nrm"),
@@ -3831,6 +3954,7 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("label") == F.col("b_label"))
+            & (F.col("subkey") == F.col("b_subkey"))
             & (F.col("salt") == F.col("b_salt"))
             & (F.col("a_id") < F.col("b_id")),
         )

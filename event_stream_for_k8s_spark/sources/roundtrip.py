@@ -79,9 +79,16 @@ def materialize(
     (parallel test runs, a bench next to a soak) could both see the
     missing marker and interleave their overwrite-mode writes into the
     same directory. An O_CREAT|O_EXCL lock file makes exactly one
-    writer win; losers poll for the _DONE marker (bounded, then raise
-    so a crashed winner can't hang everyone forever — delete the
-    stale .lock to retry)."""
+    writer win; losers poll for the _DONE marker. The lock records
+    ``pid timestamp`` so a waiter can RECLAIM a lock whose owner is a
+    dead process (SIGKILL/OOM leaves the finally-cleanup unexecuted,
+    ADVICE r06) or whose age exceeds the 600 s deadline, instead of
+    every later caller blocking the full window and then raising
+    until someone deletes the file by hand. Reclaim is an atomic
+    rename (exactly one reclaimer wins; the loser just re-loops), so
+    two waiters can never each remove a different writer's fresh
+    lock. A recycled pid makes the liveness probe lie "alive" — the
+    age deadline still reclaims then."""
     import time
 
     out = cache_dir(sf_dir, kind)
@@ -91,6 +98,26 @@ def materialize(
     os.makedirs(out, exist_ok=True)
     lock = os.path.join(out, "_WRITING.lock")
     deadline = time.time() + 600
+
+    def _lock_is_stale() -> bool:
+        try:
+            with open(lock) as f:
+                pid_s, ts_s = f.read().split()
+            pid, ts = int(pid_s), float(ts_s)
+        except (FileNotFoundError, ValueError):
+            # gone (owner released) or mid-write/corrupt: not provably
+            # stale — let the acquire/poll loop decide
+            return False
+        if time.time() - ts > 600:
+            return True
+        try:
+            os.kill(pid, 0)  # signal 0: existence probe only
+        except ProcessLookupError:
+            return True
+        except PermissionError:
+            pass  # exists, owned by another uid: alive
+        return False
+
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -101,6 +128,14 @@ def materialize(
             # of stranding it until the timeout
             if os.path.exists(marker):
                 return out
+            if _lock_is_stale():
+                stale = f"{lock}.stale.{os.getpid()}.{time.time_ns()}"
+                try:
+                    os.rename(lock, stale)  # atomic: one reclaimer
+                    os.remove(stale)
+                except FileNotFoundError:
+                    pass  # another waiter reclaimed it first
+                continue
             if time.time() > deadline:
                 raise TimeoutError(
                     f"materialize({kind}): writer holds {lock} but "
@@ -111,6 +146,7 @@ def materialize(
             continue
         break
     try:
+        os.write(fd, f"{os.getpid()} {time.time()}".encode())
         os.close(fd)
         if not os.path.exists(marker):  # re-check under the lock
             writer(out)

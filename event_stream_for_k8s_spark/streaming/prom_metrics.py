@@ -205,6 +205,19 @@ class K8sStreamMetrics:
         # and the set stays O(out-of-order window), not O(daemon age)
         self._synced_batches: set[int] = set()
         self._synced_floor = -1
+        # progress-beats-observer repair ring (ADVICE r06): batch ids
+        # reconciled WITHOUT a staged observation (misses assumed 0,
+        # all received counted as cache_hits). A late observe_batch
+        # finds its id here and moves the miss count back out of
+        # cache_hits: counters only increment, so it increments
+        # cache_misses immediately and records the cache_hits
+        # overcount in _hit_overcount, which is repaid by withholding
+        # that many hits from FUTURE sync_received increments
+        # (monotone counters, convergent totals). Bounded at 256
+        # entries — an observe arriving later than that window keeps
+        # the old documented undercount.
+        self._default_synced: dict[int, int] = {}
+        self._hit_overcount = 0
         self._lock = self.registry._lock
 
     def observe_batch(
@@ -287,6 +300,15 @@ class K8sStreamMetrics:
                 # beat the observer): apply the label/byte increments
                 # directly — staging would strand them
                 self._apply_labels_and_bytes(labels, nbytes)
+                if defer_totals_batch_id in self._default_synced:
+                    # the reconcile assumed misses=0 and credited all
+                    # received rows to cache_hits — move this batch's
+                    # miss count to cache_misses now and repay the
+                    # cache_hits overcount against future syncs, so
+                    # sum(events) == cache_misses holds (ADVICE r06)
+                    del self._default_synced[defer_totals_batch_id]
+                    self.processed.labels("cache_misses").inc(misses)
+                    self._hit_overcount += misses
             else:
                 # EVERYTHING moves atomically in sync_received —
                 # incrementing misses now would let a scrape observe
@@ -364,9 +386,18 @@ class K8sStreamMetrics:
                     len(lost),
                     sum(self._pending[b]["misses"] for b in lost),
                 )
-            staged = self._pending.pop(
-                batch_id, {"misses": 0, "labels": [], "nbytes": 0}
-            )
+            staged = self._pending.pop(batch_id, None)
+            if staged is None:
+                # no observation yet (progress beat the observer, or a
+                # zero-data batch): remember the id so a LATE observe
+                # can move its miss count out of cache_hits
+                # (ADVICE r06); ring-bounded
+                self._default_synced[batch_id] = received
+                while len(self._default_synced) > 256:
+                    self._default_synced.pop(
+                        next(iter(self._default_synced))
+                    )
+                staged = {"misses": 0, "labels": [], "nbytes": 0}
             # a pending entry whose progress event was lost must not
             # pin memory
             for bid in [b for b in self._pending if b <= self._synced_floor]:
@@ -375,7 +406,12 @@ class K8sStreamMetrics:
             misses = staged["misses"]
             self.processed.labels("total").inc(received)
             self.processed.labels("cache_misses").inc(misses)
-            self.processed.labels("cache_hits").inc(max(0, received - misses))
+            hits = max(0, received - misses)
+            # repay any cache_hits overcount left by a past
+            # default-reconciled batch whose observe arrived late
+            repay = min(self._hit_overcount, hits)
+            self._hit_overcount -= repay
+            self.processed.labels("cache_hits").inc(hits - repay)
 
     def sync_from_query(
         self, query, observation_name: str = "kes_received"

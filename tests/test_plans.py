@@ -512,9 +512,10 @@ def test_tpch_q21_single_aggregate_formulation(spark):
 
 def test_semdedup_blocked_not_global_pairs(spark):
     """SemDeDup pairs only within the cluster block: the self-join is
-    an equi hash/merge join on (label, salt) — the salt is the
-    mega-cluster cap (row_number div 4096), so it must be part of the
-    JOIN KEY, not a post-join filter."""
+    an equi hash/merge join on (label, subkey, salt) — the size-aware
+    sign-quantizer cell (subkey) and the mega-cluster backstop salt
+    (row_number div 4096) must BOTH be part of the JOIN KEY, not a
+    post-join filter."""
     p = _plan(spark, "llm_semdedup")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
@@ -525,6 +526,7 @@ def test_semdedup_blocked_not_global_pairs(spark):
             or "BroadcastHashJoin" in ln)
     ]
     assert any("salt" in ln for ln in join_lines), join_lines
+    assert any("subkey" in ln for ln in join_lines), join_lines
     # higher-order functions stay Catalyst-native: no Python UDF in
     # the dot-product path
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
@@ -686,3 +688,80 @@ def test_materialize_failed_writer_hands_off(spark, tmp_path):
     assert len(results) == 1
     with open(f"{results[0]}/data.txt") as f:
         assert f.read() == "recovered"
+
+
+def test_materialize_reclaims_dead_writer_lock(spark, tmp_path):
+    """A hard-killed writer (SIGKILL/OOM) leaves _WRITING.lock behind
+    with no _DONE; the lock records pid+timestamp, so a later caller
+    detects the dead pid and reclaims the lock instead of blocking
+    600 s and raising (ADVICE r06)."""
+    import os
+    import subprocess
+    import sys
+    import time as _time
+
+    from event_stream_for_k8s_spark.sources.roundtrip import (
+        cache_dir,
+        materialize,
+    )
+
+    sf = str(tmp_path / "sf")
+    out = cache_dir(sf, "orphan_probe")
+    os.makedirs(out, exist_ok=True)
+    # forge an orphaned lock owned by a process that is certainly
+    # dead: spawn-and-wait a trivial child and use ITS pid
+    child = subprocess.Popen([sys.executable, "-c", "pass"])
+    child.wait()
+    with open(f"{out}/_WRITING.lock", "w") as f:
+        f.write(f"{child.pid} {_time.time()}")
+
+    t0 = _time.time()
+    result = materialize(
+        spark, sf, "orphan_probe",
+        lambda o: open(f"{o}/data.txt", "w").write("reclaimed"),
+    )
+    assert _time.time() - t0 < 30, "blocked on the orphaned lock"
+    with open(f"{result}/data.txt") as f:
+        assert f.read() == "reclaimed"
+    assert not os.path.exists(f"{out}/_WRITING.lock")
+
+
+def test_materialize_live_lock_not_reclaimed(spark, tmp_path):
+    """A lock owned by a LIVE process is never reclaimed early: a
+    waiter polls until the writer's _DONE appears (the reclaim path
+    must not steal a healthy writer's lock)."""
+    import os
+    import threading
+    import time as _time
+
+    from event_stream_for_k8s_spark.sources.roundtrip import (
+        cache_dir,
+        materialize,
+    )
+
+    sf = str(tmp_path / "sf")
+    out = cache_dir(sf, "live_probe")
+    os.makedirs(out, exist_ok=True)
+    # lock owned by THIS live process, fresh timestamp
+    with open(f"{out}/_WRITING.lock", "w") as f:
+        f.write(f"{os.getpid()} {_time.time()}")
+
+    builds: list[str] = []
+
+    def release_later() -> None:
+        _time.sleep(1.0)
+        with open(f"{out}/data.txt", "w") as f:
+            f.write("from-owner")
+        with open(f"{out}/_DONE", "w") as f:
+            f.write("ok")
+        os.remove(f"{out}/_WRITING.lock")
+
+    t = threading.Thread(target=release_later)
+    t.start()
+    result = materialize(
+        spark, sf, "live_probe", lambda o: builds.append(o)
+    )
+    t.join()
+    assert builds == [], "stole a live writer's lock"
+    with open(f"{result}/data.txt") as f:
+        assert f.read() == "from-owner"

@@ -238,10 +238,41 @@ def test_deferred_observe_retry_is_fully_idempotent(spark):
     assert sum(m.events.samples.values()) == 3
 
     # progress-beats-observer race: totals reconciled first (misses
-    # unknown -> 0), the late observe applies label/bytes directly
+    # unknown -> 0, all 5 received credited to cache_hits), the late
+    # observe applies label/bytes directly AND repairs the split
+    # (ADVICE r06): misses move to cache_misses immediately, and the
+    # cache_hits overcount is repaid by withholding hits from FUTURE
+    # syncs — counters stay monotone, totals converge
     m2 = K8sStreamMetrics()
     m2.sync_received(3, 5)
     m2.observe_batch(b, key_col="k", order_cols=("t",),
                      defer_totals_batch_id=3)
     assert sum(m2.events.samples.values()) == 3  # not stranded
     assert m2._pending == {}
+    fam2 = m2.processed.samples
+    # the events==misses invariant holds right after the late observe
+    assert fam2[("cache_misses",)] == 3
+    assert sum(m2.events.samples.values()) == fam2[("cache_misses",)]
+    # transient overcount: hits still carry the 3 mis-credited rows
+    assert fam2[("cache_hits",)] == 5
+    assert m2._hit_overcount == 3
+    # next clean batch (4 received, 2 misses staged) repays: its 2
+    # hits are withheld against the overcount instead of incrementing
+    m2._pending[4] = {"misses": 2, "labels": [("a", "-", "-", "-", 2)],
+                      "nbytes": 0}
+    m2.sync_received(4, 4)
+    fam2 = m2.processed.samples
+    assert fam2[("total",)] == 9
+    assert fam2[("cache_misses",)] == 5
+    assert fam2[("cache_hits",)] == 5  # unchanged: 2 hits repaid
+    assert m2._hit_overcount == 1
+    # converged view: total == hits + misses - remaining overcount
+    assert fam2[("total",)] == (
+        fam2[("cache_hits",)] + fam2[("cache_misses",)]
+        - m2._hit_overcount
+    )
+    # an observe for a batch NEVER default-reconciled takes the
+    # normal path: replaying batch 4's observe is idempotent (stays
+    # out of the ring, no double repair)
+    assert 4 not in m2._default_synced
+    assert 3 not in m2._default_synced

@@ -450,11 +450,29 @@ def test_tws_wallclock_ttl_dedup(spark, k8s_dir, tmp_path):
     """Same §3.4.4 parity contract as the applyInPandasWithState
     variant, on Spark 4's transformWithStateInPandas: suppressed inside
     the wall-clock TTL, re-emitted after (native state-TTL eviction)."""
-    pytest.importorskip(
-        "google.protobuf",
-        reason="transformWithStateInPandas needs the protobuf package "
-        "(its state-server protocol is proto-based); not in this image",
-    )
+    # EXPLICIT environment gate (VERDICT r06 #3): the PySpark<->JVM
+    # state-server protocol is protobuf-based and google.protobuf is
+    # not installable in this image (no network), so this end-to-end
+    # variant cannot execute here — documented in README "Environment
+    # gates". Set SPARK_GRAFT_EXPECT_PROTOBUF=1 on an image that has
+    # the package to make a silent regression (protobuf vanished)
+    # FAIL instead of skip. The processor's dedup LOGIC is exercised
+    # protocol-free in test_tws_processor_logic below; the same
+    # contract end-to-end runs on applyInPandasWithState in
+    # test_wallclock_ttl_dedup.
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        if os.environ.get("SPARK_GRAFT_EXPECT_PROTOBUF"):
+            pytest.fail(
+                "SPARK_GRAFT_EXPECT_PROTOBUF is set but google.protobuf "
+                "is not importable"
+            )
+        pytest.skip(
+            "permanent image gate: transformWithStateInPandas needs "
+            "google.protobuf (state-server protocol); see README "
+            "'Environment gates'"
+        )
     import shutil
     import time as _t
 
@@ -516,6 +534,76 @@ def test_tws_wallclock_ttl_dedup(spark, k8s_dir, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_tws_processor_logic():
+    """TtlDedupProcessor semantics exercised WITHOUT the proto-based
+    state-server protocol (the image gate above): fake handle + value
+    state drive handleInputRows directly. Pins the reference parity
+    points — first sight emits, an in-TTL re-delivery is suppressed
+    AND does not refresh last_seen (tasks.rs:124-127: hits never
+    rewrite the sled entry), a post-TTL probe re-emits."""
+    import pandas as pd
+
+    from event_stream_for_k8s_spark.streaming.tws_dedup import (
+        TtlDedupProcessor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeValueState()
+            self.ttl_ms = None
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            self.ttl_ms = ttlDurationMs
+            return self.state
+
+    class FakeTimers:
+        def __init__(self, now_ms):
+            self._now = now_ms
+
+        def getCurrentProcessingTimeInMs(self):
+            return self._now
+
+    proc = TtlDedupProcessor(ttl_seconds=10, payload_cols=("reason",))
+    h = FakeHandle()
+    proc.init(h)
+    assert h.ttl_ms == 10_000  # native state TTL wired through
+
+    batch = [pd.DataFrame({"reason": ["Started", "Started"]})]
+    out = list(
+        proc.handleInputRows(("k1",), iter(batch), FakeTimers(1_000))
+    )
+    assert len(out) == 1 and out[0]["reason"].iloc[0] == "Started"
+    assert h.state.get() == (1_000,)
+
+    # in-TTL re-delivery: suppressed, last_seen NOT refreshed
+    out = list(
+        proc.handleInputRows(("k1",), iter(batch), FakeTimers(9_000))
+    )
+    assert out == []
+    assert h.state.get() == (1_000,)
+
+    # past the TTL (granularity guard: state may still exist in the
+    # batch where the TTL lapsed): re-emits and refreshes
+    out = list(
+        proc.handleInputRows(("k1",), iter(batch), FakeTimers(11_500))
+    )
+    assert len(out) == 1
+    assert h.state.get() == (11_500,)
 
 
 def test_k8s_datasource_torn_tail_with_line_cap(tmp_path):
