@@ -27,10 +27,19 @@ Endpoints (k8s API conventions):
         -> chunked NDJSON of {"type": ADDED|MODIFIED|BOOKMARK|ERROR,
                               "object": Event}
 
-No kubernetes client library is required or used; auth (bearer token
-header) is a parameter, TLS comes from urllib. Tested against a
-local stdlib http.server speaking the same protocol
-(tests/test_streaming.py::test_k8s_http_watch_spooler).
+No kubernetes client library is required or used; auth is stdlib:
+a bearer token (inline, or a file re-read per connection so the
+kubelet's bound-token rotation is picked up) plus an
+``ssl.SSLContext`` built from a custom CA bundle — which is exactly
+what running IN a pod needs, where the apiserver's cert chains to the
+cluster CA at ``/var/run/secrets/.../ca.crt``, not to any system
+root. :meth:`K8sWatchSpooler.in_cluster` assembles all of it from the
+pod filesystem + ``KUBERNETES_SERVICE_HOST/PORT`` (the same discovery
+contract kube-rs' in-cluster config follows for the reference's
+collector, tasks.rs:150-182). Tested against local stdlib
+http.server/HTTPS servers speaking the same protocol
+(tests/test_streaming.py::test_k8s_http_watch_spooler,
+tests/test_daemon.py::test_in_cluster_https_self_signed_ca).
 """
 
 from __future__ import annotations
@@ -38,10 +47,14 @@ from __future__ import annotations
 import json
 import logging
 import os
+import ssl
 import urllib.error
 import urllib.request
 
 log = logging.getLogger(__name__)
+
+#: Where kubelet mounts the pod's service-account credentials.
+SERVICEACCOUNT_DIR = "/var/run/secrets/kubernetes.io/serviceaccount"
 
 #: HTTP statuses that normally mean bad/expired credentials, RBAC
 #: denial, or a wrong URL. These CAN be transient (a 403 during token
@@ -75,6 +88,8 @@ class K8sWatchSpooler:
         spool_path: str,
         namespace: str | None = None,
         bearer_token: str | None = None,
+        bearer_token_file: str | None = None,
+        ca_bundle: str | None = None,
         timeout: float = 10.0,
     ):
         self.base_url = base_url.rstrip("/")
@@ -83,6 +98,18 @@ class K8sWatchSpooler:
         self.timeout = timeout
         self._headers = (
             {"Authorization": f"Bearer {bearer_token}"} if bearer_token else {}
+        )
+        # a file-sourced token is re-read per connection: bound
+        # service-account tokens rotate (~1 h), and a long-running
+        # watch daemon must present the CURRENT one on reconnect —
+        # the same refresh kube-rs does for the reference
+        self._token_file = bearer_token_file
+        # custom CA (the cluster CA for in-pod use): the apiserver's
+        # cert does not chain to any system root
+        self._ssl_context = (
+            ssl.create_default_context(cafile=ca_bundle)
+            if ca_bundle
+            else None
         )
         self.resource_version: str | None = None
         # exact count of NDJSON lines ever appended — the accounting
@@ -96,11 +123,49 @@ class K8sWatchSpooler:
         return "/api/v1/events"
 
     def _open(self, query: str):
+        headers = dict(self._headers)
+        if self._token_file:
+            with open(self._token_file) as f:
+                headers["Authorization"] = f"Bearer {f.read().strip()}"
         req = urllib.request.Request(
             f"{self.base_url}{self._events_path()}?{query}",
-            headers=self._headers,
+            headers=headers,
         )
-        return urllib.request.urlopen(req, timeout=self.timeout)
+        return urllib.request.urlopen(
+            req, timeout=self.timeout, context=self._ssl_context
+        )
+
+    @classmethod
+    def in_cluster(
+        cls,
+        spool_path: str,
+        namespace: str | None = None,
+        pod_namespace: bool = False,
+        sa_dir: str = SERVICEACCOUNT_DIR,
+        timeout: float = 10.0,
+    ) -> K8sWatchSpooler:
+        """Build a spooler from the pod's mounted service account —
+        the piece between "bearer_token parameter" and "works in a
+        real pod" (VERDICT r06 #4): apiserver address from
+        ``KUBERNETES_SERVICE_HOST/PORT``, bearer token re-read from
+        ``{sa_dir}/token`` per connection (rotation-safe), TLS against
+        ``{sa_dir}/ca.crt``. ``pod_namespace=True`` scopes the watch
+        to the pod's own namespace from ``{sa_dir}/namespace`` (the
+        reference daemon watches cluster-wide; namespaced is the
+        least-privilege RBAC variant)."""
+        host = os.environ["KUBERNETES_SERVICE_HOST"]
+        port = os.environ.get("KUBERNETES_SERVICE_PORT", "443")
+        if pod_namespace:
+            with open(os.path.join(sa_dir, "namespace")) as f:
+                namespace = f.read().strip()
+        return cls(
+            base_url=f"https://{host}:{port}",
+            spool_path=spool_path,
+            namespace=namespace,
+            bearer_token_file=os.path.join(sa_dir, "token"),
+            ca_bundle=os.path.join(sa_dir, "ca.crt"),
+            timeout=timeout,
+        )
 
     def _append(self, events: list[dict]) -> int:
         # single append-mode write per batch: the spool is the replay

@@ -346,3 +346,106 @@ def test_daemon_executor_sink_only(spark, tmp_path):
     assert s[("total",)] == 3
     assert s[("cache_hits",)] == 1
     assert s[("cache_misses",)] == 2
+
+
+def test_in_cluster_https_self_signed_ca(tmp_path):
+    """K8sWatchSpooler.in_cluster against a localhost HTTPS server
+    whose cert chains to a SELF-SIGNED CA (the in-pod reality: the
+    apiserver cert chains to the cluster CA, not a system root) —
+    VERDICT r06 #4. Asserts: custom-CA TLS verification succeeds, the
+    bearer token is read from the SA dir and SENT, the token file is
+    RE-read per connection (rotation), and a default-context client
+    (no cluster CA) is rejected."""
+    import os
+    import ssl
+    import subprocess
+    import urllib.error
+
+    import pytest as _pytest
+
+    from event_stream_for_k8s_spark.sources.k8s_watch_http import (
+        K8sWatchSpooler,
+    )
+
+    # self-signed CA == server cert (one hop), SAN for 127.0.0.1
+    cert = str(tmp_path / "ca.crt")
+    key = str(tmp_path / "ca.key")
+    gen = subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", key, "-out", cert, "-days", "1",
+         "-subj", "/CN=kubernetes",
+         "-addext", "subjectAltName=DNS:localhost,IP:127.0.0.1"],
+        capture_output=True, text=True,
+    )
+    if gen.returncode != 0:
+        _pytest.skip(f"openssl unavailable: {gen.stderr[-200:]}")
+
+    # pod-style service-account dir
+    sa = tmp_path / "serviceaccount"
+    sa.mkdir()
+    (sa / "token").write_text("tok-one\n")
+    (sa / "namespace").write_text("kube-probe\n")
+    import shutil as _sh
+
+    _sh.copy(cert, sa / "ca.crt")
+
+    seen_auth: list[str] = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            seen_auth.append(self.headers.get("Authorization", ""))
+            self.send_response(200)
+            self.end_headers()
+            if "watch=true" in self.path:
+                self.wfile.write(
+                    (json.dumps({
+                        "type": "ADDED",
+                        "object": _event("u9", 9, "Pulled", "kube-probe"),
+                    }) + "\n").encode()
+                )
+            else:
+                self.wfile.write(json.dumps({
+                    "kind": "EventList",
+                    "metadata": {"resourceVersion": "8"},
+                    "items": [_event("u8", 8, "Created", "kube-probe")],
+                }).encode())
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(certfile=cert, keyfile=key)
+    srv.socket = ctx.wrap_socket(srv.socket, server_side=True)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    old_env = dict(os.environ)
+    os.environ["KUBERNETES_SERVICE_HOST"] = "127.0.0.1"
+    os.environ["KUBERNETES_SERVICE_PORT"] = str(srv.server_port)
+    try:
+        spool = str(tmp_path / "spool.jsonl")
+        sp = K8sWatchSpooler.in_cluster(
+            spool, pod_namespace=True, sa_dir=str(sa)
+        )
+        # pod-namespace scoping came from the SA dir
+        assert sp.namespace == "kube-probe"
+        n = sp.run()
+        assert n == 2  # 1 listed + 1 watched over verified TLS
+        assert seen_auth[0] == "Bearer tok-one"
+
+        # token rotation: the file is re-read on the next connection
+        (sa / "token").write_text("tok-two\n")
+        sp.run()
+        assert seen_auth[-1] == "Bearer tok-two"
+
+        # and the custom CA is LOAD-BEARING: a spooler without it
+        # (system trust roots) must fail TLS verification
+        bad = K8sWatchSpooler(
+            f"https://127.0.0.1:{srv.server_port}", spool
+        )
+        with _pytest.raises(urllib.error.URLError, match="certificate|CERTIFICATE"):
+            bad.list_once()
+    finally:
+        os.environ.clear()
+        os.environ.update(old_env)
+        srv.shutdown()
