@@ -41,15 +41,25 @@ def asof_join(
     ``tiebreak``: right column ordering ties on right_time (last one
     wins) — pass a unique right key for a deterministic result.
     """
+    from pyspark.sql import types as T
+
     on = list(on)
     lcols = left.columns
+    # The deposit is ONE struct per right row, not one column per
+    # payload field: last(col, ignorenulls) per-column would (a) skip
+    # right rows whose payload value is NULL — the match must be the
+    # latest right ROW even when its value is NULL (DuckDB/pandas
+    # as-of semantics) — and (b) let different payload columns come
+    # from DIFFERENT right rows when NULLs interleave. A struct is
+    # non-null whenever the row exists, so one last() picks one row.
+    p_type = T.StructType([T.StructField(c, right.schema[c].dataType) for c in payload])
     tagged_left = left.select(
         *on,
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__side"),
         F.lit(None).cast("long").alias("__tb"),
         *[F.col(c) for c in lcols if c not in on],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in payload],
+        F.lit(None).cast(p_type).alias("__p"),
     )
     tagged_right = right.select(
         *on,
@@ -57,7 +67,7 @@ def asof_join(
         F.lit(0).alias("__side"),
         (F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")).alias("__tb"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
-        *[F.col(c).alias(f"__p_{c}") for c in payload],
+        F.struct(*[F.col(c).alias(c) for c in payload]).alias("__p"),
     )
     unioned = tagged_left.unionByName(tagged_right)
     # Right rows (side=0) sort before left rows at equal time => a right
@@ -70,14 +80,11 @@ def asof_join(
     )
     picked = unioned.select(
         *unioned.columns,
-        *[
-            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in payload
-        ],
+        F.last("__p", ignorenulls=True).over(w).alias("__m"),
     )
     return picked.filter(F.col("__side") == 1).select(
         *on,
         F.col("__t").alias(left_time),
         *[c for c in lcols if c not in on and c != left_time],
-        *[f"{c}{suffix}" for c in payload],
+        *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in payload],
     )

@@ -3831,7 +3831,7 @@ WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
     "SemDeDup as published keeps k PROPORTIONAL to N, so blocks stay "
     "constant-size; fixed input labels break that and blocks grow "
     "with N (O(N^2/k) pairs). Any label whose member count exceeds "
-    "SPARK_GRAFT_SEMDEDUP_TARGET (default 1024) is therefore "
+    "SPARK_GRAFT_SEMDEDUP_TARGET (default 256) is therefore "
     "sub-split by a coarse sign quantizer derived from the embedding "
     "itself: cell = the sign bits of the leading `depth` quantized "
     "components, depth = doublings needed to bring expected block "

@@ -155,6 +155,10 @@ class K8sWatchSpooler:
         least-privilege RBAC variant)."""
         host = os.environ["KUBERNETES_SERVICE_HOST"]
         port = os.environ.get("KUBERNETES_SERVICE_PORT", "443")
+        if ":" in host and not host.startswith("["):
+            # IPv6 single-stack clusters export a bare IPv6 address;
+            # a URL authority needs it bracketed
+            host = f"[{host}]"
         if pod_namespace:
             with open(os.path.join(sa_dir, "namespace")) as f:
                 namespace = f.read().strip()

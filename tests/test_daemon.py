@@ -445,6 +445,12 @@ def test_in_cluster_https_self_signed_ca(tmp_path):
         )
         with _pytest.raises(urllib.error.URLError, match="certificate|CERTIFICATE"):
             bad.list_once()
+
+        # IPv6 single-stack clusters export a BARE IPv6 address in
+        # KUBERNETES_SERVICE_HOST — the URL authority must bracket it
+        os.environ["KUBERNETES_SERVICE_HOST"] = "fd00::1"
+        sp6 = K8sWatchSpooler.in_cluster(spool, sa_dir=str(sa))
+        assert sp6.base_url == f"https://[fd00::1]:{srv.server_port}"
     finally:
         os.environ.clear()
         os.environ.update(old_env)

@@ -652,3 +652,109 @@ def test_pagerank_exact_int_matches_python_reference(spark, edges):
         for r in pagerank_exact_int(nodes, und, iters).collect()
     }
     assert got == ref()
+
+
+asof_tables = st.tuples(
+    # left: (key, time) — id assigned by enumeration
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 50)),
+        min_size=1,
+        max_size=40,
+    ),
+    # right: (key, time, payload-or-NULL) — rid assigned by enumeration
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),
+            st.integers(0, 50),
+            st.one_of(st.none(), st.integers(-9, 9)),
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+)
+
+
+@given(data=asof_tables)
+@SETTINGS
+def test_asof_join_matches_duckdb_spec(spark, data):
+    """asof_join (union+window form) equals the executable spec "for
+    each left row, the right row with max(time) <= left_time, ties to
+    max(rid)" run in DuckDB — on random tables with duplicate keys,
+    tied timestamps, NULL payload values, and (min_size=0) an empty
+    right side. Payload fields must come from that ONE matched row
+    even when its value is NULL (the per-column last(ignorenulls)
+    formulation failed this: a NULL-payload right row could not
+    overwrite an older deposit, and interleaved NULLs could stitch
+    different rows' fields together)."""
+    import duckdb
+
+    from event_stream_for_k8s_spark.operators.joins import asof_join
+
+    lrows, rrows = data
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)],
+        "k int, t int, id long",
+    )
+    right = spark.createDataFrame(
+        [(k, t, i, v) for i, (k, t, v) in enumerate(rrows)],
+        "k int, t int, rid long, v long",
+    )
+    got = sorted(
+        (r["id"], r["rid_asof"], r["v_asof"])
+        for r in asof_join(
+            left,
+            right,
+            on=["k"],
+            left_time="t",
+            right_time="t",
+            payload=["rid", "v"],
+            tiebreak="rid",
+        ).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l (k INT, t INT, id BIGINT)")
+    con.execute("CREATE TABLE r (k INT, t INT, rid BIGINT, v BIGINT)")
+    con.executemany(
+        "INSERT INTO l VALUES (?, ?, ?)",
+        [(k, t, i) for i, (k, t) in enumerate(lrows)],
+    )
+    if rrows:
+        con.executemany(
+            "INSERT INTO r VALUES (?, ?, ?, ?)",
+            [(k, t, i, v) for i, (k, t, v) in enumerate(rrows)],
+        )
+    want = con.execute(
+        """
+SELECT l.id,
+  (SELECT r.rid FROM r WHERE r.k = l.k AND r.t <= l.t
+   ORDER BY r.t DESC, r.rid DESC LIMIT 1) AS rid_asof,
+  (SELECT r.v FROM r WHERE r.k = l.k AND r.t <= l.t
+   ORDER BY r.t DESC, r.rid DESC LIMIT 1) AS v_asof
+FROM l ORDER BY l.id
+"""
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+
+
+def test_asof_join_null_payload_overwrites(spark):
+    """Deterministic pin of the struct-deposit fix: the LATEST right
+    row wins even when its payload value is NULL — it must shadow an
+    older non-null deposit, not be skipped."""
+    from event_stream_for_k8s_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 1, 100, 7), (1, 5, 101, None)],
+        "k int, t int, rid long, v long",
+    )
+    [row] = asof_join(
+        left,
+        right,
+        on=["k"],
+        left_time="t",
+        right_time="t",
+        payload=["rid", "v"],
+        tiebreak="rid",
+    ).collect()
+    assert (row["rid_asof"], row["v_asof"]) == (101, None)
