@@ -1,7 +1,10 @@
-"""Join operators Spark lacks natively: as-of join.
+"""Join operators Spark lacks natively: as-of join (backward and
+nearest).
 
 ``asof_join`` matches each left row to the latest right row with
 ``right_time <= left_time`` within a key (direction='backward').
+``asof_nearest_join`` matches the right row minimizing
+``|right_time - left_time|`` in either direction.
 
 Implementation is the UNION + WINDOW formulation, not
 join-then-filter-then-rank: tag both inputs, union them, and run a
@@ -61,7 +64,11 @@ def asof_join(
         *[F.col(c) for c in lcols if c not in on],
         F.lit(None).cast(p_type).alias("__p"),
     )
-    tagged_right = right.select(
+    # A NULL right_time never satisfies `right_time <= left_time`
+    # (SQL comparison semantics) — without this filter a null-time
+    # right row sorts nulls-first and becomes a phantom earliest
+    # deposit for left rows that should match nothing.
+    tagged_right = right.filter(F.col(right_time).isNotNull()).select(
         *on,
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),

@@ -758,3 +758,71 @@ def test_asof_join_null_payload_overwrites(spark):
         tiebreak="rid",
     ).collect()
     assert (row["rid_asof"], row["v_asof"]) == (101, None)
+
+
+cc_graphs = st.tuples(
+    # edges: (src, dst) over a small id space — duplicates, self-loops,
+    # reversed repeats, and multi-hop chains all arise naturally
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=0,
+        max_size=40,
+    ),
+    # extra isolated node ids supplied via the `nodes` argument
+    st.lists(st.integers(0, 19), min_size=1, max_size=10),
+)
+
+
+@given(data=cc_graphs)
+@SETTINGS
+def test_connected_components_matches_union_find(spark, data):
+    """connected_components (iterative min-label + pointer jump)
+    equals a pure-Python union-find on random graphs: every node gets
+    the MIN node id of its component, isolated nodes (present only
+    via `nodes`) label themselves, self-loops and duplicate/reversed
+    edges are no-ops. Random graphs reach the pointer-jumping and
+    convergence-sum paths that the planted fixture (test_llm) cannot:
+    long chains, forks that merge late, components spanning the
+    edge/node-arg boundary."""
+    from event_stream_for_k8s_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edge_rows, extra_nodes = data
+    edges = spark.createDataFrame(
+        edge_rows or [(0, 0)], "src long, dst long"
+    )
+    if not edge_rows:
+        edges = edges.filter(F.lit(False))
+    nodes = spark.createDataFrame(
+        [(n,) for n in extra_nodes], "node long"
+    )
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for s, d in edge_rows:
+        union(s, d)
+    for n in extra_nodes:
+        find(n)
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {(n, comp_min[find(n)]) for n in parent}
+    assert got == want
