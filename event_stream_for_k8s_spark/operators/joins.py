@@ -1,10 +1,9 @@
-"""Join operators Spark lacks natively: as-of join (backward and
-nearest).
+"""Join operators Spark lacks natively: the as-of join.
 
 ``asof_join`` matches each left row to the latest right row with
-``right_time <= left_time`` within a key (direction='backward').
-``asof_nearest_join`` matches the right row minimizing
-``|right_time - left_time|`` in either direction.
+``right_time <= left_time`` within a key (backward as-of; forward and
+nearest variants are composed in ``plans/joins.py`` from this
+primitive).
 
 Implementation is the UNION + WINDOW formulation, not
 join-then-filter-then-rank: tag both inputs, union them, and run a

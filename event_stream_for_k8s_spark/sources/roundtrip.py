@@ -75,20 +75,25 @@ def materialize(
 ) -> str:
     """Write once (marker-protected), return the directory.
 
-    Concurrency: the bare check-then-write had a TOCTOU — two sessions
-    (parallel test runs, a bench next to a soak) could both see the
-    missing marker and interleave their overwrite-mode writes into the
-    same directory. An O_CREAT|O_EXCL lock file makes exactly one
-    writer win; losers poll for the _DONE marker. The lock records
-    ``pid timestamp`` so a waiter can RECLAIM a lock whose owner is a
-    dead process (SIGKILL/OOM leaves the finally-cleanup unexecuted,
-    ADVICE r06) or whose age exceeds the 600 s deadline, instead of
-    every later caller blocking the full window and then raising
-    until someone deletes the file by hand. Reclaim is an atomic
-    rename (exactly one reclaimer wins; the loser just re-loops), so
-    two waiters can never each remove a different writer's fresh
-    lock. A recycled pid makes the liveness probe lie "alive" — the
-    age deadline still reclaims then."""
+    Concurrency: exactly one builder runs per directory; losers wait
+    for the winner's ``_DONE`` marker. Mutual exclusion is a kernel
+    ``flock`` on ``_WRITING.lock`` rather than pid/timestamp content
+    in the file (the r07 scheme): flock is released automatically
+    when the holder dies (SIGKILL/OOM included), so there is no
+    staleness heuristic to get wrong — no age check that steals a
+    slow-but-healthy writer's lock, and no check-then-rename reclaim
+    window where one waiter renames away a lock a second waiter just
+    re-acquired (both ADVICE r07 findings). A live writer's lock can
+    NEVER be taken; a waiter that outlasts the 600 s deadline raises
+    loudly instead of corrupting the cache. Acquisition is
+    non-blocking-poll so the marker fast-path and the deadline stay
+    responsive. The lock file is unlinked only AFTER ``_DONE`` exists:
+    unlinking an un-markered path would let a new opener lock a fresh
+    inode while an old waiter holds the dead inode — two builders.
+    An inode re-check after acquisition guards the unlink race. Local
+    filesystem only (flock over NFS is advisory at best) — fine for a
+    test-fixture cache under the repo root."""
+    import fcntl
     import time
 
     out = cache_dir(sf_dir, kind)
@@ -99,64 +104,49 @@ def materialize(
     lock = os.path.join(out, "_WRITING.lock")
     deadline = time.time() + 600
 
-    def _lock_is_stale() -> bool:
-        try:
-            with open(lock) as f:
-                pid_s, ts_s = f.read().split()
-            pid, ts = int(pid_s), float(ts_s)
-        except (FileNotFoundError, ValueError):
-            # gone (owner released) or mid-write/corrupt: not provably
-            # stale — let the acquire/poll loop decide
-            return False
-        if time.time() - ts > 600:
-            return True
-        try:
-            os.kill(pid, 0)  # signal 0: existence probe only
-        except ProcessLookupError:
-            return True
-        except PermissionError:
-            pass  # exists, owned by another uid: alive
-        return False
-
     while True:
+        fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
         try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            # a writer holds the lock: wait for its marker — but keep
-            # retrying the ACQUIRE, so a writer that failed (lock
-            # released, no marker) hands the build to a waiter instead
-            # of stranding it until the timeout
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except BlockingIOError:
+            # a live writer holds the lock: wait for its marker (or
+            # its death — the kernel releases the flock either way)
+            os.close(fd)
             if os.path.exists(marker):
                 return out
-            if _lock_is_stale():
-                stale = f"{lock}.stale.{os.getpid()}.{time.time_ns()}"
-                try:
-                    os.rename(lock, stale)  # atomic: one reclaimer
-                    os.remove(stale)
-                except FileNotFoundError:
-                    pass  # another waiter reclaimed it first
-                continue
             if time.time() > deadline:
                 raise TimeoutError(
                     f"materialize({kind}): writer holds {lock} but "
-                    "never produced _DONE; remove the stale lock to "
-                    "retry"
+                    "never produced _DONE within 600 s; it is still "
+                    "alive (a dead writer's flock auto-releases) — "
+                    "investigate the hung writer"
                 )
             time.sleep(0.2)
             continue
-        break
-    try:
-        os.write(fd, f"{os.getpid()} {time.time()}".encode())
+        try:
+            if os.path.exists(lock) and (
+                os.fstat(fd).st_ino == os.stat(lock).st_ino
+            ):
+                break  # locked the inode the path still names
+        except FileNotFoundError:
+            pass
+        # path was unlinked/recreated between open and flock (a
+        # finished writer cleaned up): drop the dead inode, re-loop —
+        # the marker fast-path will normally exit next iteration
         os.close(fd)
+        if os.path.exists(marker):
+            return out
+    try:
         if not os.path.exists(marker):  # re-check under the lock
             writer(out)
             with open(marker, "w") as f:
                 f.write("ok")
-    finally:
         try:
-            os.remove(lock)
+            os.remove(lock)  # safe: marker exists past this point
         except FileNotFoundError:
             pass
+    finally:
+        os.close(fd)  # releases the flock
     return out
 
 

@@ -305,10 +305,17 @@ class K8sStreamMetrics:
                     # received rows to cache_hits — move this batch's
                     # miss count to cache_misses now and repay the
                     # cache_hits overcount against future syncs, so
-                    # sum(events) == cache_misses holds (ADVICE r06)
-                    del self._default_synced[defer_totals_batch_id]
+                    # sum(events) == cache_misses holds (ADVICE r06).
+                    # Repay only what was actually over-credited: the
+                    # default reconcile added max(0, received) hits,
+                    # so misses > received must clamp — otherwise one
+                    # oversized late observation withholds genuine
+                    # future cache_hits forever (ADVICE r07)
+                    received = self._default_synced.pop(
+                        defer_totals_batch_id
+                    )
                     self.processed.labels("cache_misses").inc(misses)
-                    self._hit_overcount += misses
+                    self._hit_overcount += min(misses, max(0, received))
             else:
                 # EVERYTHING moves atomically in sync_received —
                 # incrementing misses now would let a scrape observe

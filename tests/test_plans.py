@@ -691,11 +691,14 @@ def test_materialize_failed_writer_hands_off(spark, tmp_path):
 
 
 def test_materialize_reclaims_dead_writer_lock(spark, tmp_path):
-    """A hard-killed writer (SIGKILL/OOM) leaves _WRITING.lock behind
-    with no _DONE; the lock records pid+timestamp, so a later caller
-    detects the dead pid and reclaims the lock instead of blocking
-    600 s and raising (ADVICE r06)."""
+    """A hard-killed writer (SIGKILL/OOM) dies while HOLDING the
+    flock; the kernel releases it with the process, so a later caller
+    acquires immediately instead of blocking 600 s and raising. (The
+    r07 pid/timestamp reclaim heuristic had a check-then-rename TOCTOU
+    and could steal a slow live writer's lock — ADVICE r07; flock has
+    neither problem.)"""
     import os
+    import signal
     import subprocess
     import sys
     import time as _time
@@ -708,12 +711,25 @@ def test_materialize_reclaims_dead_writer_lock(spark, tmp_path):
     sf = str(tmp_path / "sf")
     out = cache_dir(sf, "orphan_probe")
     os.makedirs(out, exist_ok=True)
-    # forge an orphaned lock owned by a process that is certainly
-    # dead: spawn-and-wait a trivial child and use ITS pid
-    child = subprocess.Popen([sys.executable, "-c", "pass"])
+    lock = f"{out}/_WRITING.lock"
+    # a child that takes the flock and then hangs forever
+    child = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            (
+                "import fcntl,os,sys,time\n"
+                f"fd=os.open({lock!r},os.O_CREAT|os.O_WRONLY)\n"
+                "fcntl.flock(fd,fcntl.LOCK_EX)\n"
+                "print('locked',flush=True)\n"
+                "time.sleep(600)\n"
+            ),
+        ],
+        stdout=subprocess.PIPE,
+    )
+    assert child.stdout.readline().strip() == b"locked"
+    child.send_signal(signal.SIGKILL)  # dies holding the lock
     child.wait()
-    with open(f"{out}/_WRITING.lock", "w") as f:
-        f.write(f"{child.pid} {_time.time()}")
 
     t0 = _time.time()
     result = materialize(
@@ -723,13 +739,17 @@ def test_materialize_reclaims_dead_writer_lock(spark, tmp_path):
     assert _time.time() - t0 < 30, "blocked on the orphaned lock"
     with open(f"{result}/data.txt") as f:
         assert f.read() == "reclaimed"
-    assert not os.path.exists(f"{out}/_WRITING.lock")
+    assert not os.path.exists(lock)
 
 
 def test_materialize_live_lock_not_reclaimed(spark, tmp_path):
-    """A lock owned by a LIVE process is never reclaimed early: a
-    waiter polls until the writer's _DONE appears (the reclaim path
-    must not steal a healthy writer's lock)."""
+    """A lock HELD by a live writer is never taken, no matter how
+    long it has been held: a waiter polls until the writer's _DONE
+    appears. The flock formulation makes stealing structurally
+    impossible (there is no reclaim path at all); a writer healthy
+    but slower than any age threshold keeps its lock (ADVICE r07 —
+    the old age-before-liveness check stole exactly this lock)."""
+    import fcntl
     import os
     import threading
     import time as _time
@@ -742,9 +762,11 @@ def test_materialize_live_lock_not_reclaimed(spark, tmp_path):
     sf = str(tmp_path / "sf")
     out = cache_dir(sf, "live_probe")
     os.makedirs(out, exist_ok=True)
-    # lock owned by THIS live process, fresh timestamp
-    with open(f"{out}/_WRITING.lock", "w") as f:
-        f.write(f"{os.getpid()} {_time.time()}")
+    lock = f"{out}/_WRITING.lock"
+    # genuinely HOLD the flock from another thread of this process
+    # (a separate open file description, so it excludes materialize)
+    fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
+    fcntl.flock(fd, fcntl.LOCK_EX)
 
     builds: list[str] = []
 
@@ -754,7 +776,8 @@ def test_materialize_live_lock_not_reclaimed(spark, tmp_path):
             f.write("from-owner")
         with open(f"{out}/_DONE", "w") as f:
             f.write("ok")
-        os.remove(f"{out}/_WRITING.lock")
+        os.remove(lock)
+        os.close(fd)  # releases the flock
 
     t = threading.Thread(target=release_later)
     t.start()

@@ -276,3 +276,38 @@ def test_deferred_observe_retry_is_fully_idempotent(spark):
     # out of the ring, no double repair)
     assert 4 not in m2._default_synced
     assert 3 not in m2._default_synced
+
+def test_late_observe_overcount_clamped_to_received(spark):
+    """A late observation whose misses EXCEED the batch's received
+    count (possible when the progress event undercounted, e.g. a
+    replayed source segment) must repay only what the default
+    reconcile actually over-credited — max(0, received) hits. The
+    unclamped form banked the full miss count as overcount and
+    withheld genuine future cache_hits forever (ADVICE r07)."""
+    m = K8sStreamMetrics()
+    b = _batch(spark)  # observe_batch stages 3 misses
+    # default-reconcile batch 3 with received=1 < misses=3: the
+    # reconcile credited only 1 hit, so at most 1 is repayable
+    m.sync_received(3, 1)
+    fam = m.processed.samples
+    assert fam[("cache_hits",)] == 1
+    m.observe_batch(b, key_col="k", order_cols=("t",),
+                    defer_totals_batch_id=3)
+    fam = m.processed.samples
+    assert fam[("cache_misses",)] == 3
+    # clamp: overcount is min(misses=3, received=1) == 1, not 3
+    assert m._hit_overcount == 1
+    # a clean future batch with 2 genuine hits: 1 repaid, 1 credited
+    # (the unclamped bug would have withheld both)
+    m._pending[4] = {"misses": 0, "labels": [], "nbytes": 0}
+    m.sync_received(4, 2)
+    fam = m.processed.samples
+    assert fam[("cache_hits",)] == 1 + 1  # not stuck at 1
+    assert m._hit_overcount == 0
+    # received=0 default reconcile: nothing was over-credited, so a
+    # late observe must bank zero overcount
+    m2 = K8sStreamMetrics()
+    m2.sync_received(7, 0)
+    m2.observe_batch(b, key_col="k", order_cols=("t",),
+                     defer_totals_batch_id=7)
+    assert m2._hit_overcount == 0
