@@ -238,15 +238,53 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct", oracle=None, section="B.4",
-       notes="HLL sketch differs from any exact oracle by design; rows-only. "
-             "tests/test_relational.py asserts the 2% error envelope.")
-def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The 100 TB path for count-distinct: HLL++, no exact shuffle of keys.
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION form of agg_approx_distinct: HLL++ only, no exact
+    shuffle of keys — the 100 TB count-distinct path. The registered
+    query wraps this in an exact+error-envelope harness so the driver
+    can hash-check it; a real deployment runs THIS and drops the
+    exact columns."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    oracle="""
+SELECT l_returnflag,
+       cast(count(DISTINCT l_partkey) AS bigint) AS exact_parts,
+       count(*) AS n_rows,
+       TRUE AS within_bound
+FROM lineitem GROUP BY l_returnflag
+""",
+    section="B.4",
+    notes="HLL++ sketch with an exact+error-envelope oracle (VERDICT "
+    "r07 #1): the output carries the EXACT count and a boolean "
+    "asserting |approx-exact| <= 10% (5x the rsd=0.02 target; HLL++ "
+    "is deterministic for fixed data, so the boolean is stable and "
+    "hash-checkable — the approx VALUE itself stays out of the "
+    "output). The exact-count pass exists for the gate only; "
+    "approx_distinct_sketch above is the production form. "
+    "agg_approx_distinct_exact remains the stronger small-domain "
+    "anchor; tests assert the 5% envelope on the raw sketch.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    approx = approx_distinct_sketch(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    return approx.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "exact_parts",
+        "n_rows",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.10 * F.col("exact_parts")
+        ).alias("within_bound"),
     )
 
 
@@ -1143,17 +1181,14 @@ def sql_cte_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_CTE_TEXT)
 
 
-@query(
-    "agg_hll_sketch",
-    oracle=None,
-    section="B.4",
-    notes="Datasketches HLL: per-group sketches + hll_union_agg "
-    "re-aggregation. Unlike approx_count_distinct the sketch itself "
-    "is storable/mergeable — counts can roll up across days/partitions "
-    "without re-scanning raw data, the 100 TB distinct-count pattern; "
-    "estimate-vs-exact error asserted in tests",
-)
-def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hll_sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION form of agg_hll_sketch: Datasketches HLL per-group
+    sketches + hll_union_agg re-aggregation. Unlike
+    approx_count_distinct the sketch itself is storable/mergeable —
+    counts roll up across days/partitions without re-scanning raw
+    data, the 100 TB distinct-count pattern. The registered query
+    wraps this in an exact+envelope harness; a deployment runs THIS
+    (and stores the sketches, not the estimates)."""
     ev = load(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk")
@@ -1164,6 +1199,48 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.select(
         "event_type", F.hll_sketch_estimate("sk").alias("est")
     ).unionByName(rollup)
+
+
+@query(
+    "agg_hll_sketch",
+    oracle="""
+SELECT event_type, cast(nd AS bigint) AS exact_users, TRUE AS within_bound
+FROM (
+  SELECT event_type, count(DISTINCT user_id) AS nd
+  FROM events GROUP BY event_type
+  UNION ALL
+  SELECT '__all__' AS event_type, count(DISTINCT user_id) AS nd
+  FROM events
+)
+""",
+    section="B.4",
+    notes="Datasketches HLL with an exact+error-envelope oracle "
+    "(VERDICT r07 #1): output carries the EXACT distinct count and a "
+    "boolean asserting the sketch estimate (including the mergeability "
+    "path — the __all__ row estimates a hll_union_agg of the per-type "
+    "sketches) lands within max(1, 10%) of it; deterministic for "
+    "fixed data, so hash-checkable, estimate value not in the output. "
+    "hll_sketch_estimates above is the production form; tests assert "
+    "the tighter 5% envelope on the raw estimates.",
+)
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    est = hll_sketch_estimates(spark, sf_dir)
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    overall = ev.agg(
+        F.countDistinct("user_id").alias("exact_users")
+    ).select(F.lit("__all__").alias("event_type"), "exact_users")
+    exact = per_type.unionByName(overall)
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= F.greatest(F.lit(1.0), 0.10 * F.col("exact_users"))
+        ).alias("within_bound"),
+    )
 
 
 @query(
@@ -1443,25 +1520,92 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(AGG_FILTER_SQL)
 
 
-@query(
-    "agg_approx_percentile",
-    oracle=None,
-    section="B.4",
-    notes="single-pass sketch percentiles (approx_percentile with "
-    "accuracy 10000) -- the 100 TB twin of agg_percentile_multi: no "
-    "per-group sort, mergeable partial state. Error envelope vs the "
-    "exact percentile asserted in tests/test_properties.py",
-)
-def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION form of agg_approx_percentile: single-pass GK
+    sketch percentiles (accuracy 10000) — the 100 TB twin of
+    agg_percentile_multi: no per-group sort, mergeable partial state.
+    The registered query wraps this in a rank-error-envelope harness
+    for the driver's hash check; a deployment runs THIS."""
     e = load(spark, sf_dir, "events")
-    # ONE sketch per group, unpacked to scalar columns (rows-only checked,
-    # but the driver still canonicalizes cells — lists would ERR its hasher).
+    # ONE sketch per group, unpacked to scalar columns.
     pcts = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
     return e.groupBy("event_type").agg(
         F.get(pcts, 0).alias("p50"),
         F.get(pcts, 1).alias("p90"),
         F.get(pcts, 2).alias("p99"),
         F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_approx_percentile",
+    oracle="""
+SELECT event_type, count(*) AS n,
+       TRUE AS within_p50, TRUE AS within_p90, TRUE AS within_p99
+FROM events GROUP BY event_type
+""",
+    section="B.4",
+    notes="GK sketch percentiles with a rank-error-envelope oracle "
+    "(VERDICT r07 #1): the sketch value's observed rank (count of "
+    "rows <= it, via one broadcast join of the tiny per-group sketch "
+    "row back over the table) must sit within 1% of the requested "
+    "percentile — 100x the accuracy=10000 theoretical bound, so the "
+    "boolean is deterministically TRUE for fixed data and "
+    "hash-checkable, while the sketch VALUE (engine-specific) stays "
+    "out of the output. No value-space comparison, so no float "
+    "discipline needed. approx_percentile_sketch above is the "
+    "production form; agg_approx_percentile_exact remains the "
+    "plateau-domain anchor; tests assert the raw envelope.",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sk = approx_percentile_sketch(spark, sf_dir)
+    e = load(spark, sf_dir, "events")
+    sums = []
+    for tag, pcol in (("50", "p50"), ("90", "p90"), ("99", "p99")):
+        sums.append(
+            F.sum((F.col("value") <= F.col(pcol)).cast("long")).alias(
+                f"le{tag}"
+            )
+        )
+        sums.append(
+            F.sum((F.col("value") < F.col(pcol)).cast("long")).alias(
+                f"lt{tag}"
+            )
+        )
+    ranks = (
+        e.join(F.broadcast(sk), "event_type")
+        .groupBy("event_type")
+        .agg(
+            *sums,
+            # rank denominator: NON-NULL values only (the sketch
+            # ignores NULLs, so must the observed-rank fraction)
+            F.count("value").alias("n_vals"),
+            F.first("n").alias("n"),
+        )
+    )
+
+    def ok(tag: str, p: float):
+        # plateau-aware rank check: the sketch value is a valid
+        # p-quantile (up to delta) iff the rank interval its tie
+        # plateau occupies, [count(v<a), count(v<=a)]/n, intersects
+        # [p-delta, p+delta] — count(v<=a) alone jumps to the TOP of
+        # a plateau, failing legitimately on heavily tied degenerate
+        # data. delta = 1% + 1/n (GK's own bound is 1e-4 of that
+        # budget; 1/n covers discreteness). All-NULL groups have no
+        # rank to check: vacuously TRUE, matching the oracle literal.
+        delta = F.lit(0.01) + F.try_divide(F.lit(1.0), F.col("n_vals"))
+        lo = F.try_divide(F.col(f"lt{tag}"), F.col("n_vals"))
+        hi = F.try_divide(F.col(f"le{tag}"), F.col("n_vals"))
+        return F.when(F.col("n_vals") == 0, F.lit(True)).otherwise(
+            (lo <= F.lit(p) + delta) & (hi >= F.lit(p) - delta)
+        )
+
+    return ranks.select(
+        "event_type",
+        "n",
+        ok("50", 0.5).alias("within_p50"),
+        ok("90", 0.9).alias("within_p90"),
+        ok("99", 0.99).alias("within_p99"),
     )
 
 
@@ -2194,24 +2338,16 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.exceptAll(b)
 
 
-@query(
-    "agg_hist_equi_depth_approx",
-    oracle=None,
-    section="C",
-    notes="the 100 TB twin of agg_hist_equi_depth: equi-depth "
-    "histogram from approx_percentile cutpoints broadcast-joined "
-    "back for bucket assignment — NO global-order window (the exact "
-    "form's ntile sorts the world in one task; this plan is a "
-    "mergeable sketch + a map). Rows-only by design (sketch "
-    "boundaries), but tests/test_properties.py binds it to the exact "
-    "form: identical bucket count and per-bucket depth within sketch "
-    "rank error. Plan test asserts no Window node. Fine print: the "
-    "cutpoint pass and the assignment pass each scan the table once "
-    "— but both scans are pruned to the single histogram column "
-    "(plan-verified), the exact two-pass shape ANALYZE uses; the "
-    "sketch pass's shuffle is one 15-element row",
-)
-def agg_hist_equi_depth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+def equi_depth_approx_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION form of agg_hist_equi_depth_approx: equi-depth
+    histogram from approx_percentile cutpoints broadcast-joined back
+    for bucket assignment — NO global-order window (the exact form's
+    ntile sorts the world in one task; this plan is a mergeable
+    sketch + a map). Both table scans are pruned to the single
+    histogram column (plan-verified), the exact two-pass shape
+    ANALYZE uses; the sketch pass's shuffle is one 15-element row.
+    The registered query folds this into an exact-summary+envelope
+    harness; a deployment runs THIS for the per-bucket rows."""
     li = load(spark, sf_dir, "lineitem")
     cuts = li.agg(
         F.percentile_approx(
@@ -2240,6 +2376,53 @@ def agg_hist_equi_depth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.min("v").alias("lo"),
         F.max("v").alias("hi"),
+    )
+
+
+@query(
+    "agg_hist_equi_depth_approx",
+    oracle="""
+SELECT cast(16 AS bigint) AS n_buckets,
+       count(*) AS n_total,
+       min(l_extendedprice) AS lo,
+       max(l_extendedprice) AS hi,
+       TRUE AS depth_ok
+FROM lineitem
+""",
+    section="C",
+    notes="sketch-cutpoint equi-depth histogram with an "
+    "exact-summary+envelope oracle (VERDICT r07 #1): the summary row "
+    "carries exact-deterministic facts — bucket count (16 whenever "
+    "the column has >=16 distinct values; the oracle pins it, so a "
+    "degenerate sketch hash-mismatches loudly), total mass "
+    "(sum of bucket depths == count(*), proving the bucketing "
+    "partitions the table), global lo/hi (data elements, "
+    "bit-identical across engines) — plus depth_ok asserting "
+    "max-min bucket depth spread <= 2*max(10, 10% of target depth), "
+    "2000x the accuracy=10000 rank-error bound, deterministic for "
+    "fixed data. Cutpoint VALUES stay out of the output. "
+    "equi_depth_approx_hist above is the production per-bucket form; "
+    "tests/test_properties.py still binds it to the exact ntile "
+    "form per-bucket.",
+)
+def agg_hist_equi_depth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = equi_depth_approx_hist(spark, sf_dir)
+    stats = b.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("n").alias("n_total"),
+        F.min("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+        F.max("n").alias("max_n"),
+        F.min("n").alias("min_n"),
+    )
+    target = F.try_divide(F.col("n_total"), F.lit(16.0))
+    slack = F.lit(2.0) * F.greatest(F.lit(10.0), F.lit(0.1) * target)
+    return stats.select(
+        "n_buckets",
+        "n_total",
+        "lo",
+        "hi",
+        ((F.col("max_n") - F.col("min_n")) <= slack).alias("depth_ok"),
     )
 
 

@@ -74,7 +74,11 @@ def test_knn_self_similarity(spark):
 
 
 def test_approx_distinct_error_envelope(spark):
-    df = REGISTRY["agg_approx_distinct"].spark(spark, SF).collect()
+    from event_stream_for_k8s_spark.plans.relational import (
+        approx_distinct_sketch,
+    )
+
+    df = approx_distinct_sketch(spark, SF).collect()
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     exact = {
         r["l_returnflag"]: r["n"]

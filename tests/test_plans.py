@@ -174,9 +174,13 @@ def test_hll_sketch_estimates_and_merge(spark):
 
     from event_stream_for_k8s_spark.catalog import load
 
+    from event_stream_for_k8s_spark.plans.relational import (
+        hll_sketch_estimates,
+    )
+
     got = {
         r["event_type"]: r["est"]
-        for r in REGISTRY["agg_hll_sketch"].spark(spark, SF).collect()
+        for r in hll_sketch_estimates(spark, SF).collect()
     }
     ev = load(spark, SF, "events")
     exact = {

@@ -177,10 +177,14 @@ def test_approx_percentile_error_envelope(spark):
 
     from event_stream_for_k8s_spark.plans import REGISTRY
 
+    from event_stream_for_k8s_spark.plans.relational import (
+        approx_percentile_sketch,
+    )
+
     sf = "/root/testdata/sf0.01"
     approx = {
         r["event_type"]: (r["p50"], r["p90"], r["p99"])
-        for r in REGISTRY["agg_approx_percentile"].spark(spark, sf).collect()
+        for r in approx_percentile_sketch(spark, sf).collect()
     }
     exact = {
         r["event_type"]: (r["p50"], r["p90"], r["p99"])
@@ -520,8 +524,12 @@ def test_equi_depth_approx_binds_to_exact(spark):
         r["bucket"]: r
         for r in REGISTRY["agg_hist_equi_depth"].spark(spark, sf).collect()
     }
+    from event_stream_for_k8s_spark.plans.relational import (
+        equi_depth_approx_hist,
+    )
+
     approx = sorted(
-        REGISTRY["agg_hist_equi_depth_approx"].spark(spark, sf).collect(),
+        equi_depth_approx_hist(spark, sf).collect(),
         key=lambda r: r["bucket"],
     )
     n_total = sum(r["n"] for r in exact.values())
