@@ -359,130 +359,21 @@ GROUP BY a.event_id
     "over a range predicate should always take this prefix form",
 )
 def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from event_stream_for_k8s_spark.operators.range_count import (
+        range_count_by_id,
+    )
 
-    half_us = 1800 * 1_000_000
-    day_us = 86_400 * 1_000_000
     # microsecond arithmetic: unix_seconds would truncate sub-second
     # precision and admit rows just past the boundary
     ev = load(spark, sf_dir, "events").select(
         "event_id", F.unix_micros("ts").alias("t")
     )
-    # (1) collapse to distinct timestamps with multiplicities
-    pts = (
-        ev.groupBy("t")
-        .agg(F.count("*").alias("c"))
-        .withColumn("r", F.floor(F.col("t") / day_us).cast("long"))
-    )
-    # probes: hi inclusive at ta+half; lo exclusive at ta-half =>
-    # inclusive at ta-half-1us (timestamps are integral micros)
-    probes = ev.select(
-        "event_id",
-        F.explode(
-            F.array(
-                F.struct(
-                    (F.col("t") + half_us).alias("t"),
-                    F.lit(1).alias("sign"),
-                ),
-                F.struct(
-                    (F.col("t") - half_us - 1).alias("t"),
-                    F.lit(-1).alias("sign"),
-                ),
-            )
-        ).alias("p"),
-    ).select(
-        "event_id",
-        F.col("p.t").alias("t"),
-        F.col("p.sign").alias("sign"),
-        F.floor(F.col("p.t") / day_us).cast("long").alias("r"),
-    )
-    # (2) bucket relation over EVERY bucket either side touches, with
-    # exclusive prefix totals — bucket-cardinality, window is cheap
-    buckets = (
-        pts.select("r")
-        .union(probes.select("r"))
-        .distinct()
-        .join(pts.groupBy("r").agg(F.sum("c").alias("bc")), "r", "left")
-        .na.fill({"bc": 0})
-    )
-    w_b = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, -1)
-    pref = buckets.withColumn(
-        "p", F.coalesce(F.sum("bc").over(w_b), F.lit(0)).cast("long")
-    ).select("r", "p")
-    # (3) one ordered pass per bucket: synthetic bucket-start anchors
-    # (kind -1, cum = prior-bucket total), real anchors (kind 0,
-    # running cum), probes (kind 1, resolve to last anchor cum)
-    w_run = Window.partitionBy("r").orderBy("t").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    anchors = (
-        pts.join(pref, "r")
-        .withColumn("cum", F.col("p") + F.sum("c").over(w_run))
-        .select(
-            "r",
-            "t",
-            F.lit(0).alias("kind"),
-            "cum",
-            F.lit(None).cast("bigint").alias("event_id"),
-            F.lit(None).cast("int").alias("sign"),
-        )
-    )
-    seeds = pref.select(
-        "r",
-        (F.col("r") * day_us).alias("t"),
-        F.lit(-1).alias("kind"),
-        F.col("p").alias("cum"),
-        F.lit(None).cast("bigint").alias("event_id"),
-        F.lit(None).cast("int").alias("sign"),
-    )
-    probe_rows = probes.select(
-        "r",
-        "t",
-        F.lit(1).alias("kind"),
-        F.lit(None).cast("bigint").alias("cum"),
-        "event_id",
-        "sign",
-    )
-    w_asof = Window.partitionBy("r").orderBy("t", "kind").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    resolved = (
-        seeds.unionByName(anchors)
-        .unionByName(probe_rows)
-        .withColumn("cum_at", F.last("cum", ignorenulls=True).over(w_asof))
-        .filter(F.col("kind") == 1)
-    )
-    # Exclusion is by event_id, not row identity: a redelivered
-    # duplicate id within range must NOT count as a neighbor of its
-    # twin (b.event_id <> a.event_id), so subtract the same-id pair
-    # count — for each row x of an id, the id's rows within x's range
-    # (including x itself, which replaces the naive "-1 per row").
-    # Equi-join on event_id; id multiplicities are ~1, cost linear.
-    # (The sf0.001 degenerate-events sweep caught the "-1" version.)
-    sx = ev.alias("sx")
-    sy = ev.select(
-        F.col("event_id").alias("event_id"), F.col("t").alias("t2")
-    ).alias("sy")
-    same = (
-        sx.join(sy, "event_id")
-        .filter(
-            (F.col("t2") >= F.col("t") - half_us)
-            & (F.col("t2") <= F.col("t") + half_us)
-        )
-        .groupBy("event_id")
-        .agg(F.count("*").alias("self_pairs"))
-    )
-    return (
-        resolved.groupBy("event_id")
-        .agg(F.sum(F.col("cum_at") * F.col("sign")).alias("s"))
-        .join(same, "event_id")
-        .select(
-            "event_id",
-            (F.col("s") - F.col("self_pairs")).cast("bigint").alias(
-                "n_nearby"
-            ),
-        )
-        .filter(F.col("n_nearby") > 0)
+    return range_count_by_id(
+        ev,
+        id_col="event_id",
+        t_col="t",
+        half=1800 * 1_000_000,
+        bucket=86_400 * 1_000_000,
     )
 
 

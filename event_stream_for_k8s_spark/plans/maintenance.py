@@ -165,21 +165,22 @@ def maint_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    b, c = base.alias("b"), changes.alias("c")
-    return b.join(c, F.col("b.event_id") == F.col("c.event_id"), "full").select(
-        F.coalesce("c.event_id", "b.event_id").alias("event_id"),
-        F.coalesce("c.event_type", "b.event_type").alias("event_type"),
-        F.coalesce("c.value", "b.value").alias("value"),
+    from event_stream_for_k8s_spark.operators.maintenance import (
+        merge_upsert,
     )
+
+    return merge_upsert(base, changes, ["event_id"])
 
 
 @query(
     "maint_scd2",
     oracle="""
 SELECT user_id, event_type, ts AS valid_from,
-       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       lead(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
          AS valid_to,
-       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       (lead(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
          IS NULL) AS is_current
 FROM events
 """,
@@ -187,21 +188,23 @@ FROM events
     notes="SCD-type-2 dimension build: change events -> effective-dated "
     "ranges via lead() per key (valid_from/valid_to, open-ended row "
     "flagged current). One window shuffle on the dimension key; the "
-    "standard way a 100 TB fact side gets point-in-time joins",
+    "standard way a 100 TB fact side gets point-in-time joins. The "
+    "oracle pins NULLS FIRST explicitly: Spark's ASC default is "
+    "nulls-first while DuckDB's is nulls-last, and a NULL effective "
+    "date must sort as before-all-time, not become the current row "
+    "(r08 operator extraction; no NULL ts in the fixture, so results "
+    "are unchanged there)",
 )
 def maint_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from event_stream_for_k8s_spark.operators.maintenance import scd2
 
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    nxt = F.lead("ts").over(w)
-    return ev.select(
-        "user_id",
-        "event_type",
-        F.col("ts").alias("valid_from"),
-        nxt.alias("valid_to"),
-        nxt.isNull().alias("is_current"),
-    )
+    return scd2(
+        ev.select("user_id", "event_type", "ts", "event_id"),
+        keys=["user_id"],
+        ts_col="ts",
+        tiebreak="event_id",
+    ).drop("event_id")
 
 
 @query(

@@ -834,3 +834,219 @@ def test_connected_components_matches_union_find(spark, data):
         comp_min[r] = min(comp_min.get(r, n), n)
     want = {(n, comp_min[find(n)]) for n in parent}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis differentials vs DuckDB executable specs (VERDICT r07 #4):
+# the fixture-based oracle only sees the fixture's value distributions;
+# these drive the hand-rolled operator families with adversarial inputs
+# (NULL keys, duplicate keys/ids, tied and NULL ordering values, bucket
+# boundaries) and compare against a plain-SQL spec — the technique that
+# exposed the as-of NULL-payload bug in round 7.
+
+
+range_rows = st.lists(
+    st.tuples(
+        st.integers(0, 6),  # id (duplicates likely)
+        st.integers(-15, 45),  # t: negative + bucket-boundary values
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=range_rows, half=st.integers(0, 12), bucket=st.integers(1, 25))
+@SETTINGS
+def test_range_count_matches_duckdb_spec(spark, rows, half, bucket):
+    """range_count_by_id (two-level prefix sum, operators/range_count)
+    equals the naive pair-join spec on random tables with duplicate
+    ids, tied timestamps, NEGATIVE times, probe points exactly on
+    bucket boundaries, and bucket widths far below the 2*half balance
+    guideline (correctness must hold for ANY positive bucket)."""
+    import duckdb
+
+    from event_stream_for_k8s_spark.operators.range_count import (
+        range_count_by_id,
+    )
+
+    df = spark.createDataFrame(rows, "id long, t long")
+    got = sorted(
+        (r["id"], r["n_nearby"])
+        for r in range_count_by_id(
+            df, id_col="id", t_col="t", half=half, bucket=bucket
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (id BIGINT, t BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", rows)
+    want = con.execute(
+        """
+SELECT a.id, count(*) AS n
+FROM e a JOIN e b
+  ON b.t BETWEEN a.t - ? AND a.t + ? AND b.id <> a.id
+GROUP BY a.id ORDER BY a.id
+""",
+        [half, half],
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+
+
+merge_tables = st.tuples(
+    # base: (key-or-NULL, payload-or-NULL); keys may repeat
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 8)),
+            st.one_of(st.none(), st.integers(-9, 9)),
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    # changes: same shape
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 8)),
+            st.one_of(st.none(), st.integers(-9, 9)),
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+)
+
+
+@given(data=merge_tables)
+@SETTINGS
+def test_merge_upsert_matches_duckdb_spec(spark, data):
+    """merge_upsert (full-outer + coalesce) equals DuckDB's identical
+    SQL rewrite on random tables with NULL keys (must never match —
+    both sides' NULL-key rows survive independently), duplicate keys
+    (full-join pair expansion on both engines), and NULL change
+    payloads (fall through to base via coalesce)."""
+    import duckdb
+
+    from event_stream_for_k8s_spark.operators.maintenance import (
+        merge_upsert,
+    )
+
+    brows, crows = data
+    schema = "k int, v long"
+    base = spark.createDataFrame(brows, schema)
+    changes = spark.createDataFrame(crows, schema)
+    from collections import Counter
+
+    got = Counter(
+        (r["k"], r["v"])
+        for r in merge_upsert(base, changes, ["k"]).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE b (k INT, v BIGINT)")
+    con.execute("CREATE TABLE c (k INT, v BIGINT)")
+    if brows:
+        con.executemany("INSERT INTO b VALUES (?, ?)", brows)
+    if crows:
+        con.executemany("INSERT INTO c VALUES (?, ?)", crows)
+    want = con.execute(
+        """
+SELECT coalesce(c.k, b.k) AS k, coalesce(c.v, b.v) AS v
+FROM b FULL JOIN c ON b.k = c.k
+"""
+    ).fetchall()
+    assert got == Counter(tuple(w) for w in want)
+
+
+scd2_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 4)),  # key-or-NULL
+        st.one_of(st.none(), st.integers(0, 20)),  # ts-or-NULL, ties likely
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=scd2_rows)
+@SETTINGS
+def test_scd2_matches_duckdb_spec(spark, rows):
+    """scd2 (lead-per-key effective ranges) equals the DuckDB spec
+    with the SAME pinned ordering (NULLS FIRST) on random inputs with
+    NULL keys (one group), NULL effective dates (sort before all
+    time — must NOT become the current row), and tied timestamps
+    (tiebreak column decides)."""
+    import duckdb
+
+    from event_stream_for_k8s_spark.operators.maintenance import scd2
+
+    data = [(k, t, i) for i, (k, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k int, ts long, rid long")
+    from collections import Counter
+
+    got = Counter(
+        (r["k"], r["rid"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2(df, keys=["k"], ts_col="ts", tiebreak="rid").collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (k INT, ts BIGINT, rid BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?, ?)", data)
+    want = con.execute(
+        """
+SELECT k, rid, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY k
+                      ORDER BY ts NULLS FIRST, rid NULLS FIRST) AS valid_to,
+       (lead(ts) OVER (PARTITION BY k
+                       ORDER BY ts NULLS FIRST, rid NULLS FIRST) IS NULL)
+         AS is_current
+FROM e
+"""
+    ).fetchall()
+    assert got == Counter(tuple(w) for w in want)
+
+
+cc_edges = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(edges=cc_edges)
+@SETTINGS
+def test_connected_components_matches_union_find(spark, edges):
+    """connected_components (iterative min-label + pointer jumping)
+    equals a pure-Python union-find on adversarial edge lists:
+    self-loops, duplicate and reversed edges, long chains (pointer
+    jumping must still converge inside max_iter via O(log d) rounds),
+    and isolated nodes supplied via the nodes relation."""
+    from event_stream_for_k8s_spark.operators.dedup import (
+        connected_components,
+    )
+
+    N = 13
+    parent = list(range(N))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    # min reachable node id per component (union-find roots are not
+    # guaranteed minimal under this union rule, so normalize)
+    comp: dict[int, list[int]] = {}
+    for v in range(N):
+        comp.setdefault(find(v), []).append(v)
+    want = {
+        v: min(members) for members in comp.values() for v in members
+    }
+
+    nodes = spark.createDataFrame([(v,) for v in range(N)], "node long")
+    e = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    if not edges:
+        e = e.filter("src < 0")
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(e, nodes=nodes).collect()
+    }
+    assert got == want
