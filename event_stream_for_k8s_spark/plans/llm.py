@@ -3863,6 +3863,20 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
         )
     )
+    return semdedup_drops(corpus)
+
+
+def semdedup_drops(corpus: DataFrame) -> DataFrame:
+    """SemDeDup pairwise core over a clustered corpus: quantize →
+    size-aware sign-quantizer sub-split → salt-cap → in-block pair
+    join → tau=0.9 cosine drop of the higher id. ``corpus`` needs
+    (vec_id, label, embedding); label is the cluster id — the
+    fixture's label column in ``llm_semdedup``, real k-means cells in
+    ``llm_semdedup_kmeans``. Output: (dropped_id, label), distinct.
+    See ``llm_semdedup``'s notes for the full scale/exactness
+    rationale; this function IS that query's body, extracted so both
+    cluster sources share one implementation (and one oracle-tested
+    code path)."""
     q = corpus.select(
         "vec_id",
         "label",
@@ -3969,6 +3983,58 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("b_id").alias("dropped_id"), "label")
         .distinct()
     )
+
+
+@query(
+    "llm_semdedup_kmeans",
+    oracle=None,
+    section="B.11",
+    notes="SemDeDup end-to-end with REAL k-means cells (VERDICT r07 "
+    "#5): the paper's actual pipeline — cluster the embeddings, then "
+    "pairwise tau=0.9 dedup within cells — as one registered query, "
+    "vs llm_semdedup which takes the fixture label column as the "
+    "cluster stand-in. Cells come from seeded Spark ML KMeans with "
+    "k = clamp(N / SPARK_GRAFT_SEMDEDUP_TARGET, 1, 1024): the clamp "
+    "keeps quantizer cost O(N·k_cap·d) — k proportional to N would "
+    "make Lloyd's iterations O(N^2) — and cells that exceed the "
+    "target because of the clamp (or k-means skew) are absorbed by "
+    "the SAME size-aware sign-quantizer sub-split + salt backstop as "
+    "llm_semdedup (shared semdedup_drops core, so the oracle-tested "
+    "pair stage is identical; at 100 TB swap the quantizer for "
+    "hierarchical/minibatch k-means, the pair stage is unchanged). "
+    "Rows-only by contract: k-means assignment is iterative and not "
+    "SQL-expressible; recall is anchored by test — identical planted "
+    "duplicates always land in the same cell AND share every sign "
+    "bit, so the kmeans form must recover at least the label form's "
+    "planted-pair drop set (tests/test_llm.py).",
+)
+def llm_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_stream_for_k8s_spark.operators.similarity import (
+        _to_ml_vectors,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding").unionAll(
+        emb.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            "embedding",
+        )
+    )
+    n = corpus.count()  # one scalar to size k — the ML fit itself is
+    # a driver-coordinated iteration anyway
+    k = max(1, min(1024, n // SEMDEDUP_TARGET_BLOCK))
+    from pyspark.ml.clustering import KMeans
+
+    with_vec = _to_ml_vectors(corpus, "embedding")
+    model = KMeans(
+        k=k, seed=42, featuresCol="__v", predictionCol="cell"
+    ).fit(with_vec)
+    cells = (
+        model.transform(with_vec)
+        .drop("__v")
+        .select("vec_id", F.col("cell").cast("long").alias("label"), "embedding")
+    )
+    return semdedup_drops(cells).withColumnRenamed("label", "cell")
 
 
 @query(

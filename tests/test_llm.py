@@ -696,3 +696,28 @@ def test_semdedup_bad_knob_names_the_env_var():
     assert proc.returncode != 0
     assert "SPARK_GRAFT_SEMDEDUP_CAP" in proc.stderr
     assert "'4k'" in proc.stderr
+
+
+def test_semdedup_kmeans_recall_covers_label_form(spark):
+    """llm_semdedup_kmeans (real k-means cells, VERDICT r07 #5) must
+    recover at least the label-based form's planted-pair drop set:
+    identical planted duplicates always land in the same k-means cell
+    (identical points get identical assignments) and share every sign
+    bit, so neither the quantizer nor the sub-split can separate
+    them. At this SF both forms drop exactly the 500 planted ids."""
+    label_drops = {
+        r["dropped_id"]
+        for r in REGISTRY["llm_semdedup"].spark(spark, SF).collect()
+    }
+    kmeans_drops = {
+        r["dropped_id"]
+        for r in REGISTRY["llm_semdedup_kmeans"].spark(spark, SF).collect()
+    }
+    assert label_drops <= kmeans_drops
+    # and the planted set itself: every original id's +100000 twin
+    assert label_drops == {
+        r["vec_id"] + 100000
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id")
+        .collect()
+    }
