@@ -1876,7 +1876,7 @@ FROM tok
     "build produces. Multiple count-distincts in ONE aggregate: Spark "
     "expands to a single multi-distinct plan (expand + two-level "
     "agg); at 100 TB swap exact distincts for approx_count_distinct "
-    "(agg_approx_distinct is the registered scale twin)",
+    "(approx_distinct_sketch in plans/relational.py is the production sketch form; agg_approx_distinct hash-checks it)",
 )
 def llm_docstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
