@@ -4022,18 +4022,25 @@ def llm_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = corpus.count()  # one scalar to size k — the ML fit itself is
     # a driver-coordinated iteration anyway
-    k = max(1, min(1024, n // SEMDEDUP_TARGET_BLOCK))
-    from pyspark.ml.clustering import KMeans
+    k = min(1024, n // SEMDEDUP_TARGET_BLOCK)
+    if k < 2:
+        # corpus below two target blocks (degenerate/empty fixtures):
+        # Spark ML KMeans rejects k=1, and a single cell is exactly
+        # what one block means — the sign-quantizer sub-split inside
+        # semdedup_drops still bounds the pair work
+        cells = corpus.select(
+            "vec_id", F.lit(0).cast("long").alias("label"), "embedding"
+        )
+    else:
+        from pyspark.ml.clustering import KMeans
 
-    with_vec = _to_ml_vectors(corpus, "embedding")
-    model = KMeans(
-        k=k, seed=42, featuresCol="__v", predictionCol="cell"
-    ).fit(with_vec)
-    cells = (
-        model.transform(with_vec)
-        .drop("__v")
-        .select("vec_id", F.col("cell").cast("long").alias("label"), "embedding")
-    )
+        with_vec = _to_ml_vectors(corpus, "embedding")
+        model = KMeans(
+            k=k, seed=42, featuresCol="__v", predictionCol="cell"
+        ).fit(with_vec)
+        cells = model.transform(with_vec).select(
+            "vec_id", F.col("cell").cast("long").alias("label"), "embedding"
+        )
     return semdedup_drops(cells).withColumnRenamed("label", "cell")
 
 
