@@ -42,9 +42,11 @@ def test_knn_lsh_recall_vs_brute(spark):
         (r["qid"], r["nid"])
         for r in REGISTRY["llm_knn_brute"].spark(spark, SF).collect()
     }
+    from event_stream_for_k8s_spark.plans.llm import knn_lsh_results
+
     lsh = {
         (r["qid"], r["nid"])
-        for r in REGISTRY["llm_knn_lsh"].spark(spark, SF).collect()
+        for r in knn_lsh_results(spark, SF).collect()
     }
     recall = len(brute & lsh) / len(brute)
     assert recall >= 0.3, f"LSH recall too low: {recall}"
@@ -55,9 +57,11 @@ def test_knn_ivf_recall_vs_brute(spark):
         (r["qid"], r["nid"])
         for r in REGISTRY["llm_knn_brute"].spark(spark, SF).collect()
     }
+    from event_stream_for_k8s_spark.plans.llm import knn_ivf_results
+
     ivf = {
         (r["qid"], r["nid"])
-        for r in REGISTRY["llm_knn_ivf"].spark(spark, SF).collect()
+        for r in knn_ivf_results(spark, SF).collect()
     }
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.3, f"IVF recall too low: {recall}"

@@ -555,7 +555,9 @@ def test_ccnet_approx_binds_to_exact(spark):
         r["doc_id"]: r
         for r in REGISTRY["llm_ccnet_buckets"].spark(spark, sf).collect()
     }
-    approx = REGISTRY["llm_ccnet_buckets_approx"].spark(spark, sf).collect()
+    from event_stream_for_k8s_spark.plans.llm import ccnet_buckets_sketch
+
+    approx = ccnet_buckets_sketch(spark, sf).collect()
     assert len(approx) == len(exact)
     agree = 0
     for r in approx:
