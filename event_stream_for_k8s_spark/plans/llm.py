@@ -262,20 +262,16 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "llm_dedup_near",
-    oracle=None,
-    section="B.11",
-    notes="MinHash-LSH near-dup candidates (approximate by design), "
-    "expression-level implementation (shingle -> seeded-xxhash64 "
-    "signature -> band bucket-join); planted-near-dup recall asserted "
-    "in tests/test_llm.py; MLlib MinHashLSH variant kept as "
-    "operators.similarity.minhash_pairs",
-)
-def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION form of llm_dedup_near: MinHash-LSH near-dup
+    candidate pairs, expression-level (shingle -> seeded-xxhash64
+    signature -> band bucket-join — deterministic for fixed data);
+    MLlib MinHashLSH variant kept as operators.similarity.
+    minhash_pairs. The fixture plants deterministic near-dups: every
+    50th doc re-appears with id +1M and every 7th token dropped =>
+    known positive pairs. Registered query wraps this in a
+    planted-recall envelope for the driver's hash check."""
     d = load(spark, sf_dir, "documents")
-    # Plant deterministic near-dups: every 50th doc re-appears with id
-    # +1M and every 7th token dropped => known positive pairs.
     planted = (
         d.filter(F.col("doc_id") % 50 == 0)
         .select(
@@ -293,11 +289,97 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "llm_dedup_simhash",
-    oracle=None,
+    "llm_dedup_near",
+    oracle="""
+SELECT cast(count(*) AS bigint) AS planted_total, TRUE AS recall_ok
+FROM documents WHERE doc_id % 50 = 0
+""",
     section="B.11",
-    notes="64-bit SimHash signatures via mapInPandas (Arrow batches); "
-    "rows-only — determinism + hamming-locality asserted in tests",
+    notes="MinHash-LSH near-dup detection, hash-checked via a "
+    "planted-recall envelope (r08): the hashed output is the "
+    "SQL-derivable planted-pair count plus a deterministic boolean "
+    "(seeded xxhash64 signatures) that LSH recovered >= 70% of the "
+    "planted (doc, doc+1M) pairs — a floor under the recall test's "
+    "0.8 empirical bar so a between-round testdata regeneration "
+    "cannot flip the gate on draw noise; the candidate-pair ROWS "
+    "(signature-dependent) stay out of the hashed output and remain "
+    "the production form minhash_near_pairs above",
+)
+def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_near_pairs(spark, sf_dir)
+    found = pairs.filter(
+        (F.col("id_b") - F.col("id_a")) == 1_000_000
+    ).agg(F.count("*").alias("n_found"))
+    total = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .agg(F.count("*").alias("planted_total"))
+    )
+    return total.crossJoin(found).select(
+        "planted_total",
+        F.when(F.col("planted_total") == 0, F.lit(True))
+        .otherwise(
+            F.try_divide(F.col("n_found"), F.col("planted_total"))
+            >= F.lit(0.7)
+        )
+        .alias("recall_ok"),
+    )
+
+
+# Full 64-bit replay of the Arrow SimHash in DuckDB (r08): per
+# distinct (doc, token) the first 8 md5 bytes (big-endian, exactly
+# int.from_bytes(digest()[:8], 'big')) vote +/-1 on each of 64 bit
+# positions; bit i is set iff 2*set_count > n. The signature
+# accumulates as HUGEINT and converts to the same signed int64 the
+# Python side emits (wrap at 2^63). Zero-token docs keep a row with
+# signature 0 via the LEFT JOIN, matching mapInPandas' per-row emit.
+# Tokenization: split on ' ' with empties dropped == str.split() for
+# the fixtures' single-space text (exotic whitespace would diverge —
+# none in any fixture; documented boundary).
+_SIMHASH64_ORACLE = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, w
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS w
+        FROM documents)
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h FROM tok
+), v AS (
+  SELECT doc_id, count(*) AS n,
+         {", ".join(f"sum(((h >> {i}) & 1)::BIGINT) AS s{i}"
+                    for i in range(64))}
+  FROM h GROUP BY doc_id
+), sig AS (
+  SELECT doc_id,
+         ({" + ".join(
+             f"(CASE WHEN 2 * s{i} > n THEN CAST({1 << i} AS HUGEINT)"
+             f" ELSE CAST(0 AS HUGEINT) END)"
+             for i in range(64))}) AS u
+  FROM v
+)
+SELECT d.doc_id,
+       (CASE WHEN sig.u IS NULL THEN 0
+             WHEN sig.u >= CAST(9223372036854775808 AS HUGEINT)
+               THEN sig.u - CAST(18446744073709551616 AS HUGEINT)
+             ELSE sig.u END)::BIGINT AS simhash
+FROM documents d LEFT JOIN sig USING (doc_id)
+"""
+
+
+@query(
+    "llm_dedup_simhash",
+    oracle=_SIMHASH64_ORACLE,
+    section="B.11",
+    notes="64-bit SimHash signatures via mapInPandas (Arrow batches), "
+    "now hash-checked bit-for-bit: the construction is md5 + integer "
+    "votes, so unlike the sketch tiers it was never actually "
+    "engine-divergent — only unreplayed. The r08 oracle replays all "
+    "64 bit positions in DuckDB (see _SIMHASH64_ORACLE), upgrading "
+    "this from rows-only; llm_dedup_simhash_exact (32-bit, "
+    "expression-level Spark side) remains as the anchor that pins "
+    "the algorithm without Python in the loop. Determinism + "
+    "hamming-locality stay asserted in tests",
 )
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator
@@ -1100,16 +1182,13 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "llm_knn_pq",
-    oracle=None,
-    section="B.11",
-    notes="product-quantized ANN: corpus stored as m codes + a norm "
-    "(8x smaller at dim=64), asymmetric-distance shortlist (m table "
-    "gathers per vector) then exact re-rank of the top 10%% — the "
-    "deployed PQ shape; recall-vs-brute asserted in tests/test_llm.py",
-)
-def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_pq_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION form of llm_knn_pq: product-quantized ANN — corpus
+    stored as m codes + a norm (8x smaller at dim=64),
+    asymmetric-distance shortlist (m table gathers per vector) then
+    exact re-rank of the top 10% — the deployed PQ shape. Seeded
+    codebooks, so deterministic. Registered query wraps it in the
+    shared recall envelope."""
     from event_stream_for_k8s_spark.operators.similarity import knn_pq
 
     e = load(spark, sf_dir, "embeddings")
@@ -1118,6 +1197,22 @@ def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("cvec"))
     return knn_pq(queries, corpus, k=5).select("qid", "nid", "sim", "rnk")
+
+
+@query(
+    "llm_knn_pq",
+    oracle=KNN_RECALL_ORACLE,
+    section="B.11",
+    notes="product-quantized ANN, hash-checked via the shared "
+    "recall-vs-brute envelope (r08, like llm_knn_lsh/ivf) — the 0.3 "
+    "shared floor is far under PQ's tested 0.7 bar, which "
+    "tests/test_llm.py keeps pinning on knn_pq_results (the "
+    "production form above)",
+)
+def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn_recall_envelope(
+        spark, sf_dir, knn_pq_results(spark, sf_dir)
+    )
 
 
 @query(
@@ -1984,24 +2079,9 @@ def llm_docstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "graph_pagerank",
-    oracle=None,
-    section="C",
-    notes="PageRank over the embedding similarity graph (blocked "
-    "cosine pairs as undirected edges, 10 iterations, damping 0.85): "
-    "central documents in near-dup clusters surface as canonical "
-    "representatives. Iterative-DataFrame harness shared with "
-    "connected_components -- one join + one agg per round, O(1) "
-    "lineage via localCheckpoint, only the dangling-mass scalar on "
-    "the driver. Rows-only: float mass sums are merge-order "
-    "dependent; invariants (mass conservation, isolated-node floor) "
-    "asserted in tests/test_llm.py",
-)
-def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from event_stream_for_k8s_spark.operators.graph import pagerank
-
-    e = load(spark, sf_dir, "embeddings")
+def _similarity_graph(e: DataFrame) -> DataFrame:
+    """Blocked-cosine undirected edge relation over the embeddings
+    table — shared by the float and integer PageRank passes."""
     a, b = e.alias("a"), e.alias("b")
     sim = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
     pairs = (
@@ -2016,10 +2096,26 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
         )
     )
-    und = pairs.union(
+    return pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    ranks = pagerank(und, e.select("vec_id"), iters=10)
+
+
+def pagerank_float_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION form of graph_pagerank: float PageRank over the
+    embedding similarity graph (blocked cosine pairs as undirected
+    edges, 10 iterations, damping 0.85) — central documents in
+    near-dup clusters surface as canonical representatives.
+    Iterative-DataFrame harness shared with connected_components:
+    one join + one agg per round, O(1) lineage via localCheckpoint,
+    only the dangling-mass scalar on the driver. Float mass sums are
+    merge-order dependent, so these rows are not hash-stable; the
+    registered query wraps them in a tolerance envelope against the
+    integer-exact recurrence."""
+    from event_stream_for_k8s_spark.operators.graph import pagerank
+
+    e = load(spark, sf_dir, "embeddings")
+    ranks = pagerank(_similarity_graph(e), e.select("vec_id"), iters=10)
     return ranks.select(
         F.col("node").alias("vec_id"), F.round("rank", 6).alias("rank")
     )
@@ -2044,7 +2140,7 @@ def _pagerank_exact_oracle(iters: int) -> str:
 ), dang{i} AS (
   SELECT COALESCE(sum(p.r), 0) AS dmass
   FROM {p} p LEFT JOIN deg d ON d.src = p.v WHERE d.src IS NULL
-), pr{i} AS (
+), pr{i} AS MATERIALIZED (
   SELECT n.v,
          ((15 * {_PR_T}) // (100 * nn.n)
           + (85 * (COALESCE(i.s, 0) + dg.dmass // nn.n)) // 100
@@ -2053,21 +2149,21 @@ def _pagerank_exact_oracle(iters: int) -> str:
   LEFT JOIN inflow{i} i ON i.v = n.v
 )""")
     return f"""
-WITH pairs AS (
+WITH pairs AS MATERIALIZED (
   SELECT a.vec_id AS src, b.vec_id AS dst
   FROM embeddings a JOIN embeddings b
     ON a.label = b.label AND (a.vec_id // 100) = (b.vec_id // 100)
    AND a.vec_id < b.vec_id
   WHERE round({sql_cosine('a.embedding', 'b.embedding')}, 6) >= 0.2
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
 ), nodes AS (
   SELECT vec_id AS v FROM embeddings
 ), nn AS (
   SELECT cast(count(*) AS bigint) AS n FROM nodes
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT src, cast(count(*) AS bigint) AS deg FROM edges GROUP BY src
-), pr0 AS (
+), pr0 AS MATERIALIZED (
   SELECT v, ({_PR_T} // n)::BIGINT AS r FROM nodes CROSS JOIN nn
 ){"".join(blocks)}
 SELECT v, r AS rank_scaled FROM pr{iters}
@@ -2116,14 +2212,26 @@ def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pagerank_exact_int(
-    nodes: DataFrame, und: DataFrame, iters: int
+    nodes: DataFrame, und: DataFrame, iters: int, checkpoint: bool = False
 ) -> DataFrame:
     """All-integer PageRank over (v) nodes and (src, dst) directed
     edges — the reusable recurrence behind graph_pagerank_exact; the
     hypothesis property test binds it to a pure-Python reference on
-    arbitrary small graphs."""
+    arbitrary small graphs.
+
+    ``checkpoint=True`` localCheckpoints each round's rank relation
+    (and the edge/degree inputs): each round references the previous
+    ranks TWICE (inflow + dangling mass), so un-checkpointed lineage
+    doubles per round — fine at the anchor's 3 iterations (plan
+    purity for the oracle differential), runaway at the envelope's
+    production 10 (2^10 subplans). Same discipline as
+    operators.graph.pagerank."""
+    if checkpoint:
+        und = und.localCheckpoint(eager=True)
     nn = nodes.agg(F.count("*").cast("long").alias("n"))
     deg = und.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    if checkpoint:
+        deg = deg.localCheckpoint(eager=True)
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "v", F.expr(f"{_PR_T} div n").cast("long").alias("r")
     )
@@ -2151,7 +2259,56 @@ def pagerank_exact_int(
                 .alias("r"),
             )
         )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("v", F.col("r").alias("rank_scaled"))
+
+
+@query(
+    "graph_pagerank",
+    oracle=_pagerank_exact_oracle(10).replace(
+        "SELECT v, r AS rank_scaled FROM pr10",
+        "SELECT v AS vec_id, r AS rank_scaled, TRUE AS within_tol"
+        " FROM pr10",
+    ),
+    section="C",
+    notes="float PageRank hash-checked via a tolerance envelope "
+    "against the all-integer recurrence (r08, extending the VERDICT "
+    "r07 #1 pattern to the iterative class): the hashed output is the "
+    "10-iteration scaled-int64 rank vector (deterministic, oracle-"
+    "replayable as 10 unrolled CTEs — graph_pagerank_exact's "
+    "machinery at the production iteration count) plus a boolean "
+    "that the float operator's rank sits within 1e-4 of it. The "
+    "integer recurrence truncates <=1e-12 of mass per node-round, so "
+    "float-vs-int divergence is ~1e-10 after 10 rounds — the 1e-4 "
+    "bound is ~6 orders of slack and merge-order float wobble "
+    "(~1e-12) cannot flip it. The float rank VALUES stay out of the "
+    "hashed output; pagerank_float_results above is the production "
+    "form (mass-conservation invariants remain tested on the "
+    "operator)",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    flt = pagerank_float_results(spark, sf_dir)
+    exact = pagerank_exact_int(
+        e.select(F.col("vec_id").alias("v")),
+        _similarity_graph(e),
+        iters=10,
+        checkpoint=True,
+    )
+    return exact.join(
+        flt, exact.v == flt.vec_id
+    ).select(
+        "vec_id",
+        "rank_scaled",
+        (
+            F.abs(
+                F.col("rank")
+                - F.col("rank_scaled").cast("double") / F.lit(1e12)
+            )
+            <= F.lit(1e-4)
+        ).alias("within_tol"),
+    )
 
 
 @query(
@@ -4129,30 +4286,10 @@ def semdedup_drops(corpus: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "llm_semdedup_kmeans",
-    oracle=None,
-    section="B.11",
-    notes="SemDeDup end-to-end with REAL k-means cells (VERDICT r07 "
-    "#5): the paper's actual pipeline — cluster the embeddings, then "
-    "pairwise tau=0.9 dedup within cells — as one registered query, "
-    "vs llm_semdedup which takes the fixture label column as the "
-    "cluster stand-in. Cells come from seeded Spark ML KMeans with "
-    "k = clamp(N / SPARK_GRAFT_SEMDEDUP_TARGET, 1, 1024): the clamp "
-    "keeps quantizer cost O(N·k_cap·d) — k proportional to N would "
-    "make Lloyd's iterations O(N^2) — and cells that exceed the "
-    "target because of the clamp (or k-means skew) are absorbed by "
-    "the SAME size-aware sign-quantizer sub-split + salt backstop as "
-    "llm_semdedup (shared semdedup_drops core, so the oracle-tested "
-    "pair stage is identical; at 100 TB swap the quantizer for "
-    "hierarchical/minibatch k-means, the pair stage is unchanged). "
-    "Rows-only by contract: k-means assignment is iterative and not "
-    "SQL-expressible; recall is anchored by test — identical planted "
-    "duplicates always land in the same cell AND share every sign "
-    "bit, so the kmeans form must recover at least the label form's "
-    "planted-pair drop set (tests/test_llm.py).",
-)
-def llm_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semdedup_kmeans_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION form of llm_semdedup_kmeans — see the registered
+    query's notes; returns the per-document (dropped_id, cell) rows.
+    The registered query wraps this in a planted-recall envelope."""
     from event_stream_for_k8s_spark.operators.similarity import (
         _to_ml_vectors,
     )
@@ -4186,6 +4323,58 @@ def llm_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.col("cell").cast("long").alias("label"), "embedding"
         )
     return semdedup_drops(cells).withColumnRenamed("label", "cell")
+
+
+@query(
+    "llm_semdedup_kmeans",
+    oracle="""
+SELECT cast(count(*) AS bigint) AS planted_total, TRUE AS recall_ok
+FROM embeddings
+WHERE len(list_filter(embedding,
+          x -> round(CAST(x AS DOUBLE) * 1000000) <> 0)) > 0
+""",
+    section="B.11",
+    notes="SemDeDup end-to-end with REAL k-means cells (VERDICT r07 "
+    "#5): the paper's actual pipeline — cluster the embeddings, then "
+    "pairwise tau=0.9 dedup within cells — vs llm_semdedup which "
+    "takes the fixture label column as the cluster stand-in. Cells "
+    "come from seeded Spark ML KMeans with k = clamp(N / "
+    "SPARK_GRAFT_SEMDEDUP_TARGET, 1, 1024): the clamp keeps "
+    "quantizer cost O(N*k_cap*d) — k proportional to N would make "
+    "Lloyd's O(N^2) — and cells oversized by the clamp or k-means "
+    "skew are absorbed by the SAME sign-quantizer sub-split + salt "
+    "backstop as llm_semdedup (shared semdedup_drops core, so the "
+    "oracle-tested pair stage is identical; at 100 TB swap the "
+    "quantizer for hierarchical/minibatch k-means, the pair stage is "
+    "unchanged). Hash-checked via a planted-recall envelope (r08): "
+    "identical planted duplicates always share a cell and every sign "
+    "bit, so the boolean asserting every DROPPABLE planted (v, "
+    "v+100000) twin appears in the drop set is deterministic TRUE "
+    "(droppable = the quantized vector is nonzero: the tau check "
+    "requires dot > 0 in BOTH engines, so a zero/denormal vector's "
+    "twin can never drop — the degenerate-embeddings sweep pinned "
+    "this); extra "
+    "legitimately-near pairs in a future corpus draw cannot fail it. "
+    "semdedup_kmeans_drops above is the production per-doc form, "
+    "recall-anchored against the label form in tests/test_llm.py",
+)
+def llm_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    drops = semdedup_kmeans_drops(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.exists(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000000.0) != 0,
+        )
+    )
+    planted = emb.select((F.col("vec_id") + 100000).alias("dropped_id"))
+    total = emb.agg(F.count("*").alias("planted_total"))
+    missing = planted.join(drops, "dropped_id", "left_anti").agg(
+        F.count("*").alias("n_missing")
+    )
+    return total.crossJoin(missing).select(
+        "planted_total",
+        (F.col("n_missing") == 0).alias("recall_ok"),
+    )
 
 
 @query(

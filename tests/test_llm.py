@@ -14,7 +14,9 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_minhash_planted_recall(spark):
-    pairs = REGISTRY["llm_dedup_near"].spark(spark, SF)
+    from event_stream_for_k8s_spark.plans.llm import minhash_near_pairs
+
+    pairs = minhash_near_pairs(spark, SF)
     planted = pairs.filter((F.col("id_b") - F.col("id_a")) == 1_000_000)
     # 10 planted near-dups at sf0.001; LSH is probabilistic — require >= 8.
     assert planted.count() >= 8
@@ -207,9 +209,11 @@ def test_knn_pq_recall_vs_brute(spark):
         (r["qid"], r["nid"])
         for r in REGISTRY["llm_knn_brute"].spark(spark, SF).collect()
     }
+    from event_stream_for_k8s_spark.plans.llm import knn_pq_results
+
     pq = {
         (r["qid"], r["nid"])
-        for r in REGISTRY["llm_knn_pq"].spark(spark, SF).collect()
+        for r in knn_pq_results(spark, SF).collect()
     }
     recall = len(brute & pq) / len(brute)
     # PQ shortlist (top 10%) + exact re-rank: 0.9 measured; floor at
@@ -713,9 +717,13 @@ def test_semdedup_kmeans_recall_covers_label_form(spark):
         r["dropped_id"]
         for r in REGISTRY["llm_semdedup"].spark(spark, SF).collect()
     }
+    from event_stream_for_k8s_spark.plans.llm import (
+        semdedup_kmeans_drops,
+    )
+
     kmeans_drops = {
         r["dropped_id"]
-        for r in REGISTRY["llm_semdedup_kmeans"].spark(spark, SF).collect()
+        for r in semdedup_kmeans_drops(spark, SF).collect()
     }
     assert label_drops <= kmeans_drops
     # and the planted set itself: every original id's +100000 twin
