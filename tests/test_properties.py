@@ -1052,3 +1052,58 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(e, nodes=nodes).collect()
     }
     assert got == want
+
+
+win_rows = st.lists(
+    st.integers(-100, 100),  # epoch-seconds-ish ticks, negatives incl.
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(
+    ts=win_rows,
+    width_slide=st.tuples(
+        st.integers(1, 20), st.integers(1, 20)
+    ).filter(lambda p: p[1] <= p[0]),
+)
+@SETTINGS
+def test_window_assignment_matches_reference(spark, ts, width_slide):
+    """F.window (the primitive under stream_tumbling / stream_sliding
+    and the batch rollup twins) assigns rows to [start, start+width)
+    windows aligned to the epoch with the given slide — verified
+    against a pure-Python reference on random timestamps including
+    NEGATIVE epochs (pre-1970 alignment is where floor-vs-truncate
+    bugs live), window boundaries (t == start and t == end - 1 in,
+    t == end out), and slides that divide/don't divide the width.
+    Covers the whole tumbling case via slide == width."""
+    width, slide = width_slide
+
+    def ref() -> dict[tuple[int, int], int]:
+        want: dict[tuple[int, int], int] = {}
+        for t in ts:
+            # window starts are slide-aligned to the epoch; t belongs
+            # to every window with start in (t - width, t]
+            first = (t // slide) * slide  # floor-aligned, negatives ok
+            s = first
+            while s > t - width:
+                if s <= t < s + width:
+                    want[(s, s + width)] = want.get((s, s + width), 0) + 1
+                s -= slide
+        return want
+
+    df = spark.createDataFrame(
+        [(t,) for t in ts], "t long"
+    ).select(F.timestamp_seconds("t").alias("ts"))
+    got = {
+        (
+            int(r["window"]["start"].timestamp()),
+            int(r["window"]["end"].timestamp()),
+        ): r["n"]
+        for r in df.groupBy(
+            F.window("ts", f"{width} seconds", f"{slide} seconds")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == ref()
