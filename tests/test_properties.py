@@ -1107,3 +1107,109 @@ def test_window_assignment_matches_reference(spark, ts, width_slide):
         .collect()
     }
     assert got == ref()
+
+session_events = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # user key — few keys so sessions collide
+        st.integers(0, 120),  # epoch-seconds tick
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(events=session_events, gap=st.integers(1, 15))
+@SETTINGS
+def test_session_window_matches_merge_reference(spark, events, gap):
+    """F.session_window (the primitive under stream_session) merges an
+    event at t into the previous session iff t < prev_end where
+    prev_end = last_ts + gap — i.e. a difference of EXACTLY gap starts
+    a NEW session (window ends are exclusive). Verified against a
+    pure-Python sweep-merge on random ticks with duplicate timestamps
+    and multi-user interleaving; the diff == gap boundary is where an
+    off-by-one (<= vs <) would hide, and it differs from the
+    lag-based sessionizer above, which keeps diff == gap together."""
+
+    def ref() -> dict[tuple[int, int, int], int]:
+        # (user, session_start, session_end) -> event count
+        out: dict[tuple[int, int, int], int] = {}
+        by_user: dict[int, list[int]] = {}
+        for u, t in events:
+            by_user.setdefault(u, []).append(t)
+        for u, ts in by_user.items():
+            ts.sort()
+            start, last, n = ts[0], ts[0], 0
+            for t in ts:
+                if t < last + gap:  # strictly inside the open end
+                    n += 1
+                    last = max(last, t)
+                else:
+                    if n:
+                        out[(u, start, last + gap)] = n
+                    start, last, n = t, t, 1
+            out[(u, start, last + gap)] = n
+        return out
+
+    df = spark.createDataFrame(
+        events, "u int, t long"
+    ).select("u", F.timestamp_seconds("t").alias("ts"))
+    got = {
+        (
+            r["u"],
+            int(r["session_window"]["start"].timestamp()),
+            int(r["session_window"]["end"].timestamp()),
+        ): r["n"]
+        for r in df.groupBy(
+            "u", F.session_window("ts", f"{gap} seconds")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == ref()
+
+
+range_frame_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # partition key
+        st.integers(-20, 20),  # order value (negatives + duplicates)
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(
+    rows=range_frame_rows,
+    lo=st.integers(0, 8),
+    hi=st.integers(0, 8),
+)
+@SETTINGS
+def test_range_frame_matches_value_reference(spark, rows, lo, hi):
+    """RANGE BETWEEN lo PRECEDING AND hi FOLLOWING (win_frame_range's
+    frame shape) counts rows by VALUE distance, tie-insensitively:
+    every row with the same order value gets the same count, and the
+    frame is the closed interval [v - lo, v + hi]. Verified against a
+    brute-force spec on random rows with duplicate and negative order
+    values — duplicates are where a ROWS-frame confusion would show."""
+    from pyspark.sql.window import Window
+
+    def ref() -> list[tuple[int, int, int]]:
+        out = []
+        for k, v in rows:
+            n = sum(
+                1
+                for k2, v2 in rows
+                if k2 == k and v - lo <= v2 <= v + hi
+            )
+            out.append((k, v, n))
+        return sorted(out)
+
+    df = spark.createDataFrame(rows, "k int, v int")
+    w = Window.partitionBy("k").orderBy("v").rangeBetween(-lo, hi)
+    got = sorted(
+        (r["k"], r["v"], r["n"])
+        for r in df.select(
+            "k", "v", F.count("*").over(w).alias("n")
+        ).collect()
+    )
+    assert got == ref()
