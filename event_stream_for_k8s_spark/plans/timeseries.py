@@ -22,6 +22,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from event_stream_for_k8s_spark.catalog import load
+from event_stream_for_k8s_spark.operators.timeseries import (
+    interp_linear,
+    streak_runs,
+)
 from event_stream_for_k8s_spark.plans.registry import query
 from event_stream_for_k8s_spark.plans.util import dsum, sql_dsum
 
@@ -512,23 +516,15 @@ FROM runs GROUP BY user_id
     "batch_sessionize's time-gap sessions",
 )
 def ts_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     # hash(user_id) satisfies every downstream clustering ((user_id, d)
     # distinct, the window, both aggs) — one exchange for the query.
+    # The anchor-trick core lives in operators/timeseries.streak_runs
+    # (hypothesis-differentialed against a direct consecutive-run spec).
     e = load(spark, sf_dir, "events").repartition("user_id")
     days = e.select(
         "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
     ).distinct()
-    rn = F.row_number().over(
-        Window.partitionBy("user_id").orderBy("d")
-    )
-    grp = days.select(
-        "user_id", "d", F.date_sub("d", rn).alias("anchor")
-    )
-    runs = grp.groupBy("user_id", "anchor").agg(
-        F.count("*").alias("len"), F.min("d").alias("streak_start")
-    )
+    runs = streak_runs(days, "user_id", "d")
     # date emitted as its ISO string: pandas bridges a DATE column to
     # datetime64 on one engine and datetime.date on the other, which
     # value-hash-mismatches even when equal.
@@ -775,44 +771,13 @@ def ts_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = (
         bins.crossJoin(F.broadcast(types))
         .join(F.broadcast(hourly), ["h", "event_type"], "left")
-        .select("h", "event_type", "v")
+        .select("h", "event_type", "v", F.unix_timestamp("h").alias("t"))
     )
-    # F.last/F.first expose ignorenulls directly; both windows sort the
-    # same (event_type, h) shuffle.
-    ctx = grid.selectExpr(
-        "h",
-        "event_type",
-        "v",
-        """last_value(v) IGNORE NULLS OVER (
-             PARTITION BY event_type ORDER BY h
-             ROWS UNBOUNDED PRECEDING) AS pv""",
-        """last_value(CASE WHEN v IS NOT NULL THEN unix_timestamp(h) END)
-             IGNORE NULLS OVER (
-             PARTITION BY event_type ORDER BY h
-             ROWS UNBOUNDED PRECEDING) AS ph""",
-        """first_value(v) IGNORE NULLS OVER (
-             PARTITION BY event_type ORDER BY h
-             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv""",
-        """first_value(CASE WHEN v IS NOT NULL THEN unix_timestamp(h) END)
-             IGNORE NULLS OVER (
-             PARTITION BY event_type ORDER BY h
-             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh""",
-    )
-    return ctx.select(
-        "h",
-        "event_type",
-        F.when(F.col("v").isNotNull(), F.col("v"))
-        .when(F.col("pv").isNull(), F.col("nv"))
-        .when(F.col("nv").isNull(), F.col("pv"))
-        .otherwise(
-            F.col("pv")
-            + (F.col("nv") - F.col("pv"))
-            * (
-                (F.unix_timestamp("h") - F.col("ph")).cast("double")
-                / (F.col("nh") - F.col("ph")).cast("double")
-            )
-        )
-        .alias("v_interp"),
+    # The four IGNORE NULLS context scans live in operators/timeseries
+    # (hypothesis-differentialed); ordering by integer epoch t ==
+    # ordering by h, and all scans share one (event_type, t) shuffle.
+    return interp_linear(grid, "event_type", "t", "v").select(
+        "h", "event_type", "v_interp"
     )
 
 

@@ -1213,3 +1213,179 @@ def test_range_frame_matches_value_reference(spark, rows, lo, hi):
         ).collect()
     )
     assert got == ref()
+
+interp_obs = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # series key
+        st.integers(0, 15),  # tick
+        st.integers(-50, 50),  # observed value (ints => exact doubles)
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(obs=interp_obs, span=st.integers(0, 15))
+@SETTINGS
+def test_interp_linear_matches_python_reference(spark, obs, span):
+    """interp_linear (the core of ts_interp_linear) against an
+    independent pure-Python spec on adversarial grids: series with NO
+    observations (stay NULL), a single observation (clamps both ways),
+    edge-only observations, duplicate observations at one tick (last
+    write on the grid build wins before the operator runs — we dedup
+    to make the input well-formed), and interior gaps. The spec
+    mirrors the documented association order pv + (nv-pv)*((t-ph)/
+    (nh-ph)) so doubles compare EXACTLY, not approximately."""
+    from event_stream_for_k8s_spark.operators.timeseries import interp_linear
+
+    # well-formed grid input: one value per (key, tick), ticks 0..span
+    seen: dict[tuple[int, int], int] = {}
+    for k, t, v in obs:
+        if t <= span:
+            seen[(k, t)] = v
+    grid_rows = [
+        (k, t, float(seen[(k, t)]) if (k, t) in seen else None)
+        for k in (0, 1, 2)
+        for t in range(span + 1)
+    ]
+
+    def ref() -> dict[tuple[int, int], float | None]:
+        out: dict[tuple[int, int], float | None] = {}
+        for k in (0, 1, 2):
+            ticks = sorted(t for (k2, t) in seen if k2 == k)
+            for t in range(span + 1):
+                if (k, t) in seen:
+                    out[(k, t)] = float(seen[(k, t)])
+                    continue
+                prev = max((x for x in ticks if x < t), default=None)
+                nxt = min((x for x in ticks if x > t), default=None)
+                if prev is None and nxt is None:
+                    out[(k, t)] = None
+                elif prev is None:
+                    out[(k, t)] = float(seen[(k, nxt)])
+                elif nxt is None:
+                    out[(k, t)] = float(seen[(k, prev)])
+                else:
+                    pv, nv = float(seen[(k, prev)]), float(seen[(k, nxt)])
+                    out[(k, t)] = pv + (nv - pv) * (
+                        float(t - prev) / float(nxt - prev)
+                    )
+        return out
+
+    df = spark.createDataFrame(
+        grid_rows, "k int, t long, v double"
+    )
+    got = {
+        (r["k"], r["t"]): r["v_interp"]
+        for r in interp_linear(df, "k", "t", "v").collect()
+    }
+    assert got == ref()
+
+skew_left = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 3)),  # join/group key, NULLs
+        st.integers(0, 10**6),  # entropy column
+        st.integers(-5, 5),  # payload
+    ),
+    min_size=1,
+    max_size=40,
+)
+skew_right = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 3)),  # key, NULLs + dups
+        st.integers(-5, 5),  # right payload
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+
+@given(left=skew_left, right=skew_right, n=st.integers(1, 5))
+@SETTINGS
+def test_salting_is_invisible(spark, left, right, n):
+    """operators/skew.py must be a pure physical rewrite: salted_count
+    equals the plain groupBy count and salted_join equals the plain
+    inner join for ANY input — NULL keys (match nothing, count under
+    their own group), duplicate right keys (row multiplication must
+    survive the n-way explode exactly once), any salt fan-out n
+    including 1. Counter-compare because rows legitimately repeat."""
+    from collections import Counter
+
+    from event_stream_for_k8s_spark.operators.skew import (
+        salted_count,
+        salted_join,
+    )
+
+    l = spark.createDataFrame(left, "k int, e long, v int")
+    r = spark.createDataFrame(right, "k int, w int")
+
+    got_cnt = Counter(
+        (row["k"], row["n"])
+        for row in salted_count(l, ["k"], "e", n).collect()
+    )
+    want_cnt = Counter(
+        (row["k"], row["n"])
+        for row in l.groupBy("k").agg(F.count("*").alias("n")).collect()
+    )
+    assert got_cnt == want_cnt
+
+    got_join = Counter(
+        map(tuple, salted_join(l, r, ["k"], "e", n).collect())
+    )
+    want_join = Counter(map(tuple, l.join(r, ["k"]).collect()))
+    assert got_join == want_join
+
+streak_days = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # user key
+        st.integers(0, 25),  # day offset from 2024-01-01
+    ),
+    min_size=1,
+    max_size=50,
+    unique=True,
+)
+
+
+@given(days=streak_days)
+@SETTINGS
+def test_streak_runs_matches_direct_spec(spark, days):
+    """streak_runs (the gaps-and-islands core of ts_streaks) against a
+    DIRECT consecutive-run scan — independent of the date-minus-
+    row_number anchor trick the operator AND its DuckDB oracle both
+    use, so a shared misconception in that formulation would slip the
+    oracle but not this. Random day sets per user: singleton runs,
+    full-range runs, gap-of-one boundaries."""
+    import datetime as dt
+
+    from event_stream_for_k8s_spark.operators.timeseries import streak_runs
+
+    base = dt.date(2024, 1, 1)
+
+    def ref() -> list[tuple[int, int, str]]:
+        out = []
+        by_user: dict[int, list[int]] = {}
+        for u, d in days:
+            by_user.setdefault(u, []).append(d)
+        for u, ds in by_user.items():
+            ds.sort()
+            start = prev = ds[0]
+            for d in ds[1:]:
+                if d == prev + 1:
+                    prev = d
+                    continue
+                out.append((u, prev - start + 1,
+                            str(base + dt.timedelta(days=start))))
+                start = prev = d
+            out.append((u, prev - start + 1,
+                        str(base + dt.timedelta(days=start))))
+        return sorted(out)
+
+    df = spark.createDataFrame(
+        [(u, base + dt.timedelta(days=d)) for u, d in days],
+        "u int, d date",
+    )
+    got = sorted(
+        (r["u"], r["len"], str(r["streak_start"]))
+        for r in streak_runs(df, "u", "d").collect()
+    )
+    assert got == ref()
