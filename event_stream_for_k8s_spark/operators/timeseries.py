@@ -22,6 +22,57 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def funnel_stages(
+    e: DataFrame,
+    window_us: int,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Single-pass ordered-funnel core of ``ts_funnel``
+    (plans/timeseries.py): per user, the first ``stages[0]``, the
+    first ``stages[1]`` at-or-after it, and the first ``stages[2]``
+    within ``window_us`` micros at-or-after THAT. Input columns:
+    ``user_id``, ``event_type``, ``event_id`` (ordering tiebreak),
+    ``t`` (epoch micros). Returns one row per user with nullable
+    ``t_view``/``t_click``/``t_buy``.
+
+    Rows sort by (t, stage-priority, event_id) so an equal-micros
+    earlier stage is visible to the later stage's running MIN —
+    the inclusive ``>=`` the join-chain formulation has naturally.
+    One scan + one user-keyed shuffle regardless of stage count.
+    """
+    s0, s1, s2 = stages
+    pri = (
+        F.when(F.col("event_type") == s0, 0)
+        .when(F.col("event_type") == s1, 1)
+        .when(F.col("event_type") == s2, 2)
+        .otherwise(3)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", pri, "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run_view = F.min(F.when(F.col("event_type") == s0, F.col("t"))).over(w)
+    click_ok = (F.col("event_type") == s1) & (F.col("t") >= run_view)
+    run_click = F.min(F.when(click_ok, F.col("t"))).over(w)
+    buy_ok = (
+        (F.col("event_type") == s2)
+        & (F.col("t") >= run_click)
+        & (F.col("t") <= run_click + F.lit(window_us))
+    )
+    staged = e.select(
+        "user_id",
+        F.when(F.col("event_type") == s0, F.col("t")).alias("tv"),
+        F.when(click_ok, F.col("t")).alias("tc"),
+        F.when(buy_ok, F.col("t")).alias("tb"),
+    )
+    return staged.groupBy("user_id").agg(
+        F.min("tv").alias("t_view"),
+        F.min("tc").alias("t_click"),
+        F.min("tb").alias("t_buy"),
+    )
+
+
 def streak_runs(
     days: DataFrame, key_col: str, date_col: str
 ) -> DataFrame:

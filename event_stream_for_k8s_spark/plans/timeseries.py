@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from event_stream_for_k8s_spark.catalog import load
 from event_stream_for_k8s_spark.operators.timeseries import (
+    funnel_stages,
     interp_linear,
     streak_runs,
 )
@@ -272,45 +273,12 @@ SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
     "Timestamps compared as epoch-micros on both engines",
 )
 def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    # Single-pass core in operators/timeseries.funnel_stages
+    # (hypothesis-differentialed against a direct per-user spec).
     e = load(spark, sf_dir, "events").select(
         "user_id", "event_type", "event_id", F.unix_micros("ts").alias("t")
     )
-    pri = (
-        F.when(F.col("event_type") == "view", 0)
-        .when(F.col("event_type") == "click", 1)
-        .when(F.col("event_type") == "purchase", 2)
-        .otherwise(3)
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("t", pri, "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    run_view = F.min(
-        F.when(F.col("event_type") == "view", F.col("t"))
-    ).over(w)
-    click_ok = (F.col("event_type") == "click") & (
-        F.col("t") >= run_view
-    )
-    run_click = F.min(F.when(click_ok, F.col("t"))).over(w)
-    buy_ok = (
-        (F.col("event_type") == "purchase")
-        & (F.col("t") >= run_click)
-        & (F.col("t") <= run_click + 259_200_000_000)
-    )
-    staged = e.select(
-        "user_id",
-        F.when(F.col("event_type") == "view", F.col("t")).alias("tv"),
-        F.when(click_ok, F.col("t")).alias("tc"),
-        F.when(buy_ok, F.col("t")).alias("tb"),
-    )
-    per_user = staged.groupBy("user_id").agg(
-        F.min("tv").alias("t_view"),
-        F.min("tc").alias("t_click"),
-        F.min("tb").alias("t_buy"),
-    )
+    per_user = funnel_stages(e, 259_200_000_000)
     return per_user.agg(
         F.count("*").alias("n_users"),
         F.count("t_view").alias("n_viewed"),

@@ -1389,3 +1389,69 @@ def test_streak_runs_matches_direct_spec(spark, days):
         for r in streak_runs(df, "u", "d").collect()
     )
     assert got == ref()
+
+funnel_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # user
+        st.sampled_from(["view", "click", "purchase", "other"]),
+        st.integers(0, 12),  # time tick (micros) — small => many ties
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(events=funnel_events, window=st.integers(0, 6))
+@SETTINGS
+def test_funnel_stages_matches_direct_spec(spark, events, window):
+    """funnel_stages (ts_funnel's single-pass core) against a direct
+    per-user spec: first view, first click AT-OR-AFTER it, first
+    purchase in [t_click, t_click + window]. Tiny tick range forces
+    the tie cases the fixtures never hit — click and view at the SAME
+    micro (inclusive: click qualifies), purchase exactly at
+    t_click + window (in) and window + 1 (out), clicks before any
+    view, stage events interleaved across users, window == 0."""
+    from event_stream_for_k8s_spark.operators.timeseries import (
+        funnel_stages,
+    )
+
+    def ref() -> dict[int, tuple]:
+        out = {}
+        by_user: dict[int, list] = {}
+        for i, (u, ty, t) in enumerate(events):
+            by_user.setdefault(u, []).append((ty, t))
+        for u, evs in by_user.items():
+            tv = min((t for ty, t in evs if ty == "view"), default=None)
+            tc = (
+                min(
+                    (t for ty, t in evs if ty == "click" and t >= tv),
+                    default=None,
+                )
+                if tv is not None
+                else None
+            )
+            tb = (
+                min(
+                    (
+                        t
+                        for ty, t in evs
+                        if ty == "purchase"
+                        and tc <= t <= tc + window
+                    ),
+                    default=None,
+                )
+                if tc is not None
+                else None
+            )
+            out[u] = (tv, tc, tb)
+        return out
+
+    df = spark.createDataFrame(
+        [(u, ty, f"e{i}", t) for i, (u, ty, t) in enumerate(events)],
+        "user_id int, event_type string, event_id string, t long",
+    )
+    got = {
+        r["user_id"]: (r["t_view"], r["t_click"], r["t_buy"])
+        for r in funnel_stages(df, window).collect()
+    }
+    assert got == ref()
