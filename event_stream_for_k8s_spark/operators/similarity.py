@@ -220,6 +220,49 @@ def sign_lsh_candidates(
     )
 
 
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signature stage of ``minhash_pairs_native``: whitespace
+    tokens -> ``shingle``-grams -> per-doc array of ``num_hashes``
+    seeded xxhash64 minima. Docs shorter than ``shingle`` tokens drop
+    (no shingles). Extracted so the banding/join/estimate stage can be
+    differentialed against a brute-force spec over these signatures.
+    """
+    t = F.split(F.col(text_col), r"\s+")
+    n = F.size(t)
+    # Shingle via arrays_zip of k shifted slices: sequential array
+    # access instead of per-index element_at lambdas (~7x faster — HOF
+    # lambda bodies are interpreted, not codegen'd). No distinct needed:
+    # min() over a multiset equals min() over its set.
+    zipped = F.arrays_zip(
+        *[F.slice(t, j + 1, n - shingle + 1) for j in range(shingle)]
+    )
+    shingles = docs.filter(n >= shingle).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                zipped,
+                lambda s: F.concat_ws(
+                    " ", *[s[str(j)] for j in range(shingle)]
+                ),
+            )
+        ).alias("sh"),
+    )
+    return shingles.groupBy(id_col).agg(
+        F.array(
+            *[
+                F.min(F.xxhash64(F.lit(i), F.col("sh")))
+                for i in range(num_hashes)
+            ]
+        ).alias("sig")
+    )
+
+
 def minhash_pairs_native(
     docs: DataFrame,
     id_col: str,
@@ -243,34 +286,7 @@ def minhash_pairs_native(
     sparse-vector UDFs; this form stays in whole-stage codegen.
     """
     rows_per_band = num_hashes // bands
-    t = F.split(F.col(text_col), r"\s+")
-    n = F.size(t)
-    # Shingle via arrays_zip of k shifted slices: sequential array
-    # access instead of per-index element_at lambdas (~7x faster — HOF
-    # lambda bodies are interpreted, not codegen'd). No distinct needed:
-    # min() over a multiset equals min() over its set.
-    zipped = F.arrays_zip(
-        *[F.slice(t, j + 1, n - shingle + 1) for j in range(shingle)]
-    )
-    shingles = docs.filter(n >= shingle).select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                zipped,
-                lambda s: F.concat_ws(
-                    " ", *[s[str(j)] for j in range(shingle)]
-                ),
-            )
-        ).alias("sh"),
-    )
-    sigs = shingles.groupBy(id_col).agg(
-        F.array(
-            *[
-                F.min(F.xxhash64(F.lit(i), F.col("sh")))
-                for i in range(num_hashes)
-            ]
-        ).alias("sig")
-    )
+    sigs = minhash_signatures(docs, id_col, text_col, shingle, num_hashes)
     # Materialize signatures ONCE: the band self-join otherwise
     # recomputes the whole shingle->minhash pipeline for each side
     # (no ReusedExchange across differently-aliased subtrees — ~2x the

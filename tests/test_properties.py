@@ -1455,3 +1455,71 @@ def test_funnel_stages_matches_direct_spec(spark, events, window):
         for r in funnel_stages(df, window).collect()
     }
     assert got == ref()
+
+minhash_docs = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=24),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(docs=minhash_docs, bands=st.sampled_from([1, 2, 4, 8]))
+@SETTINGS
+def test_minhash_banding_matches_brute_spec(spark, docs, bands):
+    """The LSH banding/join/estimate stage of minhash_pairs_native
+    against a brute-force Python spec over the SAME signatures
+    (minhash_signatures is the shared input): a pair is a candidate
+    iff some band's rows_per_band-slice matches EXACTLY, and survives
+    iff round(matches/num_hashes, 6) >= threshold. Catches band-slice
+    off-by-ones (element_at is 1-indexed) that planted-recall tests
+    only see as gradual recall loss. Tiny 'ab '-alphabet docs force
+    shared shingles, identical docs, and sub-shingle docs that drop."""
+    from event_stream_for_k8s_spark.operators.similarity import (
+        minhash_pairs_native,
+        minhash_signatures,
+    )
+
+    num_hashes, shingle, thr = 8, 2, 0.3
+    rpb = num_hashes // bands
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id int, text string"
+    )
+    sigs = {
+        r["doc_id"]: list(r["sig"])
+        for r in minhash_signatures(
+            df, "doc_id", "text", shingle, num_hashes
+        ).collect()
+    }
+
+    def ref() -> set[tuple[int, int, float]]:
+        out = set()
+        ids = sorted(sigs)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                sa, sb = sigs[a], sigs[b]
+                if not any(
+                    sa[i * rpb : (i + 1) * rpb] == sb[i * rpb : (i + 1) * rpb]
+                    for i in range(bands)
+                ):
+                    continue
+                j = round(
+                    sum(u == v for u, v in zip(sa, sb)) / num_hashes, 6
+                )
+                if j >= thr:
+                    out.add((a, b, j))
+        return out
+
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_pairs_native(
+            df,
+            "doc_id",
+            "text",
+            shingle=shingle,
+            num_hashes=num_hashes,
+            bands=bands,
+            est_threshold=thr,
+        ).collect()
+    }
+    assert got == ref()
