@@ -10,6 +10,8 @@ discipline agreeing with exact decimal arithmetic.
 
 from __future__ import annotations
 
+import os
+
 from decimal import Decimal
 
 from hypothesis import HealthCheck, given, settings
@@ -17,8 +19,11 @@ from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
 
+# One Spark job per example is the cost model, so CI stays at 10;
+# SPARK_GRAFT_HYPOTHESIS_EXAMPLES=200 turns the same suite into a
+# deep soak (used for pre-close hardening runs).
 SETTINGS = settings(
-    max_examples=10,
+    max_examples=int(os.environ.get("SPARK_GRAFT_HYPOTHESIS_EXAMPLES", "10")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
