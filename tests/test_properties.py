@@ -14,7 +14,7 @@ import os
 
 from decimal import Decimal
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
@@ -1124,16 +1124,22 @@ session_events = st.lists(
 
 
 @given(events=session_events, gap=st.integers(1, 15))
+@example(events=[(0, 0), (0, 1)], gap=1)  # diff == gap: MERGES
+@example(events=[(0, 0), (0, 2)], gap=1)  # diff == gap + 1: splits
 @SETTINGS
 def test_session_window_matches_merge_reference(spark, events, gap):
     """F.session_window (the primitive under stream_session) merges an
-    event at t into the previous session iff t < prev_end where
-    prev_end = last_ts + gap — i.e. a difference of EXACTLY gap starts
-    a NEW session (window ends are exclusive). Verified against a
-    pure-Python sweep-merge on random ticks with duplicate timestamps
-    and multi-user interleaving; the diff == gap boundary is where an
-    off-by-one (<= vs <) would hide, and it differs from the
-    lag-based sessionizer above, which keeps diff == gap together."""
+    event at t into the previous session iff t <= prev_last + gap —
+    a difference of EXACTLY gap still MERGES (adjacent [t, t+gap)
+    windows coalesce), verified empirically: (0,1) gap=1 -> one
+    session [0,2), (0,2) gap=1 -> two sessions. This matches both the
+    lag-based sessionizer above and stream_session's gaps-and-islands
+    oracle (`diff > gap` starts a new session). The spec originally
+    encoded the exclusive reading (`<`), and hypothesis only surfaced
+    the diff == gap counterexample in a later run — hence the pinned
+    @example boundary cases; verified against a pure-Python
+    sweep-merge on random ticks with duplicate timestamps and
+    multi-user interleaving."""
 
     def ref() -> dict[tuple[int, int, int], int]:
         # (user, session_start, session_end) -> event count
@@ -1145,7 +1151,7 @@ def test_session_window_matches_merge_reference(spark, events, gap):
             ts.sort()
             start, last, n = ts[0], ts[0], 0
             for t in ts:
-                if t < last + gap:  # strictly inside the open end
+                if t <= last + gap:  # inclusive: diff == gap merges
                     n += 1
                     last = max(last, t)
                 else:
