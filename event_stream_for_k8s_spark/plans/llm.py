@@ -3206,46 +3206,18 @@ GROUP BY source
     "funnels the corpus through one task",
 )
 def llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
+    from event_stream_for_k8s_spark.operators.corpus import token_budget_head
 
     d = load(spark, sf_dir, "documents")
-    # three consumers (length histogram, full-bucket join, boundary
-    # join) read the per-doc length relation; persist it (3 narrow
-    # columns, text never carried) so the corpus scans once
+    # per-doc length relation: 3 narrow columns, text never carried
+    # (the operator persists it — three consumers, one corpus scan)
     tok = d.select(
         "doc_id",
         "source",
         F.size(F.split("text", " ")).cast("long").alias("ntok"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    by_len = tok.groupBy("ntok").agg(
-        F.count("*").alias("n"), F.sum("ntok").alias("toks")
-    )
-    wl = Window.orderBy(F.desc("ntok"))  # distinct-length domain: tiny
-    by_len = by_len.select(
-        "ntok",
-        F.sum("toks").over(wl).alias("cum"),
-        (F.sum("toks").over(wl) - F.col("toks")).alias("prev_cum"),
-    )
-    full = by_len.filter(F.col("cum") <= F.lit(_TOKEN_BUDGET)).select("ntok")
-    boundary = by_len.filter(
-        (F.col("cum") > F.lit(_TOKEN_BUDGET))
-        & (F.col("prev_cum") < F.lit(_TOKEN_BUDGET))
-    ).select(
-        "ntok",
-        F.floor(
-            (F.lit(_TOKEN_BUDGET) - F.col("prev_cum")) / F.col("ntok")
-        ).alias("k"),
-    )
-    sel_full = tok.join(F.broadcast(full), "ntok")
-    wb = Window.partitionBy("ntok").orderBy("doc_id")
-    sel_bound = (
-        tok.join(F.broadcast(boundary), "ntok")
-        .withColumn("rnk", F.row_number().over(wb))
-        .filter(F.col("rnk") <= F.col("k"))
-        .select(*sel_full.columns)
     )
     return (
-        sel_full.unionByName(sel_bound)
+        token_budget_head(tok, _TOKEN_BUDGET)
         .groupBy("source")
         .agg(
             F.count("*").alias("n_selected"),

@@ -1534,3 +1534,183 @@ def test_minhash_banding_matches_brute_spec(spark, docs, bands):
         ).collect()
     }
     assert got == ref()
+
+
+token_budget_rows = st.lists(
+    st.integers(1, 8),  # ntok per doc: small values force boundary ties
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(ntoks=token_budget_rows, budget=st.integers(0, 60))
+@example(ntoks=[3, 3, 3], budget=6)   # boundary length with ties, k=2
+@example(ntoks=[3, 3, 3], budget=9)   # cum == budget exactly: all in
+@example(ntoks=[5, 1], budget=4)      # first doc alone overflows
+@example(ntoks=[2, 2, 2], budget=0)   # zero budget selects nothing
+@SETTINGS
+def test_token_budget_head_matches_greedy_prefix(spark, ntoks, budget):
+    """token_budget_head (llm_token_budget's core) derives the greedy
+    (ntok DESC, doc_id ASC) budget prefix from the distinct-length
+    histogram — no global window. The pure-Python spec IS the global
+    running sum the oracle states: walk docs in greedy order, stop at
+    the first row whose cumulative ntok exceeds the budget (a prefix
+    cut, not a skip-and-continue knapsack). Equality must hold through
+    boundary-length ties (several docs share the cut length), an
+    exactly-full budget (cum == budget), and a first doc that alone
+    overflows."""
+    from event_stream_for_k8s_spark.operators.corpus import token_budget_head
+
+    rows = [(i, n) for i, n in enumerate(ntoks)]
+
+    def ref() -> set[int]:
+        sel, cum = set(), 0
+        for doc_id, n in sorted(rows, key=lambda r: (-r[1], r[0])):
+            if cum + n > budget:
+                break
+            cum += n
+            sel.add(doc_id)
+        return sel
+
+    df = spark.createDataFrame(
+        rows or [(0, 1)], "doc_id long, ntok long"
+    )
+    if not rows:
+        df = df.filter(F.lit(False))
+    got = {
+        r["doc_id"] for r in token_budget_head(df, budget).collect()
+    }
+    df.unpersist()
+    assert got == ref()
+
+
+# Printable ASCII, where Java and Python regex/ascii() semantics are
+# provably identical (unicode \w classes differ between engines and
+# the corpus contract is ASCII-normalized text).
+ascii_token = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+    max_size=6,
+)
+
+
+@given(toks=st.lists(ascii_token, min_size=0, max_size=8))
+@example(toks=[""])          # sequence(1,0) reverses to [1,0] in Spark
+@example(toks=["", "", ""])  # a full 3-window of empty tokens
+@SETTINGS
+def test_token_hash_and_fingerprint_match_python_reference(spark, toks):
+    """token_hash (the 31-radix polynomial under every shingle/gram
+    operator) and fingerprint_minhash3 vs a pure-Python replay. The
+    empty-token edge is load-bearing: Spark's sequence(1, length)
+    REVERSES to [1, 0] for '' (two phantom chars), but ascii('') = 0
+    keeps the polynomial at 0 — the same value DuckDB's empty
+    list_reduce produces. A refactor that changes the base or the
+    fold direction would surface here first. Docs shorter than 3
+    tokens fingerprint to NULL in both."""
+    from event_stream_for_k8s_spark.functions.text import (
+        MOD,
+        fingerprint_minhash3,
+        token_hash,
+    )
+
+    def py_hash(t: str) -> int:
+        acc = 0
+        for ch in t:
+            acc = (acc * 31 + ord(ch)) % MOD
+        return acc
+
+    def py_fingerprint() -> int | None:
+        if len(toks) < 3:
+            return None
+        h = [py_hash(t) for t in toks]
+        wins = [
+            ((h[i] * 31 + h[i + 1]) % MOD * 31 + h[i + 2]) % MOD
+            for i in range(len(h) - 2)
+        ]
+        return min(wins)
+
+    df = spark.createDataFrame([(toks,)], "t array<string>")
+    row = df.select(
+        F.transform("t", token_hash).alias("h"),
+        fingerprint_minhash3(F.col("t")).alias("fp"),
+    ).collect()[0]
+    assert row["h"] == [py_hash(t) for t in toks]
+    assert row["fp"] == py_fingerprint()
+
+
+quality_text = st.text(
+    alphabet=" \tabcdeTHE.,;!0#the ",
+    max_size=40,
+)
+
+
+@given(text=quality_text)
+@example(text="")          # NULL ratios (try_divide), 1 empty token
+@example(text="  ")        # whitespace-only: ['', ''] token split
+@example(text="the the")   # all-stopword
+@SETTINGS
+def test_quality_features_match_python_reference(spark, text):
+    """quality_features vs a pure-Python re-implementation over ASCII
+    text with leading/trailing/multiple whitespace (where split(\\s+)
+    emits empty tokens in BOTH engines), punctuation runs, and
+    stopword-only docs. Ratios are IEEE double divisions in both
+    runtimes, so equality is exact; empty text yields NULL ratios
+    (the try_divide parity semantics)."""
+    import re
+
+    from event_stream_for_k8s_spark.functions.text import (
+        STOPWORDS,
+        quality_features,
+    )
+
+    toks = re.split(r"\s+", text)
+    n_tok = len(toks)
+    n_chars = len(text)
+    n_punct = len(re.findall(r"[^\w\s]", text))
+    n_stop = sum(t in STOPWORDS for t in toks)
+
+    def div(a, b):
+        return a / b if b else None
+
+    f = quality_features(F.col("text"))
+    row = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(
+            f["n_chars"].alias("n_chars"),
+            f["n_tokens"].alias("n_tokens"),
+            f["punct_ratio"].alias("punct_ratio"),
+            f["stopword_ratio"].alias("stopword_ratio"),
+            f["avg_token_len"].alias("avg_token_len"),
+        )
+        .collect()[0]
+    )
+    assert row["n_chars"] == n_chars
+    assert row["n_tokens"] == n_tok
+    assert row["punct_ratio"] == div(float(n_punct), n_chars)
+    assert row["stopword_ratio"] == div(float(n_stop), n_tok)
+    assert row["avg_token_len"] == div(float(n_chars - n_tok + 1), n_tok)
+
+
+@given(text=st.text(alphabet="aB z09.#-", max_size=30))
+@example(text="aB1.")   # lowercase fold + digit run + punct
+@example(text="   ")    # spaces match nothing in the BPE class
+@SETTINGS
+def test_bpe_ish_tokens_match_python_reference(spark, text):
+    """bpe_ish_tokens (the BPE-style pre-tokenizer under llm_bpe_pairs
+    and the tokenizer-coverage audit) vs Python re.findall of the same
+    pattern on lowercased text — letter runs, digit runs, single
+    punctuation, spaces dropped. Java and Python alternation pick the
+    leftmost-longest identically for this pattern on ASCII."""
+    import re
+
+    from event_stream_for_k8s_spark.functions.text import (
+        BPE_RE,
+        bpe_ish_tokens,
+    )
+
+    expect = re.findall(BPE_RE, text.lower())
+    row = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(bpe_ish_tokens(F.col("text")).alias("t"))
+        .collect()[0]
+    )
+    assert row["t"] == expect
