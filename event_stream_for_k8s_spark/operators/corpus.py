@@ -36,6 +36,17 @@ def token_budget_head(tok: DataFrame, budget: int) -> DataFrame:
     ``tok``: DataFrame with columns ``doc_id`` (unique, orderable)
     and ``ntok`` (bigint > 0); any other columns pass through.
     Returns the selected rows with the input schema.
+
+    CACHE LIFETIME: the per-doc length relation is persisted (three
+    consumers — length histogram, full-bucket join, boundary join —
+    must not re-evaluate the upstream corpus scan) and CANNOT be
+    unpersisted here without forcing eager evaluation of the lazy
+    result. The caller owns it: the persisted handle is attached to
+    the returned DataFrame as ``result.cached_input`` — long-lived
+    sessions invoking this repeatedly (e.g. hypothesis differentials)
+    should call ``result.cached_input.unpersist()`` once the result
+    is materialized (ADVICE r08). One-shot query sessions can ignore
+    it; executor storage eviction is safe (MEMORY_AND_DISK recomputes).
     """
     # three consumers (length histogram, full-bucket join, boundary
     # join) read the per-doc length relation; persist it so the
@@ -65,4 +76,6 @@ def token_budget_head(tok: DataFrame, budget: int) -> DataFrame:
         .filter(F.col("rnk") <= F.col("k"))
         .select(*tok.columns)
     )
-    return sel_full.unionByName(sel_bound)
+    out = sel_full.unionByName(sel_bound)
+    out.cached_input = tok  # caller-owned cache handle (see docstring)
+    return out

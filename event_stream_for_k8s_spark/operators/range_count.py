@@ -55,6 +55,11 @@ def range_count_by_id(
     ev = df.select(
         F.col(id_col).alias("event_id"), F.col(t_col).alias("t")
     )
+    # null-id filler rows (anchors/seeds) must carry the CALLER's id
+    # type — a hard-coded bigint would silently coerce a string or
+    # decimal id in the unionByName below (ADVICE r08)
+    id_type = df.schema[id_col].dataType
+    null_id = F.lit(None).cast(id_type).alias("event_id")
     # (1) collapse to distinct timestamps with multiplicities
     pts = (
         ev.groupBy("t")
@@ -110,7 +115,7 @@ def range_count_by_id(
             "t",
             F.lit(0).alias("kind"),
             "cum",
-            F.lit(None).cast("bigint").alias("event_id"),
+            null_id,
             F.lit(None).cast("int").alias("sign"),
         )
     )
@@ -119,7 +124,7 @@ def range_count_by_id(
         (F.col("r") * bucket).alias("t"),
         F.lit(-1).alias("kind"),
         F.col("p").alias("cum"),
-        F.lit(None).cast("bigint").alias("event_id"),
+        null_id,
         F.lit(None).cast("int").alias("sign"),
     )
     probe_rows = probes.select(

@@ -292,7 +292,11 @@ def minhash_pairs_native(
     # (no ReusedExchange across differently-aliased subtrees — ~2x the
     # query, measured). 8*num_hashes bytes/doc is the classic
     # signature-store-a-thousandth-of-the-corpus footprint, safe to
-    # cache at any scale.
+    # cache at any scale. CACHE LIFETIME is caller-owned (ADVICE
+    # r08): unpersisting here would force eager evaluation of the
+    # lazy result, so the handle is attached to the returned
+    # DataFrame as ``result.cached_input`` — repeated invocations in
+    # a long-lived session should release it after materializing.
     from pyspark import StorageLevel
 
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
@@ -336,11 +340,13 @@ def minhash_pairs_native(
         ).cast("double")
         / num_hashes
     )
-    return (
+    out = (
         cand.withColumn("jaccard", F.round(est, 6))
         .filter(F.col("jaccard") >= est_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    out.cached_input = sigs  # caller-owned cache handle (see above)
+    return out
 
 
 def minhash_pairs(

@@ -4150,6 +4150,16 @@ def semdedup_drops(corpus: DataFrame) -> DataFrame:
     rationale; this function IS that query's body, extracted so both
     cluster sources share one implementation (and one oracle-tested
     code path)."""
+    return _semdedup_pairs(_semdedup_blocks(corpus))
+
+
+def _semdedup_blocks(corpus: DataFrame) -> DataFrame:
+    """Stage 1 of semdedup_drops: (vec_id, label, subkey, salt, qv,
+    nrm), persisted. Exposed separately so the llm_semdedup_kmeans
+    recall envelope can inspect the blind row_number ``salt`` — a
+    planted twin pair straddling a salt boundary (possible only when
+    a sign-skewed (label, subkey) block exceeds SEMDEDUP_CLUSTER_CAP)
+    is a declared recall cost, not a gate failure (ADVICE r08)."""
     q = corpus.select(
         "vec_id",
         "label",
@@ -4216,6 +4226,13 @@ def semdedup_drops(corpus: DataFrame) -> DataFrame:
         # (~0.6 KB/doc, comparable to corpus bytes, spills to disk)
         .persist()
     )
+    return n
+
+
+def _semdedup_pairs(n: DataFrame) -> DataFrame:
+    """Stage 2 of semdedup_drops: in-block pair join over the
+    ``_semdedup_blocks`` relation + tau=0.9 cosine drop."""
+    zero = F.lit(0).cast("long")
     a = n.select(
         F.col("vec_id").alias("a_id"),
         F.col("label").alias("label"),
@@ -4262,6 +4279,15 @@ def semdedup_kmeans_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION form of llm_semdedup_kmeans — see the registered
     query's notes; returns the per-document (dropped_id, cell) rows.
     The registered query wraps this in a planted-recall envelope."""
+    return semdedup_drops(
+        _semdedup_kmeans_cells(spark, sf_dir)
+    ).withColumnRenamed("label", "cell")
+
+
+def _semdedup_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubled (planted-twin) embedding corpus with its seeded
+    k-means cell id as ``label`` — the cluster source feeding
+    ``semdedup_drops`` for llm_semdedup_kmeans."""
     from event_stream_for_k8s_spark.operators.similarity import (
         _to_ml_vectors,
     )
@@ -4294,7 +4320,7 @@ def semdedup_kmeans_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells = model.transform(with_vec).select(
             "vec_id", F.col("cell").cast("long").alias("label"), "embedding"
         )
-    return semdedup_drops(cells).withColumnRenamed("label", "cell")
+    return cells
 
 
 @query(
@@ -4327,11 +4353,20 @@ WHERE len(list_filter(embedding,
     "twin can never drop — the degenerate-embeddings sweep pinned "
     "this); extra "
     "legitimately-near pairs in a future corpus draw cannot fail it. "
+    "Twins in blocks the blind row_number salt actually SPLIT (a "
+    "sign-skewed (cell, subkey) block exceeding "
+    "SPARK_GRAFT_SEMDEDUP_CAP) are exempt from the assertion — a "
+    "straddled salt boundary is SemDeDup's declared recall cost, not "
+    "a bug, so the TRUE pin stays deterministic under CAP/TARGET "
+    "knob changes or a testdata regeneration (ADVICE r08; every "
+    "current fixture block fits the cap, so the exemption is empty "
+    "today and asserted so in tests/test_llm.py). "
     "semdedup_kmeans_drops above is the production per-doc form, "
     "recall-anchored against the label form in tests/test_llm.py",
 )
 def llm_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    drops = semdedup_kmeans_drops(spark, sf_dir)
+    blocks = _semdedup_blocks(_semdedup_kmeans_cells(spark, sf_dir))
+    drops = _semdedup_pairs(blocks)
     emb = load(spark, sf_dir, "embeddings").filter(
         F.exists(
             "embedding",
@@ -4340,8 +4375,26 @@ def llm_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     planted = emb.select((F.col("vec_id") + 100000).alias("dropped_id"))
     total = emb.agg(F.count("*").alias("planted_total"))
-    missing = planted.join(drops, "dropped_id", "left_anti").agg(
-        F.count("*").alias("n_missing")
+    # twins whose (cell, subkey) block was salt-split may straddle a
+    # salt boundary and legitimately never be compared — exempt them
+    # (declared recall cost; empty at current fixtures). One window
+    # max over the already-persisted blocks relation (single extra
+    # reference, one keyed shuffle); the exempt set is tiny by
+    # construction (split blocks are rare sign-skew overflows and
+    # this is gate-only code besides), so it broadcasts into the
+    # anti-join
+    from pyspark.sql import Window
+
+    w_split = Window.partitionBy("label", "subkey")
+    exempt = (
+        blocks.withColumn("block_max_salt", F.max("salt").over(w_split))
+        .filter(F.col("block_max_salt") > 0)
+        .select(F.col("vec_id").alias("dropped_id"))
+    )
+    missing = (
+        planted.join(drops, "dropped_id", "left_anti")
+        .join(F.broadcast(exempt), "dropped_id", "left_anti")
+        .agg(F.count("*").alias("n_missing"))
     )
     return total.crossJoin(missing).select(
         "planted_total",

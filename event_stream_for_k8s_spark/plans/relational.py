@@ -266,7 +266,11 @@ FROM lineitem GROUP BY l_returnflag
     "asserting |approx-exact| <= 10% (5x the rsd=0.02 target; HLL++ "
     "is deterministic for fixed data, so the boolean is stable and "
     "hash-checkable — the approx VALUE itself stays out of the "
-    "output). The exact-count pass exists for the gate only; "
+    "output). The bound has an absolute floor of 1 (the "
+    "agg_hll_sketch pattern, ADVICE r08): a group with a tiny exact "
+    "distinct count must not flip the boolean on a +-1 sketch "
+    "deviation after a fixture regeneration. The exact-count pass "
+    "exists for the gate only; "
     "approx_distinct_sketch above is the production form. "
     "agg_approx_distinct_exact remains the stronger small-domain "
     "anchor; tests assert the 5% envelope on the raw sketch.",
@@ -283,7 +287,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         (
             F.abs(F.col("approx_parts") - F.col("exact_parts"))
-            <= 0.10 * F.col("exact_parts")
+            <= F.greatest(F.lit(1.0), 0.10 * F.col("exact_parts"))
         ).alias("within_bound"),
     )
 

@@ -733,3 +733,21 @@ def test_semdedup_kmeans_recall_covers_label_form(spark):
         .select("vec_id")
         .collect()
     }
+
+
+def test_semdedup_kmeans_salt_split_exemption_empty_here(spark):
+    """llm_semdedup_kmeans exempts planted twins in salt-SPLIT
+    (cell, subkey) blocks from its recall assertion (ADVICE r08: a
+    twin pair straddling a row_number salt boundary is a declared
+    recall cost, not a gate failure). The query's notes claim the
+    exemption is empty at current fixtures — pin that: no block
+    exceeds SEMDEDUP_CLUSTER_CAP, so max(salt) == 0 everywhere and
+    the recall gate still checks every droppable twin."""
+    from event_stream_for_k8s_spark.plans.llm import (
+        _semdedup_blocks,
+        _semdedup_kmeans_cells,
+    )
+
+    blocks = _semdedup_blocks(_semdedup_kmeans_cells(spark, SF))
+    assert blocks.agg(F.max("salt")).first()[0] == 0
+    blocks.unpersist()

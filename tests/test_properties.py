@@ -898,6 +898,30 @@ GROUP BY a.id ORDER BY a.id
     assert got == [tuple(w) for w in want]
 
 
+def test_range_count_generic_over_string_id(spark):
+    """range_count_by_id is generic over id_col type (ADVICE r08: the
+    anchor/seed null-id filler rows must derive their cast from the
+    caller's schema, not a hard-coded bigint — a string id would have
+    been silently coerced or failed analysis in the unionByName).
+    Pin the string-id path against the hand-computed spec."""
+    from event_stream_for_k8s_spark.operators.range_count import (
+        range_count_by_id,
+    )
+
+    rows = [("a", 0), ("b", 3), ("c", 10), ("a", 11), ("d", 12)]
+    df = spark.createDataFrame(rows, "id string, t long")
+    got = {
+        (r["id"], r["n_nearby"])
+        for r in range_count_by_id(
+            df, id_col="id", t_col="t", half=4, bucket=8
+        ).collect()
+    }
+    # pairs within |dt|<=4, different id: (a0,b3), (c10,a11), (c10,d12),
+    # (a11,d12) — per-id other-row counts:
+    assert got == {("a", 3), ("b", 1), ("c", 2), ("d", 2)}
+    assert dict(df.dtypes)["id"] == "string"
+
+
 merge_tables = st.tuples(
     # base: (key-or-NULL, payload-or-NULL); keys may repeat
     st.lists(
@@ -1016,12 +1040,18 @@ cc_edges = st.lists(
 
 @given(edges=cc_edges)
 @SETTINGS
-def test_connected_components_matches_union_find(spark, edges):
+def test_connected_components_matches_union_find_edges(spark, edges):
     """connected_components (iterative min-label + pointer jumping)
     equals a pure-Python union-find on adversarial edge lists:
     self-loops, duplicate and reversed edges, long chains (pointer
     jumping must still converge inside max_iter via O(log d) rounds),
-    and isolated nodes supplied via the nodes relation."""
+    and isolated nodes supplied via the nodes relation.
+
+    Named distinctly from test_connected_components_matches_union_find
+    (the cc_graphs variant above, which additionally feeds isolated
+    node ids outside the edge domain) — a same-name redefinition
+    would shadow the earlier test and pytest would silently drop it.
+    """
     from event_stream_for_k8s_spark.operators.dedup import (
         connected_components,
     )
@@ -1577,10 +1607,12 @@ def test_token_budget_head_matches_greedy_prefix(spark, ntoks, budget):
     )
     if not rows:
         df = df.filter(F.lit(False))
-    got = {
-        r["doc_id"] for r in token_budget_head(df, budget).collect()
-    }
-    df.unpersist()
+    out = token_budget_head(df, budget)
+    got = {r["doc_id"] for r in out.collect()}
+    # caller-owned cache lifetime (ADVICE r08): release the persisted
+    # per-doc relation via the documented handle so ~100 hypothesis
+    # examples don't accumulate cached relations in one session
+    out.cached_input.unpersist()
     assert got == ref()
 
 
