@@ -21,6 +21,9 @@ from event_stream_for_k8s_spark.streaming.dedup_pipeline import (
     ndjson,
     run_reference_pipeline,
 )
+from event_stream_for_k8s_spark.streaming.prom_metrics import (
+    K8sStreamMetrics,
+)
 
 T0 = "2024-01-01T10:00:00.000Z"
 T1 = "2024-01-01T11:00:00.000Z"
@@ -361,6 +364,183 @@ def test_k8s_http_watch_spooler(spark, tmp_path):
         assert uids == ["u1", "u2", "u3", "u4", "u5"]
     finally:
         srv.shutdown()
+
+
+def _write_uid_file(d: str, name: str, uids: list[str]) -> None:
+    """One jsonl file of minimal keyed k8s events (uid:1 keys)."""
+    obj = {"kind": "Pod", "namespace": "default", "name": "p1"}
+    with open(os.path.join(d, name), "w") as f:
+        for uid in uids:
+            f.write(json.dumps({
+                "metadata": {"uid": uid, "resourceVersion": "1",
+                             "creationTimestamp": T0},
+                "type": "Normal", "reason": "R",
+                "involvedObject": obj, "lastTimestamp": T1,
+            }) + "\n")
+
+
+def test_midbatch_crash_replay_at_least_once(spark, tmp_path):
+    """§3.4 restart differential (VERDICT r08 #3a): the reference
+    emits NDJSON BEFORE committing dedup state (tasks.rs:105 emit vs
+    :129-130 commit), so a crash between the two re-emits that
+    batch's events and loses NONE — at-least-once. Spark twin:
+    foreachBatch runs the sink before the checkpoint commit; inject a
+    crash AFTER the sink recorded batch 1's emissions, restart on the
+    same checkpoint, and assert (a) every unique key was emitted at
+    least once, (b) the only multiply-emitted keys are the crashed
+    batch's, each exactly twice (duplicates re-emitted, not lost and
+    not amplified), (c) the replay runs under the SAME batch_id with
+    the SAME rows (deterministic offsets from the WAL)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    emitted: list[tuple[int, str]] = []  # (batch_id, dedup_key)
+    crash = {"armed": False, "fired": False}
+
+    def sink(batch_df, batch_id):
+        rows = [(batch_id, r["dedup_key"])
+                for r in batch_df.select("dedup_key").collect()]
+        emitted.extend(rows)  # the "emit": happens BEFORE the raise
+        if crash["armed"] and not crash["fired"]:
+            crash["fired"] = True
+            raise RuntimeError("injected crash after emit, before commit")
+
+    def run():
+        fb = F.lit("2024-01-02").cast("timestamp")
+        stream = read_events_jsonl(spark, src, streaming=True).select(
+            event_key().alias("dedup_key"), event_time(fb).alias("time")
+        )
+        q = run_reference_pipeline(
+            stream, "dedup_key", "time", 3600, ckpt, sink,
+            available_now=True,
+        )
+        q.awaitTermination()
+
+    # batch 0: commits cleanly
+    _write_uid_file(src, "f0.json", ["a", "b", "c"])
+    run()
+    assert [k for _, k in emitted] == sorted(["a:1", "b:1", "c:1"]) or {
+        k for _, k in emitted
+    } == {"a:1", "b:1", "c:1"}
+    # batch 1: emits, then dies before the checkpoint commit
+    _write_uid_file(src, "f1.json", ["d", "e"])
+    crash["armed"] = True
+    with pytest.raises(Exception, match="injected crash"):
+        run()
+    crash["armed"] = False
+    # restart on the same checkpoint: batch 1 replays
+    run()
+
+    from collections import Counter
+
+    counts = Counter(k for _, k in emitted)
+    # (a) nothing lost
+    assert set(counts) == {"a:1", "b:1", "c:1", "d:1", "e:1"}
+    # (b) only the crashed batch re-emitted, exactly once more
+    assert {k: n for k, n in counts.items() if n > 1} == {
+        "d:1": 2, "e:1": 2,
+    }
+    # (c) same batch_id, same rows on replay (the WAL reconstructs
+    # the uncommitted batch; the literal id is an implementation
+    # detail — availableNow inserts watermark-commit batches)
+    b1 = [(bid, k) for bid, k in emitted if k in ("d:1", "e:1")]
+    assert len({bid for bid, _ in b1}) == 1
+    assert sorted(k for _, k in b1[:2]) == sorted(k for _, k in b1[2:])
+
+
+def test_prom_counters_monotone_under_replay(spark, tmp_path):
+    """§3.4 restart differential (VERDICT r08 #3b): prometheus
+    counters are MONOTONE across a foreachBatch replay, and the
+    replay does not double-count — the daemon's deferred staging
+    (observe_batch(defer_totals_batch_id=...) + sync_from_query)
+    overwrites the crashed batch's staged entry instead of
+    re-incrementing. One K8sStreamMetrics instance spans the crash
+    (the daemon process outlives a query restart); snapshots of every
+    counter sample are taken after every observe and every sync and
+    must never decrease; final totals equal the no-crash run's."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    m = K8sStreamMetrics()
+    snaps: list[dict] = []
+
+    def snapshot():
+        with m._lock:
+            snaps.append({
+                ("processed",) + k: v
+                for k, v in m.processed.samples.items()
+            } | {
+                ("events",) + k: v for k, v in m.events.samples.items()
+            } | {
+                ("sync_bytes",) + k: v
+                for k, v in m.sync_bytes.samples.items()
+            })
+
+    crash = {"armed": False, "fired": False}
+
+    def sink(batch_df, batch_id):
+        m.observe_batch(
+            batch_df, key_col="dedup_key", order_cols=("time",),
+            type_col="type", reason_col="reason",
+            kind_col="kind", namespace_col="namespace",
+            defer_totals_batch_id=batch_id,
+        )
+        snapshot()
+        if crash["armed"] and not crash["fired"]:
+            crash["fired"] = True
+            raise RuntimeError("injected crash after observe")
+
+    def run():
+        fb = F.lit("2024-01-02").cast("timestamp")
+        stream = (
+            read_events_jsonl(spark, src, streaming=True)
+            .select(
+                event_key().alias("dedup_key"),
+                event_time(fb).alias("time"),
+                "type", "reason",
+                F.col("involvedObject.kind").alias("kind"),
+                F.col("involvedObject.namespace").alias("namespace"),
+            )
+            .observe("kes_received", F.count(F.lit(1)).alias("n"))
+        )
+        deduped = (
+            stream.withWatermark("time", "3600 seconds")
+            .dropDuplicatesWithinWatermark(["dedup_key"])
+        )
+        q = (
+            deduped.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            m.sync_from_query(q)
+            snapshot()
+
+    _write_uid_file(src, "f0.json", ["a", "b", "c"])
+    run()
+    _write_uid_file(src, "f1.json", ["d", "e"])
+    crash["armed"] = True
+    with pytest.raises(Exception, match="injected crash"):
+        run()
+    crash["armed"] = False
+    run()  # replay of batch 1 on the recovered checkpoint
+
+    # monotonicity: every counter sample non-decreasing at every
+    # snapshot (a scrape can land anywhere in this sequence)
+    for prev, cur in zip(snaps, snaps[1:]):
+        for key, v in prev.items():
+            assert cur.get(key, 0) >= v, (key, prev, cur)
+    # no double-count: totals equal the crash-free expectation —
+    # 5 unique keys, 5 received rows, zero hits
+    fam = m.processed.samples
+    assert fam[("total",)] == 5
+    assert fam[("cache_misses",)] == 5
+    assert fam[("cache_hits",)] == 0
+    assert sum(m.events.samples.values()) == 5
 
 
 def test_dedup_pipeline_on_rocksdb_state_store(spark, k8s_dir, tmp_path):
