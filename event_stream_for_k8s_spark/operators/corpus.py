@@ -1,4 +1,4 @@
-"""Corpus-assembly operators: budgeted head selection.
+"""Corpus-assembly operators: budgeted head selection, BPE training.
 
 ``token_budget_head`` is the selection step of budgeted corpus
 assembly ("greedily keep the longest documents until the token budget
@@ -79,3 +79,114 @@ def token_budget_head(tok: DataFrame, budget: int) -> DataFrame:
     out = sel_full.unionByName(sel_bound)
     out.cached_input = tok  # caller-owned cache handle (see docstring)
     return out
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (VERDICT r08 #6): the iterative tokenizer-training
+# recurrence. llm_bpe_pairs (plans/llm.py) is round 0's candidate list;
+# this operator runs the actual k-round trainer: per round, count
+# adjacent symbol-pair frequencies corpus-wide, pick the single most
+# frequent pair (ties: lexicographically smallest, so the choice is
+# deterministic), merge it greedily left-to-right in every word, repeat.
+#
+# Scale design (100 TB): each round is ONE map-side-combinable pair
+# count (key space = live symbol pairs, tiny) + a TakeOrdered(1); the
+# merge rewrite is a narrow per-word string fold in whole-stage codegen
+# (F.aggregate, no UDF). The k merge choices come back to the driver as
+# k scalars — the merge table IS the trained artifact and lives
+# driver-side by nature (the seeded-KMeans precedent: the fit is a
+# driver-coordinated iteration; the corpus never moves). Lineage stays
+# LINEAR (round r+1's words = one narrow select over round r's), so no
+# per-round checkpoint is needed, unlike pagerank's doubled references.
+#
+# Exactness: counts are int64, the tie-break compares the SEP-joined
+# pair key (SEP = 0x1f sorts below every [a-z] symbol byte, so key
+# order == (left, right) tuple order), and the greedy fold was pinned
+# byte-identical to DuckDB's list_reduce replay on adjacent self-pairs
+# ("aaaa" -> ["aa","aa"]), boundary submatches ("xa","b" does NOT
+# match pair (a,b)) and multi-char symbols.
+
+BPE_SEP = "\x1f"
+
+
+def bpe_symbolize(raw) -> F.Column:
+    """word string -> SEP-joined character-symbol string."""
+    return F.concat_ws(
+        BPE_SEP,
+        F.transform(
+            F.sequence(F.lit(1), F.length(raw)),
+            lambda i: F.substring(raw, i, F.lit(1)),
+        ),
+    )
+
+
+def _bpe_merge_word(col, a: str, b: str):
+    """Greedy left-to-right merge of adjacent (a, b) into a||b over a
+    SEP-joined symbol string — a string fold (exact BPE: in "aaaa"
+    pair (a,a) yields [aa, aa]; a merged symbol never re-merges within
+    its round because len(a||b) > len(a))."""
+    arr = F.split(col, BPE_SEP)
+    head = F.element_at(arr, 1)
+    tail = F.slice(arr, 2, F.size(arr) - 1)
+
+    def step(acc, s):
+        last = F.substring_index(acc, BPE_SEP, -1)
+        merged = F.concat(
+            F.substring(acc, F.lit(1), F.length(acc) - F.lit(len(a))),
+            F.lit(a + b),
+        )
+        return F.when(
+            (last == F.lit(a)) & (s == F.lit(b)), merged
+        ).otherwise(F.concat(acc, F.lit(BPE_SEP), s))
+
+    return F.aggregate(tail, head, step)
+
+
+def _bpe_pair_counts(words: DataFrame) -> DataFrame:
+    """(pk, n): SEP-joined adjacent-pair keys with corpus frequencies.
+    zip_with over head/tail slices — a single-symbol word contributes
+    zero pairs without any branch (slice length 0 -> empty array)."""
+    arr = F.split("w", BPE_SEP)
+    pairs = F.zip_with(
+        F.slice(arr, 1, F.size(arr) - 1),
+        F.slice(arr, 2, F.size(arr) - 1),
+        lambda x, y: F.concat(x, F.lit(BPE_SEP), y),
+    )
+    return (
+        words.select(F.explode(pairs).alias("pk"))
+        .groupBy("pk")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def bpe_train(
+    words: DataFrame, rounds: int
+) -> list[tuple[int, str, str, int]]:
+    """Run ``rounds`` BPE merge rounds over ``words`` (one column
+    ``w`` of SEP-joined symbol strings, see :func:`bpe_symbolize`).
+    Returns the merge table [(round, left, right, pair_count)] —
+    pair_count is the pre-merge frequency that won the round. Stops
+    early if no pair exists (fully merged / degenerate corpus).
+
+    The input is persisted for the k passes and unpersisted before
+    returning (the merge table is driver-side, so unlike
+    token_budget_head there is no lazy result holding the cache)."""
+    words = words.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        merges: list[tuple[int, str, str, int]] = []
+        cur = words
+        for r in range(rounds):
+            top = (
+                _bpe_pair_counts(cur)
+                .orderBy(F.desc("n"), "pk")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            a, b = top[0]["pk"].split(BPE_SEP)
+            merges.append((r, a, b, top[0]["n"]))
+            cur = cur.select(_bpe_merge_word(F.col("w"), a, b).alias("w"))
+        return merges
+    finally:
+        words.unpersist()

@@ -2355,6 +2355,112 @@ def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_train_oracle(rounds: int) -> str:
+    """Unrolled-CTE DuckDB replay of the k-round BPE merge trainer —
+    the graph_pagerank_exact pattern applied to the tokenizer-training
+    recurrence. Each round: pair-count the SEP-joined symbol corpus,
+    row_number-pick the (count DESC, pair-key ASC) winner, rewrite via
+    a list_reduce fold byte-identical to the Spark F.aggregate fold
+    (operators/corpus.py:_bpe_merge_word; both pinned on self-pair
+    runs, boundary submatches and multi-char symbols). The LEFT JOIN
+    ON TRUE keeps the corpus alive when a round finds no pair (the
+    trainer's early-stop twin: every later m{r} is then empty in both
+    engines)."""
+    S = "chr(31)"
+    ctes = [f"""w0 AS MATERIALIZED (
+  SELECT array_to_string(list_transform(range(1, length(lw)+1),
+           i -> substr(lw, cast(i AS int), 1)), {S}) AS w
+  FROM (SELECT lower(unnest(string_split(text, ' '))) AS lw
+        FROM documents)
+  WHERE regexp_matches(lw, '^[a-z]+$') AND length(lw) >= 2
+)"""]
+    for r in range(rounds):
+        ctes.append(f"""m{r} AS MATERIALIZED (
+  SELECT string_split(pk, {S})[1] AS lhs,
+         string_split(pk, {S})[2] AS rhs, n
+  FROM (
+    SELECT pk, n, row_number() OVER (ORDER BY n DESC, pk) AS rn
+    FROM (
+      SELECT pk, count(*) AS n FROM (
+        SELECT unnest(list_transform(range(1, len(sym)),
+                 i -> sym[cast(i AS int)] || {S} || sym[cast(i AS int)+1]
+               )) AS pk
+        FROM (SELECT string_split(w, {S}) AS sym FROM w{r})
+      ) GROUP BY pk
+    )
+  ) WHERE rn = 1
+)""")
+        if r < rounds - 1:
+            ctes.append(f"""w{r + 1} AS MATERIALIZED (
+  SELECT CASE WHEN m.lhs IS NULL THEN t.w
+         ELSE list_reduce(string_split(t.w, {S}), (acc, s) ->
+           CASE WHEN substr(acc,
+                       greatest(1, length(acc) - length(m.lhs) + 1)
+                     ) = m.lhs
+                     AND (length(acc) = length(m.lhs)
+                          OR substr(acc,
+                               length(acc) - length(m.lhs), 1) = {S})
+                     AND s = m.rhs
+                THEN substr(acc, 1, length(acc) - length(m.lhs))
+                     || m.lhs || m.rhs
+                ELSE acc || {S} || s END)
+         END AS w
+  FROM w{r} t LEFT JOIN m{r} m ON TRUE
+)""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT {r} AS merge_round, lhs, rhs,"
+        f" cast(n AS bigint) AS pair_count FROM m{r}"
+        for r in range(rounds)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+@query(
+    "llm_bpe_train",
+    oracle=_bpe_train_oracle(8),
+    section="B.11",
+    notes="the ITERATED BPE merge trainer (VERDICT r08 #6): 8 seeded "
+    "merge rounds completing the tokenizer-training story "
+    "(llm_bpe_pairs = round 0's candidates; this trains the merge "
+    "TABLE that llm_tokenizer_coverage-style vocabularies build on). "
+    "Per round: one map-side-combinable pair count over the live "
+    "symbol corpus (tiny key space), TakeOrdered(1) with the "
+    "deterministic (count DESC, pair-key ASC) tie-break — SEP=0x1f "
+    "sorts below every [a-z] byte so key order == tuple order — then "
+    "a NARROW whole-stage-codegen string fold (F.aggregate, no UDF) "
+    "greedily merges the winner left-to-right in every word: exact "
+    "BPE semantics incl. 'aaaa'->(a,a)->[aa,aa], verified "
+    "byte-identical to the oracle's list_reduce on the edge cases. "
+    "The 8 winners return as driver scalars (the seeded-KMeans "
+    "precedent — the merge table IS the trained artifact; the corpus "
+    "never moves), keeping lineage LINEAR, so no per-round "
+    "checkpoint, unlike pagerank's doubled references. Oracle: 8 "
+    "unrolled MATERIALIZED CTE rounds, the graph_pagerank_exact "
+    "pattern on a second domain. Differentially pinned against a "
+    "pure-Python BPE reference on random corpora in "
+    "tests/test_properties.py",
+)
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_stream_for_k8s_spark.operators.corpus import (
+        bpe_symbolize,
+        bpe_train,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("rw"))
+        .select(F.lower("rw").alias("lw"))
+        .filter(F.col("lw").rlike("^[a-z]+$") & (F.length("lw") >= 2))
+        .select(bpe_symbolize(F.col("lw")).alias("w"))
+    )
+    merges = bpe_train(words, 8)
+    return spark.createDataFrame(
+        [(r, a, b, n) for r, a, b, n in merges],
+        schema="merge_round int, lhs string, rhs string,"
+        " pair_count bigint",
+    )
+
+
 @query(
     "llm_dedup_url",
     oracle="""

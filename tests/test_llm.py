@@ -751,3 +751,27 @@ def test_semdedup_kmeans_salt_split_exemption_empty_here(spark):
     blocks = _semdedup_blocks(_semdedup_kmeans_cells(spark, SF))
     assert blocks.agg(F.max("salt")).first()[0] == 0
     blocks.unpersist()
+
+
+def test_bpe_train_deterministic_and_monotone(spark):
+    """llm_bpe_train (VERDICT r08 #6): per-round merge choice is
+    deterministic — two independent runs produce the identical merge
+    table — and the winning pair_count is non-increasing across
+    rounds (a merge only destroys existing adjacencies; a new pair
+    (x, ab) occurs at most count(ab) <= the round's winning count, so
+    no later round can beat an earlier one). The fixture corpus is
+    rich enough that all 8 rounds fire."""
+    run1 = REGISTRY["llm_bpe_train"].spark(spark, SF).collect()
+    run2 = REGISTRY["llm_bpe_train"].spark(spark, SF).collect()
+    t1 = [(r["merge_round"], r["lhs"], r["rhs"], r["pair_count"])
+          for r in run1]
+    assert t1 == [
+        (r["merge_round"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in run2
+    ]
+    assert [r for r, *_ in t1] == list(range(8))
+    counts = [n for *_, n in t1]
+    assert counts == sorted(counts, reverse=True)
+    # every merged symbol is novel: lhs||rhs never re-chosen
+    merged = [a + b for _, a, b, _ in t1]
+    assert len(set(merged)) == 8

@@ -1746,3 +1746,65 @@ def test_bpe_ish_tokens_match_python_reference(spark, text):
         .collect()[0]
     )
     assert row["t"] == expect
+
+
+bpe_words = st.lists(
+    st.text(alphabet="ab", min_size=2, max_size=8),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(words=bpe_words, rounds=st.integers(1, 4))
+@example(words=["aaaa"], rounds=2)       # self-pair run: (a,a) -> [aa,aa]
+@example(words=["ab", "ab", "ba"], rounds=3)  # tie-break + exhaustion
+@SETTINGS
+def test_bpe_train_matches_python_reference(spark, words, rounds):
+    """bpe_train (operators/corpus, llm_bpe_train's core) equals a
+    pure-Python BPE trainer on random two-letter corpora: per round
+    the (count DESC, SEP-joined-key ASC) winner, greedy left-to-right
+    non-overlapping merge (runs of a self-pair merge in strict pairs),
+    early stop when no pair remains. The tiny alphabet maximizes
+    collisions, ties, and multi-round self-pair interactions the
+    documents fixture cannot force."""
+    from event_stream_for_k8s_spark.operators.corpus import (
+        BPE_SEP,
+        bpe_symbolize,
+        bpe_train,
+    )
+
+    def ref() -> list[tuple[int, str, str, int]]:
+        seqs = [list(w) for w in words]
+        merges: list[tuple[int, str, str, int]] = []
+        for r in range(rounds):
+            from collections import Counter
+
+            c: Counter = Counter()
+            for s in seqs:
+                for i in range(len(s) - 1):
+                    c[(s[i], s[i + 1])] += 1
+            if not c:
+                break
+            (a, b), n = min(
+                c.items(),
+                key=lambda kv: (-kv[1], kv[0][0] + BPE_SEP + kv[0][1]),
+            )
+            merges.append((r, a, b, n))
+            nxt = []
+            for s in seqs:
+                ns, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        ns.append(a + b)
+                        i += 2
+                    else:
+                        ns.append(s[i])
+                        i += 1
+                nxt.append(ns)
+            seqs = nxt
+        return merges
+
+    df = spark.createDataFrame([(w,) for w in words], "lw string").select(
+        bpe_symbolize(F.col("lw")).alias("w")
+    )
+    assert bpe_train(df, rounds) == ref()
