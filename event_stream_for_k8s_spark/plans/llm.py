@@ -2355,7 +2355,7 @@ def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_train_oracle(rounds: int) -> str:
+def _bpe_ctes(rounds: int, with_final: bool = False) -> list[str]:
     """Unrolled-CTE DuckDB replay of the k-round BPE merge trainer —
     the graph_pagerank_exact pattern applied to the tokenizer-training
     recurrence. Each round: pair-count the SEP-joined symbol corpus,
@@ -2365,7 +2365,8 @@ def _bpe_train_oracle(rounds: int) -> str:
     runs, boundary submatches and multi-char symbols). The LEFT JOIN
     ON TRUE keeps the corpus alive when a round finds no pair (the
     trainer's early-stop twin: every later m{r} is then empty in both
-    engines)."""
+    engines). ``with_final=True`` additionally builds w{rounds} (the
+    fully-encoded corpus, for llm_bpe_encode)."""
     S = "chr(31)"
     ctes = [f"""w0 AS MATERIALIZED (
   SELECT array_to_string(list_transform(range(1, length(lw)+1),
@@ -2390,7 +2391,7 @@ def _bpe_train_oracle(rounds: int) -> str:
     )
   ) WHERE rn = 1
 )""")
-        if r < rounds - 1:
+        if r < rounds - 1 or with_final:
             ctes.append(f"""w{r + 1} AS MATERIALIZED (
   SELECT CASE WHEN m.lhs IS NULL THEN t.w
          ELSE list_reduce(string_split(t.w, {S}), (acc, s) ->
@@ -2407,12 +2408,39 @@ def _bpe_train_oracle(rounds: int) -> str:
          END AS w
   FROM w{r} t LEFT JOIN m{r} m ON TRUE
 )""")
+    return ctes
+
+
+def _bpe_train_oracle(rounds: int) -> str:
     unions = "\nUNION ALL ".join(
         f"SELECT {r} AS merge_round, lhs, rhs,"
         f" cast(n AS bigint) AS pair_count FROM m{r}"
         for r in range(rounds)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + unions
+    return "WITH " + ",\n".join(_bpe_ctes(rounds)) + "\n" + unions
+
+
+def _bpe_encode_oracle(rounds: int) -> str:
+    S = "chr(31)"
+    return (
+        "WITH "
+        + ",\n".join(_bpe_ctes(rounds, with_final=True))
+        + f""",
+pre AS (SELECT cast(count(*) AS bigint) AS n_words,
+               cast(sum(len(string_split(w, {S}))) AS bigint)
+                 AS chars_total
+        FROM w0),
+post AS (SELECT cast(sum(len(string_split(w, {S}))) AS bigint)
+                  AS tokens_total
+         FROM w{rounds}),
+vocab AS (SELECT cast(count(DISTINCT sym) AS bigint) AS vocab_size
+          FROM (SELECT unnest(string_split(w, {S})) AS sym
+                FROM w{rounds}))
+SELECT n_words, chars_total, tokens_total,
+       chars_total - tokens_total AS chars_saved,
+       vocab_size
+FROM pre CROSS JOIN post CROSS JOIN vocab"""
+    )
 
 
 @query(
@@ -2458,6 +2486,71 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r, a, b, n) for r, a, b, n in merges],
         schema="merge_round int, lhs string, rhs string,"
         " pair_count bigint",
+    )
+
+
+@query(
+    "llm_bpe_encode",
+    oracle=_bpe_encode_oracle(8),
+    section="B.11",
+    notes="the ENCODE step closing the tokenizer-training loop: "
+    "apply llm_bpe_train's 8-round merge table back to the corpus "
+    "and report the corpus-level compression ledger — words, "
+    "pre-merge char-symbol count, post-merge token count, chars "
+    "saved, and the LIVE vocab size (distinct symbols still in use "
+    "after 8 merges). Spark: the trainer's 8 driver-scalar merges "
+    "replay as 8 chained narrow string folds (one codegen stage over "
+    "one corpus scan), then two 1-row aggregates + a distinct-symbol "
+    "count (symbol key space is tiny). All-int output, no float "
+    "discipline needed. Oracle: the llm_bpe_train CTE chain extended "
+    "through w8 (with_final=True) + the same three aggregates",
+)
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_stream_for_k8s_spark.operators.corpus import (
+        BPE_SEP,
+        _bpe_merge_word,
+        bpe_symbolize,
+        bpe_train,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("rw"))
+        .select(F.lower("rw").alias("lw"))
+        .filter(F.col("lw").rlike("^[a-z]+$") & (F.length("lw") >= 2))
+        .select(bpe_symbolize(F.col("lw")).alias("w"))
+    )
+    merges = bpe_train(words, 8)
+    encoded = words
+    for _, a, b, _ in merges:
+        encoded = encoded.select(
+            _bpe_merge_word(F.col("w"), a, b).alias("w")
+        )
+    pre = words.agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.size(F.split("w", BPE_SEP))).alias("chars_total"),
+    )
+    post = encoded.agg(
+        F.sum(F.size(F.split("w", BPE_SEP))).alias("tokens_total")
+    )
+    vocab = (
+        encoded.select(
+            F.explode(F.split("w", BPE_SEP)).alias("sym")
+        )
+        .agg(F.countDistinct("sym").alias("vocab_size"))
+    )
+    return (
+        pre.crossJoin(post)
+        .crossJoin(vocab)
+        .select(
+            "n_words",
+            "chars_total",
+            "tokens_total",
+            (F.col("chars_total") - F.col("tokens_total")).alias(
+                "chars_saved"
+            ),
+            "vocab_size",
+        )
     )
 
 

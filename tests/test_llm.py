@@ -775,3 +775,18 @@ def test_bpe_train_deterministic_and_monotone(spark):
     # every merged symbol is novel: lhs||rhs never re-chosen
     merged = [a + b for _, a, b, _ in t1]
     assert len(set(merged)) == 8
+
+
+def test_bpe_encode_ledger_invariants(spark):
+    """llm_bpe_encode's compression ledger is internally consistent
+    with llm_bpe_train: each APPLIED merge occurrence removes exactly
+    one token, and greedy non-overlap can apply at most pair_count
+    occurrences per round — so 0 < chars_saved <= sum(pair_count).
+    The live vocab keeps every base character still in use plus at
+    most the 8 merged symbols."""
+    enc = REGISTRY["llm_bpe_encode"].spark(spark, SF).first()
+    merges = REGISTRY["llm_bpe_train"].spark(spark, SF).collect()
+    assert enc["chars_total"] - enc["tokens_total"] == enc["chars_saved"]
+    assert 0 < enc["chars_saved"] <= sum(r["pair_count"] for r in merges)
+    assert enc["vocab_size"] <= 26 + len(merges)
+    assert enc["n_words"] > 0
