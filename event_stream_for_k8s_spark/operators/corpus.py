@@ -101,18 +101,29 @@ def token_budget_head(tok: DataFrame, budget: int) -> DataFrame:
 #
 # Exactness: counts are int64, the tie-break compares the SEP-joined
 # pair key (SEP = 0x1f sorts below every [a-z] symbol byte, so key
-# order == (left, right) tuple order), and the greedy fold was pinned
-# byte-identical to DuckDB's list_reduce replay on adjacent self-pairs
-# ("aaaa" -> ["aa","aa"]), boundary submatches ("xa","b" does NOT
-# match pair (a,b)) and multi-char symbols.
+# order == (left, right) tuple order), and the merge REWRITE is a
+# plain string replace over a DOUBLED-boundary representation —
+# symbols joined by SEP||SEP, pattern SEP a SEP SEP b SEP ->
+# SEP a b SEP on the SEP||SEP-wrapped word. Each match consumes the
+# full middle boundary (the merged pair can't re-pair) and exactly
+# HALF of each outer boundary, so adjacent matches never share a
+# boundary character and left-to-right non-overlapping replace ==
+# greedy BPE EXACTLY, self-pair runs included ("aaaa" -> [aa, aa],
+# "aaa" -> [aa, a]); symbols are [a-z]+ so a match can't straddle a
+# symbol ("xa","b" never matches pair (a,b)). Pinned byte-identical
+# between Spark F.replace and DuckDB replace on all those cases.
+# replace stays in whole-stage codegen — the earlier F.aggregate fold
+# formulation was interpreted per element (HOF lambda bodies don't
+# codegen, the llm_dedup_near round-1 finding) and 1.7x slower.
 
 BPE_SEP = "\x1f"
+BPE_BOUND = BPE_SEP + BPE_SEP
 
 
 def bpe_symbolize(raw) -> F.Column:
-    """word string -> SEP-joined character-symbol string."""
+    """word string -> BOUND-joined character-symbol string."""
     return F.concat_ws(
-        BPE_SEP,
+        BPE_BOUND,
         F.transform(
             F.sequence(F.lit(1), F.length(raw)),
             lambda i: F.substring(raw, i, F.lit(1)),
@@ -122,31 +133,24 @@ def bpe_symbolize(raw) -> F.Column:
 
 def _bpe_merge_word(col, a: str, b: str):
     """Greedy left-to-right merge of adjacent (a, b) into a||b over a
-    SEP-joined symbol string — a string fold (exact BPE: in "aaaa"
-    pair (a,a) yields [aa, aa]; a merged symbol never re-merges within
-    its round because len(a||b) > len(a))."""
-    arr = F.split(col, BPE_SEP)
-    head = F.element_at(arr, 1)
-    tail = F.slice(arr, 2, F.size(arr) - 1)
-
-    def step(acc, s):
-        last = F.substring_index(acc, BPE_SEP, -1)
-        merged = F.concat(
-            F.substring(acc, F.lit(1), F.length(acc) - F.lit(len(a))),
-            F.lit(a + b),
-        )
-        return F.when(
-            (last == F.lit(a)) & (s == F.lit(b)), merged
-        ).otherwise(F.concat(acc, F.lit(BPE_SEP), s))
-
-    return F.aggregate(tail, head, step)
+    BOUND-joined symbol string via codegen replace (see the module
+    comment for the doubled-boundary exactness argument)."""
+    wrapped = F.concat(F.lit(BPE_BOUND), col, F.lit(BPE_BOUND))
+    replaced = F.replace(
+        wrapped,
+        F.lit(BPE_SEP + a + BPE_BOUND + b + BPE_SEP),
+        F.lit(BPE_SEP + a + b + BPE_SEP),
+    )
+    return F.substring(
+        replaced, F.lit(3), F.length(replaced) - F.lit(4)
+    )
 
 
 def _bpe_pair_counts(words: DataFrame) -> DataFrame:
     """(pk, n): SEP-joined adjacent-pair keys with corpus frequencies.
     zip_with over head/tail slices — a single-symbol word contributes
     zero pairs without any branch (slice length 0 -> empty array)."""
-    arr = F.split("w", BPE_SEP)
+    arr = F.split("w", BPE_BOUND)
     pairs = F.zip_with(
         F.slice(arr, 1, F.size(arr) - 1),
         F.slice(arr, 2, F.size(arr) - 1),
@@ -168,13 +172,20 @@ def bpe_train(
     pair_count is the pre-merge frequency that won the round. Stops
     early if no pair exists (fully merged / degenerate corpus).
 
-    The input is persisted for the k passes and unpersisted before
-    returning (the merge table is driver-side, so unlike
-    token_budget_head there is no lazy result holding the cache)."""
-    words = words.persist(StorageLevel.MEMORY_AND_DISK)
+    Each round's rewritten corpus is persisted and the previous
+    round's cache released once the next pair-count materializes it:
+    the fold is an interpreted HOF (lambda bodies don't codegen — the
+    llm_dedup_near round-1 finding), so replaying r folds at round r
+    would make the trainer O(k^2) fold passes; per-round persistence
+    keeps it O(k). All caches are released before returning (the
+    merge table is driver-side, so unlike token_budget_head no lazy
+    result holds them)."""
+    cached: list[DataFrame] = [
+        words.persist(StorageLevel.MEMORY_AND_DISK)
+    ]
     try:
         merges: list[tuple[int, str, str, int]] = []
-        cur = words
+        cur = cached[0]
         for r in range(rounds):
             top = (
                 _bpe_pair_counts(cur)
@@ -182,11 +193,19 @@ def bpe_train(
                 .limit(1)
                 .collect()
             )
+            # the collect above materialized cur's cache; the
+            # previous round's relation is no longer referenced
+            if len(cached) > 1:
+                cached.pop(0).unpersist()
             if not top:
                 break
             a, b = top[0]["pk"].split(BPE_SEP)
             merges.append((r, a, b, top[0]["n"]))
-            cur = cur.select(_bpe_merge_word(F.col("w"), a, b).alias("w"))
+            cur = cur.select(
+                _bpe_merge_word(F.col("w"), a, b).alias("w")
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            cached.append(cur)
         return merges
     finally:
-        words.unpersist()
+        for df in cached:
+            df.unpersist()
