@@ -47,6 +47,12 @@ def token_budget_head(tok: DataFrame, budget: int) -> DataFrame:
     should call ``result.cached_input.unpersist()`` once the result
     is materialized (ADVICE r08). One-shot query sessions can ignore
     it; executor storage eviction is safe (MEMORY_AND_DISK recomputes).
+
+    The attribute lives on THIS return value only: any further
+    transformation produces a NEW DataFrame without it, and reading
+    ``cached_input`` there raises PySpark's column-resolution
+    AttributeError (ADVICE r09). Long-lived callers must grab the
+    handle before deriving anything from the result.
     """
     # three consumers (length histogram, full-bucket join, boundary
     # join) read the per-doc length relation; persist it so the
@@ -177,12 +183,19 @@ def bpe_train(
     the fold is an interpreted HOF (lambda bodies don't codegen — the
     llm_dedup_near round-1 finding), so replaying r folds at round r
     would make the trainer O(k^2) fold passes; per-round persistence
-    keeps it O(k). All caches are released before returning (the
-    merge table is driver-side, so unlike token_budget_head no lazy
-    result holds them)."""
-    cached: list[DataFrame] = [
-        words.persist(StorageLevel.MEMORY_AND_DISK)
-    ]
+    keeps it O(k). All caches this function CREATED are released
+    before returning (the merge table is driver-side, so unlike
+    token_budget_head no lazy result holds them); a ``words`` the
+    caller had already persisted is left exactly as it arrived —
+    Spark persistence is not reference-counted, so unpersisting it
+    here would silently drop the caller's cache (ADVICE r09)."""
+    lvl = words.storageLevel
+    caller_cached = lvl.useMemory or lvl.useDisk
+    if not caller_cached:
+        # persist() returns the same DataFrame object, so the
+        # `df is words` ownership test below stays valid either way
+        words = words.persist(StorageLevel.MEMORY_AND_DISK)
+    cached: list[DataFrame] = [words]
     try:
         merges: list[tuple[int, str, str, int]] = []
         cur = cached[0]
@@ -196,7 +209,9 @@ def bpe_train(
             # the collect above materialized cur's cache; the
             # previous round's relation is no longer referenced
             if len(cached) > 1:
-                cached.pop(0).unpersist()
+                prev = cached.pop(0)
+                if prev is not words or not caller_cached:
+                    prev.unpersist()
             if not top:
                 break
             a, b = top[0]["pk"].split(BPE_SEP)
@@ -208,4 +223,6 @@ def bpe_train(
         return merges
     finally:
         for df in cached:
+            if df is words and caller_cached:
+                continue
             df.unpersist()

@@ -297,6 +297,10 @@ def minhash_pairs_native(
     # lazy result, so the handle is attached to the returned
     # DataFrame as ``result.cached_input`` — repeated invocations in
     # a long-lived session should release it after materializing.
+    # The attribute lives on THIS return value only: any further
+    # transformation yields a new DataFrame without it, and reading
+    # it there raises PySpark's column-resolution AttributeError
+    # (ADVICE r09) — grab the handle before deriving anything.
     from pyspark import StorageLevel
 
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)

@@ -4579,10 +4579,12 @@ def llm_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # salt boundary and legitimately never be compared — exempt them
     # (declared recall cost; empty at current fixtures). One window
     # max over the already-persisted blocks relation (single extra
-    # reference, one keyed shuffle); the exempt set is tiny by
-    # construction (split blocks are rare sign-skew overflows and
-    # this is gate-only code besides), so it broadcasts into the
-    # anti-join
+    # reference, one keyed shuffle). No broadcast HINT on the
+    # anti-join (ADVICE r09): 'split blocks are rare' holds only
+    # while SPARK_GRAFT_SEMDEDUP_CAP stays large relative to the
+    # skew, so a forced broadcast could go driver-sized under a
+    # lowered cap or a skewed corpus — AQE sees the real post-filter
+    # size at runtime and picks broadcast exactly when it IS tiny
     from pyspark.sql import Window
 
     w_split = Window.partitionBy("label", "subkey")
@@ -4593,7 +4595,7 @@ def llm_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     missing = (
         planted.join(drops, "dropped_id", "left_anti")
-        .join(F.broadcast(exempt), "dropped_id", "left_anti")
+        .join(exempt, "dropped_id", "left_anti")
         .agg(F.count("*").alias("n_missing"))
     )
     return total.crossJoin(missing).select(

@@ -777,6 +777,44 @@ def test_bpe_train_deterministic_and_monotone(spark):
     assert len(set(merged)) == 8
 
 
+def test_bpe_train_preserves_caller_cache(spark):
+    """bpe_train must not drop a cache it didn't create (ADVICE r09):
+    Spark persistence is not reference-counted, so the trainer's
+    finally-block unpersist would silently evict a words relation the
+    caller had already cached. With the guard, a caller-persisted
+    input keeps its storage level across the call — and the trainer
+    still returns the identical merge table."""
+    from pyspark import StorageLevel
+
+    from event_stream_for_k8s_spark.operators.corpus import (
+        bpe_symbolize,
+        bpe_train,
+    )
+
+    words = (
+        spark.createDataFrame(
+            [("banana",), ("bandana",), ("cabana",), ("banana",)],
+            "lw string",
+        )
+        .select(bpe_symbolize(F.col("lw")).alias("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        words.count()  # materialize the caller's cache
+        merges = bpe_train(words, 3)
+        lvl = words.storageLevel
+        assert lvl.useMemory or lvl.useDisk, (
+            "caller's cache was dropped by bpe_train"
+        )
+        fresh = spark.createDataFrame(
+            [("banana",), ("bandana",), ("cabana",), ("banana",)],
+            "lw string",
+        ).select(bpe_symbolize(F.col("lw")).alias("w"))
+        assert bpe_train(fresh, 3) == merges
+    finally:
+        words.unpersist()
+
+
 def test_bpe_encode_ledger_invariants(spark):
     """llm_bpe_encode's compression ledger is internally consistent
     with llm_bpe_train: each APPLIED merge occurrence removes exactly

@@ -57,10 +57,14 @@ def run() -> int:
     head = _git("rev-parse", "--short", "HEAD")
     results = []
     for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.001"):
+        # stderr folded into stdout (ADVICE r09): a crashing sweep
+        # previously reported '<no output>' because the traceback
+        # went to the discarded stderr pipe
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "selfcheck.py"),
              "--sf", sf],
-            cwd=REPO, capture_output=True, text=True,
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
         )
         tail = (proc.stdout.strip().splitlines() or ["<no output>"])[-1]
         results.append(f"{os.path.basename(sf)}: {tail}")
@@ -89,9 +93,14 @@ def check() -> int:
         ).splitlines()
         if f and not _DOC_RE.match(f)
     ]
+    # porcelain rename entries read 'R  old -> new'; test the NEW
+    # path (ADVICE r09 — previously the whole 'old -> new' string hit
+    # the doc regex and renames were always flagged stale)
     dirty = [
-        line[3:] for line in _git("status", "--porcelain").splitlines()
-        if line and not _DOC_RE.match(line[3:].strip())
+        line[3:].strip().split(" -> ")[-1]
+        for line in _git("status", "--porcelain").splitlines()
+        if line
+        and not _DOC_RE.match(line[3:].strip().split(" -> ")[-1])
     ]
     if changed or dirty:
         print("attestation STALE — non-doc changes after the attested "
