@@ -753,6 +753,85 @@ def test_semdedup_kmeans_salt_split_exemption_empty_here(spark):
     blocks.unpersist()
 
 
+def test_dedup_clusters_lsh_refines_anchor(spark):
+    """llm_dedup_clusters_lsh (VERDICT r09 #2) must be a strict
+    REFINEMENT of the all-pairs anchor: its edge set is a subset of
+    the anchor's (sign-LSH candidates ⊆ all pairs, label blocking
+    only removes pairs, same rounded-cosine threshold), and connected
+    components of a subgraph only ever split the supergraph's
+    components — so any two ids sharing an LSH cluster must share an
+    anchor cluster. Also pins the node universe: every vec_id gets a
+    cluster row in both forms (singletons included via nodes=)."""
+    anchor = {
+        r["vec_id"]: r["cluster_id"]
+        for r in REGISTRY["llm_dedup_clusters"].spark(spark, SF).collect()
+    }
+    lsh = {
+        r["vec_id"]: r["cluster_id"]
+        for r in REGISTRY["llm_dedup_clusters_lsh"]
+        .spark(spark, SF)
+        .collect()
+    }
+    assert set(lsh) == set(anchor)
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for v, c in lsh.items():
+        groups[c].append(v)
+    for members in groups.values():
+        assert len({anchor[v] for v in members}) == 1
+
+
+def test_dedup_clusters_lsh_identical_twins_always_cluster(spark):
+    """Planted-duplicate recall floor for the bucketed cluster form:
+    an IDENTICAL vector twin (vec_id + 100000, same embedding, same
+    label) agrees on every sign bit and the label block, so the
+    banded candidate join can never miss it, and cosine(v, v) = 1 >
+    0.4 makes it an edge — every twin must land in its original's
+    cluster deterministically (the fixture has no zero vectors, so
+    no NULL-cosine degenerate; pinned by the duckdb sweep in round
+    10). This is the guarantee the LSH recall trade does NOT extend
+    to exact duplicates."""
+    from event_stream_for_k8s_spark.functions.vectors import cosine
+    from event_stream_for_k8s_spark.operators.dedup import (
+        connected_components,
+    )
+    from event_stream_for_k8s_spark.operators.similarity import (
+        sign_lsh_candidates,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    twins = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = e.unionByName(twins)
+    cand = sign_lsh_candidates(
+        corpus, "vec_id", "embedding", label_col="label", bands=4, rows=4
+    )
+    va = corpus.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    vb = corpus.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    pairs = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) > 0.4)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    labels = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(
+            pairs, nodes=corpus.select("vec_id")
+        ).collect()
+    }
+    originals = [r["vec_id"] for r in e.select("vec_id").collect()]
+    assert all(labels[v] == labels[v + 100000] for v in originals)
+
+
 def test_bpe_train_deterministic_and_monotone(spark):
     """llm_bpe_train (VERDICT r08 #6): per-round merge choice is
     deterministic — two independent runs produce the identical merge
@@ -813,6 +892,70 @@ def test_bpe_train_preserves_caller_cache(spark):
         assert bpe_train(fresh, 3) == merges
     finally:
         words.unpersist()
+
+
+def test_bpe_train_encode_pack_pipeline(spark):
+    """The SFT-prep chain train -> per-doc encode -> pack is one
+    coherent pipeline (VERDICT r09 #5): (a) llm_bpe_encode_docs'
+    per-doc counts sum to llm_bpe_encode's corpus ledger exactly;
+    (b) every serialized token id parses and lies in [0, 26+n_merges)
+    with the id-sequence length equal to n_tok; (c) feeding the BPE
+    n_tok into llm_pack_sequences' window math (shard = doc_id % 8,
+    512-token bins) yields per-shard bins that start at 0 and advance
+    contiguously — the packer's contract holds on BPE token counts,
+    not just whitespace counts."""
+    from pyspark.sql import Window
+
+    enc = REGISTRY["llm_bpe_encode_docs"].spark(spark, SF).collect()
+    ledger = REGISTRY["llm_bpe_encode"].spark(spark, SF).first()
+    merges = REGISTRY["llm_bpe_train"].spark(spark, SF).collect()
+    assert sum(r["n_tok"] for r in enc) == ledger["tokens_total"]
+    hi = 26 + len(merges)
+    for r in enc:
+        ids = (
+            []
+            if r["token_ids"] is None
+            else [int(x) for x in r["token_ids"].split(",")]
+        )
+        assert len(ids) == r["n_tok"]
+        assert all(0 <= i < hi for i in ids)
+    rows = spark.createDataFrame(
+        [(r["doc_id"], r["n_tok"]) for r in enc],
+        "doc_id bigint, n_tok bigint",
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        rows.withColumn("shard", F.col("doc_id") % 8)
+        .withColumn("cum", F.sum("n_tok").over(w))
+        .select(
+            "doc_id",
+            "shard",
+            "n_tok",
+            F.floor((F.col("cum") - F.col("n_tok")) / 512).alias(
+                "start_bin"
+            ),
+            F.floor((F.col("cum") - 1) / 512).alias("end_bin"),
+        )
+        .collect()
+    )
+    last_end: dict[int, int] = {}
+    for r in sorted(packed, key=lambda r: (r["shard"], r["doc_id"])):
+        if r["n_tok"] == 0:
+            continue  # zero-token docs span no bin
+        assert 0 <= r["start_bin"] <= r["end_bin"]
+        prev = last_end.get(r["shard"])
+        if prev is None:
+            assert r["start_bin"] == 0
+        else:
+            # next doc begins in the previous doc's last bin or the
+            # immediately following one — no gap, no rewind
+            assert r["start_bin"] in (prev, prev + 1)
+        last_end[r["shard"]] = r["end_bin"]
+    assert last_end  # the fixture packs at least one nonzero shard
 
 
 def test_bpe_encode_ledger_invariants(spark):

@@ -62,6 +62,9 @@ RISK = [
     "llm_winnow",
     "llm_minhash_sig",
     "llm_dedup_clusters",
+    "llm_dedup_clusters_lsh",
+    "llm_bpe_train",
+    "llm_bpe_encode",
     "llm_bm25",
     "llm_inverted_index",
     "join_range_binned",
