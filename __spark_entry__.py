@@ -35,11 +35,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from event_stream_for_k8s_spark.plans import REGISTRY  # noqa: E402
 
 # one-round batch (VERDICT r09 #3); a_chk_* sorts before agg_*, so all
-# 12 land inside the driver's first-50 alphabetical window
+# 13 land inside the driver's first-50 alphabetical window (the 10
+# from the verdict list + the 3 queries registered this round)
 DRIVER_PROBES = [
     "graph_pagerank",
     "llm_bpe_encode",
     "llm_bpe_encode_docs",
+    "llm_bpe_pack",
     "llm_bpe_train",
     "llm_ccnet_buckets_approx",
     "llm_dedup_clusters_lsh",

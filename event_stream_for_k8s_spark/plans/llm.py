@@ -2539,14 +2539,12 @@ FROM pre CROSS JOIN post CROSS JOIN vocab"""
     )
 
 
-def _bpe_docs_oracle(rounds: int) -> str:
-    """Per-DOC replay of the trainer + encoder: the d-chain carries
-    (doc_id, wpos) through the same merge rewrites, trains m{r} from
+def _bpe_doc_chain_ctes(rounds: int) -> list[str]:
+    """Shared d-chain for the per-doc BPE oracles (_bpe_docs_oracle /
+    _bpe_pack_oracle): like _bpe_ctes but every corpus row carries
+    (doc_id, wpos) through the merge rewrites, and m{r} trains FROM
     d{r} (pair counts ignore the carried columns — identical word
-    multiset, identical winners), then maps final symbols to token
-    ids: base chars a-z -> 0..25, merge round r's symbol -> 26+r
-    (first round wins if two rounds ever produce the same string —
-    min(id) — matching the Spark side's setdefault)."""
+    multiset, identical winners)."""
     S = "chr(31)"
     B = f"({S} || {S})"
     ctes = [f"""d0 AS MATERIALIZED (
@@ -2586,13 +2584,24 @@ def _bpe_docs_oracle(rounds: int) -> str:
                           {S} || m.lhs || {B} || m.rhs || {S},
                           {S} || m.lhs || m.rhs || {S}) AS rw)
 )""")
+    return ctes
+
+
+def _bpe_docs_oracle(rounds: int) -> str:
+    """Per-DOC replay of the trainer + encoder: the shared d-chain,
+    then final symbols map to token ids — base chars a-z -> 0..25,
+    merge round r's symbol -> 26+r (first round wins if two rounds
+    ever produce the same string — min(id) — matching the Spark
+    side's setdefault)."""
+    S = "chr(31)"
+    B = f"({S} || {S})"
     unions = "\n      UNION ALL ".join(
         f"SELECT {26 + r} AS id, lhs || rhs AS sym FROM m{r}"
         for r in range(rounds)
     )
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_bpe_doc_chain_ctes(rounds))
         + f""",
 vm AS (SELECT map(list(sym), list(id)) AS m FROM (
   SELECT sym, min(id) AS id FROM (
@@ -2614,6 +2623,36 @@ perdoc AS (
 )
 SELECT d.doc_id, coalesce(p.n_tok, 0) AS n_tok, p.token_ids
 FROM documents d LEFT JOIN perdoc p USING (doc_id)"""
+    )
+
+
+def _bpe_pack_oracle(rounds: int) -> str:
+    """Pack step over the d-chain's per-doc BPE token counts: the
+    llm_pack_sequences window math (shard = doc_id % 8, 512-token
+    bins) on encoded counts instead of whitespace counts. Only docs
+    with at least one trainable word pack (n_tok > 0 by
+    construction); the id mapping is irrelevant to bin math, so the
+    vm/enc stage is skipped entirely."""
+    S = "chr(31)"
+    B = f"({S} || {S})"
+    return (
+        "WITH "
+        + ",\n".join(_bpe_doc_chain_ctes(rounds))
+        + f""",
+perdoc AS (
+  SELECT doc_id,
+         cast(sum(len(string_split(w, {B}))) AS bigint) AS n_tok
+  FROM d{rounds} GROUP BY doc_id
+), c AS (
+  SELECT doc_id, doc_id % 8 AS shard, n_tok,
+         sum(n_tok) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM perdoc
+)
+SELECT doc_id, shard, n_tok,
+       cast((cum - n_tok) // 512 AS bigint) AS start_bin,
+       cast((cum - 1) // 512 AS bigint) AS end_bin
+FROM c"""
     )
 
 
@@ -2821,6 +2860,69 @@ def llm_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce("n_tok", F.lit(0)).cast("bigint").alias("n_tok"),
         "token_ids",
+    )
+
+
+@query(
+    "llm_bpe_pack",
+    oracle=_bpe_pack_oracle(8),
+    section="B.11",
+    notes="the registered train->encode->PACK capstone (VERDICT r09 "
+    "#5's chain as one driver-attested query): llm_pack_sequences' "
+    "per-shard 512-token bin math over the TRAINED tokenizer's "
+    "per-doc counts instead of whitespace counts — the actual "
+    "pretraining context-window layout. Spark: the 8 driver-scalar "
+    "merges replay as narrow folds, one groupBy(doc_id) count, then "
+    "the keyed cumulative window (shard = doc_id % 8 — packing "
+    "parallelizes per shard, a single global window would serialize "
+    "the corpus at 100 TB, same argument as llm_pack_sequences). "
+    "Docs with no trainable word pack nothing and emit no row (same "
+    "filter both engines). Oracle: the shared per-doc d-chain + the "
+    "identical window SQL",
+)
+def llm_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from event_stream_for_k8s_spark.operators.corpus import (
+        BPE_BOUND,
+        _bpe_merge_word,
+        bpe_symbolize,
+        bpe_train,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            "doc_id",
+            F.explode(F.split("text", " ")).alias("rw"),
+        )
+        .select("doc_id", F.lower("rw").alias("lw"))
+        .filter(F.col("lw").rlike("^[a-z]+$") & (F.length("lw") >= 2))
+        .select("doc_id", bpe_symbolize(F.col("lw")).alias("w"))
+    )
+    merges = bpe_train(words.select("w"), 8)
+    enc = words
+    for _, a, b, _ in merges:
+        enc = enc.select(
+            "doc_id", _bpe_merge_word(F.col("w"), a, b).alias("w")
+        )
+    perdoc = enc.groupBy("doc_id").agg(
+        F.sum(F.size(F.split("w", BPE_BOUND))).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = perdoc.select(
+        "doc_id", (F.col("doc_id") % 8).alias("shard"), "n_tok"
+    ).withColumn("cum", F.sum("n_tok").over(w))
+    return c.select(
+        "doc_id",
+        "shard",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        F.floor((F.col("cum") - F.col("n_tok")) / 512).alias("start_bin"),
+        F.floor((F.col("cum") - 1) / 512).alias("end_bin"),
     )
 
 
