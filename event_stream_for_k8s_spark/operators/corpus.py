@@ -169,6 +169,73 @@ def _bpe_pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
+def bpe_apply(enc: DataFrame, merges) -> DataFrame:
+    """Apply a trained merge table to a symbolized corpus: one narrow
+    codegen replace per merge, in training order, over the ``w``
+    column (other columns pass through)."""
+    for _, a, b, _ in merges:
+        enc = enc.select(
+            *[c for c in enc.columns if c != "w"],
+            _bpe_merge_word(F.col("w"), a, b).alias("w"),
+        )
+    return enc
+
+
+def bpe_token_ids(words: DataFrame, merges) -> DataFrame:
+    """Per-doc BPE token-id sequences from a symbolized word corpus.
+
+    ``words``: (doc_id, wpos, w) — ``w`` is a BOUND-joined symbol
+    string (:func:`bpe_symbolize`), ``wpos`` a per-doc unique word
+    ordinal. Applies ``merges`` (a :func:`bpe_train` table), maps
+    each final symbol to its token id — base chars a-z -> 0..25,
+    the symbol merged in round r -> 26+r, FIRST round wins if two
+    rounds ever produce the same string (setdefault; the DuckDB
+    oracle twin uses min(id)) — and reassembles each doc's sequence
+    in wpos order via array_sort over collected (wpos, ids) structs:
+    a keyed aggregation, never a global window. Returns
+    (doc_id, n_tok bigint, token_ids string) for docs that HAVE at
+    least one word; callers owning a doc universe left-join it back.
+    The id string is the driver-hashable serialization; the storage
+    form at scale is the raw array<int>."""
+    enc = bpe_apply(words, merges)
+    vocab: dict[str, int] = {}
+    for r, a, b, _ in merges:
+        vocab.setdefault(a + b, 26 + r)
+    merged_map = (
+        F.create_map(*[F.lit(x) for kv in vocab.items() for x in kv])
+        if vocab
+        else F.lit(None).cast("map<string,int>")
+    )
+
+    def sym_id(s):
+        return F.when(F.length(s) == 1, F.ascii(s) - 97).otherwise(
+            merged_map[s]
+        )
+
+    per_word = enc.select(
+        "doc_id",
+        "wpos",
+        F.array_join(
+            F.transform(
+                F.split("w", BPE_BOUND),
+                lambda s: sym_id(s).cast("string"),
+            ),
+            ",",
+        ).alias("wids"),
+        F.size(F.split("w", BPE_BOUND)).alias("n"),
+    )
+    return per_word.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_tok"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("wpos", "wids"))),
+                lambda s: s["wids"],
+            ),
+            ",",
+        ).alias("token_ids"),
+    )
+
+
 def bpe_train(
     words: DataFrame, rounds: int
 ) -> list[tuple[int, str, str, int]]:

@@ -2725,7 +2725,7 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_stream_for_k8s_spark.operators.corpus import (
         BPE_BOUND,
-        _bpe_merge_word,
+        bpe_apply,
         bpe_symbolize,
         bpe_train,
     )
@@ -2738,11 +2738,7 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(bpe_symbolize(F.col("lw")).alias("w"))
     )
     merges = bpe_train(words, 8)
-    encoded = words
-    for _, a, b, _ in merges:
-        encoded = encoded.select(
-            _bpe_merge_word(F.col("w"), a, b).alias("w")
-        )
+    encoded = bpe_apply(words, merges)
     pre = words.agg(
         F.count("*").alias("n_words"),
         F.sum(F.size(F.split("w", BPE_BOUND))).alias("chars_total"),
@@ -2796,9 +2792,8 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_stream_for_k8s_spark.operators.corpus import (
-        BPE_BOUND,
-        _bpe_merge_word,
         bpe_symbolize,
+        bpe_token_ids,
         bpe_train,
     )
 
@@ -2813,49 +2808,7 @@ def llm_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "wpos", bpe_symbolize(F.col("lw")).alias("w"))
     )
     merges = bpe_train(words.select("w"), 8)
-    enc = words
-    for _, a, b, _ in merges:
-        enc = enc.select(
-            "doc_id", "wpos", _bpe_merge_word(F.col("w"), a, b).alias("w")
-        )
-    vocab: dict[str, int] = {}
-    for r, a, b, _ in merges:
-        vocab.setdefault(a + b, 26 + r)
-    merged_map = (
-        F.create_map(
-            *[F.lit(x) for kv in vocab.items() for x in kv]
-        )
-        if vocab
-        else F.lit(None).cast("map<string,int>")
-    )
-
-    def sym_id(s):
-        return F.when(F.length(s) == 1, F.ascii(s) - 97).otherwise(
-            merged_map[s]
-        )
-
-    per_word = enc.select(
-        "doc_id",
-        "wpos",
-        F.array_join(
-            F.transform(
-                F.split("w", BPE_BOUND),
-                lambda s: sym_id(s).cast("string"),
-            ),
-            ",",
-        ).alias("wids"),
-        F.size(F.split("w", BPE_BOUND)).alias("n"),
-    )
-    perdoc = per_word.groupBy("doc_id").agg(
-        F.sum("n").alias("n_tok"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("wpos", "wids"))),
-                lambda s: s["wids"],
-            ),
-            ",",
-        ).alias("token_ids"),
-    )
+    perdoc = bpe_token_ids(words, merges)
     return d.select("doc_id").join(perdoc, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n_tok", F.lit(0)).cast("bigint").alias("n_tok"),
@@ -2885,7 +2838,7 @@ def llm_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from event_stream_for_k8s_spark.operators.corpus import (
         BPE_BOUND,
-        _bpe_merge_word,
+        bpe_apply,
         bpe_symbolize,
         bpe_train,
     )
@@ -2901,11 +2854,7 @@ def llm_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", bpe_symbolize(F.col("lw")).alias("w"))
     )
     merges = bpe_train(words.select("w"), 8)
-    enc = words
-    for _, a, b, _ in merges:
-        enc = enc.select(
-            "doc_id", _bpe_merge_word(F.col("w"), a, b).alias("w")
-        )
+    enc = bpe_apply(words, merges)
     perdoc = enc.groupBy("doc_id").agg(
         F.sum(F.size(F.split("w", BPE_BOUND))).alias("n_tok")
     )

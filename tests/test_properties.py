@@ -1854,3 +1854,72 @@ def test_bpe_encode_matches_python_apply(spark, words, rounds):
         enc = enc.select(_bpe_merge_word(F.col("w"), a, b).alias("w"))
     got = sorted(r["w"].split(BPE_BOUND) for r in enc.collect())
     assert got == sorted(py_apply(w) for w in words)
+
+
+bpe_docs = st.lists(
+    st.lists(
+        st.text(alphabet="ab", min_size=2, max_size=8),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(docs=bpe_docs, rounds=st.integers(1, 4))
+@example(docs=[["aaaa"], ["aa", "ab"]], rounds=3)
+@SETTINGS
+def test_bpe_token_ids_matches_python(spark, docs, rounds):
+    """bpe_token_ids (llm_bpe_encode_docs' core) end to end against
+    pure Python: per doc, the concatenated-in-word-order id sequence
+    of the merge-table apply, ids assigned a/b -> 0/1 and merge round
+    r -> 26+r with FIRST-round-wins on duplicate merged strings. Also
+    pins that n_tok equals the parsed sequence length and that word
+    order survives the collect_list/array_sort reassembly."""
+    from event_stream_for_k8s_spark.operators.corpus import (
+        bpe_symbolize,
+        bpe_token_ids,
+        bpe_train,
+    )
+
+    rows = [
+        (i, j, w)
+        for i, ws in enumerate(docs)
+        for j, w in enumerate(ws)
+    ]
+    words = spark.createDataFrame(
+        rows, "doc_id bigint, wpos int, lw string"
+    ).select("doc_id", "wpos", bpe_symbolize(F.col("lw")).alias("w"))
+    merges = bpe_train(words.select("w"), rounds)
+    got = {
+        r["doc_id"]: (r["n_tok"], r["token_ids"])
+        for r in bpe_token_ids(words, merges).collect()
+    }
+
+    vocab: dict[str, int] = {}
+    for r, a, b, _ in merges:
+        vocab.setdefault(a + b, 26 + r)
+
+    def py_apply(word: str) -> list[str]:
+        s = list(word)
+        for _, a, b, _ in merges:
+            ns, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            s = ns
+        return s
+
+    assert set(got) == set(range(len(docs)))
+    for i, ws in enumerate(docs):
+        syms = [s for w in ws for s in py_apply(w)]
+        ids = [
+            str(ord(s) - 97) if len(s) == 1 else str(vocab[s])
+            for s in syms
+        ]
+        assert got[i] == (len(syms), ",".join(ids))
