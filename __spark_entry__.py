@@ -35,8 +35,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from event_stream_for_k8s_spark.plans import REGISTRY  # noqa: E402
 
 # one-round batch (VERDICT r09 #3); a_chk_* sorts before agg_*, so all
-# 13 land inside the driver's first-50 alphabetical window (the 10
-# from the verdict list + the 3 queries registered this round)
+# 14 land inside the driver's first-50 alphabetical window (the 10
+# from the verdict list + the 4 queries registered this round)
 DRIVER_PROBES = [
     "graph_pagerank",
     "llm_bpe_encode",
@@ -50,6 +50,7 @@ DRIVER_PROBES = [
     "llm_knn_ivf",
     "llm_knn_lsh",
     "llm_knn_pq",
+    "llm_pack_pairs",
     "llm_semdedup_kmeans",
 ]
 

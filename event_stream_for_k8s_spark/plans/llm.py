@@ -1460,6 +1460,99 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_pack_pairs",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         cast(len(string_split(text, ' ')) AS bigint) AS n_tok
+  FROM documents
+), r AS (
+  SELECT doc_id, shard, n_tok,
+         row_number() OVER (PARTITION BY shard
+                            ORDER BY n_tok DESC, doc_id) AS rnk,
+         count(*) OVER (PARTITION BY shard) AS m
+  FROM t
+), p AS (
+  SELECT a.doc_id, a.shard, a.n_tok, a.rnk,
+         CASE WHEN a.rnk <> b.rnk
+               AND a.n_tok + b.n_tok <= 512
+              THEN b.doc_id END AS mate_id,
+         CASE WHEN a.rnk <> b.rnk
+               AND a.n_tok + b.n_tok <= 512
+              THEN a.n_tok + b.n_tok ELSE a.n_tok END AS seq_tokens
+  FROM r a JOIN r b
+    ON a.shard = b.shard AND b.rnk = a.m + 1 - a.rnk
+)
+SELECT doc_id, shard, n_tok, mate_id, seq_tokens,
+       greatest(cast(0 AS bigint), 512 - seq_tokens) AS padding
+FROM p
+""",
+    section="B.11",
+    notes="PADDING-efficiency packer, the no-split counterpart of "
+    "llm_pack_sequences (which concatenates and CUTS docs across "
+    "512-token bins — fine for pretraining, wrong for SFT where an "
+    "example must stay whole): deterministic FOLDED PAIRING — per "
+    "shard, rank docs by (n_tok DESC, doc_id), pair rank r with rank "
+    "m+1-r when the two fit a 512 budget together, else each rides "
+    "alone — the sorted-fold heuristic that pairs longest with "
+    "shortest. Per-doc output: its mate (NULL when solo: the odd "
+    "middle, an over-budget fold, or an oversized doc) and the "
+    "sequence's token count + padding. Scale: one keyed window for "
+    "ranks + one equi-join on (shard, rank) — packing stays "
+    "per-shard parallel exactly like llm_pack_sequences; nothing "
+    "global, nothing quadratic. Exact oracle (int-only math, total "
+    "order via unique doc_id tie-break)",
+)
+def llm_pack_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.desc("n_tok"), F.col("doc_id")
+    )
+    wall = Window.partitionBy("shard")
+    r = t.select(
+        "doc_id",
+        "shard",
+        "n_tok",
+        F.row_number().over(w).alias("rnk"),
+        F.count("*").over(wall).alias("m"),
+    )
+    a, b = r.alias("a"), r.alias("b")
+    paired = (
+        F.col("a.rnk") != F.col("b.rnk")
+    ) & (F.col("a.n_tok") + F.col("b.n_tok") <= 512)
+    p = a.join(
+        b,
+        (F.col("a.shard") == F.col("b.shard"))
+        & (F.col("b.rnk") == F.col("a.m") + 1 - F.col("a.rnk")),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.shard").alias("shard"),
+        F.col("a.n_tok").alias("n_tok"),
+        F.when(paired, F.col("b.doc_id")).alias("mate_id"),
+        F.when(paired, F.col("a.n_tok") + F.col("b.n_tok"))
+        .otherwise(F.col("a.n_tok"))
+        .alias("seq_tokens"),
+    )
+    return p.select(
+        "doc_id",
+        "shard",
+        "n_tok",
+        "mate_id",
+        "seq_tokens",
+        F.greatest(
+            F.lit(0).cast("bigint"), F.lit(512) - F.col("seq_tokens")
+        ).alias("padding"),
+    )
+
+
+@query(
     "llm_corpus_filter",
     oracle=f"""
 WITH feats AS (

@@ -832,6 +832,38 @@ def test_dedup_clusters_lsh_identical_twins_always_cluster(spark):
     assert all(labels[v] == labels[v + 100000] for v in originals)
 
 
+def test_pack_pairs_symmetric_and_saves_padding(spark):
+    """llm_pack_pairs invariants: pairing is SYMMETRIC (A's mate
+    names A back, same shard), a paired sequence's token count is
+    the exact sum and fits the 512 budget, solo rows carry their own
+    count, padding is the exact shortfall — and the fold actually
+    SAVES padding versus packing every doc alone (the operator's
+    reason to exist)."""
+    rows = REGISTRY["llm_pack_pairs"].spark(spark, SF).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert len(by_id) == len(rows)  # one row per doc
+    n_paired = 0
+    for r in rows:
+        if r["mate_id"] is not None:
+            mate = by_id[r["mate_id"]]
+            assert mate["mate_id"] == r["doc_id"]
+            assert mate["shard"] == r["shard"]
+            assert r["seq_tokens"] == r["n_tok"] + mate["n_tok"]
+            assert r["seq_tokens"] <= 512
+            n_paired += 1
+        else:
+            assert r["seq_tokens"] == r["n_tok"]
+        assert r["padding"] == max(0, 512 - r["seq_tokens"])
+    assert n_paired > 0 and n_paired % 2 == 0
+    solo_pad = sum(max(0, 512 - r["n_tok"]) for r in rows)
+    fold_pad = sum(
+        r["padding"]
+        for r in rows
+        if r["mate_id"] is None or r["doc_id"] < r["mate_id"]
+    )
+    assert fold_pad < solo_pad
+
+
 def test_bpe_train_deterministic_and_monotone(spark):
     """llm_bpe_train (VERDICT r08 #6): per-round merge choice is
     deterministic — two independent runs produce the identical merge

@@ -66,6 +66,7 @@ RISK = [
     "llm_bpe_train",
     "llm_bpe_encode",
     "llm_bpe_pack",
+    "llm_pack_pairs",
     "llm_bm25",
     "llm_inverted_index",
     "join_range_binned",
