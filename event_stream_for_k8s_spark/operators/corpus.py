@@ -169,6 +169,59 @@ def _bpe_pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
+def pack_pairs(t: DataFrame, cap: int = 512) -> DataFrame:
+    """Folded pairing: the padding-efficiency packer that never
+    splits a doc (llm_pack_pairs' core; SFT examples must stay
+    whole). ``t``: (doc_id, shard, n_tok bigint). Per shard, rank
+    docs by (n_tok DESC, doc_id) and pair rank r with rank m+1-r iff
+    they differ and their sum fits ``cap``; otherwise each rides
+    alone (the odd middle, an over-budget fold, an oversized doc).
+    Returns one row per doc: (doc_id, shard, n_tok, mate_id nullable,
+    seq_tokens, padding). One keyed rank window + one (shard, rank)
+    equi-join — per-shard parallel, nothing global or quadratic.
+    Property-tested against a pure-Python fold spec
+    (tests/test_properties.py), including oversized and one-doc
+    shards."""
+    w = Window.partitionBy("shard").orderBy(
+        F.desc("n_tok"), F.col("doc_id")
+    )
+    wall = Window.partitionBy("shard")
+    r = t.select(
+        "doc_id",
+        "shard",
+        "n_tok",
+        F.row_number().over(w).alias("rnk"),
+        F.count("*").over(wall).alias("m"),
+    )
+    a, b = r.alias("a"), r.alias("b")
+    paired = (
+        F.col("a.rnk") != F.col("b.rnk")
+    ) & (F.col("a.n_tok") + F.col("b.n_tok") <= cap)
+    p = a.join(
+        b,
+        (F.col("a.shard") == F.col("b.shard"))
+        & (F.col("b.rnk") == F.col("a.m") + 1 - F.col("a.rnk")),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.shard").alias("shard"),
+        F.col("a.n_tok").alias("n_tok"),
+        F.when(paired, F.col("b.doc_id")).alias("mate_id"),
+        F.when(paired, F.col("a.n_tok") + F.col("b.n_tok"))
+        .otherwise(F.col("a.n_tok"))
+        .alias("seq_tokens"),
+    )
+    return p.select(
+        "doc_id",
+        "shard",
+        "n_tok",
+        "mate_id",
+        "seq_tokens",
+        F.greatest(
+            F.lit(0).cast("bigint"), F.lit(cap) - F.col("seq_tokens")
+        ).alias("padding"),
+    )
+
+
 def bpe_apply(enc: DataFrame, merges) -> DataFrame:
     """Apply a trained merge table to a symbolized corpus: one narrow
     codegen replace per merge, in training order, over the ``w``

@@ -1504,7 +1504,7 @@ FROM p
     "order via unique doc_id tie-break)",
 )
 def llm_pack_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from event_stream_for_k8s_spark.operators.corpus import pack_pairs
 
     d = load(spark, sf_dir, "documents")
     t = d.select(
@@ -1512,44 +1512,7 @@ def llm_pack_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 8).alias("shard"),
         F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
     )
-    w = Window.partitionBy("shard").orderBy(
-        F.desc("n_tok"), F.col("doc_id")
-    )
-    wall = Window.partitionBy("shard")
-    r = t.select(
-        "doc_id",
-        "shard",
-        "n_tok",
-        F.row_number().over(w).alias("rnk"),
-        F.count("*").over(wall).alias("m"),
-    )
-    a, b = r.alias("a"), r.alias("b")
-    paired = (
-        F.col("a.rnk") != F.col("b.rnk")
-    ) & (F.col("a.n_tok") + F.col("b.n_tok") <= 512)
-    p = a.join(
-        b,
-        (F.col("a.shard") == F.col("b.shard"))
-        & (F.col("b.rnk") == F.col("a.m") + 1 - F.col("a.rnk")),
-    ).select(
-        F.col("a.doc_id").alias("doc_id"),
-        F.col("a.shard").alias("shard"),
-        F.col("a.n_tok").alias("n_tok"),
-        F.when(paired, F.col("b.doc_id")).alias("mate_id"),
-        F.when(paired, F.col("a.n_tok") + F.col("b.n_tok"))
-        .otherwise(F.col("a.n_tok"))
-        .alias("seq_tokens"),
-    )
-    return p.select(
-        "doc_id",
-        "shard",
-        "n_tok",
-        "mate_id",
-        "seq_tokens",
-        F.greatest(
-            F.lit(0).cast("bigint"), F.lit(512) - F.col("seq_tokens")
-        ).alias("padding"),
-    )
+    return pack_pairs(t, cap=512)
 
 
 @query(

@@ -1856,6 +1856,60 @@ def test_bpe_encode_matches_python_apply(spark, words, rounds):
     assert got == sorted(py_apply(w) for w in words)
 
 
+pack_lens = st.lists(
+    st.tuples(
+        st.integers(0, 40),        # doc_id universe (collision-free below)
+        st.integers(1, 700),       # n_tok, including > 512 oversized
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(docs=pack_lens)
+@example(docs=[(0, 700)])                 # oversized rides alone, pad 0
+@example(docs=[(8, 5)])                   # one-doc shard: solo middle
+@example(docs=[(0, 256), (8, 256)])       # exact-fit pair at the cap
+@SETTINGS
+def test_pack_pairs_matches_python_fold(spark, docs):
+    """pack_pairs (operators/corpus, llm_pack_pairs' core) against a
+    pure-Python fold spec: per shard (doc_id % 8), sort by (n_tok
+    desc, doc_id), pair rank r with rank m+1-r iff r != m+1-r and
+    the sum fits 512; mate/seq/padding per doc. Random lengths
+    include oversized (> 512) docs and single-doc shards the parquet
+    fixture cannot force."""
+    from event_stream_for_k8s_spark.operators.corpus import pack_pairs
+
+    t = spark.createDataFrame(
+        [(i, i % 8, n) for i, n in docs],
+        "doc_id bigint, shard bigint, n_tok bigint",
+    )
+    got = {
+        row["doc_id"]: (
+            row["mate_id"],
+            row["seq_tokens"],
+            row["padding"],
+        )
+        for row in pack_pairs(t, cap=512).collect()
+    }
+
+    expect = {}
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for i, n in docs:
+        by_shard.setdefault(i % 8, []).append((i, n))
+    for members in by_shard.values():
+        ranked = sorted(members, key=lambda t: (-t[1], t[0]))
+        m = len(ranked)
+        for idx, (i, n) in enumerate(ranked):
+            j, nj = ranked[m - 1 - idx]
+            if i != j and n + nj <= 512:
+                expect[i] = (j, n + nj, max(0, 512 - n - nj))
+            else:
+                expect[i] = (None, n, max(0, 512 - n))
+    assert got == expect
+
+
 bpe_docs = st.lists(
     st.lists(
         st.text(alphabet="ab", min_size=2, max_size=8),
