@@ -181,7 +181,16 @@ def pack_pairs(t: DataFrame, cap: int = 512) -> DataFrame:
     equi-join — per-shard parallel, nothing global or quadratic.
     Property-tested against a pure-Python fold spec
     (tests/test_properties.py), including oversized and one-doc
-    shards."""
+    shards.
+
+    CACHE LIFETIME: the ranked relation is persisted — both self-join
+    sides read it, and without the persist each side re-runs the
+    upstream corpus scan + rank window (no ReusedExchange across
+    differently-aliased subtrees, the minhash_pairs_native finding).
+    Four int columns per doc, so the footprint is a sliver of the
+    corpus at any scale. The handle rides on the result as
+    ``result.cached_input`` (caller-owned, same contract and same
+    grab-before-transforming caveat as token_budget_head)."""
     w = Window.partitionBy("shard").orderBy(
         F.desc("n_tok"), F.col("doc_id")
     )
@@ -192,7 +201,7 @@ def pack_pairs(t: DataFrame, cap: int = 512) -> DataFrame:
         "n_tok",
         F.row_number().over(w).alias("rnk"),
         F.count("*").over(wall).alias("m"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = r.alias("a"), r.alias("b")
     paired = (
         F.col("a.rnk") != F.col("b.rnk")
@@ -210,7 +219,7 @@ def pack_pairs(t: DataFrame, cap: int = 512) -> DataFrame:
         .otherwise(F.col("a.n_tok"))
         .alias("seq_tokens"),
     )
-    return p.select(
+    out = p.select(
         "doc_id",
         "shard",
         "n_tok",
@@ -220,6 +229,8 @@ def pack_pairs(t: DataFrame, cap: int = 512) -> DataFrame:
             F.lit(0).cast("bigint"), F.lit(cap) - F.col("seq_tokens")
         ).alias("padding"),
     )
+    out.cached_input = r  # caller-owned cache handle (see docstring)
+    return out
 
 
 def bpe_apply(enc: DataFrame, merges) -> DataFrame:
