@@ -18,8 +18,9 @@ revives the mechanism ONCE, scoped to exactly the queries whose
 CURRENT oracle shape has never had a driver row (VERDICT r09 #3: the
 driver samples the alphabetical first 50, and these all sort after
 the window): the 10 listed in VERDICT r09 "What's wrong #2" plus the
-two queries registered this round. Retire the list again next round
-once CORRECTNESS_r10 records them.
+FOUR queries registered this round (llm_dedup_clusters_lsh,
+llm_bpe_encode_docs, llm_bpe_pack, llm_pack_pairs) — 14 total.
+Retire the list again next round once CORRECTNESS_r10 records all 14.
 """
 
 from __future__ import annotations

@@ -1230,6 +1230,30 @@ FROM comp
 """
 
 
+def clusters_lsh_pairs(e: DataFrame) -> DataFrame:
+    """Pair stage of llm_dedup_clusters_lsh on any (vec_id, embedding,
+    label) relation: banded sign-LSH candidates (label-blocked, 4
+    bands x 4 rows) scored by the rounded cosine > 0.4 threshold ->
+    (src, dst). Shared with the identical-twin recall test in
+    tests/test_llm.py so a threshold / band-parameter change cannot
+    drift out from under the test's coverage."""
+    from event_stream_for_k8s_spark.operators.similarity import (
+        sign_lsh_candidates,
+    )
+
+    cand = sign_lsh_candidates(
+        e, "vec_id", "embedding", label_col="label", bands=4, rows=4
+    )
+    va = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    vb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) > 0.4)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+
+
 @query(
     "llm_dedup_clusters_lsh",
     oracle=CLUSTERS_LSH_ORACLE,
@@ -1256,22 +1280,9 @@ def llm_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_stream_for_k8s_spark.operators.dedup import (
         connected_components,
     )
-    from event_stream_for_k8s_spark.operators.similarity import (
-        sign_lsh_candidates,
-    )
 
     e = load(spark, sf_dir, "embeddings")
-    cand = sign_lsh_candidates(
-        e, "vec_id", "embedding", label_col="label", bands=4, rows=4
-    )
-    va = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    vb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) > 0.4)
-        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    )
+    pairs = clusters_lsh_pairs(e)
     comp = connected_components(pairs, nodes=e.select("vec_id"))
     w = Window.partitionBy("cluster_id")
     return comp.select(

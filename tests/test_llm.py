@@ -791,14 +791,13 @@ def test_dedup_clusters_lsh_identical_twins_always_cluster(spark):
     cluster deterministically (the fixture has no zero vectors, so
     no NULL-cosine degenerate; pinned by the duckdb sweep in round
     10). This is the guarantee the LSH recall trade does NOT extend
-    to exact duplicates."""
-    from event_stream_for_k8s_spark.functions.vectors import cosine
+    to exact duplicates. Uses the REGISTERED plan's own pair builder
+    (clusters_lsh_pairs) so a threshold or band-parameter change
+    stays under this test."""
     from event_stream_for_k8s_spark.operators.dedup import (
         connected_components,
     )
-    from event_stream_for_k8s_spark.operators.similarity import (
-        sign_lsh_candidates,
-    )
+    from event_stream_for_k8s_spark.plans.llm import clusters_lsh_pairs
 
     e = spark.read.parquet(f"{SF}/embeddings.parquet").select(
         "vec_id", "embedding", "label"
@@ -807,21 +806,7 @@ def test_dedup_clusters_lsh_identical_twins_always_cluster(spark):
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
     )
     corpus = e.unionByName(twins)
-    cand = sign_lsh_candidates(
-        corpus, "vec_id", "embedding", label_col="label", bands=4, rows=4
-    )
-    va = corpus.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
-    )
-    vb = corpus.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
-    )
-    pairs = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) > 0.4)
-        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    )
+    pairs = clusters_lsh_pairs(corpus)
     labels = {
         r["node"]: r["cluster_id"]
         for r in connected_components(

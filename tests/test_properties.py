@@ -1755,6 +1755,24 @@ bpe_words = st.lists(
 )
 
 
+def _py_bpe_apply(merges, word: str) -> list[str]:
+    """Shared pure-Python spec: greedy left-to-right non-overlapping
+    apply of a trained merge table, merge by merge in training order
+    (the reference both encode differentials pin against)."""
+    s = list(word)
+    for _, a, b, _ in merges:
+        ns, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                ns.append(a + b)
+                i += 2
+            else:
+                ns.append(s[i])
+                i += 1
+        s = ns
+    return s
+
+
 @given(words=bpe_words, rounds=st.integers(1, 4))
 @example(words=["aaaa"], rounds=2)       # self-pair run: (a,a) -> [aa,aa]
 @example(words=["ab", "ab", "ba"], rounds=3)  # tie-break + exhaustion
@@ -1834,26 +1852,11 @@ def test_bpe_encode_matches_python_apply(spark, words, rounds):
         bpe_symbolize(F.col("lw")).alias("w")
     )
     merges = bpe_train(df, rounds)
-
-    def py_apply(word: str) -> list[str]:
-        s = list(word)
-        for _, a, b, _ in merges:
-            ns, i = [], 0
-            while i < len(s):
-                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
-                    ns.append(a + b)
-                    i += 2
-                else:
-                    ns.append(s[i])
-                    i += 1
-            s = ns
-        return s
-
     enc = df
     for _, a, b, _ in merges:
         enc = enc.select(_bpe_merge_word(F.col("w"), a, b).alias("w"))
     got = sorted(r["w"].split(BPE_BOUND) for r in enc.collect())
-    assert got == sorted(py_apply(w) for w in words)
+    assert got == sorted(_py_bpe_apply(merges, w) for w in words)
 
 
 pack_lens = st.lists(
@@ -1885,14 +1888,18 @@ def test_pack_pairs_matches_python_fold(spark, docs):
         [(i, i % 8, n) for i, n in docs],
         "doc_id bigint, shard bigint, n_tok bigint",
     )
+    result = pack_pairs(t, cap=512)
     got = {
         row["doc_id"]: (
             row["mate_id"],
             row["seq_tokens"],
             row["padding"],
         )
-        for row in pack_pairs(t, cap=512).collect()
+        for row in result.collect()
     }
+    # caller-owned cache: release per example or the hypothesis loop
+    # accumulates one persisted ranked relation per case
+    result.cached_input.unpersist()
 
     expect = {}
     by_shard: dict[int, list[tuple[int, int]]] = {}
@@ -1955,23 +1962,9 @@ def test_bpe_token_ids_matches_python(spark, docs, rounds):
     for r, a, b, _ in merges:
         vocab.setdefault(a + b, 26 + r)
 
-    def py_apply(word: str) -> list[str]:
-        s = list(word)
-        for _, a, b, _ in merges:
-            ns, i = [], 0
-            while i < len(s):
-                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
-                    ns.append(a + b)
-                    i += 2
-                else:
-                    ns.append(s[i])
-                    i += 1
-            s = ns
-        return s
-
     assert set(got) == set(range(len(docs)))
     for i, ws in enumerate(docs):
-        syms = [s for w in ws for s in py_apply(w)]
+        syms = [s for w in ws for s in _py_bpe_apply(merges, w)]
         ids = [
             str(ord(s) - 97) if len(s) == 1 else str(vocab[s])
             for s in syms

@@ -65,6 +65,7 @@ RISK = [
     "llm_dedup_clusters_lsh",
     "llm_bpe_train",
     "llm_bpe_encode",
+    "llm_bpe_encode_docs",
     "llm_bpe_pack",
     "llm_pack_pairs",
     "llm_bm25",
