@@ -3,24 +3,20 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json).
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-Implementation lives in ``event_stream_for_k8s_spark`` — this module
-only adapts the query registry (SURVEY.md §2 inventory) to the driver
+Implementation lives in ``event_stream_for_k8s_spark`` -- this module
+only adapts the query registry (SURVEY.md S2 inventory) to the driver
 contract.
 
 Historical note: rounds 2-6 carried a rotating ``DRIVER_PROBES`` alias
 list (early-sorting ``a_chk_*`` duplicates) so the driver's first-50
-sample would eventually attest every registry entry. CORRECTNESS_r06
-attested the final batch — cumulative coverage was complete — and the
-aliases were retired (VERDICT r04 #8, r05 #1, r06 #1). Round 10
-revives the mechanism ONCE, scoped to exactly the queries whose
-CURRENT oracle shape has never had a driver row (VERDICT r09 #3: the
-driver samples the alphabetical first 50, and these all sort after
-the window): the 10 listed in VERDICT r09 "What's wrong #2" plus the
-FOUR queries registered this round (llm_dedup_clusters_lsh,
-llm_bpe_encode_docs, llm_bpe_pack, llm_pack_pairs) — 14 total.
-Retire the list again next round once CORRECTNESS_r10 records all 14.
+sample would eventually attest every registry entry; round 10 revived
+it once for the 14 queries whose current oracle shape had never had a
+driver row. CORRECTNESS_r10 recorded all 14 green, so the mechanism is
+retired for good (VERDICT r10 "Next round" #1): ``queries()`` now
+returns exactly the registry names, and the driver's window samples
+the real alphabetical head (the agg_* block).
 """
 
 from __future__ import annotations
@@ -35,26 +31,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from event_stream_for_k8s_spark.plans import REGISTRY  # noqa: E402
 
-# one-round batch (VERDICT r09 #3); a_chk_* sorts before agg_*, so all
-# 14 land inside the driver's first-50 alphabetical window (the 10
-# from the verdict list + the 4 queries registered this round)
-DRIVER_PROBES = [
-    "graph_pagerank",
-    "llm_bpe_encode",
-    "llm_bpe_encode_docs",
-    "llm_bpe_pack",
-    "llm_bpe_train",
-    "llm_ccnet_buckets_approx",
-    "llm_dedup_clusters_lsh",
-    "llm_dedup_near",
-    "llm_dedup_simhash",
-    "llm_knn_ivf",
-    "llm_knn_lsh",
-    "llm_knn_pq",
-    "llm_pack_pairs",
-    "llm_semdedup_kmeans",
-]
-
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -62,23 +38,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2, plus the
-    round-scoped ``a_chk_*`` probe aliases (same callables)."""
-    out = {name: q.spark for name, q in sorted(REGISTRY.items())}
-    for name in DRIVER_PROBES:
-        out[f"a_chk_{name}"] = REGISTRY[name].spark
-    return dict(sorted(out.items()))
+    """One entry per implemented operator from SURVEY.md S2."""
+    return {name: q.spark for name, q in sorted(REGISTRY.items())}
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query (probe
-    aliases share their target's oracle)."""
-    out = {
+    """DuckDB-equivalent SQL for every SQL-expressible query."""
+    return {
         name: q.oracle
         for name, q in sorted(REGISTRY.items())
         if q.oracle is not None
     }
-    for name in DRIVER_PROBES:
-        if REGISTRY[name].oracle is not None:
-            out[f"a_chk_{name}"] = REGISTRY[name].oracle
-    return dict(sorted(out.items()))

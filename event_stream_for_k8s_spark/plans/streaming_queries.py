@@ -287,16 +287,26 @@ def _three_phase_src(spark: SparkSession, sf_dir: str, third: str) -> str:
         import shutil
 
         base = events_as_micros(spark, sf_dir)
-        # epoch fallback: max(ts) is NULL on an empty table and the
-        # sentinel arithmetic below must stay total (the sentinels are
-        # synthetic watermark fuel either way) — tests/test_empty_inputs.py
-        mx = base.agg(F.max("ts_us")).collect()[0][0] or 0
-        sentinel = spark.createDataFrame(
-            [(10**9, mx + 10 * 3600 * 1_000_000, 0, "sentinel", 0.0, "{}")],
-            EVENTS_MICROS_SCHEMA,
+        # one-row broadcast scalar, never collected to the driver; the
+        # coalesce is the epoch fallback — max(ts) is NULL on an empty
+        # table and the sentinel arithmetic below must stay total (the
+        # sentinels are synthetic watermark fuel either way) —
+        # tests/test_empty_inputs.py
+        mxdf = base.agg(
+            F.coalesce(F.max("ts_us"), F.lit(0).cast("long")).alias("_mx")
+        )
+        sentinel = mxdf.select(
+            F.lit(10**9).cast("long").alias("event_id"),
+            (F.col("_mx") + F.lit(10 * 3600 * 1_000_000)).alias("ts_us"),
+            F.lit(0).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
         )
         redelivery = (
-            base.withColumn("ts_us", F.lit(mx + 12 * 3600 * 1_000_000))
+            base.crossJoin(F.broadcast(mxdf))
+            .withColumn("ts_us", F.col("_mx") + F.lit(12 * 3600 * 1_000_000))
+            .drop("_mx")
             if third == "fresh"
             else base
         )
@@ -601,10 +611,14 @@ def _sentinel_src(spark: SparkSession, sf_dir: str) -> str:
         from pyspark.sql import Window
 
         base = events_as_micros(spark, sf_dir)
-        # epoch fallback: max(ts) is NULL on an empty table and the
-        # sentinel arithmetic below must stay total (the sentinels are
-        # synthetic watermark fuel either way) — tests/test_empty_inputs.py
-        mx = base.agg(F.max("ts_us")).collect()[0][0] or 0
+        # one-row broadcast scalar, never collected to the driver; the
+        # coalesce is the epoch fallback — max(ts) is NULL on an empty
+        # table and the sentinel arithmetic below must stay total (the
+        # sentinels are synthetic watermark fuel either way) —
+        # tests/test_empty_inputs.py
+        mxdf = base.agg(
+            F.coalesce(F.max("ts_us"), F.lit(0).cast("long")).alias("_mx")
+        )
         nt = F.ntile(3).over(
             Window.orderBy("ts_us", "event_id")
         )
@@ -617,10 +631,14 @@ def _sentinel_src(spark: SparkSession, sf_dir: str) -> str:
             # distinct NEGATIVE user ids: sentinels can never join with
             # real events or each other, so they are pure watermark fuel
             frames.append(
-                spark.createDataFrame(
-                    [(10**9 + i, mx + hours * 3600 * 1_000_000, -(i + 1),
-                      "sentinel", 0.0, "{}")],
-                    EVENTS_MICROS_SCHEMA,
+                mxdf.select(
+                    F.lit(10**9 + i).cast("long").alias("event_id"),
+                    (F.col("_mx") + F.lit(hours * 3600 * 1_000_000))
+                    .alias("ts_us"),
+                    F.lit(-(i + 1)).cast("long").alias("user_id"),
+                    F.lit("sentinel").alias("event_type"),
+                    F.lit(0.0).alias("value"),
+                    F.lit("{}").alias("props"),
                 )
             )
         os.makedirs(out, exist_ok=True)
