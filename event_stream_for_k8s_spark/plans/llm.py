@@ -1092,15 +1092,27 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic anchor slice (VERDICT r10 #3): the anchor's job is to
+# hash-check the component ALGEBRA (all-pairs cosine edges -> min-label
+# closure) exactly, not to grind the full corpus — so both engines take
+# the same vec_id < 1024 slice. The cap covers every vector at the
+# attestation SFs (sf0.001/sf0.01 ship 500 ids), so driver hashes are
+# unchanged there, while the sf1 soak's all-pairs cost is bounded at
+# 1024^2/2 pairs instead of growing quadratically with the corpus.
+CLUSTERS_ANCHOR_CAP = 1024
+
 CLUSTERS_ORACLE = f"""
-WITH RECURSIVE edges AS (
+WITH RECURSIVE emb AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id < {CLUSTERS_ANCHOR_CAP}
+), edges AS (
   SELECT a.vec_id AS s, b.vec_id AS d
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
   WHERE round({sql_cosine('a.embedding', 'b.embedding')}, 6) > 0.4
 ), und AS (
   SELECT s, d FROM edges UNION ALL SELECT d AS s, s AS d FROM edges
 ), reach(node, r) AS (
-  SELECT vec_id, vec_id FROM embeddings
+  SELECT vec_id, vec_id FROM emb
   UNION
   SELECT u.d, reach.r FROM reach JOIN und u ON u.s = reach.node
 ), comp AS (
@@ -1127,7 +1139,11 @@ FROM comp
     "llm_dedup_clusters_lsh below (banded sign-LSH candidate "
     "generation, equi-joins only, identical component step), which "
     "this query anchors the same way llm_dedup_simhash_exact / "
-    "llm_knn_brute anchor their scale tiers",
+    "llm_knn_brute anchor their scale tiers. Input is the "
+    "deterministic vec_id < 1024 slice in BOTH engines (r11): the "
+    "slice covers the whole corpus at the attestation SFs, and at "
+    "soak scale it bounds the declared crossJoin instead of letting "
+    "an exactness fixture grow quadratically",
 )
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1138,7 +1154,9 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from event_stream_for_k8s_spark.functions.vectors import dot, l2norm
 
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < CLUSTERS_ANCHOR_CAP
+    )
     # Norms are per-vector, not per-pair: computing them once per row
     # (2k sqrt-dots) instead of inside the pair predicate (8M) drops
     # two thirds of the all-pairs flops. sqrt(dot(v,v)) on the same
