@@ -2624,12 +2624,15 @@ FROM pre CROSS JOIN post CROSS JOIN vocab"""
     )
 
 
-def _bpe_doc_chain_ctes(rounds: int) -> list[str]:
+def _bpe_doc_chain_ctes(rounds: int, source: str = "documents") -> list[str]:
     """Shared d-chain for the per-doc BPE oracles (_bpe_docs_oracle /
-    _bpe_pack_oracle): like _bpe_ctes but every corpus row carries
-    (doc_id, wpos) through the merge rewrites, and m{r} trains FROM
-    d{r} (pair counts ignore the carried columns — identical word
-    multiset, identical winners)."""
+    _bpe_pack_oracle / _sft_oracle): like _bpe_ctes but every corpus
+    row carries (doc_id, wpos) through the merge rewrites, and m{r}
+    trains FROM d{r} (pair counts ignore the carried columns —
+    identical word multiset, identical winners). ``source`` is any
+    (doc_id, text) relation — a CTE name lets callers train over a
+    derived corpus (the SFT capstone trains over rendered chat
+    examples)."""
     S = "chr(31)"
     B = f"({S} || {S})"
     ctes = [f"""d0 AS MATERIALIZED (
@@ -2640,7 +2643,7 @@ def _bpe_doc_chain_ctes(rounds: int) -> list[str]:
           SELECT doc_id,
                  unnest(string_split(text, ' ')) AS rw,
                  generate_subscripts(string_split(text, ' '), 1) AS wpos
-          FROM documents))
+          FROM {source}))
   WHERE regexp_matches(lw, '^[a-z]+$') AND length(lw) >= 2
 )"""]
     for r in range(rounds):
@@ -2738,6 +2741,60 @@ SELECT doc_id, shard, n_tok,
        cast((cum - n_tok) // 512 AS bigint) AS start_bin,
        cast((cum - 1) // 512 AS bigint) AS end_bin
 FROM c"""
+    )
+
+
+def _sft_oracle(rounds: int) -> str:
+    """End-to-end SFT-prep replay (VERDICT r10 #5): the llm_chat_format
+    rendering as a CTE, the shared d-chain trained OVER the rendered
+    examples, per-example BPE token counts, then the llm_pack_pairs
+    folded-pairing SQL (rank r mates rank m+1-r within a shard iff the
+    pair fits the 512 budget). Every stage is the already-attested
+    oracle shape of its standalone query — only the corpus feeding the
+    d-chain changes (rendered, not raw text)."""
+    S = "chr(31)"
+    B = f"({S} || {S})"
+    rendered = """rendered AS MATERIALIZED (
+  SELECT doc_id,
+         '<|system|>' || chr(10) || 'You are a helpful assistant.' ||
+         chr(10) || '<|user|>' || chr(10) || 'Summarize: ' ||
+         array_to_string(toks[1:12], ' ') || chr(10) || '<|assistant|>' ||
+         chr(10) || array_to_string(toks[1:5], ' ') || ' ...<|end|>'
+           AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+)"""
+    return (
+        "WITH "
+        + ",\n".join(
+            [rendered] + _bpe_doc_chain_ctes(rounds, source="rendered")
+        )
+        + f""",
+perdoc AS (
+  SELECT doc_id,
+         cast(sum(len(string_split(w, {B}))) AS bigint) AS n_tok
+  FROM d{rounds} GROUP BY doc_id
+), t AS (
+  SELECT doc_id, doc_id % 8 AS shard, n_tok FROM perdoc
+), r AS (
+  SELECT doc_id, shard, n_tok,
+         row_number() OVER (PARTITION BY shard
+                            ORDER BY n_tok DESC, doc_id) AS rnk,
+         count(*) OVER (PARTITION BY shard) AS m
+  FROM t
+), p AS (
+  SELECT a.doc_id, a.shard, a.n_tok,
+         CASE WHEN a.rnk <> b.rnk
+               AND a.n_tok + b.n_tok <= 512
+              THEN b.doc_id END AS mate_id,
+         CASE WHEN a.rnk <> b.rnk
+               AND a.n_tok + b.n_tok <= 512
+              THEN a.n_tok + b.n_tok ELSE a.n_tok END AS seq_tokens
+  FROM r a JOIN r b
+    ON a.shard = b.shard AND b.rnk = a.m + 1 - a.rnk
+)
+SELECT doc_id, shard, n_tok, mate_id, seq_tokens,
+       greatest(cast(0 AS bigint), 512 - seq_tokens) AS padding
+FROM p"""
     )
 
 
@@ -2958,6 +3015,73 @@ def llm_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.col("cum") - F.col("n_tok")) / 512).alias("start_bin"),
         F.floor((F.col("cum") - 1) / 512).alias("end_bin"),
     )
+
+
+@query(
+    "llm_sft_pipeline",
+    oracle=_sft_oracle(8),
+    section="C",
+    notes="the SFT-prep pipeline END-TO-END as one declared plan "
+    "(VERDICT r10 #5, the llm_corpus_pipeline pattern applied to the "
+    "tokenizer arc): chat-template rendering (llm_chat_format's exact "
+    "expression) -> 8-round BPE trained OVER the rendered examples -> "
+    "per-example trained-tokenizer token counts -> llm_pack_pairs' "
+    "folded pairing (examples stay WHOLE — the SFT constraint; "
+    "longest mates shortest within a shard when the pair fits 512, "
+    "padding reported per sequence). Composition is the point: one "
+    "documents scan feeds render+symbolize (narrow), the trainer's 8 "
+    "pair counts are the intrinsic per-round shuffles over the cached "
+    "rendered corpus, then ONE groupBy(doc_id) and pack_pairs' keyed "
+    "rank window + (shard, rank) self equi-join on a persisted "
+    "four-int-column relation — nothing global, nothing quadratic, "
+    "per-shard parallel at any corpus size. Markup/punctuated words "
+    "fail the trainer's ^[a-z]+$ gate in BOTH engines, so n_tok "
+    "counts trainable words only (declared; the static template "
+    "words guarantee every example packs). Oracle: the rendered CTE "
+    "+ the shared d-chain + the attested fold SQL (_sft_oracle)",
+)
+def llm_sft_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_stream_for_k8s_spark.operators.corpus import (
+        BPE_BOUND,
+        bpe_apply,
+        bpe_symbolize,
+        bpe_train,
+        pack_pairs,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    nl = F.lit("\n")
+    rendered = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<|system|>"), nl,
+            F.lit("You are a helpful assistant."), nl,
+            F.lit("<|user|>"), nl, F.lit("Summarize: "),
+            F.concat_ws(" ", F.slice("toks", 1, 12)),
+            nl, F.lit("<|assistant|>"), nl,
+            F.concat_ws(" ", F.slice("toks", 1, 5)), F.lit(" ...<|end|>"),
+        ).alias("rendered"),
+    )
+    words = (
+        rendered.select(
+            "doc_id",
+            F.explode(F.split("rendered", " ")).alias("rw"),
+        )
+        .select("doc_id", F.lower("rw").alias("lw"))
+        .filter(F.col("lw").rlike("^[a-z]+$") & (F.length("lw") >= 2))
+        .select("doc_id", bpe_symbolize(F.col("lw")).alias("w"))
+    )
+    merges = bpe_train(words.select("w"), 8)
+    enc = bpe_apply(words, merges)
+    perdoc = enc.groupBy("doc_id").agg(
+        F.sum(F.size(F.split("w", BPE_BOUND))).cast("bigint").alias("n_tok")
+    )
+    t = perdoc.select(
+        "doc_id", (F.col("doc_id") % 8).alias("shard"), "n_tok"
+    )
+    return pack_pairs(t, cap=512)
 
 
 @query(

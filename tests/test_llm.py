@@ -988,3 +988,61 @@ def test_bpe_encode_ledger_invariants(spark):
     assert 0 < enc["chars_saved"] <= sum(r["pair_count"] for r in merges)
     assert enc["vocab_size"] <= 26 + len(merges)
     assert enc["n_words"] > 0
+
+
+def test_sft_pipeline_end_to_end(spark):
+    """llm_sft_pipeline chains real fixture conversations end-to-end
+    (VERDICT r10 #5): for every document, the registered
+    llm_chat_format rendering is re-tokenized in pure Python to bound
+    the pipeline's trained-tokenizer count — each trainable word
+    (lowercase [a-z]+, len >= 2, the trainer's gate) encodes to
+    between 1 token and its character count, so W <= n_tok <= C doc
+    by doc. On top of that, the full pack_pairs contract: one row per
+    doc, symmetric mates within a shard, exact pair sums within the
+    512 budget, exact padding, and the fold saving padding vs packing
+    every example alone."""
+    import re
+
+    rendered = {
+        r["doc_id"]: r["rendered"]
+        for r in REGISTRY["llm_chat_format"].spark(spark, SF).collect()
+    }
+    word_re = re.compile(r"^[a-z]+$")
+    bounds = {}
+    for doc_id, text in rendered.items():
+        words = [
+            w
+            for w in (t.lower() for t in text.split(" "))
+            if len(w) >= 2 and word_re.match(w)
+        ]
+        bounds[doc_id] = (len(words), sum(len(w) for w in words))
+    rows = REGISTRY["llm_sft_pipeline"].spark(spark, SF).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert set(by_id) == set(rendered)  # one row per conversation
+    assert len(by_id) == len(rows)
+    n_paired = 0
+    for r in rows:
+        w, c = bounds[r["doc_id"]]
+        # static template words ("you", "are", "helpful") keep every
+        # rendered example trainable
+        assert w >= 3
+        assert w <= r["n_tok"] <= c
+        assert r["shard"] == r["doc_id"] % 8
+        if r["mate_id"] is not None:
+            mate = by_id[r["mate_id"]]
+            assert mate["mate_id"] == r["doc_id"]
+            assert mate["shard"] == r["shard"]
+            assert r["seq_tokens"] == r["n_tok"] + mate["n_tok"]
+            assert r["seq_tokens"] <= 512
+            n_paired += 1
+        else:
+            assert r["seq_tokens"] == r["n_tok"]
+        assert r["padding"] == max(0, 512 - r["seq_tokens"])
+    assert n_paired > 0 and n_paired % 2 == 0
+    solo_pad = sum(max(0, 512 - r["n_tok"]) for r in rows)
+    fold_pad = sum(
+        r["padding"]
+        for r in rows
+        if r["mate_id"] is None or r["doc_id"] < r["mate_id"]
+    )
+    assert fold_pad < solo_pad

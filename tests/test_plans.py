@@ -792,3 +792,25 @@ def test_materialize_live_lock_not_reclaimed(spark, tmp_path):
     assert builds == [], "stole a live writer's lock"
     with open(f"{result}/data.txt") as f:
         assert f.read() == "from-owner"
+
+
+def test_sft_pipeline_plan_shape(spark):
+    """llm_sft_pipeline's physical plan (VERDICT r10 #5): ONE pruned
+    documents scan (doc_id + text only), partial aggregation below the
+    per-doc count exchange, the mate side of the fold join BROADCAST
+    (four int columns per doc — always the bounded side), and the
+    keyed-shuffle census pinned. The census reads 4 because both
+    InMemoryTableScans of the persisted ranked relation textually
+    embed its 2 exchanges (groupBy doc_id + window shard) — the cache
+    executes them ONCE, so real data movement is 2 keyed shuffles +
+    the broadcast."""
+    from tools.shuffle_census import census
+
+    p = _plan(spark, "llm_sft_pipeline")
+    assert p.count("FileScan parquet") == p.count(
+        "ReadSchema: struct<doc_id:bigint,text:string>"
+    )
+    assert "partial_sum" in p
+    assert "BroadcastHashJoin" in p and "BroadcastNestedLoop" not in p
+    c = census(p)
+    assert c["shuffles"] <= 4 and c["single_partition"] == 0, c
