@@ -3842,6 +3842,144 @@ def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_dedup_excise",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
+), w AS (
+  SELECT doc_id, unnest(range(1, len(tk) - 6)) AS pos, tk
+  FROM t WHERE len(tk) >= 8
+), w2 AS (
+  SELECT doc_id, pos, array_to_string(tk[pos:pos+7], ' ') AS sh FROM w
+), cnt AS (
+  SELECT sh, count(*) AS c FROM w2 GROUP BY sh
+), dw AS (
+  SELECT doc_id, pos FROM w2 JOIN cnt USING (sh) WHERE c >= 2
+), isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM dw
+), runs AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+  FROM isl GROUP BY doc_id, g
+  HAVING max(pos) - min(pos) >= 42
+), tok AS (
+  SELECT doc_id, unnest(tk) AS tkn,
+         generate_subscripts(tk, 1) AS p
+  FROM t
+), kept AS (
+  SELECT tok.doc_id, tkn, p FROM tok LEFT JOIN runs
+    ON runs.doc_id = tok.doc_id AND p BETWEEN s AND e
+  WHERE runs.doc_id IS NULL
+), cleaned AS (
+  SELECT doc_id, string_agg(tkn, ' ' ORDER BY p) AS cleaned_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       cast(len(tk) AS bigint) AS n_tokens,
+       cast(len(tk) - coalesce(n_kept, 0) AS bigint) AS n_excised,
+       coalesce(cleaned_text, '') AS cleaned_text
+FROM t LEFT JOIN cleaned USING (doc_id)
+""",
+    section="C",
+    notes="substring dedup as a TRANSFORM (VERDICT r10 #6, the Lee et "
+    "al. 2022 'Deduplicating Training Data' excision shape): a token "
+    "is removed iff it lies inside a maximal run of consecutive "
+    "duplicated 8-token windows spanning >= 50 tokens (>= 43 "
+    "consecutive dup window starts), where a window is duplicated iff "
+    "its shingle occurs >= 2 times corpus-wide (cross-doc or "
+    "self-repeat). Emits (doc_id, n_tokens, n_excised, cleaned_text) "
+    "for EVERY doc — short docs and clean docs pass through "
+    "verbatim. Scale: the llm_dedup_substring window profile (one "
+    "shingle shuffle, no pairwise join, no suffix array) + the "
+    "gaps-and-islands run window keyed by doc, runs fold to a "
+    "per-doc interval array (few runs per doc by construction), and "
+    "the excision itself is ONE narrow HOF pass over the token array "
+    "— exists() over the broadcast-sized interval list per token, "
+    "all codegen-adjacent JVM expressions, no Python. Exact oracle: "
+    "the identical run algebra with the interval anti-join spelled "
+    "relationally; hypothesis differential vs a pure-Python excision "
+    "spec in tests/test_properties.py",
+)
+def llm_dedup_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return excise_dup_spans(load(spark, sf_dir, "documents"))
+
+
+def excise_dup_spans(
+    d: DataFrame, win: int = 8, min_span: int = 50
+) -> DataFrame:
+    """Core of llm_dedup_excise on any (doc_id, text) relation,
+    parameterized so the hypothesis differential can shrink the
+    window/span to sizes random corpora actually trigger: a token is
+    excised iff it lies in a maximal run of consecutive duplicated
+    ``win``-token windows spanning >= ``min_span`` tokens; a window
+    is duplicated iff its shingle occurs >= 2 times corpus-wide.
+    Returns (doc_id, n_tokens, n_excised, cleaned_text) for every
+    input doc."""
+    from pyspark.sql import Window
+
+    t = d.select("doc_id", "text", F.split("text", " ").alias("tk"))
+    w = (
+        t.filter(F.size("tk") >= win)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(tk) - {win - 1}),"
+                    f" i -> struct(i AS pos,"
+                    f" array_join(slice(tk, i, {win}), ' ') AS sh))"
+                )
+            ).alias("win"),
+        )
+        .select("doc_id", F.col("win.pos").alias("pos"),
+                F.col("win.sh").alias("sh"))
+    )
+    cnt = w.groupBy("sh").agg(F.count("*").alias("c"))
+    dw = (
+        w.join(cnt, "sh")
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "pos")
+    )
+    grp = F.col("pos") - F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")
+    )
+    runs = (
+        dw.withColumn("g", grp)
+        .groupBy("doc_id", "g")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + (win - 1)).alias("e"),
+        )
+        .filter(F.col("e") - F.col("s") >= min_span - 1)
+        .select("doc_id", "s", "e")
+    )
+    ivs = runs.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("ivs")
+    )
+    out = t.join(ivs, "doc_id", "left")
+    kept_expr = (
+        "filter(transform(tk, (x, j) -> struct(j + 1 AS p, x AS tkn)),"
+        " s -> NOT exists(ivs, iv -> s.p >= iv.s AND s.p <= iv.e))"
+    )
+    kept = F.expr(kept_expr)
+    return out.select(
+        "doc_id",
+        F.size("tk").cast("bigint").alias("n_tokens"),
+        F.when(F.col("ivs").isNull(), F.lit(0).cast("bigint"))
+        .otherwise((F.size("tk") - F.size(kept)).cast("bigint"))
+        .alias("n_excised"),
+        F.when(F.col("ivs").isNull(), F.col("text"))
+        .otherwise(
+            F.array_join(
+                F.expr(f"transform({kept_expr}, s -> s.tkn)"), " "
+            )
+        )
+        .alias("cleaned_text"),
+    )
+
+
 _MIX_INV_T = 1.0 / 0.7  # temperature-0.7 exponent, same IEEE double both engines
 
 

@@ -1046,3 +1046,38 @@ def test_sft_pipeline_end_to_end(spark):
         if r["mate_id"] is None or r["doc_id"] < r["mate_id"]
     )
     assert fold_pad < solo_pad
+
+
+def test_dedup_excise_fixture_invariants(spark):
+    """llm_dedup_excise on the real corpus: every doc keeps a row;
+    clean docs pass through VERBATIM (cleaned_text == text); excised
+    docs lose exactly n_excised tokens and at least one >= 50-token
+    duplicated run fires on the fixture (it plants shared spans); an
+    excised doc's removed text cannot exceed its token count."""
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    rows = REGISTRY["llm_dedup_excise"].spark(spark, SF).collect()
+    assert {r["doc_id"] for r in rows} == set(docs)
+    n_fired = 0
+    for r in rows:
+        tk = docs[r["doc_id"]].split(" ")
+        assert r["n_tokens"] == len(tk)
+        assert 0 <= r["n_excised"] <= r["n_tokens"]
+        if r["n_excised"] == 0:
+            assert r["cleaned_text"] == docs[r["doc_id"]]
+        else:
+            n_fired += 1
+            kept = (
+                []
+                if r["cleaned_text"] == "" and r["n_excised"] == len(tk)
+                else r["cleaned_text"].split(" ")
+            )
+            assert len(kept) == r["n_tokens"] - r["n_excised"]
+            # kept tokens are a subsequence of the original
+            it = iter(tk)
+            assert all(any(x == y for y in it) for x in kept)
+            # an excision is at least the minimum span
+            assert r["n_excised"] >= 50
+    assert n_fired > 0

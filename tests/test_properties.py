@@ -1970,3 +1970,82 @@ def test_bpe_token_ids_matches_python(spark, docs, rounds):
             for s in syms
         ]
         assert got[i] == (len(syms), ",".join(ids))
+
+
+excise_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b"]), min_size=0, max_size=14),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _py_excise(docs, win, min_span):
+    """Pure-Python spec of excise_dup_spans: corpus-wide window
+    counts, per-doc consecutive-dup-window runs, excise tokens
+    covered by runs spanning >= min_span."""
+    from collections import Counter
+
+    toks = {i: s.split(" ") for i, s in docs.items()}
+    cnt = Counter()
+    for tk in toks.values():
+        for p in range(len(tk) - win + 1):
+            cnt[" ".join(tk[p : p + win])] += 1
+    out = {}
+    for i, tk in toks.items():
+        dup = [
+            p
+            for p in range(len(tk) - win + 1)
+            if cnt[" ".join(tk[p : p + win])] >= 2
+        ]
+        excised: set[int] = set()
+        run: list[int] = []
+
+        def flush(run):
+            if run and run[-1] + win - 1 - run[0] + 1 >= min_span:
+                excised.update(range(run[0], run[-1] + win))
+
+        for p in dup:
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                flush(run)
+                run = [p]
+        flush(run)
+        # spec positions are 0-based token indices
+        kept = [x for j, x in enumerate(tk) if j not in excised]
+        out[i] = (len(tk), len(tk) - len(kept), " ".join(kept))
+    return out
+
+
+@given(docs=excise_docs, min_span=st.integers(3, 6))
+@example(
+    docs=[["a", "b", "a", "b", "a", "b"], ["b", "a", "b", "a", "b"]],
+    min_span=4,
+)  # cross-doc shared span
+@example(docs=[["a", "a", "a", "a", "a", "a", "a"]], min_span=4)
+# self-repeat: every window duplicates within ONE doc
+@example(docs=[["a", "b"]], min_span=3)  # too short for any window
+@SETTINGS
+def test_excise_dup_spans_matches_python(spark, docs, min_span):
+    """excise_dup_spans (llm_dedup_excise's core) against a
+    pure-Python excision spec on random 2-word-alphabet corpora:
+    identical (n_tokens, n_excised, cleaned_text) per doc, with the
+    window shrunk to 2 and the span threshold to 3-6 so duplicated
+    runs actually occur. Exercises cross-doc duplication, within-doc
+    self-repeats, runs that merge/abut, all-excised docs, and docs
+    shorter than the window."""
+    from event_stream_for_k8s_spark.plans.llm import excise_dup_spans
+
+    corpus = {i: " ".join(ws) for i, ws in enumerate(docs)}
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id bigint, text string"
+    )
+    rows = excise_dup_spans(df, win=2, min_span=min_span).collect()
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_excised"], r["cleaned_text"])
+        for r in rows
+    }
+    expect = _py_excise(corpus, win=2, min_span=min_span)
+    # split-on-space of "" yields [""] on both sides: a genuinely
+    # empty doc is one empty token to the operator, as to the spec
+    assert got == expect
