@@ -3357,6 +3357,61 @@ def llm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_train_order",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('ep7|' || cast(doc_id AS varchar)), 1, 8))
+           ::bigint AS hkey
+  FROM documents
+), s AS (
+  SELECT doc_id, hkey, hkey % 16 AS shard FROM h
+)
+SELECT doc_id, shard,
+       cast(row_number() OVER (PARTITION BY shard
+                               ORDER BY hkey, doc_id) - 1
+            AS bigint) AS pos
+FROM s
+""",
+    section="C",
+    notes="deterministic training-order shuffle: every epoch a "
+    "dataloader needs the corpus in a NEW pseudo-random order that "
+    "is reproducible across re-runs, engines, and restarts — no "
+    "rand(), same argument as llm_split. order key = md5(seed || "
+    "doc_id) (seed 'ep7|' pinned here; a literal swap per epoch), "
+    "shard = key % 16, position = dense rank of the key WITHIN the "
+    "shard. The global order is (shard, pos) lexicographic — readers "
+    "consume shards independently, so the ordering window is keyed "
+    "and per-shard parallel (never a global sort; the same "
+    "serialize-the-corpus argument as llm_pack_sequences). One "
+    "shuffle on shard; ties impossible beyond the hash (doc_id "
+    "tie-break pinned anyway)",
+)
+def llm_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    hkey = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ep7|"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    s = d.select("doc_id", hkey.alias("hkey")).withColumn(
+        "shard", F.col("hkey") % 16
+    )
+    w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    return s.select(
+        "doc_id",
+        "shard",
+        (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+    )
+
+
 MANIFEST_DIFF_ORACLE = """
 WITH a AS (
   SELECT ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::bigint % 16

@@ -1081,3 +1081,29 @@ def test_dedup_excise_fixture_invariants(spark):
             # an excision is at least the minimum span
             assert r["n_excised"] >= 50
     assert n_fired > 0
+
+
+def test_train_order_is_deterministic_permutation(spark):
+    """llm_train_order: (shard, pos) is a dense per-shard enumeration
+    (pos 0..n-1, no gaps or ties), every doc appears exactly once,
+    two independent runs agree exactly (no rand() anywhere), and the
+    hash order actually scrambles — the within-shard sequence is not
+    simply doc_id-ascending."""
+    rows = REGISTRY["llm_train_order"].spark(spark, SF).collect()
+    again = REGISTRY["llm_train_order"].spark(spark, SF).collect()
+    key = lambda r: (r["doc_id"], r["shard"], r["pos"])  # noqa: E731
+    assert sorted(map(key, rows)) == sorted(map(key, again))
+    by_shard: dict[int, list] = {}
+    seen = set()
+    for r in rows:
+        assert r["doc_id"] not in seen
+        seen.add(r["doc_id"])
+        by_shard.setdefault(r["shard"], []).append(r)
+    scrambled = 0
+    for members in by_shard.values():
+        members.sort(key=lambda r: r["pos"])
+        assert [r["pos"] for r in members] == list(range(len(members)))
+        ids = [r["doc_id"] for r in members]
+        if ids != sorted(ids):
+            scrambled += 1
+    assert scrambled > 0

@@ -78,6 +78,9 @@ RISK = [
     "win_running_distinct",
     "ts_funnel",
     "tpch_q21_waiting_suppliers",
+    # r11 additions: BPE-train iteration + corpus-wide window profile
+    "llm_sft_pipeline",
+    "llm_dedup_excise",
 ]
 
 SF01 = "/root/testdata/sf0.1"
