@@ -2624,23 +2624,28 @@ FROM pre CROSS JOIN post CROSS JOIN vocab"""
     )
 
 
-def _bpe_doc_chain_ctes(rounds: int, source: str = "documents") -> list[str]:
+def _bpe_doc_chain_ctes(
+    rounds: int, source: str = "documents", carry: str = ""
+) -> list[str]:
     """Shared d-chain for the per-doc BPE oracles (_bpe_docs_oracle /
-    _bpe_pack_oracle / _sft_oracle): like _bpe_ctes but every corpus
-    row carries (doc_id, wpos) through the merge rewrites, and m{r}
-    trains FROM d{r} (pair counts ignore the carried columns —
-    identical word multiset, identical winners). ``source`` is any
-    (doc_id, text) relation — a CTE name lets callers train over a
-    derived corpus (the SFT capstone trains over rendered chat
-    examples)."""
+    _bpe_pack_oracle / _sft_oracle / _sft_mask_oracle): like _bpe_ctes
+    but every corpus row carries (doc_id, wpos) through the merge
+    rewrites, and m{r} trains FROM d{r} (pair counts ignore the
+    carried columns — identical word multiset, identical winners).
+    ``source`` is any (doc_id, text) relation — a CTE name lets
+    callers train over a derived corpus (the SFT capstone trains over
+    rendered chat examples). ``carry`` names ONE extra source column
+    threaded untouched through every d{r} (the loss-mask query
+    carries its segment tag)."""
     S = "chr(31)"
     B = f"({S} || {S})"
+    cc = f", {carry}" if carry else ""
     ctes = [f"""d0 AS MATERIALIZED (
-  SELECT doc_id, wpos,
+  SELECT doc_id{cc}, wpos,
          array_to_string(list_transform(range(1, length(lw)+1),
            i -> substr(lw, cast(i AS int), 1)), {B}) AS w
-  FROM (SELECT doc_id, wpos, lower(rw) AS lw FROM (
-          SELECT doc_id,
+  FROM (SELECT doc_id{cc}, wpos, lower(rw) AS lw FROM (
+          SELECT doc_id{cc},
                  unnest(string_split(text, ' ')) AS rw,
                  generate_subscripts(string_split(text, ' '), 1) AS wpos
           FROM {source}))
@@ -2663,7 +2668,7 @@ def _bpe_doc_chain_ctes(rounds: int, source: str = "documents") -> list[str]:
   ) WHERE rn = 1
 )""")
         ctes.append(f"""d{r + 1} AS MATERIALIZED (
-  SELECT doc_id, wpos,
+  SELECT doc_id{cc}, wpos,
          CASE WHEN m.lhs IS NULL THEN t.w
          ELSE substr(rw, 3, length(rw) - 4)
          END AS w
@@ -2795,6 +2800,149 @@ perdoc AS (
 SELECT doc_id, shard, n_tok, mate_id, seq_tokens,
        greatest(cast(0 AS bigint), 512 - seq_tokens) AS padding
 FROM p"""
+    )
+
+
+def _sft_mask_oracle(rounds: int) -> str:
+    """Loss-mask replay: the two chat segments as separate (doc_id,
+    seg, text) rows, the shared d-chain trained over their union and
+    carrying the segment tag, then per-doc prompt/completion token
+    counts and the loss fraction (the share of each example's tokens
+    the SFT loss actually trains on)."""
+    S = "chr(31)"
+    B = f"({S} || {S})"
+    seg_src = """seg_src AS MATERIALIZED (
+  SELECT doc_id, 0 AS seg,
+         '<|system|> You are a helpful assistant. <|user|> ' ||
+         'Summarize: ' || array_to_string(toks[1:12], ' ') AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  UNION ALL
+  SELECT doc_id, 1 AS seg,
+         array_to_string(toks[1:5], ' ') || ' ...<|end|>' AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+)"""
+    return (
+        "WITH "
+        + ",\n".join(
+            [seg_src]
+            + _bpe_doc_chain_ctes(rounds, source="seg_src", carry="seg")
+        )
+        + f""",
+perdoc AS (
+  SELECT doc_id,
+         cast(sum(CASE WHEN seg = 0
+                       THEN len(string_split(w, {B})) ELSE 0 END)
+              AS bigint) AS n_prompt_tok,
+         cast(sum(CASE WHEN seg = 1
+                       THEN len(string_split(w, {B})) ELSE 0 END)
+              AS bigint) AS n_completion_tok
+  FROM d{rounds} GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_prompt_tok, 0) AS n_prompt_tok,
+       coalesce(n_completion_tok, 0) AS n_completion_tok,
+       coalesce(n_prompt_tok, 0) + coalesce(n_completion_tok, 0)
+         AS n_tok,
+       round(coalesce(n_completion_tok, 0) * 1.0
+             / nullif(coalesce(n_prompt_tok, 0)
+                      + coalesce(n_completion_tok, 0), 0), 6)
+         AS loss_fraction
+FROM documents d LEFT JOIN perdoc USING (doc_id)"""
+    )
+
+
+@query(
+    "llm_sft_loss_mask",
+    oracle=_sft_mask_oracle(8),
+    section="C",
+    notes="SFT loss masking, the labels side of llm_sft_pipeline: an "
+    "SFT example trains only on its COMPLETION tokens — prompt "
+    "(system + user) tokens are masked out of the loss — so the "
+    "packer/scheduler needs each example's prompt vs completion "
+    "token split under the TRAINED tokenizer, and loss_fraction "
+    "(completion share) is the signal for dropping prompt-heavy "
+    "examples. Segments are tokenized separately (doc_id, seg) and "
+    "the tag rides the same d-chain merge rewrites (carry= param) — "
+    "the trainer sees the union word multiset, one corpus, one "
+    "merge table. NOTE the declared difference from llm_sft_pipeline: "
+    "segment-wise tokenization keeps the boundary words that the "
+    "one-string render glues to markup (w12\\n<|assistant|>\\nw1 "
+    "fails the [a-z]+ gate there) — the right behavior for labels, "
+    "where segment boundaries are real. Per-doc output, every doc "
+    "keeps a row (left join; zero-completion docs get loss_fraction "
+    "0 via the completion coalesce, all-empty docs NULL via nullif "
+    "on both engines). Scale: trainer as always + ONE groupBy(doc_id)"
+    " with conditional sums — the seg tag rides narrow folds free",
+)
+def llm_sft_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_stream_for_k8s_spark.operators.corpus import (
+        BPE_BOUND,
+        bpe_apply,
+        bpe_symbolize,
+        bpe_train,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    prompt = d.select(
+        "doc_id",
+        F.lit(0).alias("seg"),
+        F.concat(
+            F.lit("<|system|> You are a helpful assistant. <|user|> "
+                  "Summarize: "),
+            F.concat_ws(" ", F.slice("toks", 1, 12)),
+        ).alias("text"),
+    )
+    completion = d.select(
+        "doc_id",
+        F.lit(1).alias("seg"),
+        F.concat(
+            F.concat_ws(" ", F.slice("toks", 1, 5)), F.lit(" ...<|end|>")
+        ).alias("text"),
+    )
+    words = (
+        prompt.unionByName(completion)
+        .select(
+            "doc_id",
+            "seg",
+            F.explode(F.split("text", " ")).alias("rw"),
+        )
+        .select("doc_id", "seg", F.lower("rw").alias("lw"))
+        .filter(F.col("lw").rlike("^[a-z]+$") & (F.length("lw") >= 2))
+        .select("doc_id", "seg", bpe_symbolize(F.col("lw")).alias("w"))
+    )
+    merges = bpe_train(words.select("w"), 8)
+    enc = bpe_apply(words, merges)
+    ntok = F.size(F.split("w", BPE_BOUND))
+    perdoc = enc.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("seg") == 0, ntok).otherwise(0))
+        .cast("bigint")
+        .alias("n_prompt_tok"),
+        F.sum(F.when(F.col("seg") == 1, ntok).otherwise(0))
+        .cast("bigint")
+        .alias("n_completion_tok"),
+    )
+    out = (
+        d.select("doc_id")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_prompt_tok", F.lit(0)).cast("bigint")
+            .alias("n_prompt_tok"),
+            F.coalesce("n_completion_tok", F.lit(0)).cast("bigint")
+            .alias("n_completion_tok"),
+        )
+    )
+    total = F.col("n_prompt_tok") + F.col("n_completion_tok")
+    return out.select(
+        "doc_id",
+        "n_prompt_tok",
+        "n_completion_tok",
+        total.alias("n_tok"),
+        F.round(
+            F.try_divide(F.col("n_completion_tok") * F.lit(1.0), total), 6
+        ).alias("loss_fraction"),
     )
 
 

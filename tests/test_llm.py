@@ -1107,3 +1107,25 @@ def test_train_order_is_deterministic_permutation(spark):
         if ids != sorted(ids):
             scrambled += 1
     assert scrambled > 0
+
+
+def test_sft_loss_mask_invariants(spark):
+    """llm_sft_loss_mask: every doc keeps a row; n_tok is the exact
+    segment sum; loss_fraction is the rounded completion share; and
+    the structural inequality n_prompt_tok >= n_completion_tok + 3 —
+    the prompt's first-12 words CONTAIN the completion's first-5 as a
+    prefix and a word's token count under one merge table is the same
+    wherever it appears, so the prompt always costs at least the
+    completion plus the three static template words (you/are/helpful,
+    >= 1 token each). Hence the loss share never reaches 0.5."""
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    rows = REGISTRY["llm_sft_loss_mask"].spark(spark, SF).collect()
+    assert len(rows) == n_docs
+    assert any(r["n_completion_tok"] > 0 for r in rows)
+    for r in rows:
+        assert r["n_tok"] == r["n_prompt_tok"] + r["n_completion_tok"]
+        assert r["n_prompt_tok"] >= r["n_completion_tok"] + 3
+        assert r["loss_fraction"] == round(
+            r["n_completion_tok"] / r["n_tok"], 6
+        )
+        assert r["loss_fraction"] < 0.5
