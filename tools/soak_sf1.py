@@ -78,9 +78,10 @@ RISK = [
     "win_running_distinct",
     "ts_funnel",
     "tpch_q21_waiting_suppliers",
-    # r11 additions: BPE-train iteration + corpus-wide window profile
+    # r11 additions: BPE-train iterations + corpus-wide window profile
     "llm_sft_pipeline",
     "llm_dedup_excise",
+    "llm_sft_loss_mask",
 ]
 
 SF01 = "/root/testdata/sf0.1"
