@@ -322,7 +322,21 @@ def bpe_train(
     here would silently drop the caller's cache (ADVICE r09)."""
     lvl = words.storageLevel
     caller_cached = lvl.useMemory or lvl.useDisk
+    # Parallelism guard (r11): the fixture corpora are one parquet
+    # file -> one partition, so without this every training round's
+    # pair count AND every rewrite fold ran single-core (profiled:
+    # 8 x 1.3 s at sf0.1 = the whole trainer cost). Spreading the
+    # symbolized corpus once, before the persist, parallelizes all 8
+    # rounds; counts are commutative and the winner tie-break is a
+    # total order, so the merge table is partitioning-invariant (the
+    # hypothesis differentials re-pin this). No-op at real scale,
+    # where the corpus already arrives in >= core-count partitions —
+    # and never on a caller-persisted input (repartition would derive
+    # a NEW uncached relation and silently forfeit the cache).
     if not caller_cached:
+        dp = words.sparkSession.sparkContext.defaultParallelism
+        if words.rdd.getNumPartitions() < dp:
+            words = words.repartition(dp)
         # persist() returns the same DataFrame object, so the
         # `df is words` ownership test below stays valid either way
         words = words.persist(StorageLevel.MEMORY_AND_DISK)
