@@ -1103,3 +1103,103 @@ def prom_k8s_exposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample, value = line.rsplit(" ", 1)
         rows.append((sample, int(value)))
     return spark.createDataFrame(rows, "sample string, value bigint")
+
+
+def _doc_ingest_src(spark: SparkSession, sf_dir: str) -> str:
+    """documents as a 4-batch ingest feed: three mtime-ordered,
+    doc_id-ascending batches of the corpus with intra-corpus exact
+    duplicates REMOVED (keep min doc_id per md5 — real ingest feeds
+    arrive locally pre-deduped, the llm_dedup_incremental contract;
+    it also makes survivorship deterministic: dropDuplicates keeps an
+    ARBITRARY row within one micro-batch, so the fixture never asks
+    it to choose), then a fourth batch re-delivering every seventh
+    kept doc under a NEW doc_id (+1,000,000) with identical text —
+    the cross-batch duplicates the streaming state must kill."""
+    from pyspark.sql import Window
+
+    from event_stream_for_k8s_spark.sources.roundtrip import load
+
+    def build(out: str) -> None:
+        import glob
+        import shutil
+
+        d = load(spark, sf_dir, "documents").select("doc_id", "text")
+        rn = F.row_number().over(
+            Window.partitionBy(F.md5("text")).orderBy("doc_id")
+        )
+        kept = d.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+        nt = F.ntile(3).over(Window.orderBy("doc_id"))
+        sliced = kept.withColumn("_s", nt)
+        frames = [
+            sliced.filter(F.col("_s") == i + 1).drop("_s")
+            for i in range(3)
+        ]
+        frames.append(
+            kept.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+        os.makedirs(out, exist_ok=True)
+        for i, df in enumerate(frames):
+            df.coalesce(1).write.mode("overwrite").json(
+                os.path.join(out, f"p{i}")
+            )
+            (part,) = glob.glob(os.path.join(out, f"p{i}", "part-*.json"))
+            dst = os.path.join(out, f"batch_{i}.json")
+            shutil.move(part, dst)
+            shutil.rmtree(os.path.join(out, f"p{i}"))
+            t = time.time() - 300 + i * 60
+            os.utime(dst, (t, t))
+
+    return materialize(spark, sf_dir, "documents_ingest4", build)
+
+
+@query(
+    "stream_doc_dedup",
+    oracle="""
+WITH keep AS (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, cast(length(text) AS bigint) AS n_chars
+FROM keep WHERE rn = 1
+""",
+    section="C",
+    notes="STREAMING incremental corpus dedup, the ingest-time twin "
+    "of llm_dedup_exact / llm_dedup_incremental: documents arrive as "
+    "mtime-ordered micro-batches and a stateful content-hash "
+    "dropDuplicates admits each md5(text) exactly once across the "
+    "whole feed — the fourth batch re-delivers every seventh doc "
+    "under a fresh doc_id and the state kills ALL of them, which is "
+    "what the oracle checks (a kept re-delivery would surface as a "
+    "1,000,000+ doc_id row the batch SQL does not produce). Batches "
+    "arrive doc_id-ascending and internally pre-deduped (fixture "
+    "builder keeps min doc_id per hash — the deterministic-survivor "
+    "contract; dropDuplicates picks arbitrarily WITHIN a batch, so "
+    "the fixture never asks it to), making first-arrival == min "
+    "doc_id and the result exactly the batch keep-one answer. State "
+    "posture at 100 TB: exact dedup state is intrinsically the full "
+    "hash set — keyed by a 16-byte digest, hash-partitioned across "
+    "the RocksDB state store, no watermark to bound it (the batch "
+    "anti-join llm_dedup_incremental is the compaction path when the "
+    "key store outgrows streaming state)",
+)
+def stream_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _doc_ingest_src(spark, sf_dir)
+    ss = _streaming_session(spark)
+    stream = (
+        ss.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    deduped = (
+        stream.withColumn("h", F.md5("text"))
+        .dropDuplicates(["h"])
+        .select(
+            "doc_id", F.length("text").cast("bigint").alias("n_chars")
+        )
+    )
+    sink = f"sdd_{abs(hash(sf_dir)) % 10**8}"
+    return _run_to_memory(deduped, sink)

@@ -1263,3 +1263,28 @@ def test_to_batch_distinguishes_metadata_and_object_namespace():
     d = batch.to_pydict()
     assert d["namespace"] == ["obj-ns"]       # 4-dim label source
     assert d["meta_namespace"] == ["meta-ns"]  # nested emit source
+
+
+def test_stream_doc_dedup_kills_cross_batch_redelivery(spark):
+    """stream_doc_dedup: the fourth ingest batch re-delivers every
+    seventh kept doc under a fresh doc_id (+1,000,000) — the stateful
+    content-hash dedup must drop ALL of them (no 1M+ id survives),
+    admit every distinct corpus hash exactly once, and replay
+    deterministically (same kept set on a second full run)."""
+    from event_stream_for_k8s_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["stream_doc_dedup"].spark(spark, sf).collect()
+    kept = {r["doc_id"] for r in rows}
+    assert kept and all(i < 1_000_000 for i in kept)
+    n_hashes = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .selectExpr("count(distinct md5(text))")
+        .first()[0]
+    )
+    assert len(rows) == len(kept) == n_hashes
+    again = {
+        r["doc_id"]
+        for r in REGISTRY["stream_doc_dedup"].spark(spark, sf).collect()
+    }
+    assert again == kept
