@@ -584,3 +584,187 @@ def knn_pq(
     return top_k_per_group(
         exact, [q_id], [F.col("sim").desc(), F.col(c_id)], k, rank_col="rnk"
     )
+
+
+def knn_ivfpq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "qid",
+    c_id: str = "nid",
+    q_vec: str = "qvec",
+    c_vec: str = "cvec",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    train_n: int = 512,
+    rerank_factor: int = 10,
+) -> DataFrame:
+    """IVF-PQ combined: the deployed large-corpus ANN shape — the IVF
+    coarse quantizer prunes the search to ``n_probe`` of ``n_cells``
+    cells, PQ asymmetric distance scores ONLY the coded vectors in
+    probed cells (m table gathers per vector, corpus stored as m
+    codes + a norm), and the exact kernel re-ranks the top
+    k*rerank_factor shortlist. Composition of :func:`knn_ivf`'s probe
+    stage and :func:`knn_pq`'s codec (codes quantize RAW vectors, the
+    FAISS by_residual=false mode — one codebook serves every cell, so
+    the codec stays a broadcast scalar table); both quantizers are
+    seeded, so results are deterministic. Scale story multiplies:
+    touch n_probe/n_cells of the corpus AND read 8x fewer bytes per
+    touched vector; the shortlist equi-join re-reads only
+    rerank_factor*k rows per query."""
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+
+    if corpus.isEmpty() or queries.isEmpty():
+        return _empty_knn_result(queries, q_id, corpus, c_id)
+
+    # --- IVF half: coarse quantizer + per-query probe list ----------
+    c = _to_ml_vectors(corpus, c_vec)
+    km = KMeans(k=n_cells, seed=42, featuresCol="__v", predictionCol="cell")
+    model = km.fit(c)
+    corpus_cells = model.transform(c).drop("__v")
+    centroids = [
+        (i, [float(x) for x in ctr])
+        for i, ctr in enumerate(model.clusterCenters())
+    ]
+    cent_df = queries.sparkSession.createDataFrame(
+        centroids, ["cell", "centroid"]
+    )
+    probes = top_k_per_group(
+        queries.crossJoin(F.broadcast(cent_df)).select(
+            q_id,
+            "cell",
+            F.round(cosine(F.col(q_vec), F.col("centroid")), 6).alias(
+                "csim"
+            ),
+        ),
+        [q_id],
+        [F.col("csim").desc(), F.col("cell")],
+        n_probe,
+    ).select(q_id, "cell")
+
+    # --- PQ half: codebooks, corpus codes (cell carried) -------------
+    train = np.array(
+        [
+            r[0]
+            for r in corpus.select(c_vec)
+            .orderBy(c_id)
+            .limit(train_n)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    dim = train.shape[1]
+    sub = dim // m
+    assert sub * m == dim, f"dim {dim} not divisible by m={m}"
+    books = [
+        _lloyd(train[:, j * sub : (j + 1) * sub], n_codes, seed=42 + j)
+        for j in range(m)
+    ]
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[c_vec].map(np.asarray)).astype(np.float64)
+            codes = np.empty((len(v), m), dtype=np.int32)
+            for j in range(m):
+                s = v[:, j * sub : (j + 1) * sub]
+                d = ((s[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = d.argmin(1)
+            yield pd.DataFrame(
+                {
+                    c_id: pdf[c_id],
+                    "cell": pdf["cell"],
+                    "codes": list(codes),
+                    "norm": np.sqrt((v * v).sum(1)),
+                }
+            )
+
+    coded = corpus_cells.mapInPandas(
+        encode, f"{c_id} bigint, cell int, codes array<int>, norm double"
+    )
+
+    # --- query LUTs (queries are the broadcast-small side, the knn_pq
+    # serving contract and guard) -------------------------------------
+    max_queries = 100_000
+    qrows = queries.select(q_id, q_vec).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"knn_ivfpq query set exceeds {max_queries} rows; chunk the "
+            "queries or use the LSH/IVF paths for query-heavy workloads"
+        )
+    qix = {r[0]: i for i, r in enumerate(qrows)}
+    luts = np.stack(
+        [
+            np.stack(
+                [
+                    books[j]
+                    @ np.asarray(r[1], dtype=np.float64)[
+                        j * sub : (j + 1) * sub
+                    ]
+                    for j in range(m)
+                ]
+            )
+            for r in qrows
+        ]
+    )  # (Q, m, n_codes)
+    qnorms = np.array(
+        [
+            float(np.sqrt((np.asarray(r[1], dtype=np.float64) ** 2).sum()))
+            for r in qrows
+        ]
+    )
+
+    # --- ADC over probed cells only: equi-join on cell, then m table
+    # gathers per row — no float math per dimension --------------------
+    probed = coded.join(F.broadcast(probes), "cell")
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].map(np.asarray))
+            norms = pdf["norm"].to_numpy()
+            qi = pdf[q_id].map(qix).to_numpy()
+            d = np.zeros(len(pdf))
+            for j in range(m):
+                d += luts[qi, j, codes[:, j]]
+            sims = d / (qnorms[qi] * norms)
+            yield pd.DataFrame(
+                {
+                    q_id: pdf[q_id],
+                    c_id: pdf[c_id],
+                    "sim": np.round(sims, 6),
+                }
+            )
+
+    pairs = probed.mapInPandas(
+        score, f"{q_id} bigint, {c_id} bigint, sim double"
+    ).filter(F.col(q_id) != F.col(c_id))
+    shortlist = top_k_per_group(
+        pairs,
+        [q_id],
+        [F.col("sim").desc(), F.col(c_id)],
+        k * rerank_factor,
+        rank_col="rnk",
+    ).select(q_id, c_id)
+    exact = (
+        shortlist.join(corpus, c_id)
+        .join(F.broadcast(queries), q_id)
+        .select(
+            q_id,
+            c_id,
+            F.round(cosine(F.col(q_vec), F.col(c_vec)), 6).alias("sim"),
+        )
+    )
+    return top_k_per_group(
+        exact, [q_id], [F.col("sim").desc(), F.col(c_id)], k, rank_col="rnk"
+    )

@@ -632,6 +632,46 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_ivfpq_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION form of llm_knn_ivfpq: the combined IVF-PQ tier —
+    coarse quantizer prunes to 4 of 16 cells, PQ asymmetric distance
+    (8x-compressed codes + a norm) scores only the probed cells, the
+    exact kernel re-ranks the top 10%. The deployed large-corpus ANN
+    shape; both quantizers seeded, so deterministic."""
+    from event_stream_for_k8s_spark.operators.similarity import knn_ivfpq
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("cvec")
+    )
+    return knn_ivfpq(queries, corpus, k=5).select("qid", "nid", "sim", "rnk")
+
+
+@query(
+    "llm_knn_ivfpq",
+    oracle=KNN_RECALL_ORACLE,
+    section="B.11",
+    notes="IVF-PQ combined ANN, completing the tier ladder (brute -> "
+    "lsh / ivf / pq -> ivf+pq): the coarse quantizer prunes the "
+    "search to n_probe/n_cells of the corpus AND each touched vector "
+    "reads 8x fewer bytes (PQ codes + norm; raw-vector codes, the "
+    "FAISS by_residual=false mode, so ONE broadcast codebook serves "
+    "every cell), then exact re-rank of the top-10% shortlist. "
+    "Hash-checked via the shared recall-vs-brute envelope "
+    "(deterministic: both quantizers seeded); the recall floor the "
+    "envelope asserts is far under the fixture recall "
+    "tests/test_llm.py pins on knn_ivfpq_results, the production "
+    "form above",
+)
+def llm_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn_recall_envelope(
+        spark, sf_dir, knn_ivfpq_results(spark, sf_dir)
+    )
+
+
 @query(
     "llm_knn_ivf_exact",
     oracle=KNN_ORACLE,
