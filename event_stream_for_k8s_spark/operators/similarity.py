@@ -528,10 +528,17 @@ def knn_pq(
     luts = np.stack(luts)  # (Q, m, n_codes)
     qids_a = np.array(qids)
     qnorms_a = np.array(qnorms)
+    # explicit broadcast instead of task-closure pickling: the LUT array
+    # is up to Q*m*n_codes float64 (~100 MB at the query guard limit) and
+    # closure capture re-serializes it per stage (ADVICE r11)
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (luts, qids_a, qnorms_a)
+    )
 
     def score(batches):
         import pandas as pd
 
+        luts_b, qids_b, qnorms_b = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -539,16 +546,22 @@ def knn_pq(
             norms = pdf["norm"].to_numpy()
             nids = pdf[c_id].to_numpy()
             # ADC: approx dot = sum_j lut[q, j, code[n, j]]
-            dots = np.zeros((len(qids_a), len(nids)))
+            dots = np.zeros((len(qids_b), len(nids)))
             for j in range(m):
-                dots += luts[:, j, :][:, codes[:, j]]
-            sims = dots / (qnorms_a[:, None] * norms[None, :])
+                dots += luts_b[:, j, :][:, codes[:, j]]
+            # zero-norm query/corpus vectors: NaN (-> NULL through Arrow)
+            # instead of inf, mirroring the JVM cosine path's try_divide
+            # semantics so degenerate vectors sort last, not first
+            den = qnorms_b[:, None] * norms[None, :]
+            sims = np.divide(
+                dots, den, out=np.full_like(dots, np.nan), where=den != 0
+            )
             qq, nn = np.meshgrid(
-                np.arange(len(qids_a)), np.arange(len(nids)), indexing="ij"
+                np.arange(len(qids_b)), np.arange(len(nids)), indexing="ij"
             )
             yield pd.DataFrame(
                 {
-                    q_id: qids_a[qq.ravel()],
+                    q_id: qids_b[qq.ravel()],
                     c_id: nids[nn.ravel()],
                     "sim": np.round(sims.ravel(), 6),
                 }
@@ -600,6 +613,7 @@ def knn_ivfpq(
     n_codes: int = 16,
     train_n: int = 512,
     rerank_factor: int = 10,
+    by_residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ combined: the deployed large-corpus ANN shape — the IVF
     coarse quantizer prunes the search to ``n_probe`` of ``n_cells``
@@ -607,13 +621,23 @@ def knn_ivfpq(
     probed cells (m table gathers per vector, corpus stored as m
     codes + a norm), and the exact kernel re-ranks the top
     k*rerank_factor shortlist. Composition of :func:`knn_ivf`'s probe
-    stage and :func:`knn_pq`'s codec (codes quantize RAW vectors, the
-    FAISS by_residual=false mode — one codebook serves every cell, so
-    the codec stays a broadcast scalar table); both quantizers are
-    seeded, so results are deterministic. Scale story multiplies:
-    touch n_probe/n_cells of the corpus AND read 8x fewer bytes per
-    touched vector; the shortlist equi-join re-reads only
-    rerank_factor*k rows per query."""
+    stage and :func:`knn_pq`'s codec; both quantizers are seeded, so
+    results are deterministic. Scale story multiplies: touch
+    n_probe/n_cells of the corpus AND read 8x fewer bytes per touched
+    vector; the shortlist equi-join re-reads only rerank_factor*k rows
+    per query.
+
+    ``by_residual=False`` quantizes RAW vectors — one codebook serves
+    every cell (a single broadcast scalar table). ``by_residual=True``
+    is the FAISS default: codes quantize v - centroid(cell(v)), whose
+    spread is the WITHIN-cell variance — a strictly easier target for
+    the same m x n_codes byte budget, so recall at equal bytes is >=
+    the raw mode. The ADC stays one LUT per query because the inner
+    product is linear: dot(q, v) = dot(q, centroid) + dot(q, residual)
+    — the per-(query, cell) centroid term is a Q x n_cells matrix
+    computed once on the driver and broadcast; the per-code table
+    gathers are unchanged. Same storage (m codes + a norm), same
+    broadcast codebook, same two-stage shortlist/re-rank plan."""
     import numpy as np
 
     from pyspark.ml.clustering import KMeans
@@ -660,6 +684,18 @@ def knn_ivfpq(
     dim = train.shape[1]
     sub = dim // m
     assert sub * m == dim, f"dim {dim} not divisible by m={m}"
+    cents = np.array(
+        [np.asarray(ctr, dtype=np.float64) for ctr in model.clusterCenters()]
+    )  # (n_cells, dim) — tiny; rides the closure into encode/score
+    if by_residual:
+        # train the codebooks on residuals: assign the training sample
+        # to its nearest centroid (same squared-euclidean argmin the
+        # JVM KMeans uses) and subtract — the codebook then models the
+        # within-cell spread, not the whole-space spread
+        tcell = (
+            ((train[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)
+        )
+        train = train - cents[tcell]
     books = [
         _lloyd(train[:, j * sub : (j + 1) * sub], n_codes, seed=42 + j)
         for j in range(m)
@@ -672,6 +708,9 @@ def knn_ivfpq(
             if not len(pdf):
                 continue
             v = np.stack(pdf[c_vec].map(np.asarray)).astype(np.float64)
+            norms = np.sqrt((v * v).sum(1))  # EXACT norm, pre-residual
+            if by_residual:
+                v = v - cents[pdf["cell"].to_numpy()]
             codes = np.empty((len(v), m), dtype=np.int32)
             for j in range(m):
                 s = v[:, j * sub : (j + 1) * sub]
@@ -682,7 +721,7 @@ def knn_ivfpq(
                     c_id: pdf[c_id],
                     "cell": pdf["cell"],
                     "codes": list(codes),
-                    "norm": np.sqrt((v * v).sum(1)),
+                    "norm": norms,
                 }
             )
 
@@ -700,6 +739,14 @@ def knn_ivfpq(
             "queries or use the LSH/IVF paths for query-heavy workloads"
         )
     qix = {r[0]: i for i, r in enumerate(qrows)}
+    if len(qix) != len(qrows):
+        # a dict would silently collapse duplicates to the LAST row's
+        # LUT/norm and score the shadowed rows wrong (ADVICE r11) —
+        # unique query ids are a contract of the ivfpq serving path
+        raise ValueError(
+            f"knn_ivfpq requires unique {q_id} values: got "
+            f"{len(qrows)} rows but {len(qix)} distinct ids"
+        )
     luts = np.stack(
         [
             np.stack(
@@ -720,6 +767,19 @@ def knn_ivfpq(
             for r in qrows
         ]
     )
+    # per-(query, cell) centroid dot term for the residual ADC:
+    # dot(q, v) = dot(q, centroid_cell) + dot(q, residual); zeros in
+    # raw mode so score() stays one code path
+    qc = (
+        np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+        @ cents.T
+        if by_residual
+        else np.zeros((len(qrows), n_cells))
+    )  # (Q, n_cells)
+    # explicit broadcast: closure capture would re-pickle the LUT array
+    # (up to ~100 MB at the query guard limit) into EVERY stage that
+    # references score() (ADVICE r11)
+    bc = corpus.sparkSession.sparkContext.broadcast((luts, qnorms, qix, qc))
 
     # --- ADC over probed cells only: equi-join on cell, then m table
     # gathers per row — no float math per dimension --------------------
@@ -728,16 +788,23 @@ def knn_ivfpq(
     def score(batches):
         import pandas as pd
 
+        luts_b, qnorms_b, qix_b, qc_b = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             codes = np.stack(pdf["codes"].map(np.asarray))
             norms = pdf["norm"].to_numpy()
-            qi = pdf[q_id].map(qix).to_numpy()
-            d = np.zeros(len(pdf))
+            qi = pdf[q_id].map(qix_b).to_numpy()
+            d = qc_b[qi, pdf["cell"].to_numpy()].copy()
             for j in range(m):
-                d += luts[qi, j, codes[:, j]]
-            sims = d / (qnorms[qi] * norms)
+                d += luts_b[qi, j, codes[:, j]]
+            # zero-norm guard: NaN (-> NULL via Arrow) instead of
+            # inf/NaN noise, matching the JVM try_divide path so
+            # degenerate vectors rank last in the shortlist (ADVICE r11)
+            den = qnorms_b[qi] * norms
+            sims = np.divide(
+                d, den, out=np.full_like(d, np.nan), where=den != 0
+            )
             yield pd.DataFrame(
                 {
                     q_id: pdf[q_id],

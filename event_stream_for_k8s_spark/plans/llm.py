@@ -672,6 +672,52 @@ def llm_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_ivfpq_residual_results(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRODUCTION form of llm_knn_ivfpq_residual: IVF-PQ with residual
+    encoding (the FAISS default, VERDICT r11 #5) — codes quantize
+    v - centroid(cell(v)) so the m x n_codes byte budget models only
+    the WITHIN-cell spread; the ADC adds the per-(query, cell)
+    centroid dot (inner products are linear), everything else —
+    storage bytes, probe plan, shortlist re-rank — identical to the
+    raw-coded tier. Same seeded determinism."""
+    from event_stream_for_k8s_spark.operators.similarity import knn_ivfpq
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("cvec")
+    )
+    return knn_ivfpq(queries, corpus, k=5, by_residual=True).select(
+        "qid", "nid", "sim", "rnk"
+    )
+
+
+@query(
+    "llm_knn_ivfpq_residual",
+    oracle=KNN_RECALL_ORACLE,
+    section="B.11",
+    notes="IVF-PQ with RESIDUAL encoding (FAISS by_residual=true, the "
+    "library default): the PQ codebook quantizes v - centroid(cell) — "
+    "within-cell variance, a strictly easier target at the same "
+    "m x n_codes byte budget than raw coding, so fixture recall at "
+    "equal bytes is >= the raw tier's floor "
+    "(tests/test_llm.py::test_knn_ivfpq_residual_recall pins it). ADC "
+    "stays one LUT per query because dot(q, v) = dot(q, centroid) + "
+    "dot(q, residual); the centroid term is a Q x n_cells driver "
+    "matrix riding the same broadcast as the LUTs. Hash-checked via "
+    "the shared recall-vs-brute envelope; "
+    "knn_ivfpq_residual_results above is the production form",
+)
+def llm_knn_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn_recall_envelope(
+        spark, sf_dir, knn_ivfpq_residual_results(spark, sf_dir)
+    )
+
+
 @query(
     "llm_knn_ivf_exact",
     oracle=KNN_ORACLE,
@@ -1159,7 +1205,8 @@ WITH RECURSIVE emb AS (
   SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node
 )
 SELECT vec_id, cluster_id,
-       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       {CLUSTERS_ANCHOR_CAP} AS anchor_cap
 FROM comp
 """
 
@@ -1244,6 +1291,10 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("vec_id"),
         "cluster_id",
         F.count("*").over(w).alias("cluster_size"),
+        # surface the anchor slice in the schema (ADVICE r11): a
+        # consumer can't mistake this exactness fixture for a
+        # full-corpus clustering when the cap is a visible column
+        F.lit(CLUSTERS_ANCHOR_CAP).cast("int").alias("anchor_cap"),
     )
 
 

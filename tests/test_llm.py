@@ -1159,3 +1159,84 @@ def test_knn_ivfpq_recall_and_contract(spark):
         )
         sims = [r["sim"] for r in members]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_knn_ivfpq_residual_recall(spark):
+    """llm_knn_ivfpq_residual (VERDICT r11 #5): at EQUAL bytes (same
+    m x n_codes budget) residual coding must hold the raw tier's
+    recall floor and never fall below the raw mode on the fixture —
+    the residual target (within-cell spread) is a subset of the raw
+    target's spread, so the same codebook budget buys finer codes."""
+    from event_stream_for_k8s_spark.plans.llm import (
+        knn_ivfpq_residual_results,
+        knn_ivfpq_results,
+    )
+
+    brute = {
+        (r["qid"], r["nid"])
+        for r in REGISTRY["llm_knn_brute"].spark(spark, SF).collect()
+    }
+    raw = {
+        (r["qid"], r["nid"])
+        for r in knn_ivfpq_results(spark, SF).collect()
+    }
+    rows = knn_ivfpq_residual_results(spark, SF).collect()
+    res = {(r["qid"], r["nid"]) for r in rows}
+    recall_res = len(brute & res) / len(brute)
+    recall_raw = len(brute & raw) / len(brute)
+    assert recall_res >= 0.3, f"residual recall under floor: {recall_res}"
+    assert recall_res >= recall_raw, (recall_res, recall_raw)
+    by_q: dict = {}
+    for r in rows:
+        assert r["qid"] != r["nid"]
+        by_q.setdefault(r["qid"], []).append(r)
+    for members in by_q.values():
+        members.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in members] == list(
+            range(1, len(members) + 1)
+        )
+
+
+def test_residual_coding_cuts_reconstruction_error():
+    """The reason by_residual is the FAISS default, pinned at the
+    CODEC level where it is deterministic: on a clustered corpus,
+    codes that quantize v - centroid(cell(v)) only have to model the
+    WITHIN-cell spread, so at equal bytes (same m x n_codes budget)
+    the reconstruction error — which bounds the ADC dot-product error
+    via |dot(q,v) - dot(q,v_hat)| <= ||q||*||v - v_hat|| — must drop
+    versus raw coding, and by a wide margin when between-cluster
+    spread dominates. (End-to-end recall on the real fixture is
+    pinned separately by test_knn_ivfpq_residual_recall; a recall
+    differential on a synthetic corpus is NOT pinned — with only
+    q*k=40 pairs it is seed-noise, as a geometry sweep showed.)"""
+    import numpy as np
+
+    from event_stream_for_k8s_spark.operators.similarity import _lloyd
+
+    rng = np.random.RandomState(7)
+    dim, n_clusters, per, m, n_codes = 16, 8, 80, 4, 8
+    sub = dim // m
+    centers = rng.randn(n_clusters, dim) * 20.0
+    x = np.repeat(centers, per, axis=0) + rng.randn(
+        n_clusters * per, dim
+    ) * 0.5
+    # coarse assignment: nearest center (what the IVF stage does)
+    cell = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(-1).argmin(1)
+
+    def recon_err(train, data):
+        err = 0.0
+        for j in range(m):
+            s = slice(j * sub, (j + 1) * sub)
+            book = _lloyd(train[:, s], n_codes, seed=42 + j)
+            codes = (
+                ((data[:, s][:, None, :] - book[None, :, :]) ** 2)
+                .sum(-1)
+                .argmin(1)
+            )
+            err += ((data[:, s] - book[codes]) ** 2).sum()
+        return err
+
+    raw_err = recon_err(x, x)
+    resid = x - centers[cell]
+    res_err = recon_err(resid, resid)  # v_hat = centroid + code word
+    assert res_err < raw_err * 0.2, (res_err, raw_err)
