@@ -40,6 +40,7 @@ _DOC_RE = re.compile(
         PROGRESS\.jsonl$ |
         BENCH_r\d+\.json$ |
         CORRECTNESS_r\d+\.json$ |
+        SELFCHECK_r\d+\.json$ |
         LEAKCHECK\.json$ |
         COPYCHECK\.json$ |
         VERDICT.*$ | ADVICE.*$ | BASELINE\.json$
@@ -53,16 +54,36 @@ def _git(*args: str) -> str:
     ).stdout.strip()
 
 
+def _next_round() -> int:
+    """Round number for the SELFCHECK artifact = latest driver
+    CORRECTNESS round + 1 (the sweep we attest is the one the CURRENT
+    round's driver gate will sample)."""
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(REPO)
+        if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", f))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
 def run() -> int:
     head = _git("rev-parse", "--short", "HEAD")
     results = []
+    # machine-diffable close artifact (VERDICT r11 #3): the sf0.01
+    # sweep — the driver gate's SF — lands in SELFCHECK_r{N}.json in
+    # the driver's exact CORRECTNESS format, covering ALL registry
+    # names including those past the driver's 50-name window
+    selfcheck_json = os.path.join(REPO, f"SELFCHECK_r{_next_round():02d}.json")
     for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.001"):
         # stderr folded into stdout (ADVICE r09): a crashing sweep
         # previously reported '<no output>' because the traceback
         # went to the discarded stderr pipe
+        cmd = [sys.executable, os.path.join(REPO, "tools", "selfcheck.py"),
+               "--sf", sf]
+        if sf.endswith("sf0.01"):
+            cmd += ["--json", selfcheck_json]
         proc = subprocess.run(
-            [sys.executable, os.path.join(REPO, "tools", "selfcheck.py"),
-             "--sf", sf],
+            cmd,
             cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
