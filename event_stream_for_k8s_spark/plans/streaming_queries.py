@@ -72,10 +72,21 @@ def _streaming_session(
     harnesses collect immediately, so a few MB per streaming run is
     the steady state of a sweep; a service embedding these queries
     should reuse one clone per layout instead of one per call.
+
+    ``SPARK_GRAFT_STATESTORE_PROVIDER`` (env) pins the state-store
+    provider class on the clone — the 100 TB posture is config, not
+    code: export the RocksDB provider and every registered streaming
+    query runs its keyed state against RocksDB unchanged
+    (tests/test_rocksdb_posture.py pins exactly that, oracle-checked).
     """
     clone = spark.newSession()
     if state_partitions is not None:
         clone.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    provider = os.environ.get("SPARK_GRAFT_STATESTORE_PROVIDER")
+    if provider:
+        clone.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", provider
+        )
     clone._esk_parent = spark  # for _restore_parent after the run
     return clone
 
