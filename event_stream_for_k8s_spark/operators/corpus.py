@@ -371,3 +371,102 @@ def bpe_train(
             if df is words and caller_cached:
                 continue
             df.unpersist()
+
+
+def bpe_train_batched(
+    words: DataFrame,
+    rounds: int,
+    batch: int = 4,
+    candidates: int = 32,
+) -> list[tuple[int, str, str, int]]:
+    """Batched-merge BPE trainer (VERDICT r11 #4): learn up to
+    ``batch`` merges per Spark round from ONE pair count, instead of
+    one merge per round — the standard scalable-BPE device. The
+    sequential trainer's ceiling is merges-per-round: a real 32k-merge
+    vocabulary through :func:`bpe_train` is 32k sequential Spark jobs;
+    this runs ceil(rounds/batch) driver rounds (rounds proportional to
+    vocab/B), each still one map-side-combinable pair count plus one
+    composed codegen rewrite pass.
+
+    Batch semantics (mirrored exactly by the unrolled DuckDB oracle in
+    plans/llm.py:_bpe_batched_ctes):
+
+    - each round ranks pairs by the sequential trainer's total order
+      (count DESC, SEP-joined key ASC) and greedily scans the top
+      ``candidates`` of them in rank order, accepting a pair iff
+      neither symbol appears among an already-accepted pair's symbols
+      OR its merged output. Symbol-disjoint merges are mutually
+      independent — merging a·b only destroys adjacencies involving a
+      or b and only creates adjacencies involving the new symbol ab,
+      so a disjoint pair's occurrence set (and recorded pre-batch
+      count) is invariant under it; excluding the OUTPUT ab as well
+      keeps a later candidate from consuming occurrences the earlier
+      merge just created.
+    - round t accepts at most min(batch, rounds - t*batch) pairs — a
+      STATIC cap, so a round whose candidates conflict learns fewer
+      merges and the trainer may return fewer than ``rounds`` total
+      (never zero per round: rank 1 always accepts). The batched
+      contract trades exact merge count for O(vocab/B) rounds;
+      batch=1 degenerates EXACTLY to :func:`bpe_train` round for
+      round (hypothesis-pinned in tests/test_properties.py).
+    - accepted merges apply in rank order as one composed
+      :func:`_bpe_merge_word` replace chain — byte-identical to
+      applying them one select at a time, since the chain's
+      unwrap/wrap roundtrip between steps is the identity.
+
+    Same caching discipline as :func:`bpe_train`: per-round persist,
+    previous round released after the next materializes, caller-owned
+    caches never touched.
+    """
+    import math
+
+    lvl = words.storageLevel
+    caller_cached = lvl.useMemory or lvl.useDisk
+    if not caller_cached:
+        dp = words.sparkSession.sparkContext.defaultParallelism
+        if words.rdd.getNumPartitions() < dp:
+            words = words.repartition(dp)
+        words = words.persist(StorageLevel.MEMORY_AND_DISK)
+    cached: list[DataFrame] = [words]
+    try:
+        merges: list[tuple[int, str, str, int]] = []
+        cur = cached[0]
+        for t in range(math.ceil(rounds / max(batch, 1))):
+            cap = min(batch, rounds - t * batch)
+            top = (
+                _bpe_pair_counts(cur)
+                .orderBy(F.desc("n"), "pk")
+                .limit(candidates)
+                .collect()
+            )
+            if len(cached) > 1:
+                prev = cached.pop(0)
+                if prev is not words or not caller_cached:
+                    prev.unpersist()
+            if not top:
+                break
+            used: set[str] = set()
+            accepted: list[tuple[str, str, int]] = []
+            for row in top:
+                if len(accepted) >= cap:
+                    break
+                a, b = row["pk"].split(BPE_SEP)
+                if a in used or b in used:
+                    continue
+                used.update((a, b, a + b))
+                accepted.append((a, b, row["n"]))
+            for a, b, n in accepted:
+                merges.append((len(merges), a, b, n))
+            col = F.col("w")
+            for a, b, _ in accepted:
+                col = _bpe_merge_word(col, a, b)
+            cur = cur.select(col.alias("w")).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            cached.append(cur)
+        return merges
+    finally:
+        for df in cached:
+            if df is words and caller_cached:
+                continue
+            df.unpersist()
