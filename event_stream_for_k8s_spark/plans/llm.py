@@ -2230,6 +2230,80 @@ def llm_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_mm_decode_png",
+    oracle="""
+WITH b AS (
+  SELECT doc_id,
+         rpad(regexp_replace(substr(text, 1, 768), '[^ -~]', '?', 'g'),
+              768, ' ') AS body
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_transform(range(1, 769),
+           i -> ord(substr(body, cast(i AS int), 1))) AS px
+  FROM b
+)
+SELECT doc_id, 'image/png' AS mime,
+       cast(16 AS double) AS f0, cast(16 AS double) AS f1,
+       cast(list_sum(px) AS double) / 768.0 AS f2,
+       cast(list_max(px) AS double) AS f3
+FROM s
+""",
+    section="B.11",
+    notes="PNG through the declared codec boundary (VERDICT r11 #6), "
+    "stdlib-only: each doc's normalized 768-byte body becomes a REAL "
+    "16x16 RGB PNG (functions/multimodal.py::encode_png — zlib "
+    "deflate, CRC chunks, scanline y filtered with type y%5 so all "
+    "five PNG filters appear in every image), then decode_media's "
+    "image/png decoder walks the chunks, inflates, UNFILTERS "
+    "(None/Sub/Up/Average/Paeth) and emits the shared image-feature "
+    "contract (w, h, mean sample, max sample). The oracle recomputes "
+    "the features straight from the text — byte-exact only if the "
+    "filter round-trip reconstructs every sample, so a decoder bug "
+    "in any filter fails THIS row, not just a unit test. byte_len "
+    "(the deflated payload size) is projected away: compressed size "
+    "is a zlib implementation detail, not a data property. Encode "
+    "and decode are Arrow-batched mapInPandas, one narrow pass each, "
+    "no shuffle; 16-bit/palette/interlaced stay behind the "
+    "NotImplementedError boundary",
+)
+def llm_mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from event_stream_for_k8s_spark.functions.multimodal import (
+        decode_media,
+        encode_png,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    body = F.rpad(
+        F.regexp_replace(
+            F.substring("text", 1, 768), r"[^\x20-\x7e]", "?"
+        ),
+        768,
+        " ",
+    )
+    src = d.select("doc_id", F.encode(body, "UTF-8").alias("raw"))
+
+    def enc(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_png(bytes(r), 16, 16) for r in pdf["raw"]
+                    ],
+                    "mime": "image/png",
+                }
+            )
+
+    mm = src.mapInPandas(enc, "doc_id bigint, payload binary, mime string")
+    return decode_media(mm).select(
+        "doc_id", "mime", "f0", "f1", "f2", "f3"
+    )
+
+
+@query(
     "llm_perplexity",
     oracle="""
 WITH tok AS (

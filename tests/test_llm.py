@@ -158,6 +158,110 @@ def test_multimodal_decode_real_formats(spark):
         decode_media(jpeg).collect()
 
 
+def test_png_decode_hand_filtered_spec_vectors():
+    """decode_png against HAND-COMPUTED spec filter bytes (PNG §9),
+    independent of encode_png — a matched encoder/decoder sign bug
+    cannot satisfy this. 1x5 grayscale, pixels [10,20,30,40,50], one
+    scanline per filter type:
+      y0 None: 10 | y1 Sub (a=0): 20 | y2 Up (prev=20): 30-20=10
+      y3 Average (a=0, prev=30 -> 15): 40-15=25
+      y4 Paeth (a=0,b=40,c=0 -> pred=b): 50-40=10"""
+    import zlib
+
+    from event_stream_for_k8s_spark.functions.multimodal import decode_png
+
+    stream = bytes([0, 10, 1, 20, 2, 10, 3, 25, 4, 10])
+    ihdr = (
+        (1).to_bytes(4, "big")
+        + (5).to_bytes(4, "big")
+        + bytes([8, 0, 0, 0, 0])  # 8-bit grayscale, no interlace
+    )
+
+    def chunk(cid, body):
+        return (
+            len(body).to_bytes(4, "big")
+            + cid
+            + body
+            + zlib.crc32(cid + body).to_bytes(4, "big")
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(stream))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(png) == (1.0, 5.0, 30.0, 50.0)
+
+
+def test_png_encode_decode_roundtrip_and_boundaries():
+    """encode_png -> decode_png round-trip across channel counts and
+    shapes (every image >= 5 rows hits all five filters), plus the
+    declared error/boundary surface."""
+    import zlib
+
+    import pytest as pt
+
+    from event_stream_for_k8s_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    for w, h, ch in [(16, 16, 3), (7, 5, 1), (3, 9, 4), (1, 1, 3), (2, 6, 2)]:
+        raw = bytes((i * 37 + 11) % 256 for i in range(w * h * ch))
+        f0, f1, f2, f3 = decode_png(encode_png(raw, w, h, channels=ch))
+        assert (f0, f1) == (float(w), float(h))
+        assert f2 == sum(raw) / len(raw)
+        assert f3 == float(max(raw))
+
+    with pt.raises(ValueError, match="not a PNG"):
+        decode_png(b"GIF89a")
+    with pt.raises(ValueError, match="raw length"):
+        encode_png(b"\x00" * 5, 2, 2, channels=3)
+
+    # 16-bit depth: parseable container, declared decoder boundary
+    def chunk(cid, body):
+        return (
+            len(body).to_bytes(4, "big")
+            + cid
+            + body
+            + zlib.crc32(cid + body).to_bytes(4, "big")
+        )
+
+    ihdr16 = (
+        (1).to_bytes(4, "big")
+        + (1).to_bytes(4, "big")
+        + bytes([16, 0, 0, 0, 0])
+    )
+    png16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr16)
+        + chunk(b"IDAT", zlib.compress(bytes([0, 0, 1])))
+        + chunk(b"IEND", b"")
+    )
+    with pt.raises(NotImplementedError, match="depth=16"):
+        decode_png(png16)
+
+
+def test_png_decode_through_decode_media(spark):
+    """image/png dispatches through the same mapInPandas decode path
+    as PPM/WAV, feature contract included."""
+    from event_stream_for_k8s_spark.functions.multimodal import (
+        decode_media,
+        encode_png,
+    )
+
+    raw = bytes(range(48))  # 4x4 RGB
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(raw, 4, 4)), "image/png", {})],
+        "doc_id bigint, payload binary, mime string, meta map<string,string>",
+    )
+    r = decode_media(df).collect()[0]
+    assert (r["f0"], r["f1"]) == (4.0, 4.0)
+    assert r["f2"] == sum(raw) / 48
+    assert r["f3"] == 47.0
+
+
 def test_multimodal_resize_nearest_neighbor(spark):
     """4x4 -> 2x2 nearest-neighbor picks pixels (0,0),(0,2),(2,0),(2,2)."""
     from event_stream_for_k8s_spark.functions.multimodal import resize_media
