@@ -3547,6 +3547,99 @@ def llm_sft_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_dpo_pairs",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id,
+         array_to_string(string_split(lower(text), ' ')[1:2], ' ') AS pk,
+         cast(length(text) AS bigint) AS n_chars,
+         cast(
+           cast({_sql_hits(STOPWORDS)} * 1.0
+                / len(string_split(text, ' ')) BETWEEN 0.02 AND 0.6 AS int)
+         + cast((length(text) - len(string_split(text, ' ')) + 1) * 1.0
+                / len(string_split(text, ' ')) BETWEEN 3 AND 12 AS int)
+         + cast(length(text) BETWEEN 50 AND 5000 AS int)
+         + cast(len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+                / length(text) <= 0.1 AS int) AS int) AS q
+  FROM documents
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY pk
+           ORDER BY q DESC, n_chars DESC, doc_id DESC) AS rb,
+         row_number() OVER (PARTITION BY pk
+           ORDER BY q ASC, n_chars ASC, doc_id ASC) AS rw,
+         count(*) OVER (PARTITION BY pk) AS group_n
+  FROM feats
+)
+SELECT b.pk AS prompt_key, cast(b.group_n AS bigint) AS group_n,
+       b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+       b.q AS chosen_score, w.q AS rejected_score,
+       b.q - w.q AS margin
+FROM (SELECT * FROM ranked WHERE rb = 1) b
+JOIN (SELECT * FROM ranked WHERE rw = 1) w USING (pk)
+WHERE b.group_n >= 2 AND b.q - w.q >= 1
+""",
+    section="B.11",
+    notes="preference-pair construction — the DPO/RLHF-prep stage the "
+    "SFT arc (chat_format -> sft_pipeline -> loss_mask) hands off "
+    "to: candidate responses grouped by a shared 2-word prompt "
+    "prefix, CHOSEN = the group's (quality_score, n_chars, doc_id) "
+    "lexicographic max, REJECTED = its min (llm_quality's exact 0-4 "
+    "heuristic as the preference signal; the tuple order makes both "
+    "picks total and deterministic), and TIED pairs (margin 0) are "
+    "dropped — the standard DPO hygiene rule, since a tie teaches "
+    "the reward margin nothing. Scale shape: ONE hash shuffle on the "
+    "prompt key and a map-side-combinable struct max/min aggregate — "
+    "no window, no self-join, no candidate explosion; at 100 TB the "
+    "group cardinality is the prompt space, each group reduced to "
+    "two structs in the combiner. Oracle mirrors the tuple order "
+    "with twin row_number ranks",
+)
+def llm_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    f = quality_features("text")
+    q = (
+        F.col("stopword_ratio").between(0.02, 0.6).cast("int")
+        + F.col("avg_token_len").between(3, 12).cast("int")
+        + F.col("n_chars").between(50, 5000).cast("int")
+        + (F.col("punct_ratio") <= 0.1).cast("int")
+    )
+    feats = d.select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.split(F.lower("text"), " "), 1, 2), " "
+        ).alias("pk"),
+        f["n_chars"].cast("bigint").alias("n_chars"),
+        f["punct_ratio"].alias("punct_ratio"),
+        f["stopword_ratio"].alias("stopword_ratio"),
+        f["avg_token_len"].alias("avg_token_len"),
+    ).select("doc_id", "pk", "n_chars", q.alias("q"))
+    # chosen/rejected as ONE map-combinable aggregate: struct min/max
+    # compare lexicographically on (q, n_chars, doc_id) — the same
+    # total order the oracle's twin row_number ranks spell out
+    g = feats.groupBy("pk").agg(
+        F.count("*").cast("bigint").alias("group_n"),
+        F.max(F.struct("q", "n_chars", "doc_id")).alias("best"),
+        F.min(F.struct("q", "n_chars", "doc_id")).alias("worst"),
+    )
+    return (
+        g.filter(
+            (F.col("group_n") >= 2)
+            & (F.col("best.q") - F.col("worst.q") >= 1)
+        )
+        .select(
+            F.col("pk").alias("prompt_key"),
+            "group_n",
+            F.col("best.doc_id").alias("chosen_id"),
+            F.col("worst.doc_id").alias("rejected_id"),
+            F.col("best.q").alias("chosen_score"),
+            F.col("worst.q").alias("rejected_score"),
+            (F.col("best.q") - F.col("worst.q")).alias("margin"),
+        )
+    )
+
+
+@query(
     "llm_dedup_url",
     oracle="""
 WITH u AS (
