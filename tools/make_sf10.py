@@ -9,11 +9,22 @@ per-replica KEY OFFSETS equal to the sf1 cardinality (= 10x the sf0.1
 base cardinality), so key cardinality scales 10x while per-key row
 counts (join fan-outs, group sizes) stay constant — the way real SF
 growth behaves. region/nation stay single-copy (fixed dimensions, as
-in TPC-H). documents get a per-replica ``s{i} `` text prefix on top of
-sf1's ``r{j} `` prefix so the exact/near-duplicate RATE stays at the
-base level instead of collapsing to 10 exact copies of everything
-(n_chars is kept == length(text), the fixture invariant functions.py
-relies on).
+in TPC-H). documents get a per-replica ``s{i}`` text prefix — merged
+into the FIRST WORD, no space — so the exact/near-duplicate RATE
+stays at the base level instead of collapsing to 10 exact copies of
+everything (n_chars is kept == length(text), the fixture invariant
+functions.py relies on). The no-space merge matters: sf1's replicas
+already prepend ``r{j} `` as a standalone word, and stacking a second
+standalone marker makes every doc's first two words (s{i}, r{j}) —
+collapsing join_fuzzy_blocked's opening-bigram blocking key to ~100
+distinct values with ~50k-doc blocks, i.e. ~2e11 candidate pairs (a
+measured 15-minutes-and-counting stall at sf10). Real 10x growth
+grows the KEY SPACE; merging the marker into the first word keeps
+block sizes at the sf1 distribution while block count scales 10x —
+the behavior the soak is supposed to measure. Blocking-key
+selectivity being a data property to re-audit at every scale step is
+exactly the join_fuzzy_blocked plan note's warning, demonstrated by
+the fixture generator itself.
 
 Only the parquet tables are scaled — the derived stream/JSON fixtures
 in the sf1 dir are per-query caches the fixture machinery rebuilds on
@@ -121,10 +132,11 @@ def scale(spark, out_dir: str) -> None:
         lambda d, i: d.withColumns(
             {
                 "doc_id": F.col("doc_id") + i * CARD["documents"],
-                "text": F.concat(F.lit(f"s{i} "), F.col("text"))
+                # no-space merge into the first word (see module doc)
+                "text": F.concat(F.lit(f"s{i}"), F.col("text"))
                 if i
                 else F.col("text"),
-                "n_chars": F.col("n_chars") + (len(f"s{i} ") if i else 0),
+                "n_chars": F.col("n_chars") + (len(f"s{i}") if i else 0),
             }
         ),
     )
