@@ -43,6 +43,19 @@ def test_agg_has_partial_aggregation(spark):
     assert p.count("HashAggregate") >= 2
 
 
+def test_dpo_pairs_is_one_shuffle_no_join(spark):
+    """llm_dpo_pairs' claimed shape: chosen/rejected via struct
+    min/max in ONE map-combinable aggregate — a single prompt-key
+    exchange, no window, no self-join, no candidate explosion."""
+    p = _plan(spark, "llm_dpo_pairs")
+    assert p.count("Exchange") == 1, p
+    # struct min/max plans as SortAggregate; partial + final still
+    # means the combine happens map-side before the one exchange
+    assert p.count("Aggregate(") >= 2 and "partial_" in p
+    assert "Window" not in p and "SortMergeJoin" not in p
+    assert "HashJoin" not in p and "NestedLoop" not in p
+
+
 def test_asof_join_has_no_cartesian(spark):
     p = _plan(spark, "join_asof")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
