@@ -61,6 +61,20 @@ DEFAULT = [
 ]
 
 
+# Declared-anchor thresholds: win_rank is the registry's ONE
+# deliberate global-window exemplar (B.5 anchor, SCALE WARNING +
+# keyed twins in its notes). Its work is linear but its parallelism
+# is pinned at 3 by SEMANTICS (rank over 3 return flags), so the
+# expected sf1->sf10 ratio is ~the data ratio (10x) plus the larger
+# sort/spill constant — the generic 14x keyed-plan threshold would
+# flag the anchor for behaving exactly as documented. 20x = data
+# ratio x2 headroom; the ratio still prints either way. Slicing the
+# anchor instead (the clusters precedent) was rejected because
+# win_rank is a frozen BASELINE v2 bench row — shrinking its input
+# would game the bench gate.
+ANCHOR_THRESHOLD = {"win_rank": 20.0}
+
+
 def run_once(spark, name: str, sf_dir: str) -> float:
     spark.catalog.clearCache()
     t0 = time.time()
@@ -83,10 +97,11 @@ def main() -> int:
     bad = []
     results = {}
     for name in names:
+        thresh = ANCHOR_THRESHOLD.get(name, args.threshold)
         t_small = run_once(spark, name, SF1)
         t_small = min(t_small, run_once(spark, name, SF1))
         t_big = run_once(spark, name, SF10)
-        if t_small > 0 and t_big / t_small > args.threshold:
+        if t_small > 0 and t_big / t_small > thresh:
             # one-time sf10 fixture builds masquerade as blowups:
             # warm re-run before a flag counts (soak_sf1 discipline)
             t_big = min(t_big, run_once(spark, name, SF10))
@@ -96,9 +111,9 @@ def main() -> int:
             "sf10_sec": round(t_big, 3),
             "ratio": round(ratio, 2),
         }
-        flag = " SUPERLINEAR" if ratio > args.threshold else ""
+        flag = " SUPERLINEAR" if ratio > thresh else ""
         print(json.dumps({"query": name, **results[name]}) + flag, flush=True)
-        if ratio > args.threshold:
+        if ratio > thresh:
             bad.append(name)
     print(
         json.dumps(
