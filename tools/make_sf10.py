@@ -9,22 +9,41 @@ per-replica KEY OFFSETS equal to the sf1 cardinality (= 10x the sf0.1
 base cardinality), so key cardinality scales 10x while per-key row
 counts (join fan-outs, group sizes) stay constant — the way real SF
 growth behaves. region/nation stay single-copy (fixed dimensions, as
-in TPC-H). documents get a per-replica ``s{i}`` text prefix — merged
-into the FIRST WORD, no space — so the exact/near-duplicate RATE
-stays at the base level instead of collapsing to 10 exact copies of
-everything (n_chars is kept == length(text), the fixture invariant
-functions.py relies on). The no-space merge matters: sf1's replicas
-already prepend ``r{j} `` as a standalone word, and stacking a second
-standalone marker makes every doc's first two words (s{i}, r{j}) —
-collapsing join_fuzzy_blocked's opening-bigram blocking key to ~100
-distinct values with ~50k-doc blocks, i.e. ~2e11 candidate pairs (a
-measured 15-minutes-and-counting stall at sf10). Real 10x growth
-grows the KEY SPACE; merging the marker into the first word keeps
-block sizes at the sf1 distribution while block count scales 10x —
-the behavior the soak is supposed to measure. Blocking-key
-selectivity being a data property to re-audit at every scale step is
-exactly the join_fuzzy_blocked plan note's warning, demonstrated by
-the fixture generator itself.
+in TPC-H).
+
+**Replicas must be DISTINCT in content space, not just key space** —
+the central lesson of the first two sf10 soak runs, both of which
+caught the GENERATOR, not a plan:
+
+- documents: suffixing every WORD with the replica marker (``w`` ->
+  ``w·s{i}``) keeps each replica's internal structure exact — word
+  counts, planted near-duplicate pairs, quality features, block-size
+  distributions all match sf1 — while making cross-replica shingle
+  sets disjoint and the opening-bigram blocking key scale 10x.
+  The first attempt (a standalone ``s{i} `` prefix word on top of
+  sf1's ``r{j} `` prefix) collapsed join_fuzzy_blocked's blocking key
+  to ~100 values x ~50k-doc blocks = ~2e11 candidate pairs (measured
+  stall); a first-word merge fixed that but left every doc with 100
+  cross-replica NEAR-duplicates (sf1 text differs only in the first
+  word), which is quadratic fuel for every MinHash/LSH bucket.
+  Real 10x growth grows the content space; so does the word suffix.
+  n_chars is recomputed as length(text) (the fixture invariant
+  functions.py relies on).
+- embeddings: sf1's replication copies each VECTOR verBATIM (only
+  vec_id shifts), so sf10-by-copy gives every vector ~100 exact
+  clones — identical LSH signatures, 100x bucket sizes, ~100x
+  candidate pairs (llm_dedup_clusters_lsh measured 61.9x sf1->sf10
+  before this fix). Each replica now applies a seeded COORDINATE
+  PERMUTATION to the embedding array: norms and all within-replica
+  dot products are preserved EXACTLY (replica geometry == sf1
+  geometry, including planted duplicate pairs), while cross-replica
+  cosines drop to the random-direction band (~N(0, 1/sqrt(64))),
+  far below every dedup/ANN threshold in the registry. Replica 0 is
+  the identity.
+
+Blocking-key/bucket selectivity being a data property to re-audit at
+every scale step is exactly the join_fuzzy_blocked plan note's
+warning — demonstrated by the fixture generator itself, twice.
 
 Only the parquet tables are scaled — the derived stream/JSON fixtures
 in the sf1 dir are per-query caches the fixture machinery rebuilds on
@@ -127,23 +146,48 @@ def scale(spark, out_dir: str) -> None:
             }
         ),
     )
+    def doc_text(i: int):
+        # suffix every word with the replica marker (see module doc):
+        # within-replica structure exact, cross-replica shingles
+        # disjoint, key spaces scale 10x
+        if not i:
+            return F.col("text")
+        return F.array_join(
+            F.transform(
+                F.split("text", " "), lambda w: F.concat(w, F.lit(f"s{i}"))
+            ),
+            " ",
+        )
+
     replicate(
         "documents",
         lambda d, i: d.withColumns(
             {
                 "doc_id": F.col("doc_id") + i * CARD["documents"],
-                # no-space merge into the first word (see module doc)
-                "text": F.concat(F.lit(f"s{i}"), F.col("text"))
-                if i
-                else F.col("text"),
-                "n_chars": F.col("n_chars") + (len(f"s{i}") if i else 0),
+                "text": doc_text(i),
             }
-        ),
+        ).withColumn("n_chars", F.length("text").cast("bigint")),
     )
+
+    import random
+
+    def perm_vec(i: int):
+        # seeded per-replica coordinate permutation (see module doc):
+        # replica geometry identical to sf1, cross-replica cosines at
+        # the random band. Identity for replica 0.
+        if not i:
+            return F.col("embedding")
+        perm = list(range(64))
+        random.Random(1000 + i).shuffle(perm)
+        return F.array(*[F.col("embedding")[p] for p in perm])
+
     replicate(
         "embeddings",
-        lambda d, i: d.withColumn(
-            "vec_id", F.col("vec_id") + i * CARD["embeddings"]
+        lambda d, i: d.withColumns(
+            {
+                "vec_id": F.col("vec_id") + i * CARD["embeddings"],
+                "embedding": perm_vec(i),
+            }
         ),
     )
 
