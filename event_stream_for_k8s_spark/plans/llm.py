@@ -486,11 +486,23 @@ def simhash32(d: DataFrame) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Similarity search family
+#
+# Fixture QUERY set (both engines): every 250th vector, CAPPED at
+# vec_id < 25000 — a no-op at the attestation SFs (max vec_id 499 /
+# 1999), at bench sf0.1 and at sf1 (max 19999), so every recorded
+# hash/bench/soak row through r12 is unchanged; at sf10+ it bounds Q
+# at the sf1 level. Without the cap Q grows with the corpus and every
+# kNN query's cost is Q x N / pruning — quadratic BY CONSTRUCTION
+# (llm_knn_ivfpq measured 23.8x sf1->sf10, dominated by the recall
+# envelope's brute check over 800 queries x 200k vectors). Bounded Q
+# is also the serving contract (the 100k driver-collect guard in
+# operators/similarity.py); the corpus side is what must scale, and
+# with Q fixed the soak measures exactly that.
 # --------------------------------------------------------------------------
 
 KNN_ORACLE = f"""
 WITH q AS (
-  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 250 = 0
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 250 = 0 AND vec_id < 25000
 ), scored AS (
   SELECT q.qid, e.vec_id AS nid,
          round({sql_cosine('q.qe', 'e.embedding')}, 6) AS sim
@@ -509,7 +521,7 @@ def llm_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (BroadcastNestedLoopJoin), dot product in codegen via
     # zip_with/aggregate — no Python, no shuffle of the corpus.
     e = load(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") % 250 == 0).select(
+    queries = e.filter((F.col("vec_id") % 250 == 0) & (F.col("vec_id") < 25_000)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     corpus = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("cvec"))
@@ -523,7 +535,7 @@ def knn_lsh_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     a recall-vs-brute envelope for the driver's hash check; a
     deployment runs THIS for the (qid, nid, sim, rnk) rows."""
     e = load(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") % 250 == 0).select(
+    queries = e.filter((F.col("vec_id") % 250 == 0) & (F.col("vec_id") < 25_000)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     corpus = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("cvec"))
@@ -537,7 +549,7 @@ def knn_ivf_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer + cell probing), the partition-pruned scale path for
     ANN. See knn_lsh_results on the registered-query split."""
     e = load(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") % 250 == 0).select(
+    queries = e.filter((F.col("vec_id") % 250 == 0) & (F.col("vec_id") < 25_000)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     corpus = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("cvec"))
@@ -555,7 +567,7 @@ KNN_RECALL_ORACLE = """
 SELECT cast(count(*) AS bigint) AS n_queries,
        cast(5 AS bigint) AS k,
        TRUE AS recall_ok
-FROM embeddings WHERE vec_id % 250 = 0
+FROM embeddings WHERE vec_id % 250 = 0 AND vec_id < 25000
 """
 
 
@@ -568,7 +580,7 @@ def _knn_recall_envelope(
     statistic). Empty corpus → vacuously TRUE, matching the oracle's
     literal on a zero-row scored set."""
     e = load(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") % 250 == 0).select(
+    queries = e.filter((F.col("vec_id") % 250 == 0) & (F.col("vec_id") < 25_000)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     corpus = e.select(
@@ -641,7 +653,7 @@ def knn_ivfpq_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_stream_for_k8s_spark.operators.similarity import knn_ivfpq
 
     e = load(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") % 250 == 0).select(
+    queries = e.filter((F.col("vec_id") % 250 == 0) & (F.col("vec_id") < 25_000)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     corpus = e.select(
@@ -685,7 +697,7 @@ def knn_ivfpq_residual_results(
     from event_stream_for_k8s_spark.operators.similarity import knn_ivfpq
 
     e = load(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") % 250 == 0).select(
+    queries = e.filter((F.col("vec_id") % 250 == 0) & (F.col("vec_id") < 25_000)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     corpus = e.select(
@@ -733,7 +745,7 @@ def llm_knn_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_knn_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") % 250 == 0).select(
+    queries = e.filter((F.col("vec_id") % 250 == 0) & (F.col("vec_id") < 25_000)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     corpus = e.select(
@@ -1411,7 +1423,7 @@ def knn_pq_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_stream_for_k8s_spark.operators.similarity import knn_pq
 
     e = load(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") % 250 == 0).select(
+    queries = e.filter((F.col("vec_id") % 250 == 0) & (F.col("vec_id") < 25_000)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     corpus = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("cvec"))

@@ -78,9 +78,17 @@ def _streaming_session(
     code: export the RocksDB provider and every registered streaming
     query runs its keyed state against RocksDB unchanged
     (tests/test_rocksdb_posture.py pins exactly that, oracle-checked).
+    ``SPARK_GRAFT_STATE_PARTITIONS`` (env) overrides the test-scale
+    state layout the same way — the sf10 soak measured the 8-partition
+    pin as the dominant cost of a 10M-key dedup (each partition owns
+    1.25M keys) and 64 as the right layout at that keyspace; see
+    BASELINE.md round-12.
     """
     clone = spark.newSession()
-    if state_partitions is not None:
+    env_parts = os.environ.get("SPARK_GRAFT_STATE_PARTITIONS")
+    if env_parts:
+        clone.conf.set("spark.sql.shuffle.partitions", env_parts)
+    elif state_partitions is not None:
         clone.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     provider = os.environ.get("SPARK_GRAFT_STATESTORE_PROVIDER")
     if provider:
