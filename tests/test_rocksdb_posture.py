@@ -105,6 +105,32 @@ def test_state_inspect_reads_rocksdb_store(spark, fresh_sf):
     assert not deltas, f"default-provider delta files present: {deltas[:3]}"
 
 
+def test_state_partitions_env_overrides_clone_layout(spark, monkeypatch):
+    """SPARK_GRAFT_STATE_PARTITIONS re-sizes the state layout of every
+    registered streaming query's session clone — the keyspace-sized
+    knob SURVEY §4.2 prescribes (the sf10 soak measured the 8-partition
+    test pin as the dominant cost of a 10M-key dedup). Parent session
+    conf stays untouched."""
+    from event_stream_for_k8s_spark.plans.streaming_queries import (
+        _restore_parent,
+        _streaming_session,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_STATE_PARTITIONS", "64")
+    ss = _streaming_session(spark)
+    try:
+        assert ss.conf.get("spark.sql.shuffle.partitions") == "64"
+        assert spark.conf.get("spark.sql.shuffle.partitions") != "64"
+    finally:
+        _restore_parent(ss)
+    monkeypatch.delenv("SPARK_GRAFT_STATE_PARTITIONS")
+    ss2 = _streaming_session(spark)
+    try:
+        assert ss2.conf.get("spark.sql.shuffle.partitions") == "8"
+    finally:
+        _restore_parent(ss2)
+
+
 def test_streaming_session_knob_engages_rocksdb(spark, monkeypatch, tmp_path):
     """Mechanism probe for the env knob itself: a dedup stream run
     through the SAME `_streaming_session` path the registry queries
