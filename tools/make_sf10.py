@@ -15,20 +15,22 @@ in TPC-H).
 the central lesson of the first two sf10 soak runs, both of which
 caught the GENERATOR, not a plan:
 
-- documents: suffixing every WORD with the replica marker (``w`` ->
-  ``w·s{i}``) keeps each replica's internal structure exact — word
-  counts, planted near-duplicate pairs, quality features, block-size
-  distributions all match sf1 — while making cross-replica shingle
-  sets disjoint and the opening-bigram blocking key scale 10x.
-  The first attempt (a standalone ``s{i} `` prefix word on top of
-  sf1's ``r{j} `` prefix) collapsed join_fuzzy_blocked's blocking key
-  to ~100 values x ~50k-doc blocks = ~2e11 candidate pairs (measured
-  stall); a first-word merge fixed that but left every doc with 100
-  cross-replica NEAR-duplicates (sf1 text differs only in the first
-  word), which is quadratic fuel for every MinHash/LSH bucket.
-  Real 10x growth grows the content space; so does the word suffix.
-  n_chars is recomputed as length(text) (the fixture invariant
-  functions.py relies on).
+- documents: suffixing every WORD with a PURE-LETTER replica marker
+  (``w`` -> ``w + 'q' + chr(ord('a')+i)``) keeps each replica's
+  internal structure exact — word counts, planted near-duplicate
+  pairs, quality features, block-size distributions all match sf1 —
+  while making cross-replica shingle sets disjoint and the
+  opening-bigram blocking key scale 10x. Three earlier schemes each
+  failed a different consumer, all caught by soak rows: a standalone
+  ``s{i} `` prefix word collapsed join_fuzzy_blocked's blocking key
+  to ~100 values x ~50k-doc blocks (~2e11 pairs, measured stall); a
+  first-word merge left every doc with ~100 cross-replica
+  NEAR-duplicates (quadratic fuel for every MinHash/LSH bucket); a
+  DIGIT-bearing word suffix (``ws3``) silently knocked 90% of the
+  corpus out of every ``^[a-z]+$``-filtered pipeline — the BPE
+  family's sf10 soak read 1.0x because it was training on replica 0
+  alone. Letters keep every filter passing. n_chars is recomputed as
+  length(text) (the fixture invariant functions.py relies on).
 - embeddings: sf1's replication copies each VECTOR verBATIM (only
   vec_id shifts), so sf10-by-copy gives every vector ~100 exact
   clones — identical LSH signatures, 100x bucket sizes, ~100x
@@ -147,14 +149,16 @@ def scale(spark, out_dir: str) -> None:
         ),
     )
     def doc_text(i: int):
-        # suffix every word with the replica marker (see module doc):
-        # within-replica structure exact, cross-replica shingles
-        # disjoint, key spaces scale 10x
+        # suffix every word with a pure-letter replica marker (see
+        # module doc): within-replica structure exact, cross-replica
+        # shingles disjoint, key spaces scale 10x, and every
+        # ^[a-z]+$-filtered pipeline still sees the whole corpus
         if not i:
             return F.col("text")
+        mark = "q" + "abcdefghij"[i]
         return F.array_join(
             F.transform(
-                F.split("text", " "), lambda w: F.concat(w, F.lit(f"s{i}"))
+                F.split("text", " "), lambda w: F.concat(w, F.lit(mark))
             ),
             " ",
         )
