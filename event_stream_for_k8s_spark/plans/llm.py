@@ -1316,15 +1316,30 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the whole bucketed cluster assignment hash-checks EXACTLY — no
 # recall envelope needed, unlike the minhash text tier where the
 # signature hashes (xxhash64) have no DuckDB twin.
+# Band WIDTH is a layout knob, like shuffle width: 4 sign bits = 16
+# bucket values per band, which saturates once vectors-per-(label,
+# band-value) outgrows the bucket space — the sf10 soak measured the
+# default 4x4 at 50.7x sf1->sf10 (200k vectors / 640 buckets ≈ 1.2k
+# per bucket ≈ 5e8 candidate pairs: quadratic BY SATURATION, not by
+# plan shape). SPARK_GRAFT_LSH_ROWS widens each band (2^rows bucket
+# values; bands*rows <= dim); it is read ONCE at import by BOTH the
+# Spark plan and this oracle, so the two engines stay consistent at
+# any setting. Default 4 keeps every attested hash unchanged; the
+# production rule is rows ~ log2(N_per_label / target_bucket) — the
+# recall trade is the standard LSH band/row curve, and the planted-
+# duplicate recall floor (cos≈1 pairs agree on any width) holds at
+# every setting (tests/test_llm.py).
+LSH_ROWS = int(os.environ.get("SPARK_GRAFT_LSH_ROWS", "4"))
+
 CLUSTERS_LSH_ORACLE = f"""
 WITH RECURSIVE sig AS (
   SELECT vec_id, label, embedding,
          {", ".join(
              "("
              + " + ".join(
-                 f"(CASE WHEN embedding[{4*b+k+1}] >= 0 THEN {1 << k} "
-                 "ELSE 0 END)"
-                 for k in range(4)
+                 f"(CASE WHEN embedding[{LSH_ROWS*b+k+1}] >= 0 "
+                 f"THEN {1 << k} ELSE 0 END)"
+                 for k in range(LSH_ROWS)
              )
              + f") AS b{b}"
              for b in range(4)
@@ -1354,7 +1369,8 @@ FROM comp
 def clusters_lsh_pairs(e: DataFrame) -> DataFrame:
     """Pair stage of llm_dedup_clusters_lsh on any (vec_id, embedding,
     label) relation: banded sign-LSH candidates (label-blocked, 4
-    bands x 4 rows) scored by the rounded cosine > 0.4 threshold ->
+    bands x LSH_ROWS sign bits — the env-sized band width, see the
+    LSH_ROWS comment) scored by the rounded cosine > 0.4 threshold ->
     (src, dst). Shared with the identical-twin recall test in
     tests/test_llm.py so a threshold / band-parameter change cannot
     drift out from under the test's coverage."""
@@ -1363,7 +1379,7 @@ def clusters_lsh_pairs(e: DataFrame) -> DataFrame:
     )
 
     cand = sign_lsh_candidates(
-        e, "vec_id", "embedding", label_col="label", bands=4, rows=4
+        e, "vec_id", "embedding", label_col="label", bands=4, rows=LSH_ROWS
     )
     va = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     vb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
