@@ -147,9 +147,17 @@ def _bpe_merge_word(col, a: str, b: str):
         F.lit(BPE_SEP + a + BPE_BOUND + b + BPE_SEP),
         F.lit(BPE_SEP + a + b + BPE_SEP),
     )
-    return F.substring(
-        replaced, F.lit(3), F.length(replaced) - F.lit(4)
-    )
+    # bound-strip via btrim, NOT substring(replaced, 3,
+    # length(replaced)-4): substring+length reference the replaced
+    # subtree TWICE, so chaining k merges (the batched trainer's one
+    # composed projection — and CollapseProject does the same to the
+    # sequential trainer's round-over-round projects) DOUBLES the
+    # expression tree per step: 2^k nodes, measured as 31 s at 16
+    # rounds / driver OOM at 32 before this fix. After every replace
+    # the string is still exactly BOUND-delimited and symbols never
+    # contain SEP, so trimming SEP from both ends recovers the word
+    # with ONE reference — linear growth at any chain depth.
+    return F.btrim(replaced, F.lit(BPE_SEP))
 
 
 def _bpe_pair_counts(words: DataFrame) -> DataFrame:
@@ -363,7 +371,18 @@ def bpe_train(
             merges.append((r, a, b, top[0]["n"]))
             cur = cur.select(
                 _bpe_merge_word(F.col("w"), a, b).alias("w")
-            ).persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            # lineage truncation every 8 rounds: without it the
+            # accumulated round-over-round plan chain made planning
+            # superlinear in ROUNDS (measured at sf0.1: 8 rounds
+            # 5.5 s, 16 rounds 31 s, 32 rounds OOM on a 12 GiB
+            # driver). localCheckpoint cuts the plan at the round's
+            # materialized blocks, so cost per round stays flat —
+            # the same fix iterative ML lineage chains need.
+            if (r + 1) % 8 == 0:
+                cur = cur.localCheckpoint(eager=False)
+            else:
+                cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
             cached.append(cur)
         return merges
     finally:
@@ -460,9 +479,14 @@ def bpe_train_batched(
             col = F.col("w")
             for a, b, _ in accepted:
                 col = _bpe_merge_word(col, a, b)
-            cur = cur.select(col.alias("w")).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
+            cur = cur.select(col.alias("w"))
+            # same lineage-truncation cadence as bpe_train (measured
+            # superlinear planning without it); batched rounds carry
+            # B merges each, so truncate every 8 BATCH rounds
+            if (t + 1) % 8 == 0:
+                cur = cur.localCheckpoint(eager=False)
+            else:
+                cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
             cached.append(cur)
         return merges
     finally:
