@@ -757,6 +757,102 @@ def llm_knn_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "nid", "sim", "rnk")
 
 
+HARD_NEG_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+  FROM embeddings WHERE vec_id % 250 = 0 AND vec_id < 25000
+), scored AS (
+  SELECT q.qid, q.qlabel, e.vec_id AS nid, e.label AS nlabel,
+         round({sql_cosine('q.qe', 'e.embedding')}, 6) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.qid
+), pos AS (
+  SELECT qid, max(sim) AS pos_sim
+  FROM scored WHERE nlabel = qlabel GROUP BY qid
+), neg AS (
+  SELECT qid, nid, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid)
+           AS rnk
+  FROM scored WHERE nlabel <> qlabel
+)
+SELECT n.qid, n.nid, n.sim, n.rnk, p.pos_sim,
+       CASE WHEN n.sim < p.pos_sim AND n.sim >= p.pos_sim - 0.2
+            THEN 1 ELSE 0 END AS semi_hard
+FROM neg n JOIN pos p ON n.qid = p.qid
+WHERE n.rnk <= 5
+"""
+
+
+@query(
+    "llm_hard_negatives",
+    oracle=HARD_NEG_ORACLE,
+    section="B.11",
+    notes="hard-negative mining for contrastive/retrieval training "
+    "(DPR / SimCSE-style): per query, the top-k most-similar vectors "
+    "whose label DIFFERS (the negatives a random sample would never "
+    "surface), annotated with the query's best same-label similarity "
+    "(pos_sim) and the FaceNet semi-hard flag "
+    "(pos_sim - margin <= sim < pos_sim). pos_sim is a map-side-"
+    "combinable max folded to one row per query then broadcast back — "
+    "NOT a window over the Q x N scored set, which would funnel the "
+    "corpus through |Q| partitions; the negative top-k rides the same "
+    "broadcast-queries corpus scan as llm_knn_brute. Queries with no "
+    "same-label vector are dropped (inner join): no positive means no "
+    "anchor to mine against. At 100 TB swap the brute scorer for the "
+    "IVF-PQ candidate generator; the pos/neg split and semi-hard band "
+    "are unchanged",
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(
+        (F.col("vec_id") % 250 == 0) & (F.col("vec_id") < 25_000)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("cvec"),
+        F.col("label").alias("nlabel"),
+    )
+    sim = F.round(cosine(F.col("qvec"), F.col("cvec")), 6)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "qlabel", "nid", "nlabel", sim.alias("sim"))
+    )
+    pos = (
+        scored.filter(F.col("nlabel") == F.col("qlabel"))
+        .groupBy("qid")
+        .agg(F.max("sim").alias("pos_sim"))
+    )
+    from event_stream_for_k8s_spark.operators.topk import top_k_per_group
+
+    neg = top_k_per_group(
+        scored.filter(F.col("nlabel") != F.col("qlabel")).select(
+            "qid", "nid", "sim"
+        ),
+        ["qid"],
+        [F.col("sim").desc(), F.col("nid")],
+        5,
+        rank_col="rnk",
+    )
+    return neg.join(F.broadcast(pos), "qid").select(
+        "qid",
+        "nid",
+        "sim",
+        "rnk",
+        "pos_sim",
+        (
+            (F.col("sim") < F.col("pos_sim"))
+            & (F.col("sim") >= F.col("pos_sim") - 0.2)
+        )
+        .cast("int")
+        .alias("semi_hard"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis family
 # --------------------------------------------------------------------------

@@ -1364,6 +1364,61 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_reservoir",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderkey, o_orderpriority,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY md5(cast(o_orderkey AS varchar)), o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority, rn FROM ranked WHERE rn <= 20
+""",
+    section="B.4",
+    notes="deterministic fixed-k (k=20) per-group sample -- the "
+    "reservoir-sample shape (fixed quota per group, content-hash "
+    "order so every rebuild samples the same rows), implemented as "
+    "the TWO-PHASE rank sample_stratified's SCALE WARNING prescribes: "
+    "phase 1 ranks inside (group, hash-bucket%32) and keeps k per "
+    "bucket (32 parallel tasks per group, each sorting ~N/(|G|*32) "
+    "rows), phase 2 ranks the <= 32*k survivors per group -- a "
+    "provable superset of the global hash-order top-k, so the result "
+    "is IDENTICAL to the single-window form the oracle spells out "
+    "while no task ever sorts a whole group. The low-cardinality "
+    "group key (5 priorities) is exactly the case the bucketing "
+    "exists for",
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    bucket = F.pmod(
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("long"), F.lit(32)
+    )
+    w1 = Window.partitionBy("o_orderpriority", "bkt").orderBy(
+        "h", "o_orderkey"
+    )
+    cand = (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            h.alias("h"),
+            bucket.alias("bkt"),
+        )
+        .withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= 20)
+    )
+    w2 = Window.partitionBy("o_orderpriority").orderBy("h", "o_orderkey")
+    return (
+        cand.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= 20)
+        .select("o_orderkey", "o_orderpriority", "rn")
+    )
+
+
+@query(
     "agg_argminmax",
     oracle="""
 SELECT o_orderpriority,

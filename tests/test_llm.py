@@ -1344,3 +1344,51 @@ def test_residual_coding_cuts_reconstruction_error():
     resid = x - centers[cell]
     res_err = recon_err(resid, resid)  # v_hat = centroid + code word
     assert res_err < raw_err * 0.2, (res_err, raw_err)
+
+
+def test_hard_negatives_band_and_label_contract(spark):
+    """llm_hard_negatives: every mined negative carries a label
+    DIFFERENT from its query's, ranks are contiguous 1..k with sims
+    non-increasing, pos_sim really is the max same-label similarity
+    (recomputed independently here via the brute kernel), and the
+    semi_hard flag marks exactly the FaceNet band
+    pos_sim - 0.2 <= sim < pos_sim."""
+    from event_stream_for_k8s_spark.functions.vectors import cosine
+
+    rows = REGISTRY["llm_hard_negatives"].spark(spark, SF).collect()
+    assert rows, "fixture should mine at least one negative"
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    labels = {r["vec_id"]: r["label"] for r in e.select("vec_id", "label").collect()}
+    # independent pos_sim: max rounded cosine over same-label, id-excluded
+    q = e.filter((F.col("vec_id") % 250 == 0) & (F.col("vec_id") < 25_000)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    ps = {
+        r["qid"]: r["p"]
+        for r in e.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("qid"))
+            & (F.col("label") == F.col("qlabel"))
+        )
+        .groupBy("qid")
+        .agg(
+            F.max(
+                F.round(cosine(F.col("qvec"), F.col("embedding")), 6)
+            ).alias("p")
+        )
+        .collect()
+    }
+    by_q: dict = {}
+    for r in rows:
+        assert labels[r["nid"]] != labels[r["qid"]], "negative shares label"
+        assert r["pos_sim"] == ps[r["qid"]]
+        want = 1 if (r["pos_sim"] - 0.2 <= r["sim"] < r["pos_sim"]) else 0
+        assert r["semi_hard"] == want, (r["sim"], r["pos_sim"], r["semi_hard"])
+        by_q.setdefault(r["qid"], []).append(r)
+    for members in by_q.values():
+        members.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in members] == list(range(1, len(members) + 1))
+        sims = [r["sim"] for r in members]
+        assert sims == sorted(sims, reverse=True)

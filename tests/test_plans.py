@@ -827,3 +827,40 @@ def test_sft_pipeline_plan_shape(spark):
     assert "BroadcastHashJoin" in p and "BroadcastNestedLoop" not in p
     c = census(p)
     assert c["shuffles"] <= 4 and c["single_partition"] == 0, c
+
+
+def test_sample_reservoir_two_phase_equals_single_window(spark):
+    """sample_reservoir's scalable two-phase rank (per-(group, bucket)
+    top-k, then top-k over the <=32k survivors) must be IDENTICAL to
+    the naive single-window form — the per-bucket top-k is a superset
+    of the global hash-order top-k, so phase 2 sees every winner.
+    Also: exactly k rows per group when the group has >= k rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    got = {
+        (r["o_orderkey"], r["o_orderpriority"], r["rn"])
+        for r in REGISTRY["sample_reservoir"].spark(spark, SF).collect()
+    }
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    w = Window.partitionBy("o_orderpriority").orderBy("h", "o_orderkey")
+    naive = (
+        o.select("o_orderkey", "o_orderpriority", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+    )
+    want = {
+        (r["o_orderkey"], r["o_orderpriority"], r["rn"])
+        for r in naive.collect()
+    }
+    assert got == want
+    sizes = {}
+    group_n = {
+        r["o_orderpriority"]: r["n"]
+        for r in o.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()
+    }
+    for _, prio, _ in got:
+        sizes[prio] = sizes.get(prio, 0) + 1
+    for prio, n in group_n.items():
+        assert sizes.get(prio, 0) == min(20, n)
