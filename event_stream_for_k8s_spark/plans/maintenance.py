@@ -827,3 +827,78 @@ def maint_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("d").cast("long").alias("max_depth"),
     )
+
+
+@query(
+    "maint_deletion_vectors",
+    oracle="""
+WITH pos AS (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         l_orderkey % 64 AS file_id,
+         row_number() OVER (PARTITION BY l_orderkey % 64
+            ORDER BY l_orderkey, l_linenumber) - 1 AS pos
+  FROM lineitem
+), dv AS (
+  SELECT file_id, pos FROM pos
+  WHERE (l_orderkey + l_linenumber) % 10 < 2
+), live AS (
+  SELECT p.file_id, p.l_quantity FROM pos p LEFT JOIN dv
+    ON dv.file_id = p.file_id AND dv.pos = p.pos
+  WHERE dv.file_id IS NULL
+), tot AS (
+  SELECT l_orderkey % 64 AS file_id, cast(count(*) AS bigint) AS n_rows
+  FROM lineitem GROUP BY 1
+), liv AS (
+  SELECT file_id, cast(count(*) AS bigint) AS n_live,
+         cast(sum(cast(round(l_quantity) AS bigint)) AS bigint)
+           AS live_qty
+  FROM live GROUP BY file_id
+)
+SELECT t.file_id, t.n_rows,
+       t.n_rows - coalesce(l.n_live, 0) AS n_deleted,
+       coalesce(l.n_live, 0) AS n_live,
+       coalesce(l.live_qty, 0) AS live_qty
+FROM tot t LEFT JOIN liv l ON t.file_id = l.file_id
+""",
+    section="B.1",
+    notes="deletion-vector merge-on-read (the Delta/Iceberg v2 "
+    "POSITION delete, vs maint_retention_delete's key-based rewrite): "
+    "deletes name (file, row_position) pairs, so the read path is the "
+    "base scan LEFT ANTI the broadcast DV set on (file_id, pos) -- no "
+    "rewrite, no key columns touched; the summary emits per-file "
+    "live/deleted counts plus a live-rows checksum. The fixture "
+    "SYNTHESIZES positions with a per-file window (deterministic, so "
+    "the oracle can replay it); a production scan gets the position "
+    "free from the reader (_metadata.row_index) and the DV side is a "
+    "per-file roaring bitmap a few KB wide -- always broadcast-sized, "
+    "one scan, zero shuffle beyond the summary agg",
+)
+def maint_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    fid = (F.col("l_orderkey") % 64).alias("file_id")
+    w = Window.partitionBy("file_id").orderBy("l_orderkey", "l_linenumber")
+    pos = li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", fid
+    ).withColumn("pos", F.row_number().over(w) - 1)
+    dv = pos.filter(
+        (F.col("l_orderkey") + F.col("l_linenumber")) % 10 < 2
+    ).select("file_id", "pos")
+    live = pos.join(F.broadcast(dv), ["file_id", "pos"], "left_anti")
+    tot = li.groupBy(fid).agg(F.count("*").cast("long").alias("n_rows"))
+    liv = live.groupBy("file_id").agg(
+        F.count("*").cast("long").alias("n_live"),
+        F.sum(F.round(F.col("l_quantity")).cast("long"))
+        .cast("long")
+        .alias("live_qty"),
+    )
+    return tot.join(liv, "file_id", "left").select(
+        "file_id",
+        "n_rows",
+        (F.col("n_rows") - F.coalesce(F.col("n_live"), F.lit(0))).alias(
+            "n_deleted"
+        ),
+        F.coalesce(F.col("n_live"), F.lit(0)).alias("n_live"),
+        F.coalesce(F.col("live_qty"), F.lit(0)).alias("live_qty"),
+    )

@@ -1316,3 +1316,128 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(2 * F.col("s1") - s2, 6).alias("level"),
         F.round(F.col("s1") - s2, 6).alias("trend"),
     )
+
+
+LTTB_ORACLE = """
+WITH pts AS (
+  SELECT event_type, date_trunc('day', ts) AS d, event_id, ts, value,
+         epoch_us(ts) - epoch_us(date_trunc('day', ts)) AS xoff,
+         CAST(round(value * 100) AS BIGINT) AS ys
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), b AS (
+  SELECT event_type, d,
+         CAST(epoch_us(d) AS DOUBLE)
+           + CAST(sum(xoff) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS ax,
+         CAST(sum(ys) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS ay
+  FROM pts GROUP BY event_type, d
+), nb AS (
+  SELECT event_type, d,
+         lag(ax)  OVER w AS pax, lag(ay)  OVER w AS pay,
+         lead(ax) OVER w AS nax, lead(ay) OVER w AS nay
+  FROM b WINDOW w AS (PARTITION BY event_type ORDER BY d)
+), scored AS (
+  SELECT p.event_type, p.d, p.event_id, p.ts, p.value,
+         CASE WHEN nb.pax IS NULL THEN 'first'
+              WHEN nb.nax IS NULL THEN 'last'
+              ELSE 'area' END AS role,
+         CASE WHEN nb.pax IS NULL THEN -CAST(epoch_us(p.ts) AS DOUBLE)
+              WHEN nb.nax IS NULL THEN CAST(epoch_us(p.ts) AS DOUBLE)
+              ELSE abs(
+                (nb.pax - nb.nax)
+                  * (CAST(p.ys AS DOUBLE) - nb.pay)
+                - (nb.pax - CAST(epoch_us(p.ts) AS DOUBLE))
+                  * (nb.nay - nb.pay))
+         END AS sel
+  FROM pts p JOIN nb ON p.event_type = nb.event_type AND p.d = nb.d
+)
+SELECT event_type, d, role, event_id, ts, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type, d
+              ORDER BY sel DESC, event_id) AS rn
+  FROM scored) WHERE rn = 1
+"""
+
+
+@query(
+    "ts_downsample_lttb",
+    oracle=LTTB_ORACLE,
+    section="C",
+    notes="LTTB downsampling (Steinarsson 2013), the PARALLEL "
+    "fixed-anchor variant: per (event_type, day) bucket keep the one "
+    "point maximizing the triangle area against the NEIGHBOR BUCKETS' "
+    "average points (classic LTTB anchors on the previously-selected "
+    "point, a sequential dependency; anchoring on bucket averages is "
+    "the standard parallelization and what the original paper's "
+    "'effective area' pre-pass computes). Endpoint buckets keep their "
+    "first/last actual point, role-tagged. Float discipline: anchors "
+    "derive from EXACT integer sums (micros-since-day-start, "
+    "value*100 as bigint) divided once, and the area expression is "
+    "written identically in both engines, so selection is "
+    "deterministic -- a naive avg(double) anchor would make argmax "
+    "flip on summation order. One map-combinable bucket agg, a tiny "
+    "lag/lead window over buckets broadcast back, one rank per "
+    "bucket: same shuffle budget as ts_downsample_m4",
+)
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    d = F.date_trunc("day", F.col("ts"))
+    pts = e.select(
+        "event_type",
+        d.alias("d"),
+        "event_id",
+        "ts",
+        "value",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(d)).alias("xoff"),
+        F.round(F.col("value") * 100).cast("long").alias("ys"),
+    )
+    b = pts.groupBy("event_type", "d").agg(
+        (
+            F.unix_micros(F.col("d")).cast("double")
+            + F.sum("xoff").cast("double") / F.count("*").cast("double")
+        ).alias("ax"),
+        (F.sum("ys").cast("double") / F.count("*").cast("double")).alias(
+            "ay"
+        ),
+    )
+    wb = Window.partitionBy("event_type").orderBy("d")
+    nb = b.select(
+        "event_type",
+        "d",
+        F.lag("ax").over(wb).alias("pax"),
+        F.lag("ay").over(wb).alias("pay"),
+        F.lead("ax").over(wb).alias("nax"),
+        F.lead("ay").over(wb).alias("nay"),
+    )
+    x = F.unix_micros(F.col("ts")).cast("double")
+    scored = pts.join(F.broadcast(nb), ["event_type", "d"]).select(
+        "event_type",
+        "d",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("pax").isNull(), F.lit("first"))
+        .when(F.col("nax").isNull(), F.lit("last"))
+        .otherwise(F.lit("area"))
+        .alias("role"),
+        F.when(F.col("pax").isNull(), -x)
+        .when(F.col("nax").isNull(), x)
+        .otherwise(
+            F.abs(
+                (F.col("pax") - F.col("nax"))
+                * (F.col("ys").cast("double") - F.col("pay"))
+                - (F.col("pax") - x) * (F.col("nay") - F.col("pay"))
+            )
+        )
+        .alias("sel"),
+    )
+    wr = Window.partitionBy("event_type", "d").orderBy(
+        F.col("sel").desc(), "event_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "d", "role", "event_id", "ts", "value")
+    )

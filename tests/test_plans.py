@@ -864,3 +864,28 @@ def test_sample_reservoir_two_phase_equals_single_window(spark):
         sizes[prio] = sizes.get(prio, 0) + 1
     for prio, n in group_n.items():
         assert sizes.get(prio, 0) == min(20, n)
+
+
+def test_deletion_vectors_conservation_and_complement(spark):
+    """maint_deletion_vectors: per file n_rows = n_live + n_deleted,
+    the global deleted fraction matches the DV generator's 2-in-10
+    rule exactly (positions are a deterministic function of the key),
+    and the anti-join read path agrees with the direct complement
+    filter (merge-on-read ≡ eager delete)."""
+    from pyspark.sql import functions as F
+
+    rows = REGISTRY["maint_deletion_vectors"].spark(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_rows"] == r["n_live"] + r["n_deleted"], r
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    want_deleted = li.filter(
+        (F.col("l_orderkey") + F.col("l_linenumber")) % 10 < 2
+    ).count()
+    assert sum(r["n_deleted"] for r in rows) == want_deleted
+    want_qty = (
+        li.filter((F.col("l_orderkey") + F.col("l_linenumber")) % 10 >= 2)
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")))
+        .first()[0]
+    )
+    assert sum(r["live_qty"] for r in rows) == want_qty
