@@ -783,6 +783,83 @@ WHERE n.rnk <= 5
 """
 
 
+def hard_negatives_ann_results(
+    spark: SparkSession, sf_dir: str, overfetch: int = 3,
+    n_probe: int = 8,
+) -> DataFrame:
+    """PRODUCTION form of llm_hard_negatives: candidate negatives come
+    from the IVF-PQ ANN tier instead of the brute scan — over-fetch
+    overfetch*k nearest from the shared (label-blind) index, drop
+    same-label hits, keep the top k. The positive-side max stays exact:
+    a query's positive set (its labeled pairs) is tiny at any corpus
+    size, so pos_sim never needs the index. n_probe defaults to 8 of
+    16 cells, twice the serving tier's 4: mining is an OFFLINE batch
+    job, and the probe count — not over-fetch — is what recovers
+    negatives whose cells the serving budget would skip (measured on
+    the fixture: n_probe 4 -> 0.2 recall flat in overfetch, 8 -> 0.6,
+    12 -> 0.9). Same output contract as the registered exact query;
+    recall-vs-exact pinned in tests/test_llm.py."""
+    from event_stream_for_k8s_spark.operators.similarity import knn_ivfpq
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(
+        (F.col("vec_id") % 250 == 0) & (F.col("vec_id") < 25_000)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("cvec")
+    )
+    cand = knn_ivfpq(
+        q.select("qid", "qvec"), corpus, k=5 * overfetch, n_probe=n_probe
+    )
+    labeled = (
+        cand.join(
+            F.broadcast(
+                e.select(
+                    F.col("vec_id").alias("nid"),
+                    F.col("label").alias("nlabel"),
+                )
+            ),
+            "nid",
+        )
+        .join(F.broadcast(q.select("qid", "qlabel")), "qid")
+        .filter(F.col("nlabel") != F.col("qlabel"))
+        .select("qid", "nid", "sim")
+    )
+    from event_stream_for_k8s_spark.operators.topk import top_k_per_group
+
+    neg = top_k_per_group(
+        labeled, ["qid"], [F.col("sim").desc(), F.col("nid")], 5,
+        rank_col="rnk",
+    )
+    sim_pos = F.round(cosine(F.col("qvec"), F.col("embedding")), 6)
+    pos = (
+        e.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("qid"))
+            & (F.col("label") == F.col("qlabel"))
+        )
+        .groupBy("qid")
+        .agg(F.max(sim_pos).alias("pos_sim"))
+    )
+    return neg.join(F.broadcast(pos), "qid").select(
+        "qid",
+        "nid",
+        "sim",
+        "rnk",
+        "pos_sim",
+        (
+            (F.col("sim") < F.col("pos_sim"))
+            & (F.col("sim") >= F.col("pos_sim") - 0.2)
+        )
+        .cast("int")
+        .alias("semi_hard"),
+    )
+
+
 @query(
     "llm_hard_negatives",
     oracle=HARD_NEG_ORACLE,

@@ -1392,3 +1392,30 @@ def test_hard_negatives_band_and_label_contract(spark):
         assert [r["rnk"] for r in members] == list(range(1, len(members) + 1))
         sims = [r["sim"] for r in members]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_hard_negatives_ann_recall_and_contract(spark):
+    """hard_negatives_ann_results (production form): negatives mined
+    through the IVF-PQ index (offline budget: n_probe=8, 3x over-fetch)
+    must overlap the exact mining's sets at >= 0.5 (0.6 measured; the
+    probe count is the recall lever — 4 cells reads 0.2 FLAT in
+    over-fetch, 12 reads 0.9), never contain a same-label vector, and
+    carry the same pos_sim as the exact form (the positive side is
+    exact in both)."""
+    from event_stream_for_k8s_spark.plans.llm import hard_negatives_ann_results
+
+    exact_rows = REGISTRY["llm_hard_negatives"].spark(spark, SF).collect()
+    exact = {(r["qid"], r["nid"]) for r in exact_rows}
+    pos_by_q = {r["qid"]: r["pos_sim"] for r in exact_rows}
+    ann_rows = hard_negatives_ann_results(spark, SF).collect()
+    assert ann_rows
+    got = {(r["qid"], r["nid"]) for r in ann_rows}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.5, f"ANN hard-negative recall too low: {recall}"
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    labels = {r["vec_id"]: r["label"] for r in e.select("vec_id", "label").collect()}
+    for r in ann_rows:
+        assert labels[r["nid"]] != labels[r["qid"]]
+        assert r["pos_sim"] == pos_by_q[r["qid"]]
+        want = 1 if (r["pos_sim"] - 0.2 <= r["sim"] < r["pos_sim"]) else 0
+        assert r["semi_hard"] == want
