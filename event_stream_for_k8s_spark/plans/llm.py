@@ -783,6 +783,38 @@ WHERE n.rnk <= 5
 """
 
 
+def _hard_neg_queries(e: DataFrame) -> DataFrame:
+    """The fixture query set for hard-negative mining — ONE definition
+    shared by the exact and ANN forms so the recall test's exact ≡
+    production contract can't drift on a one-sided edit."""
+    return e.filter(
+        (F.col("vec_id") % 250 == 0) & (F.col("vec_id") < 25_000)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+
+
+def _hard_neg_annotate(neg: DataFrame, pos: DataFrame) -> DataFrame:
+    """Join mined negatives to the exact positive max and tag the
+    FaceNet semi-hard band (pos_sim - 0.2 <= sim < pos_sim) — the
+    shared output contract of both mining forms."""
+    return neg.join(F.broadcast(pos), "qid").select(
+        "qid",
+        "nid",
+        "sim",
+        "rnk",
+        "pos_sim",
+        (
+            (F.col("sim") < F.col("pos_sim"))
+            & (F.col("sim") >= F.col("pos_sim") - 0.2)
+        )
+        .cast("int")
+        .alias("semi_hard"),
+    )
+
+
 def hard_negatives_ann_results(
     spark: SparkSession, sf_dir: str, overfetch: int = 3,
     n_probe: int = 8,
@@ -790,25 +822,23 @@ def hard_negatives_ann_results(
     """PRODUCTION form of llm_hard_negatives: candidate negatives come
     from the IVF-PQ ANN tier instead of the brute scan — over-fetch
     overfetch*k nearest from the shared (label-blind) index, drop
-    same-label hits, keep the top k. The positive-side max stays exact:
-    a query's positive set (its labeled pairs) is tiny at any corpus
-    size, so pos_sim never needs the index. n_probe defaults to 8 of
-    16 cells, twice the serving tier's 4: mining is an OFFLINE batch
-    job, and the probe count — not over-fetch — is what recovers
-    negatives whose cells the serving budget would skip (measured on
-    the fixture: n_probe 4 -> 0.2 recall flat in overfetch, 8 -> 0.6,
-    12 -> 0.9). Same output contract as the registered exact query;
-    recall-vs-exact pinned in tests/test_llm.py."""
+    same-label hits, keep the top k. The candidate set (|Q| *
+    overfetch * k rows) is what gets BROADCAST back onto the corpus to
+    pick up labels — never the corpus-sized label table itself. The
+    positive-side max stays exact: a query's positive set (its labeled
+    pairs) is tiny at any corpus size, so pos_sim never needs the
+    index. n_probe defaults to 8 of 16 cells, twice the serving
+    tier's 4: mining is an OFFLINE batch job, and the probe count —
+    not over-fetch — is what recovers negatives whose cells the
+    serving budget would skip (measured on the fixture: n_probe 4 ->
+    0.2 recall flat in overfetch, 8 -> 0.6, 12 -> 0.9). Same output
+    contract as the registered exact query; recall-vs-exact pinned in
+    tests/test_llm.py."""
     from event_stream_for_k8s_spark.operators.similarity import knn_ivfpq
+    from event_stream_for_k8s_spark.operators.topk import top_k_per_group
 
     e = load(spark, sf_dir, "embeddings")
-    q = e.filter(
-        (F.col("vec_id") % 250 == 0) & (F.col("vec_id") < 25_000)
-    ).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qvec"),
-        F.col("label").alias("qlabel"),
-    )
+    q = _hard_neg_queries(e)
     corpus = e.select(
         F.col("vec_id").alias("nid"), F.col("embedding").alias("cvec")
     )
@@ -816,21 +846,12 @@ def hard_negatives_ann_results(
         q.select("qid", "qvec"), corpus, k=5 * overfetch, n_probe=n_probe
     )
     labeled = (
-        cand.join(
-            F.broadcast(
-                e.select(
-                    F.col("vec_id").alias("nid"),
-                    F.col("label").alias("nlabel"),
-                )
-            ),
-            "nid",
-        )
+        e.select(F.col("vec_id").alias("nid"), "label")
+        .join(F.broadcast(cand.select("qid", "nid", "sim")), "nid")
         .join(F.broadcast(q.select("qid", "qlabel")), "qid")
-        .filter(F.col("nlabel") != F.col("qlabel"))
+        .filter(F.col("label") != F.col("qlabel"))
         .select("qid", "nid", "sim")
     )
-    from event_stream_for_k8s_spark.operators.topk import top_k_per_group
-
     neg = top_k_per_group(
         labeled, ["qid"], [F.col("sim").desc(), F.col("nid")], 5,
         rank_col="rnk",
@@ -845,19 +866,7 @@ def hard_negatives_ann_results(
         .groupBy("qid")
         .agg(F.max(sim_pos).alias("pos_sim"))
     )
-    return neg.join(F.broadcast(pos), "qid").select(
-        "qid",
-        "nid",
-        "sim",
-        "rnk",
-        "pos_sim",
-        (
-            (F.col("sim") < F.col("pos_sim"))
-            & (F.col("sim") >= F.col("pos_sim") - 0.2)
-        )
-        .cast("int")
-        .alias("semi_hard"),
-    )
+    return _hard_neg_annotate(neg, pos)
 
 
 @query(
@@ -880,14 +889,10 @@ def hard_negatives_ann_results(
     "are unchanged",
 )
 def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_stream_for_k8s_spark.operators.topk import top_k_per_group
+
     e = load(spark, sf_dir, "embeddings")
-    q = e.filter(
-        (F.col("vec_id") % 250 == 0) & (F.col("vec_id") < 25_000)
-    ).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qvec"),
-        F.col("label").alias("qlabel"),
-    )
+    q = _hard_neg_queries(e)
     c = e.select(
         F.col("vec_id").alias("nid"),
         F.col("embedding").alias("cvec"),
@@ -904,8 +909,6 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qid")
         .agg(F.max("sim").alias("pos_sim"))
     )
-    from event_stream_for_k8s_spark.operators.topk import top_k_per_group
-
     neg = top_k_per_group(
         scored.filter(F.col("nlabel") != F.col("qlabel")).select(
             "qid", "nid", "sim"
@@ -915,19 +918,7 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         5,
         rank_col="rnk",
     )
-    return neg.join(F.broadcast(pos), "qid").select(
-        "qid",
-        "nid",
-        "sim",
-        "rnk",
-        "pos_sim",
-        (
-            (F.col("sim") < F.col("pos_sim"))
-            & (F.col("sim") >= F.col("pos_sim") - 0.2)
-        )
-        .cast("int")
-        .alias("semi_hard"),
-    )
+    return _hard_neg_annotate(neg, pos)
 
 
 # --------------------------------------------------------------------------

@@ -1373,9 +1373,12 @@ SELECT event_type, d, role, event_id, ts, value FROM (
     "value*100 as bigint) divided once, and the area expression is "
     "written identically in both engines, so selection is "
     "deterministic -- a naive avg(double) anchor would make argmax "
-    "flip on summation order. One map-combinable bucket agg, a tiny "
-    "lag/lead window over buckets broadcast back, one rank per "
-    "bucket: same shuffle budget as ts_downsample_m4",
+    "flip on summation order. Three keyed exchanges (census-recorded, "
+    "vs ts_downsample_m4's one): only the per-bucket rank moves the "
+    "point set like m4's single exchange does; the bucket agg is "
+    "map-side combined down to one row per bucket before moving, and "
+    "the lag/lead window shuffles the bucket relation -- rows = "
+    "buckets, calendar-sized, not data-sized",
 )
 def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window

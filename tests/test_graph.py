@@ -200,60 +200,3 @@ def test_planted_jaccard(spark, tmp_path):
     assert out[(1, 4)]["common"] == 0
     assert out[(1, 4)]["jaccard"] == 0.0
 
-
-def test_lttb_selects_max_area_point_per_interior_bucket(spark):
-    """ts_downsample_lttb: recompute the fixed-anchor triangle area in
-    pure Python from the raw fixture and confirm, for every interior
-    bucket, the selected point IS the (area, event_id)-argmax; endpoint
-    buckets of each series keep their first/last point; exactly one
-    point per (event_type, day)."""
-    import collections
-
-    from event_stream_for_k8s_spark.plans import REGISTRY
-
-    rows = REGISTRY["ts_downsample_lttb"].spark(spark, SF_SMOKE).collect()
-    raw = (
-        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-        .filter("ts IS NOT NULL AND value IS NOT NULL")
-        .collect()
-    )
-    buckets = collections.defaultdict(list)
-    for r in raw:
-        d = r["ts"].replace(hour=0, minute=0, second=0, microsecond=0)
-        x = r["ts"].timestamp() * 1e6
-        ys = round(r["value"] * 100)
-        buckets[(r["event_type"], d)].append((x, ys, r["event_id"]))
-    # anchors: exact-sum averages per bucket
-    anchors = {
-        k: (sum(p[0] for p in v) / len(v), sum(p[1] for p in v) / len(v))
-        for k, v in buckets.items()
-    }
-    series = collections.defaultdict(list)
-    for et, d in buckets:
-        series[et].append(d)
-    for et in series:
-        series[et].sort()
-    got = {(r["event_type"], r["d"]): r for r in rows}
-    assert len(got) == len(buckets)
-    for et, days in series.items():
-        for i, d in enumerate(days):
-            r = got[(et, d)]
-            pts = buckets[(et, d)]
-            if i == 0:
-                assert r["role"] == "first"
-                want = min(pts)[2]
-            elif i == len(days) - 1:
-                assert r["role"] == "last"
-                want = max(pts)[2]
-            else:
-                assert r["role"] == "area"
-                pax, pay = anchors[(et, days[i - 1])]
-                nax, nay = anchors[(et, days[i + 1])]
-                want = max(
-                    pts,
-                    key=lambda p: (
-                        abs((pax - nax) * (p[1] - pay) - (pax - p[0]) * (nay - pay)),
-                        -p[2],
-                    ),
-                )[2]
-            assert r["event_id"] == want, (et, d, r["event_id"], want)

@@ -889,3 +889,80 @@ def test_deletion_vectors_conservation_and_complement(spark):
         .first()[0]
     )
     assert sum(r["live_qty"] for r in rows) == want_qty
+
+
+def test_lttb_selects_max_area_point_per_interior_bucket(spark):
+    """ts_downsample_lttb: recompute the fixed-anchor triangle area in
+    pure Python — mirroring the engine's arithmetic exactly (integer
+    micros-since-day-start, value*100 as int, anchors as
+    epoch_us(day) + exact-sum/count, the same double expression
+    order) — and confirm, for every interior bucket, the selected
+    point IS the (area desc, event_id) argmax; endpoint buckets of
+    each series keep their (ts, event_id)-first/last point; exactly
+    one point per (event_type, day). Events load through catalog.load
+    (ts normalization), never a raw parquet read."""
+    import collections
+    import datetime
+
+    from event_stream_for_k8s_spark.catalog import load as cat_load
+    from event_stream_for_k8s_spark.plans import REGISTRY
+
+    rows = REGISTRY["ts_downsample_lttb"].spark(spark, SF).collect()
+    raw = (
+        cat_load(spark, SF, "events")
+        .filter("ts IS NOT NULL AND value IS NOT NULL")
+        .select("event_type", "ts", "value", "event_id")
+        .collect()
+    )
+    epoch = datetime.datetime(1970, 1, 1)
+    us = datetime.timedelta(microseconds=1)
+
+    buckets = collections.defaultdict(list)
+    for r in raw:
+        d = r["ts"].replace(hour=0, minute=0, second=0, microsecond=0)
+        x = (r["ts"] - epoch) // us  # exact integer micros
+        ys = round(r["value"] * 100)
+        buckets[(r["event_type"], d)].append((x, ys, r["event_id"]))
+    anchors = {}
+    for k, v in buckets.items():
+        day_us = (k[1] - epoch) // us
+        sx = sum(p[0] - day_us for p in v)  # exact xoff sum
+        sy = sum(p[1] for p in v)
+        anchors[k] = (
+            float(day_us) + float(sx) / float(len(v)),
+            float(sy) / float(len(v)),
+        )
+    series = collections.defaultdict(list)
+    for et, d in buckets:
+        series[et].append(d)
+    for et in series:
+        series[et].sort()
+    got = {(r["event_type"], r["d"]): r for r in rows}
+    assert len(got) == len(buckets)
+    for et, days in series.items():
+        for i, d in enumerate(days):
+            r = got[(et, d)]
+            pts = buckets[(et, d)]
+            if i == 0:
+                assert r["role"] == "first"
+                # engine: -x desc, event_id asc => min (x, event_id)
+                want = min(pts, key=lambda p: (p[0], p[2]))[2]
+            elif i == len(days) - 1:
+                assert r["role"] == "last"
+                # engine: x desc, event_id asc => max x, then MIN id
+                want = min(pts, key=lambda p: (-p[0], p[2]))[2]
+            else:
+                assert r["role"] == "area"
+                pax, pay = anchors[(et, days[i - 1])]
+                nax, nay = anchors[(et, days[i + 1])]
+                want = min(
+                    pts,
+                    key=lambda p: (
+                        -abs(
+                            (pax - nax) * (float(p[1]) - pay)
+                            - (pax - float(p[0])) * (nay - pay)
+                        ),
+                        p[2],
+                    ),
+                )[2]
+            assert r["event_id"] == want, (et, d, r["event_id"], want)
