@@ -466,3 +466,59 @@ def sample_frames(df: DataFrame, stride: int = 128) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, FRAMES_SCHEMA)
+
+
+PHASH_SCHEMA = "doc_id bigint, phash bigint"
+
+
+def dhash64(img) -> int:
+    """64-bit difference hash (dHash) of an (H, W, 3) uint8 image.
+
+    The standard perceptual image fingerprint (Krawetz's dHash): the
+    image is grayscaled (integer channel mean), nearest-neighbor
+    downsampled to 9x8, and bit i*8+j is set iff
+    gray[i][j] > gray[i][j+1] — 64 horizontal-gradient signs. All
+    integer arithmetic (sum // 3, floor-index gathers, strict
+    comparisons), so a SQL engine can replay every bit from the source
+    pixels; returned as a SIGNED 64-bit value (two's complement) to
+    fit a parquet/Spark LongType column.
+    """
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    gray = img.astype(np.int64).sum(axis=2) // 3
+    ri = (np.arange(8) * h) // 8
+    rj = (np.arange(9) * w) // 9
+    g = gray[np.ix_(ri, rj)]
+    bits = (g[:, :-1] > g[:, 1:]).astype(np.uint64).ravel()
+    sig = int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+    return sig - (1 << 64) if sig >= 1 << 63 else sig
+
+
+def dhash_media(df: DataFrame) -> DataFrame:
+    """Perceptual-hash signatures over P6 PPM image payloads.
+
+    The image twin of the text SimHash signature pass: one narrow
+    Arrow-batched ``mapInPandas`` over the binary column, each payload
+    genuinely parsed (header + raster) and dHash'd with numpy — no
+    shuffle, no driver involvement; downstream dedup joins on the
+    emitted 64-bit column. A JPEG/WebP corpus swaps the raster parse
+    for a real decoder in the same batch loop.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                w, h, _, _ = decode_ppm(b)
+                w, h = int(w), int(h)
+                px_off = len(b) - w * h * 3
+                px = np.frombuffer(b, dtype=np.uint8, offset=px_off)
+                hashes.append(dhash64(px.reshape(h, w, 3)))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "phash": hashes}
+            )
+
+    return df.mapInPandas(batches, PHASH_SCHEMA)

@@ -2495,6 +2495,213 @@ def llm_mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Perceptual-hash image dedup: the dHash bit k = i*8+j compares the
+# grayscale at downsample columns j and j+1 of downsample row i. For
+# the fixture's 16x16 images the gather indices are compile-time
+# constants, so the oracle replays all 64 bits from the source text
+# exactly like _SIMHASH64_ORACLE replays the token votes.
+_PHASH_COLS9 = [(j * 16) // 9 for j in range(9)]
+_PHASH_TERMS = " + ".join(
+    f"(CASE WHEN gv[{2 * i * 16 + _PHASH_COLS9[j] + 1}] > "
+    f"gv[{2 * i * 16 + _PHASH_COLS9[j + 1] + 1}] "
+    f"THEN CAST({1 << (i * 8 + j)} AS HUGEINT) "
+    f"ELSE CAST(0 AS HUGEINT) END)"
+    for i in range(8)
+    for j in range(8)
+)
+
+
+def _phash_sig_cte(src: str) -> str:
+    """DuckDB CTE chain computing the 64-bit dHash (as ``sig``) from a
+    (doc_id, text) relation via the same 16x16 deterministic image the
+    Spark side genuinely encodes and decodes."""
+    return f"""
+norm AS (
+  SELECT doc_id,
+         rpad(regexp_replace(substr(text, 1, 768), '[^ -~]', '?', 'g'),
+              768, ' ') AS body
+  FROM {src}
+), g AS (
+  SELECT doc_id, list_transform(range(0, 256),
+           k -> (ord(substr(body, cast(3*k+1 AS int), 1))
+               + ord(substr(body, cast(3*k+2 AS int), 1))
+               + ord(substr(body, cast(3*k+3 AS int), 1))) // 3) AS gv
+  FROM norm
+), sig AS (
+  SELECT doc_id,
+         (CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+               THEN u - CAST(18446744073709551616 AS HUGEINT)
+               ELSE u END)::BIGINT AS phash
+  FROM (SELECT doc_id, ({_PHASH_TERMS}) AS u FROM g)
+)"""
+
+
+def _ppm16(d: DataFrame) -> DataFrame:
+    """Encode each doc's normalized 768-char body as a real 16x16 P6
+    PPM payload (1 char = 1 pixel byte — same normalization as
+    llm_mm_resize, so the codepoint-indexed oracles stay exact)."""
+    body = F.rpad(
+        F.regexp_replace(
+            F.substring("text", 1, 768), r"[^\x20-\x7e]", "?"
+        ),
+        768,
+        " ",
+    )
+    return d.select(
+        "doc_id",
+        F.encode(
+            F.concat(F.lit("P6\n16 16\n255\n"), body), "UTF-8"
+        ).alias("payload"),
+    )
+
+
+@query(
+    "llm_mm_phash",
+    oracle=f"""
+WITH {_phash_sig_cte("documents")}
+SELECT doc_id, phash FROM sig
+""",
+    section="B.11",
+    notes="perceptual image fingerprints (Krawetz dHash, the standard "
+    "image-dedup signature): each doc's deterministic 16x16 P6 PPM is "
+    "GENUINELY parsed (header + raster) and hashed with numpy inside "
+    "one Arrow-batched mapInPandas — grayscale integer mean, "
+    "nearest-neighbor 9x8 gather, 64 horizontal-gradient sign bits. "
+    "All-integer construction, so the oracle replays every bit from "
+    "the text (compile-time gather indices, HUGEINT sum + two's "
+    "complement like the SimHash replay). The image twin of "
+    "llm_dedup_simhash's signature pass: one narrow stage, no "
+    "shuffle, linear at 100 TB; a JPEG corpus swaps the raster parse "
+    "for a real decoder in the same batch loop "
+    "(functions/multimodal.py::dhash_media)",
+)
+def llm_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_stream_for_k8s_spark.functions.multimodal import (
+        dhash_media,
+    )
+
+    return dhash_media(_ppm16(load(spark, sf_dir, "documents")))
+
+
+@query(
+    "llm_mm_dedup_phash",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, 'zzz' || substr(text, 4) AS text
+  FROM documents WHERE doc_id % 50 = 0
+), {_phash_sig_cte("corpus")},
+bands AS (
+  SELECT doc_id, phash, cast(r.b AS int) AS band_idx,
+         (phash >> (16 * cast(r.b AS int))) & 65535 AS band_val
+  FROM sig CROSS JOIN range(0, 4) r(b)
+), okb AS (
+  SELECT band_idx, band_val FROM bands
+  GROUP BY band_idx, band_val
+  HAVING count(*) BETWEEN 2 AND 64
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         cast(bit_count(xor(a.phash, b.phash)) AS int) AS hamming
+  FROM bands a
+  JOIN okb ON a.band_idx = okb.band_idx AND a.band_val = okb.band_val
+  JOIN bands b ON b.band_idx = okb.band_idx AND b.band_val = okb.band_val
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+""",
+    section="B.11",
+    notes="near-duplicate IMAGE detection — dHash signatures "
+    "(llm_mm_phash's real decode-and-hash pass) banded into 4x16-bit "
+    "Hamming-LSH buckets: band equi-join generates candidates, "
+    "bit_count(xor) verifies, threshold 3 — by pigeonhole a pair "
+    "within Hamming distance 3 of 4 bands MUST agree on one band, so "
+    "recall is exact within un-capped buckets (cap 64, replayed "
+    "identically in the oracle — the ngram-block-cap discipline). "
+    "The fixture plants byte-identical crops (doc+1M: same first 768 "
+    "chars => Hamming 0) and 3-char perturbations (doc+2M: one pixel "
+    "changes => at most the one gradient bit that pixel feeds). "
+    "Signature relation persists (MEMORY_AND_DISK) because both "
+    "explode sides consume it; everything after the Python signature "
+    "pass is codegen equi-join — never all-pairs. Production images "
+    "would bucket-join on (band_idx, band_val) exactly like this at "
+    "any corpus size",
+)
+def llm_mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from event_stream_for_k8s_spark.functions.multimodal import (
+        dhash_media,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.unionByName(
+        planted.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    ).unionByName(
+        planted.select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(
+                F.lit("zzz"), F.expr("substring(text, 4)")
+            ).alias("text"),
+        )
+    )
+    sig = dhash_media(_ppm16(corpus)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bands = sig.select(
+        "doc_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("phash", 16 * b).bitwiseAND(
+                        F.lit(65535)
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    okb = (
+        bands.groupBy("band_idx", "band_val")
+        .count()
+        .filter((F.col("count") >= 2) & (F.col("count") <= 64))
+        .drop("count")
+    )
+    bb = bands.join(okb, ["band_idx", "band_val"])
+    a = bb.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("phash").alias("pa"),
+        "band_idx",
+        "band_val",
+    )
+    b = bb.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("phash").alias("pb"),
+        "band_idx",
+        "band_val",
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )
+
+
 @query(
     "llm_perplexity",
     oracle="""

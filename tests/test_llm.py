@@ -1419,3 +1419,110 @@ def test_hard_negatives_ann_recall_and_contract(spark):
         assert r["pos_sim"] == pos_by_q[r["qid"]]
         want = 1 if (r["pos_sim"] - 0.2 <= r["sim"] < r["pos_sim"]) else 0
         assert r["semi_hard"] == want
+
+
+def test_dhash_matches_pure_python_reference():
+    """dhash64's numpy gathers == the textbook per-bit loop, across
+    image shapes (the floor-index resample must agree cell for cell —
+    an off-by-one in either axis flips gradient bits)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from event_stream_for_k8s_spark.functions.multimodal import dhash64
+
+    def reference(img):
+        h, w = img.shape[0], img.shape[1]
+        gray = [
+            [sum(int(c) for c in img[i][j]) // 3 for j in range(w)]
+            for i in range(h)
+        ]
+        sig = 0
+        for i in range(8):
+            for j in range(8):
+                a = gray[(i * h) // 8][(j * w) // 9]
+                b = gray[(i * h) // 8][((j + 1) * w) // 9]
+                if a > b:
+                    sig |= 1 << (i * 8 + j)
+        return sig - (1 << 64) if sig >= 1 << 63 else sig
+
+    @given(
+        h=st.integers(min_value=1, max_value=24),
+        w=st.integers(min_value=1, max_value=24),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def check(h, w, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert dhash64(img) == reference(img)
+
+    check()
+
+
+def test_dhash_single_pixel_locality():
+    """A sampled pixel feeds at most 2 of the 64 gradient comparisons
+    (its column's left and right neighbors in the 9-wide gather), so a
+    single-pixel edit moves the hash by Hamming <= 2 — the property
+    the banded near-dup join relies on for perturbed crops."""
+    import numpy as np
+
+    from event_stream_for_k8s_spark.functions.multimodal import dhash64
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    base = dhash64(img)
+    for _ in range(50):
+        i, j = rng.integers(0, 16, size=2)
+        mod = img.copy()
+        mod[i, j] = rng.integers(0, 256, size=3)
+        d = bin((dhash64(mod) ^ base) & ((1 << 64) - 1)).count("1")
+        assert d <= 2
+
+
+def test_dhash_media_parses_real_ppm(spark):
+    """dhash_media genuinely decodes the PPM container (comments,
+    arbitrary sizes) and matches dhash64 on the raster."""
+    import numpy as np
+
+    from event_stream_for_k8s_spark.functions.multimodal import (
+        dhash64,
+        dhash_media,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(10, 13, 3), dtype=np.uint8)
+    ppm = b"P6\n# crop fixture\n13 10\n255\n" + img.tobytes()
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm))], "doc_id long, payload binary"
+    )
+    rows = dhash_media(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["phash"] == dhash64(img)
+
+
+def test_mm_dedup_phash_planted_pairs(spark):
+    """The registered near-dup query recovers every planted
+    byte-identical crop at Hamming 0, and the 3-char perturbation
+    lands within the locality bound (<= 1 differing bit: one pixel
+    replaced => at most the one gradient comparison it feeds on the
+    sampled row)."""
+    from event_stream_for_k8s_spark.plans.registry import REGISTRY
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    planted = [
+        r["doc_id"]
+        for r in d.filter("doc_id % 50 = 0").select("doc_id").collect()
+    ]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in REGISTRY["llm_mm_dedup_phash"]
+        .spark(spark, SF)
+        .collect()
+    }
+    assert planted
+    for did in planted:
+        assert pairs.get((did, did + 1_000_000)) == 0
+        perturbed = pairs.get((did, did + 2_000_000))
+        if perturbed is not None:
+            assert perturbed <= 1
