@@ -5049,6 +5049,175 @@ def llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Data-constrained allocation (the Muennighoff-2023 regime): repeat
+# small sources up to _EPOCH_MAX epochs before the budget spills to
+# the rest. Allocation = capped proportional "water-filling": give
+# each source weight-proportional budget, cap at EPOCH_MAX*avail,
+# redistribute freed budget among the uncapped — whose fixed point
+# has a CLOSED single-pass form over sources sorted by cap/weight
+# (a source is capped iff its pro-rata share of the budget remaining
+# after all lower-ratio sources' caps meets its own cap; the
+# predicate is monotone along that order). The hypothesis
+# differential in tests/test_llm.py pins the scan to the iterative
+# fixed point on random inputs with exact rational arithmetic.
+# Cap = 7/4 epochs (avail*7//4 tokens): repeating 75% of a source
+# twice is inside the useful-repetition regime; weights are
+# llm_mix_temperature's doc-count-share weights, so a doc-uniform
+# corpus with uneven token counts (this fixture) forces its
+# short-document sources over the ceiling — the exact failure mode
+# the cap exists for.
+
+
+@query(
+    "llm_mix_epochs",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, count(*) AS n_docs,
+         cast(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+  FROM documents GROUP BY source
+), t AS (SELECT cast(sum(avail) AS BIGINT) AS ta,
+                cast(sum(n_docs) AS BIGINT) AS nd FROM tok),
+w AS (
+  SELECT source, avail,
+         cast(round(pow(n_docs * 1.0 / nd, {_MIX_INV_T!r}) * 1000000)
+              AS BIGINT) AS w6s,
+         (avail * 7) // 4 AS cap,
+         (ta * 3) // 2 AS budget
+  FROM tok CROSS JOIN t
+), s AS (SELECT cast(sum(w6s) AS BIGINT) AS wsum FROM w),
+o AS (
+  SELECT w.*, s.wsum,
+         cast(coalesce(sum(cap) OVER (
+           ORDER BY cap * 1.0 / w6s, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS pcap,
+         cast(coalesce(sum(w6s) OVER (
+           ORDER BY cap * 1.0 / w6s, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS pw
+  FROM w CROSS JOIN s
+), m AS (
+  SELECT *, (w6s * (budget - pcap) >= cap * (wsum - pw)) AS capped
+  FROM o
+), k AS (
+  SELECT cast(coalesce(sum(CASE WHEN capped THEN cap END), 0)
+              AS BIGINT) AS kcap,
+         cast(coalesce(sum(CASE WHEN capped THEN w6s END), 0)
+              AS BIGINT) AS kw
+  FROM m
+), alloc AS (
+  SELECT source, avail, cap, capped,
+         CASE WHEN capped THEN cap
+              ELSE ((budget - kcap) * w6s) // (wsum - kw) END AS a
+  FROM m CROSS JOIN k
+)
+SELECT source, avail, cast(cap AS BIGINT) AS cap_tokens,
+       cast(a AS BIGINT) AS alloc_tokens,
+       round(a * 1.0 / avail, 6) AS epochs, capped
+FROM alloc
+""",
+    section="C",
+    notes="data-constrained epoch allocation (the Muennighoff-2023 "
+    "repeated-data regime — the stage between llm_mix_temperature's "
+    "weights and llm_token_budget's head selection): each source gets "
+    "temperature-weight-proportional training tokens, capped at 7/4 "
+    "epochs of its available tokens, freed budget "
+    "water-filled to the uncapped. The fixed point is computed in ONE "
+    "closed-form pass — sources sorted by cap/weight, a source caps "
+    "iff its pro-rata share of the post-prefix-cap budget meets its "
+    "cap (integer cross-products, no floats in the decision; "
+    "hypothesis-pinned to the iterative fixed point) — instead of an "
+    "iterative driver loop. Everything after the per-source token "
+    "count (1 keyed shuffle) is a source-cardinality relation: the "
+    "sort window and scalar aggregates touch ~|sources| rows "
+    "(thousands at worst), never the corpus, so the plan is "
+    "corpus-linear at 100 TB. Budget fixed at 1.5x total tokens so "
+    "the capped/uncapped split is non-trivial on any corpus",
+)
+def llm_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    d = load(spark, sf_dir, "documents")
+    src = (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " ")).cast("long")).alias(
+                "avail"
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    t = src.groupBy().agg(
+        F.sum("avail").cast("long").alias("ta"),
+        F.sum("n_docs").cast("long").alias("nd"),
+    )
+    w = src.crossJoin(F.broadcast(t)).select(
+        "source",
+        "avail",
+        F.round(
+            F.pow(
+                F.col("n_docs") * 1.0 / F.col("nd"), F.lit(_MIX_INV_T)
+            )
+            * F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("w6s"),
+        F.expr("avail * 7 div 4").alias("cap"),
+        F.expr("ta * 3 div 2").alias("budget"),
+    )
+    w = w.persist(StorageLevel.MEMORY_AND_DISK)
+    s = w.groupBy().agg(F.sum("w6s").cast("long").alias("wsum"))
+    # global sort window over the SOURCE-cardinality relation only
+    # (like llm_mix_temperature's normalizer: broadcast-sized by
+    # construction, never per-doc rows)
+    win = (
+        Window.orderBy(
+            (F.col("cap") * F.lit(1.0) / F.col("w6s")).asc(),
+            F.col("source"),
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = w.crossJoin(F.broadcast(s)).select(
+        "*",
+        F.coalesce(F.sum("cap").over(win), F.lit(0))
+        .cast("long")
+        .alias("pcap"),
+        F.coalesce(F.sum("w6s").over(win), F.lit(0))
+        .cast("long")
+        .alias("pw"),
+    )
+    m = o.withColumn(
+        "capped",
+        F.col("w6s") * (F.col("budget") - F.col("pcap"))
+        >= F.col("cap") * (F.col("wsum") - F.col("pw")),
+    )
+    m = m.persist(StorageLevel.MEMORY_AND_DISK)
+    k = m.groupBy().agg(
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("cap"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("kcap"),
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("w6s"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("kw"),
+    )
+    a = F.when(F.col("capped"), F.col("cap")).otherwise(
+        F.expr("(budget - kcap) * w6s div (wsum - kw)")
+    )
+    return m.crossJoin(F.broadcast(k)).select(
+        "source",
+        "avail",
+        F.col("cap").cast("long").alias("cap_tokens"),
+        a.cast("long").alias("alloc_tokens"),
+        F.round(a * 1.0 / F.col("avail"), 6).alias("epochs"),
+        "capped",
+    )
+
+
 _TOKEN_BUDGET = 50_000
 
 

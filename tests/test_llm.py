@@ -1526,3 +1526,165 @@ def test_mm_dedup_phash_planted_pairs(spark):
         perturbed = pairs.get((did, did + 2_000_000))
         if perturbed is not None:
             assert perturbed <= 1
+
+
+def test_mix_epochs_closed_form_matches_iterative_fixed_point():
+    """llm_mix_epochs computes capped proportional water-filling in
+    ONE sorted scan (capped iff pro-rata share of the budget left
+    after all lower-cap/weight-ratio sources' caps meets the cap).
+    Pin that closed form to the textbook iterative fixed point —
+    repeatedly cap any source whose proportional share of the
+    remaining pool meets its cap — under exact rational arithmetic."""
+    from fractions import Fraction
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def iterative(caps, ws, budget):
+        n = len(caps)
+        alloc = [None] * n
+        live = set(range(n))
+        rem = Fraction(budget)
+        while True:
+            wsum = sum(ws[i] for i in live)
+            newly = [
+                i
+                for i in live
+                if wsum and Fraction(rem * ws[i], wsum) >= caps[i]
+            ]
+            if not newly:
+                break
+            for i in newly:
+                alloc[i] = caps[i]
+                rem -= caps[i]
+                live.remove(i)
+        wsum = sum(ws[i] for i in live)
+        for i in live:
+            alloc[i] = int(Fraction(rem * ws[i], wsum)) if wsum else 0
+        return alloc
+
+    def closed(caps, ws, budget):
+        # the scan the Spark plan and the oracle both implement
+        n = len(caps)
+        order = sorted(
+            range(n), key=lambda i: (Fraction(caps[i], ws[i]), i)
+        )
+        wsum = sum(ws)
+        cumcap = cumw = kcap = kw = 0
+        alloc = [None] * n
+        for j in order:
+            if ws[j] * (budget - cumcap) >= caps[j] * (wsum - cumw):
+                alloc[j] = caps[j]
+                kcap += caps[j]
+                kw += ws[j]
+            cumcap += caps[j]
+            cumw += ws[j]
+        for j in range(n):
+            if alloc[j] is None:
+                denom = wsum - kw
+                alloc[j] = (
+                    ((budget - kcap) * ws[j]) // denom if denom else 0
+                )
+        return alloc
+
+    @given(
+        caps=st.lists(
+            st.integers(min_value=0, max_value=200),
+            min_size=1,
+            max_size=8,
+        ),
+        ws=st.data(),
+        frac=st.integers(min_value=0, max_value=130),
+    )
+    @settings(max_examples=200, deadline=None)
+    def check(caps, ws, frac):
+        weights = ws.draw(
+            st.lists(
+                st.integers(min_value=1, max_value=60),
+                min_size=len(caps),
+                max_size=len(caps),
+            )
+        )
+        budget = (sum(caps) * frac) // 100
+        assert iterative(caps, weights, budget) == closed(
+            caps, weights, budget
+        )
+
+    check()
+
+
+def test_mix_epochs_fixture_invariants(spark):
+    """The registered allocation is feasible and tight on the fixture:
+    caps respected, budget exhausted up to per-source floor slack
+    (whether any source caps at a given SF depends on its token
+    skew — the capping dynamics are pinned on a crafted corpus
+    below)."""
+    from event_stream_for_k8s_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["llm_mix_epochs"].spark(spark, SF).collect()
+    assert rows
+    ta = sum(r["avail"] for r in rows)
+    budget = (ta * 3) // 2
+    total = sum(r["alloc_tokens"] for r in rows)
+    assert total <= budget
+    # floors lose < 1 token per uncapped source
+    assert budget - total < len(rows)
+    for r in rows:
+        assert r["cap_tokens"] == (r["avail"] * 7) // 4
+        assert r["alloc_tokens"] <= r["cap_tokens"]
+        if r["capped"]:
+            assert r["alloc_tokens"] == r["cap_tokens"]
+        assert r["epochs"] == round(
+            r["alloc_tokens"] / r["avail"], 6
+        )
+
+
+def test_mix_epochs_caps_short_source_on_skewed_corpus(spark, tmp_path):
+    """A doc-uniform corpus with one token-starved source MUST pin
+    that source at exactly 7/4 epochs and water-fill its freed budget
+    to the token-rich sources — the data-constrained behavior the
+    operator exists for."""
+    import os
+
+    from tests.conftest import SF_SMOKE
+    from event_stream_for_k8s_spark.catalog import TABLES
+    from event_stream_for_k8s_spark.plans import REGISTRY
+
+    sf = str(tmp_path / "skew")
+    os.makedirs(sf)
+    for t in TABLES:
+        os.symlink(f"{SF_SMOKE}/{t}.parquet", f"{sf}/{t}.parquet")
+    os.unlink(f"{sf}/documents.parquet")
+    # 3 sources x 4 docs (uniform weights); 'tiny' has 10-token docs,
+    # the others 100-token docs => tiny's uniform share wants >> 7/4
+    # of its 40 available tokens
+    rows = []
+    for s, ntok in (("tiny", 10), ("big_a", 100), ("big_b", 100)):
+        for i in range(4):
+            rows.append(
+                (
+                    len(rows),
+                    " ".join(f"w{j}" for j in range(ntok)),
+                    "en",
+                    s,
+                    ntok,
+                )
+            )
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).toPandas().to_parquet(f"{sf}/documents.parquet", index=False)
+    got = {
+        r["source"]: r
+        for r in REGISTRY["llm_mix_epochs"].spark(spark, sf).collect()
+    }
+    assert got["tiny"]["capped"]
+    assert got["tiny"]["alloc_tokens"] == (40 * 7) // 4  # = 70
+    assert got["tiny"]["epochs"] == 1.75
+    # budget = 1.5 * 840 = 1260; remaining 1190 splits evenly between
+    # the two equal-weight big sources, under their 1400-token caps
+    for s in ("big_a", "big_b"):
+        assert not got[s]["capped"]
+        assert got[s]["alloc_tokens"] == 595
+        assert got[s]["epochs"] == round(595 / 400, 6)
