@@ -78,8 +78,12 @@ def decode_ppm(b: bytes) -> tuple[float, float, float, float]:
     )
 
 
-def decode_wav(b: bytes) -> tuple[float, float, float, float]:
-    """RIFF/WAVE PCM16: (n_samples, sample_rate, mean |amp|, peak |amp|)."""
+def wav_pcm16(b: bytes) -> tuple[int, tuple[int, ...]]:
+    """Parse a RIFF/WAVE PCM16 payload into (sample_rate, samples).
+
+    The chunk walk shared by the feature decoder and the audio
+    fingerprint: fmt + data chunks located with word alignment,
+    16-bit little-endian samples unpacked."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, rate, bits, data = 12, None, None, None
@@ -95,7 +99,13 @@ def decode_wav(b: bytes) -> tuple[float, float, float, float]:
     if rate is None or data is None or bits != 16:
         raise ValueError("unsupported WAV layout (need fmt + data, PCM16)")
     n = len(data) // 2
-    samples = struct.unpack(f"<{n}h", data[: n * 2])
+    return rate, struct.unpack(f"<{n}h", data[: n * 2])
+
+
+def decode_wav(b: bytes) -> tuple[float, float, float, float]:
+    """RIFF/WAVE PCM16: (n_samples, sample_rate, mean |amp|, peak |amp|)."""
+    rate, samples = wav_pcm16(b)
+    n = len(samples)
     absv = [abs(s) for s in samples]
     return (
         float(n),
@@ -522,3 +532,51 @@ def dhash_media(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, PHASH_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = "doc_id bigint, afp bigint"
+
+
+def audio_fp(samples, frame: int = 32) -> int:
+    """Energy-contour audio fingerprint of a PCM16 sample sequence.
+
+    The acoustic-fingerprint family's core trick (Chromaprint/Shazam
+    distilled): slice the signal into fixed frames, take each frame's
+    energy, and keep only the SIGN of the frame-to-frame energy delta
+    — bit f is set iff energy(f+1) > energy(f). Robust to uniform
+    volume scaling direction and exactly integer (energy = sum |s|),
+    so a SQL engine replays every bit from the source samples. Frames
+    beyond the signal contribute zero energy.
+    """
+    n_frames = (len(samples) + frame - 1) // frame
+    ev = [
+        sum(abs(int(s)) for s in samples[f * frame : (f + 1) * frame])
+        for f in range(n_frames)
+    ]
+    fp = 0
+    for f in range(len(ev) - 1):
+        if ev[f + 1] > ev[f]:
+            fp |= 1 << f
+    return fp
+
+
+def audio_fp_media(df: DataFrame, frame: int = 32) -> DataFrame:
+    """Audio fingerprints over RIFF/WAVE PCM16 payloads.
+
+    The audio member of the signature-pass family (text SimHash,
+    image dHash): one narrow Arrow-batched ``mapInPandas`` over the
+    binary column, each WAV genuinely chunk-walked and fingerprinted
+    — no shuffle; downstream dedup groups or band-joins on the
+    emitted integer. A real MP3/AAC corpus swaps the PCM parse for a
+    codec decoder in the same batch loop.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            fps = []
+            for payload in pdf["payload"]:
+                _rate, samples = wav_pcm16(bytes(payload))
+                fps.append(audio_fp(samples, frame))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "afp": fps})
+
+    return df.mapInPandas(batches, AUDIO_FP_SCHEMA)

@@ -2536,17 +2536,25 @@ norm AS (
 )"""
 
 
-def _ppm16(d: DataFrame) -> DataFrame:
-    """Encode each doc's normalized 768-char body as a real 16x16 P6
-    PPM payload (1 char = 1 pixel byte — same normalization as
-    llm_mm_resize, so the codepoint-indexed oracles stay exact)."""
-    body = F.rpad(
+def _body768():
+    """The shared 768-char normalized body: printable-mapped then
+    space-padded, so 1 char = exactly 1 payload byte and every
+    codepoint-indexed oracle replays the synthesized media exactly
+    (same normalization as llm_mm_resize / llm_mm_decode_png)."""
+    return F.rpad(
         F.regexp_replace(
             F.substring("text", 1, 768), r"[^\x20-\x7e]", "?"
         ),
         768,
         " ",
     )
+
+
+def _ppm16(d: DataFrame) -> DataFrame:
+    """Encode each doc's normalized 768-char body as a real 16x16 P6
+    PPM payload (1 char = 1 pixel byte — same normalization as
+    llm_mm_resize, so the codepoint-indexed oracles stay exact)."""
+    body = _body768()
     return d.select(
         "doc_id",
         F.encode(
@@ -2700,6 +2708,92 @@ def llm_mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= 3)
     )
+
+
+@query(
+    "llm_mm_audio_fp",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id,
+         rpad(regexp_replace(substr(text, 1, 768), '[^ -~]', '?', 'g'),
+              768, ' ') AS body
+  FROM documents
+), e AS (
+  SELECT doc_id, list_transform(range(0, 24), f ->
+           list_sum(list_transform(range(1, 33), i ->
+             abs((ord(substr(body, cast(32*f + i AS int), 1)) - 79)
+                 * 256)))) AS ev
+  FROM norm
+), sig AS (
+  SELECT doc_id,
+         cast(list_sum(list_transform(range(0, 23), f ->
+           CASE WHEN ev[cast(f + 2 AS int)] > ev[cast(f + 1 AS int)]
+                THEN (1::BIGINT << f) ELSE 0 END)) AS BIGINT) AS afp
+  FROM e
+)
+SELECT doc_id, afp,
+       count(*) OVER (PARTITION BY afp) AS group_n
+FROM sig
+""",
+    section="B.11",
+    notes="acoustic fingerprints (the Chromaprint/Shazam energy-"
+    "contour trick distilled) — the audio member of the signature "
+    "family (text SimHash, image dHash): each doc's normalized body "
+    "becomes a REAL 8 kHz PCM16 RIFF/WAVE payload (1 char = 1 "
+    "sample), genuinely chunk-walked back out "
+    "(functions/multimodal.py::wav_pcm16, the same parser behind "
+    "decode_media's WAV path), then 24 fixed frames x integer "
+    "energy, fingerprint bit f = sign(energy delta). All-integer so "
+    "the oracle replays every bit from the text; group_n (exact-"
+    "fingerprint group size) is the audio exact-dup count — one "
+    "map-combinable agg + hash join-back, no window over the corpus "
+    "on the Spark side. An MP3 corpus swaps the PCM parse for a "
+    "codec decoder in the same Arrow batch loop; near-dup banding "
+    "would reuse llm_mm_dedup_phash's Hamming-LSH shape verbatim",
+)
+def llm_mm_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from event_stream_for_k8s_spark.functions.multimodal import (
+        audio_fp_media,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    src = d.select(
+        "doc_id", F.encode(_body768(), "UTF-8").alias("raw")
+    )
+
+    def enc(it):
+        import struct as st
+
+        for pdf in it:
+            payloads = []
+            for r in pdf["raw"]:
+                rb = bytes(r)
+                # printable ASCII in, so byte == codepoint; center on
+                # 'O' (79) and scale to a +/-12k swing inside int16
+                samples = [(c - 79) * 256 for c in rb]
+                data = st.pack(f"<{len(samples)}h", *samples)
+                fmt = st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                payloads.append(
+                    b"RIFF"
+                    + st.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + st.pack("<I", len(fmt))
+                    + fmt
+                    + b"data"
+                    + st.pack("<I", len(data))
+                    + data
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    mm = src.mapInPandas(enc, "doc_id bigint, payload binary")
+    sig = audio_fp_media(mm)
+    counts = sig.groupBy("afp").agg(F.count("*").alias("group_n"))
+    return sig.join(counts, "afp").select("doc_id", "afp", "group_n")
 
 
 @query(

@@ -1688,3 +1688,78 @@ def test_mix_epochs_caps_short_source_on_skewed_corpus(spark, tmp_path):
         assert not got[s]["capped"]
         assert got[s]["alloc_tokens"] == 595
         assert got[s]["epochs"] == round(595 / 400, 6)
+
+
+def test_audio_fp_invariants():
+    """The energy-contour fingerprint keeps only delta SIGNS, so it is
+    invariant under uniform positive volume scaling and under polarity
+    flips (energy = sum |s|); partial tail frames contribute their own
+    energy bucket."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from event_stream_for_k8s_spark.functions.multimodal import audio_fp
+
+    @given(
+        samples=st.lists(
+            st.integers(min_value=-16000, max_value=16000),
+            min_size=0,
+            max_size=300,
+        ),
+        gain=st.integers(min_value=1, max_value=2),
+    )
+    @settings(max_examples=60, deadline=None)
+    def check(samples, gain):
+        base = audio_fp(samples, frame=32)
+        assert audio_fp([s * gain for s in samples], frame=32) == base
+        assert audio_fp([-s for s in samples], frame=32) == base
+        n_frames = (len(samples) + 31) // 32
+        assert 0 <= base < (1 << max(n_frames - 1, 0)) + 1
+
+    check()
+
+
+def test_audio_fp_media_parses_real_wav(spark):
+    """audio_fp_media genuinely chunk-walks the RIFF container and
+    fingerprints the PCM16 samples it finds there."""
+    import struct as st
+
+    from event_stream_for_k8s_spark.functions.multimodal import (
+        audio_fp,
+        audio_fp_media,
+    )
+
+    samples = [((i * 37) % 256 - 128) * 64 for i in range(100)]
+    data = st.pack(f"<{len(samples)}h", *samples)
+    fmt = st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (
+        b"RIFF"
+        + st.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + st.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + st.pack("<I", len(data))
+        + data
+    )
+    df = spark.createDataFrame(
+        [(5, bytearray(wav))], "doc_id long, payload binary"
+    )
+    rows = audio_fp_media(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["afp"] == audio_fp(samples, frame=32)
+
+
+def test_mm_audio_fp_group_counts_consistent(spark):
+    """group_n really is the exact-fingerprint group size on the
+    registered output."""
+    from collections import Counter
+
+    from event_stream_for_k8s_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["llm_mm_audio_fp"].spark(spark, SF).collect()
+    assert rows
+    sizes = Counter(r["afp"] for r in rows)
+    for r in rows:
+        assert r["group_n"] == sizes[r["afp"]]
