@@ -4460,6 +4460,89 @@ def llm_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_length_batches",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS ntok FROM documents
+), b AS (
+  SELECT doc_id, cast(ntok AS bigint) AS ntok,
+         (1::BIGINT << cast(ceil(log2(ntok)) AS int)) AS bucket,
+         ('0x' || substr(md5('lb|' || cast(doc_id AS varchar)), 1, 8))
+           ::bigint AS hkey
+  FROM tok
+), s AS (
+  SELECT *, hkey % 16 AS shard,
+         greatest(1, 4096 // bucket) AS cap
+  FROM b
+)
+SELECT doc_id, ntok, bucket, cast(shard AS bigint) AS shard,
+       cast((row_number() OVER (PARTITION BY bucket, shard
+                                ORDER BY hkey, doc_id) - 1) // cap
+            AS bigint) AS batch_id,
+       cast(bucket - ntok AS bigint) AS pad
+FROM s
+""",
+    section="C",
+    notes="length-bucketed batch assignment (the dynamic-batching "
+    "stage between llm_train_order's shuffle and the dataloader): "
+    "docs bin into power-of-2 length buckets, and each (bucket, "
+    "shard) ranks its docs by the deterministic md5 order key and "
+    "cuts batches of capacity 4096-token-budget div bucket-width — "
+    "so every batch has a uniform padded footprint and pad (= bucket "
+    "- ntok) is the per-doc padding waste the bucketing bounds at "
+    "2x. Batches are SHARD-LOCAL by construction (shard = hash % 16, "
+    "the data-parallel loader reality), so the ranking window is "
+    "keyed by (bucket, shard) and scales — never a global sort, the "
+    "llm_train_order argument. One keyed shuffle; power-of-2 binning "
+    "via ceil(log2) is exact on both engines (log2 of a power of two "
+    "is an exact IEEE double; any other integer lands strictly "
+    "between exact neighbors)",
+)
+def llm_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    hkey = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("lb|"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    s = (
+        d.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("ntok"),
+            hkey.alias("hkey"),
+        )
+        .withColumn(
+            "bucket",
+            F.expr(
+                "shiftleft(cast(1 AS bigint),"
+                " cast(ceil(log2(ntok)) AS int))"
+            ),
+        )
+        .withColumn("shard", F.col("hkey") % 16)
+        .withColumn(
+            "cap",
+            F.greatest(F.lit(1).cast("long"), F.expr("4096 div bucket")),
+        )
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy("hkey", "doc_id")
+    ranked = s.withColumn("rnk", F.row_number().over(w))
+    return ranked.select(
+        "doc_id",
+        "ntok",
+        "bucket",
+        F.col("shard").cast("long").alias("shard"),
+        F.expr("(rnk - 1) div cap").cast("long").alias("batch_id"),
+        (F.col("bucket") - F.col("ntok")).cast("long").alias("pad"),
+    )
+
+
 MANIFEST_DIFF_ORACLE = """
 WITH a AS (
   SELECT ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::bigint % 16

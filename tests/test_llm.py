@@ -1763,3 +1763,47 @@ def test_mm_audio_fp_group_counts_consistent(spark):
     sizes = Counter(r["afp"] for r in rows)
     for r in rows:
         assert r["group_n"] == sizes[r["afp"]]
+
+
+def test_length_batches_binning_boundary_exact():
+    """1 << ceil(log2(n)) must be the smallest power of two >= n for
+    every realistic length — the IEEE-exactness claim both engines'
+    binning relies on at bucket boundaries."""
+    import math
+
+    for n in range(1, 8193):
+        bucket = 1 << math.ceil(math.log2(n))
+        assert bucket >= n and bucket < 2 * n or (n == 1 and bucket == 1)
+
+
+def test_length_batches_invariants(spark):
+    """Batches are uniform-footprint and shard-local: every batch
+    holds docs of ONE (bucket, shard), at most cap = max(1,
+    4096 div bucket) docs, batch ids are contiguous from 0 within the
+    (bucket, shard), only the last batch may be short, and padding
+    per doc is < its own length (power-of-2 binning's 2x bound)."""
+    from collections import defaultdict
+
+    from event_stream_for_k8s_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["llm_length_batches"].spark(spark, SF).collect()
+    assert rows
+    groups = defaultdict(list)
+    for r in rows:
+        assert r["bucket"] >= r["ntok"] and r["bucket"] < 2 * max(
+            r["ntok"], 1
+        )
+        assert r["pad"] == r["bucket"] - r["ntok"]
+        groups[(r["bucket"], r["shard"])].append(r)
+    assert len({(r["bucket"], r["shard"], r["batch_id"]) for r in rows}) > 1
+    for (bucket, _shard), g in groups.items():
+        cap = max(1, 4096 // bucket)
+        by_batch = defaultdict(int)
+        for r in g:
+            by_batch[r["batch_id"]] += 1
+        ids = sorted(by_batch)
+        assert ids == list(range(len(ids)))
+        for bid in ids:
+            assert by_batch[bid] <= cap
+            if bid < ids[-1]:
+                assert by_batch[bid] == cap
