@@ -1222,3 +1222,85 @@ def stream_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = f"sdd_{abs(hash(sf_dir)) % 10**8}"
     return _run_to_memory(deduped, sink)
+
+
+def _stream_mm_dedup_oracle() -> str:
+    from event_stream_for_k8s_spark.plans.llm import _phash_sig_cte
+
+    return f"""
+WITH kept AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text)
+                              ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+), feed AS (
+  SELECT doc_id, text FROM kept
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM kept WHERE doc_id % 7 = 0
+), {_phash_sig_cte("feed")}
+SELECT phash, cast(min(doc_id) AS bigint) AS first_doc,
+       cast(count(*) AS bigint) AS n_seen
+FROM sig GROUP BY phash
+"""
+
+
+@query(
+    "stream_mm_dedup",
+    oracle=_stream_mm_dedup_oracle(),
+    section="B.9",
+    notes="STREAMING image-dedup ledger — the multimodal twin of "
+    "stream_doc_dedup, and the proof the Arrow signature pass runs "
+    "INSIDE a micro-batch pipeline: the same 4-batch ingest feed "
+    "(batch 4 re-delivers every 7th doc with identical text, hence "
+    "an identical image) is encoded to real PPM payloads and dHash'd "
+    "by mapInPandas per micro-batch, then a stateful complete-mode "
+    "aggregation keeps per-fingerprint (first_doc = min doc_id, "
+    "n_seen). An AGGREGATE ledger, not a dropDuplicates survivor, so "
+    "the result is deterministic under ANY batch split even when "
+    "distinct texts share a 768-char body (same phash in one batch "
+    "would make a survivor choice arbitrary — a min/count never is); "
+    "re-deliveries surface as n_seen increments with first_doc "
+    "pinned to the original. State at 100 TB: keyed by the 8-byte "
+    "fingerprint in the RocksDB store, two longs per key — strictly "
+    "smaller state than the md5 ledger; the batch twin "
+    "(llm_mm_dedup_phash) is the compaction path",
+)
+def stream_mm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_stream_for_k8s_spark.functions.multimodal import (
+        dhash_media,
+    )
+
+    src = _doc_ingest_src(spark, sf_dir)
+    ss = _streaming_session(spark)
+    stream = (
+        ss.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    # same normalized-body PPM the batch tier hashes (plans.llm's
+    # _body768 contract restated: printable-mapped, space-padded 768)
+    body = F.rpad(
+        F.regexp_replace(
+            F.substring("text", 1, 768), r"[^\x20-\x7e]", "?"
+        ),
+        768,
+        " ",
+    )
+    ppm = stream.select(
+        "doc_id",
+        F.encode(
+            F.concat(F.lit("P6\n16 16\n255\n"), body), "UTF-8"
+        ).alias("payload"),
+    )
+    ledger = (
+        dhash_media(ppm)
+        .groupBy("phash")
+        .agg(
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.count("*").cast("long").alias("n_seen"),
+        )
+    )
+    sink = f"smd_{abs(hash(sf_dir)) % 10**8}"
+    return _run_to_memory(ledger, sink, mode="complete")

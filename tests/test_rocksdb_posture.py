@@ -54,7 +54,10 @@ def fresh_sf(tmp_path):
     return sf
 
 
-@pytest.mark.parametrize("name", ["stream_doc_dedup", "stream_dedup_ttl"])
+@pytest.mark.parametrize(
+    "name",
+    ["stream_doc_dedup", "stream_dedup_ttl", "stream_mm_dedup"],
+)
 def test_registered_stream_query_on_rocksdb(
     spark, fresh_sf, monkeypatch, name
 ):

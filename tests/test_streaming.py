@@ -1288,3 +1288,23 @@ def test_stream_doc_dedup_kills_cross_batch_redelivery(spark):
         for r in REGISTRY["stream_doc_dedup"].spark(spark, sf).collect()
     }
     assert again == kept
+
+
+def test_stream_mm_dedup_ledger_semantics(spark):
+    """The streaming image-dedup ledger pins first_doc to the
+    ORIGINAL delivery and counts the batch-4 re-deliveries: every
+    re-delivered doc (doc_id+1M, identical text => identical image)
+    must land in a group whose first_doc is its original and whose
+    n_seen >= 2."""
+    from event_stream_for_k8s_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["stream_mm_dedup"].spark(spark, sf).collect()
+    assert rows
+    assert all(r["first_doc"] < 1_000_000 for r in rows)
+    redelivered = [r for r in rows if r["n_seen"] >= 2]
+    assert redelivered, "batch-4 re-deliveries must increment n_seen"
+    total = sum(r["n_seen"] for r in rows)
+    firsts = len(rows)
+    # every delivery is accounted for exactly once in the ledger
+    assert total > firsts
