@@ -86,3 +86,71 @@ def pagerank(
         if it % 2 == 1 or it == iters - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def kcore_peel(
+    und: DataFrame, k: int, rounds: int
+) -> DataFrame:
+    """Bounded k-core peeling over an undirected edge relation.
+
+    ``und`` holds both directions of every edge as (src, dst). Each
+    round drops every node whose degree among the still-alive nodes
+    is < k; after ``rounds`` rounds the survivors with their final
+    in-core degrees are returned as
+    ``(v, core_deg, converged)`` — ``converged`` is TRUE iff the last
+    round removed nobody, i.e. the bounded peel reached the true
+    k-core fixed point (peeling is monotone, so once a round is
+    empty every later round is too). A graph that needs more rounds
+    reports converged = FALSE identically on any engine replaying
+    the same unroll — bounded-iteration honesty, same contract as
+    the pagerank anchor's fixed 3 rounds.
+
+    Plan shape per round: two hash semi-joins (edge endpoints against
+    the alive set) + one keyed count — all equi-joins on node ids,
+    linear in |E| per round. Each alive relation is eagerly
+    localCheckpointed: the next round references it twice (both
+    endpoints), so un-checkpointed lineage would double per round.
+    The loop early-exits on the per-round survivor COUNT (one driver
+    scalar, the connected_components precedent): since each round's
+    survivors are a subset of the previous alive set, equal counts
+    mean set equality — the fixed point — so converged rounds are
+    never re-executed and the result is identical to the full unroll
+    (converged rounds are idempotent, which is what lets the
+    fixed-round oracle replay an early-exited run).
+    """
+    und = und.localCheckpoint(eager=True)
+    alive = (
+        und.select(F.col("src").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_alive = alive.count()
+    deg = None
+    converged = False
+    for _ in range(rounds):
+        deg = (
+            und.join(alive.withColumnRenamed("v", "src"), "src")
+            .join(
+                alive.select(F.col("v").alias("dst")), "dst"
+            )
+            .groupBy("src")
+            .agg(F.count("*").cast("long").alias("core_deg"))
+        )
+        nxt = (
+            deg.filter(F.col("core_deg") >= k)
+            .select(F.col("src").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_alive:
+            converged = True
+            break
+        alive, n_alive = nxt, n_nxt
+    # survivor degrees were computed against the previous alive set;
+    # at the fixed point that set equals the survivors, so core_deg
+    # is the true in-core degree
+    return (
+        deg.filter(F.col("core_deg") >= k)
+        .select(F.col("src").alias("v"), "core_deg")
+        .withColumn("converged", F.lit(converged))
+    )

@@ -3030,6 +3030,89 @@ SELECT v, r AS rank_scaled FROM pr{iters}
     "a production run persists it (graph_pagerank's operator does, "
     "via localCheckpoint)",
 )
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled bounded k-core peel over the label-blocked similarity
+    graph (same edge derivation as graph_pagerank_exact): per round,
+    degree among the still-alive set then drop < k. Survivor degrees
+    are exact integers, so DuckDB hash-matches the whole relation;
+    the converged flag compares the last two alive counts (peeling
+    is monotone, so an empty round is the fixed point)."""
+    parts = [
+        f"""pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id // 100 = b.vec_id // 100
+   AND a.vec_id < b.vec_id
+  WHERE round({sql_cosine('a.embedding', 'b.embedding')}, 6) >= 0.2
+), und AS (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM pairs
+), a0 AS (SELECT DISTINCT src AS v FROM und)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""d{r} AS (
+  SELECT u.src AS v, cast(count(*) AS bigint) AS core_deg
+  FROM und u
+  JOIN a{r - 1} x ON u.src = x.v
+  JOIN a{r - 1} y ON u.dst = y.v
+  GROUP BY u.src
+), a{r} AS (SELECT v FROM d{r} WHERE core_deg >= {k})"""
+        )
+    return f"""
+WITH {", ".join(parts)}
+SELECT v AS vec_id, core_deg,
+       (SELECT count(*) FROM a{rounds})
+         = (SELECT count(*) FROM a{rounds - 1}) AS converged
+FROM d{rounds} WHERE core_deg >= {k}
+"""
+
+
+@query(
+    "graph_kcore",
+    oracle=_kcore_oracle(2, 8),
+    section="C",
+    notes="k-core decomposition (k=2) of the similarity graph — the "
+    "third member of the iterative class after PageRank and "
+    "connected components: bounded peeling (8 rounds), each round "
+    "two alive-set semi-joins + one keyed count, every relation "
+    "eagerly localCheckpointed so lineage stays O(1) per round "
+    "(operators/graph.py::kcore_peel). The fixture converges in <= 4 "
+    "rounds at every SF; the converged flag reports the fixed point "
+    "honestly if a graph ever needs more (bounded-iteration "
+    "contract, same as the pagerank anchor). Exact integer degrees "
+    "=> full-relation hash oracle via the unrolled CTE chain. At "
+    "100 TB each round is |E|-linear keyed work; the peel count is "
+    "bounded by the degeneracy ordering depth, small on power-law "
+    "graphs",
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_stream_for_k8s_spark.operators.graph import kcore_peel
+
+    e = load(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    sim = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.expr("a.vec_id div 100") == F.expr("b.vec_id div 100"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(sim >= 0.2)
+        .select(
+            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
+        )
+    )
+    und = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return kcore_peel(und, k=2, rounds=8).select(
+        F.col("v").alias("vec_id"), "core_deg", "converged"
+    )
+
+
 def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     a, b = e.alias("a"), e.alias("b")

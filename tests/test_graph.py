@@ -200,3 +200,69 @@ def test_planted_jaccard(spark, tmp_path):
     assert out[(1, 4)]["common"] == 0
     assert out[(1, 4)]["jaccard"] == 0.0
 
+
+
+def test_kcore_peel_matches_python_reference(spark):
+    """kcore_peel == the textbook iterative peel on crafted graphs:
+    a triangle with a pendant path (cascade: the tail unravels link
+    by link), plus an isolated edge that must fully dissolve."""
+    from pyspark.sql import functions as F
+
+    from event_stream_for_k8s_spark.operators.graph import kcore_peel
+
+    # triangle 1-2-3; path 3-4-5; isolated edge 6-7
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (6, 7)]
+
+    def reference(edges, k):
+        import collections
+
+        adj = collections.defaultdict(set)
+        for s, d in edges:
+            adj[s].add(d)
+            adj[d].add(s)
+        alive = set(adj)
+        while True:
+            drop = {
+                v
+                for v in alive
+                if sum(1 for u in adj[v] if u in alive) < k
+            }
+            if not drop:
+                break
+            alive -= drop
+        return {
+            v: sum(1 for u in adj[v] if u in alive) for v in alive
+        }
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    und = df.union(
+        df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    for k in (1, 2, 3):
+        got = {
+            r["v"]: r["core_deg"]
+            for r in kcore_peel(und, k=k, rounds=8).collect()
+        }
+        assert got == reference(edges, k), f"k={k}"
+        rows = kcore_peel(und, k=k, rounds=8).collect()
+        assert all(r["converged"] for r in rows)
+
+
+def test_kcore_bounded_rounds_reports_nonconvergence(spark):
+    """A long path needs ~len/2 peel rounds for k=2; with rounds=2 the
+    bounded peel must report converged=False rather than pretending
+    the survivors are the core."""
+    from pyspark.sql import functions as F
+
+    from event_stream_for_k8s_spark.operators.graph import kcore_peel
+
+    path = [(i, i + 1) for i in range(1, 12)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    und = df.union(
+        df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    rows = kcore_peel(und, k=2, rounds=2).collect()
+    assert rows  # interior nodes still standing after 2 rounds
+    assert all(not r["converged"] for r in rows)
+    done = kcore_peel(und, k=2, rounds=8).collect()
+    assert done == []  # a bare path has no 2-core
