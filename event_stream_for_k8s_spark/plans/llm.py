@@ -3012,24 +3012,6 @@ SELECT v, r AS rank_scaled FROM pr{iters}
 """
 
 
-@query(
-    "graph_pagerank_exact",
-    oracle=_pagerank_exact_oracle(3),
-    section="C",
-    notes="exactness anchor for graph_pagerank, extending the anchor "
-    "pattern to the ITERATIVE class the r04 verdict called "
-    "non-SQL-expressible: with a fixed iteration count the recurrence "
-    "unrolls into chained CTEs, and with ranks held as scaled int64 "
-    "(1.0 == 10^12) every update is integer division + integer sums "
-    "— order-insensitive and engine-identical, so DuckDB hash-matches "
-    "the full rank vector after 3 rounds (same graph, same damping "
-    "0.85 as the float production operator; its merge-order-dependent "
-    "float masses are WHY it is rows-only). Per round: one equi-join "
-    "+ one keyed agg + two broadcast scalars (n, dangling mass) — "
-    "the edge relation is re-derived per round here for plan purity; "
-    "a production run persists it (graph_pagerank's operator does, "
-    "via localCheckpoint)",
-)
 def _kcore_oracle(k: int, rounds: int) -> str:
     """Unrolled bounded k-core peel over the label-blocked similarity
     graph (same edge derivation as graph_pagerank_exact): per round,
@@ -3037,28 +3019,32 @@ def _kcore_oracle(k: int, rounds: int) -> str:
     are exact integers, so DuckDB hash-matches the whole relation;
     the converged flag compares the last two alive counts (peeling
     is monotone, so an empty round is the fixed point)."""
+    # MATERIALIZED throughout: the similarity join is referenced by
+    # every round and each alive set twice — inlined CTEs would
+    # re-evaluate the cosine join ~2*rounds times (measured 169 s vs
+    # ~2 s at sf0.001), the same fix as the pagerank oracle
     parts = [
-        f"""pairs AS (
+        f"""pairs AS MATERIALIZED (
   SELECT a.vec_id AS src, b.vec_id AS dst
   FROM embeddings a JOIN embeddings b
     ON a.label = b.label AND a.vec_id // 100 = b.vec_id // 100
    AND a.vec_id < b.vec_id
   WHERE round({sql_cosine('a.embedding', 'b.embedding')}, 6) >= 0.2
-), und AS (
+), und AS MATERIALIZED (
   SELECT src, dst FROM pairs
   UNION ALL
   SELECT dst AS src, src AS dst FROM pairs
-), a0 AS (SELECT DISTINCT src AS v FROM und)"""
+), a0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM und)"""
     ]
     for r in range(1, rounds + 1):
         parts.append(
-            f"""d{r} AS (
+            f"""d{r} AS MATERIALIZED (
   SELECT u.src AS v, cast(count(*) AS bigint) AS core_deg
   FROM und u
   JOIN a{r - 1} x ON u.src = x.v
   JOIN a{r - 1} y ON u.dst = y.v
   GROUP BY u.src
-), a{r} AS (SELECT v FROM d{r} WHERE core_deg >= {k})"""
+), a{r} AS MATERIALIZED (SELECT v FROM d{r} WHERE core_deg >= {k})"""
         )
     return f"""
 WITH {", ".join(parts)}
@@ -3113,6 +3099,24 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "graph_pagerank_exact",
+    oracle=_pagerank_exact_oracle(3),
+    section="C",
+    notes="exactness anchor for graph_pagerank, extending the anchor "
+    "pattern to the ITERATIVE class the r04 verdict called "
+    "non-SQL-expressible: with a fixed iteration count the recurrence "
+    "unrolls into chained CTEs, and with ranks held as scaled int64 "
+    "(1.0 == 10^12) every update is integer division + integer sums "
+    "— order-insensitive and engine-identical, so DuckDB hash-matches "
+    "the full rank vector after 3 rounds (same graph, same damping "
+    "0.85 as the float production operator; its merge-order-dependent "
+    "float masses are WHY it is rows-only). Per round: one equi-join "
+    "+ one keyed agg + two broadcast scalars (n, dangling mass) — "
+    "the edge relation is re-derived per round here for plan purity; "
+    "a production run persists it (graph_pagerank's operator does, "
+    "via localCheckpoint)",
+)
 def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     a, b = e.alias("a"), e.alias("b")
