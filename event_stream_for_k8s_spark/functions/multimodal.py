@@ -580,3 +580,40 @@ def audio_fp_media(df: DataFrame, frame: int = 32) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "afp": fps})
 
     return df.mapInPandas(batches, AUDIO_FP_SCHEMA)
+
+
+MM_SIG_SCHEMA = "doc_id bigint, phash bigint, afp bigint"
+
+
+def mm_signatures(df: DataFrame) -> DataFrame:
+    """Both media signatures (image dHash + audio fingerprint) in ONE
+    Arrow-batched pass over the normalized 768-byte body column.
+
+    The capstone composition: the per-modality queries prove the real
+    container round-trips (PPM/WAV encode -> parse -> hash); here the
+    pipeline computes the same signature math straight off the body
+    bytes — pixel k's gray = (b[3k]+b[3k+1]+b[3k+2]) // 3 on the
+    16x16 raster, sample k = (b[k]-79)*256 — one Python stage instead
+    of two encode/decode round-trips and a join. Expects a ``body``
+    binary column of exactly 768 printable-ASCII bytes per row.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            phashes, afps = [], []
+            for body in pdf["body"]:
+                b = np.frombuffer(bytes(body), dtype=np.uint8)
+                img = b.reshape(16, 16, 3)
+                phashes.append(dhash64(img))
+                samples = b.astype(np.int64) - 79
+                afps.append(audio_fp((samples * 256).tolist(), 32))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": phashes,
+                    "afp": afps,
+                }
+            )
+
+    return df.mapInPandas(batches, MM_SIG_SCHEMA)

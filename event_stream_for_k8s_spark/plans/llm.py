@@ -2797,6 +2797,70 @@ def llm_mm_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_mm_pipeline",
+    oracle=f"""
+WITH {_phash_sig_cte("documents")},
+af AS (
+  SELECT n.doc_id,
+         cast(list_sum(list_transform(range(0, 23), f ->
+           CASE WHEN ev[cast(f + 2 AS int)] > ev[cast(f + 1 AS int)]
+                THEN (1::BIGINT << f) ELSE 0 END)) AS BIGINT) AS afp
+  FROM (
+    SELECT doc_id, list_transform(range(0, 24), f ->
+             list_sum(list_transform(range(1, 33), i ->
+               abs((ord(substr(body, cast(32*f + i AS int), 1)) - 79)
+                   * 256)))) AS ev
+    FROM norm) n
+)
+SELECT s.doc_id, s.phash, af.afp,
+       count(*) OVER (PARTITION BY s.phash) AS n_copies,
+       s.doc_id = min(s.doc_id) OVER (PARTITION BY s.phash)
+         AS is_canonical
+FROM sig s JOIN af ON s.doc_id = af.doc_id
+""",
+    section="B.11",
+    notes="the MULTIMODAL capstone (the llm_sft_pipeline pattern "
+    "applied to media prep): ONE documents scan -> ONE Arrow pass "
+    "computing BOTH signatures (image dHash + audio fingerprint) "
+    "straight off the shared normalized body "
+    "(functions/multimodal.py::mm_signatures — the per-modality "
+    "queries prove the container round-trips; the pipeline composes "
+    "the signature math without re-encoding twice and joining), then "
+    "exact image-dedup bookkeeping: per-phash copy count and the "
+    "canonical (min doc_id) flag via one map-combinable struct "
+    "min/count aggregate broadcast back — the dedup_first_agg "
+    "pattern, no corpus-wide window on the Spark side. Every bit "
+    "and count replayed exactly in DuckDB",
+)
+def llm_mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_stream_for_k8s_spark.functions.multimodal import (
+        mm_signatures,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    src = d.select(
+        "doc_id", F.encode(_body768(), "UTF-8").alias("body")
+    )
+    sig = mm_signatures(src)
+    groups = sig.groupBy("phash").agg(
+        F.count("*").alias("n_copies"),
+        F.min("doc_id").alias("first_doc"),
+    )
+    return (
+        sig.join(groups, "phash")
+        .select(
+            "doc_id",
+            "phash",
+            "afp",
+            "n_copies",
+            (F.col("doc_id") == F.col("first_doc")).alias(
+                "is_canonical"
+            ),
+        )
+    )
+
+
+@query(
     "llm_perplexity",
     oracle="""
 WITH tok AS (

@@ -1807,3 +1807,37 @@ def test_length_batches_invariants(spark):
             assert by_batch[bid] <= cap
             if bid < ids[-1]:
                 assert by_batch[bid] == cap
+
+
+def test_mm_pipeline_matches_standalone_signatures(spark):
+    """The one-pass capstone computes EXACTLY the signatures the
+    per-modality container round-trips produce: phash == llm_mm_phash
+    (PPM encode -> parse -> dHash) and afp == llm_mm_audio_fp (WAV
+    encode -> chunk walk -> fingerprint) for every doc — the
+    composition skips the containers, not the math."""
+    from event_stream_for_k8s_spark.plans.registry import REGISTRY
+
+    pipe = {
+        r["doc_id"]: (r["phash"], r["afp"], r["n_copies"], r["is_canonical"])
+        for r in REGISTRY["llm_mm_pipeline"].spark(spark, SF).collect()
+    }
+    ph = {
+        r["doc_id"]: r["phash"]
+        for r in REGISTRY["llm_mm_phash"].spark(spark, SF).collect()
+    }
+    af = {
+        r["doc_id"]: r["afp"]
+        for r in REGISTRY["llm_mm_audio_fp"].spark(spark, SF).collect()
+    }
+    assert set(pipe) == set(ph) == set(af)
+    for did, (phash, afp, n_copies, canon) in pipe.items():
+        assert phash == ph[did]
+        assert afp == af[did]
+        assert n_copies >= 1
+    # exactly one canonical per phash group
+    from collections import defaultdict
+
+    canons = defaultdict(int)
+    for did, (phash, _afp, _n, canon) in pipe.items():
+        canons[phash] += bool(canon)
+    assert all(c == 1 for c in canons.values())
