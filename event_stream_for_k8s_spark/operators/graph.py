@@ -118,6 +118,8 @@ def kcore_peel(
     (converged rounds are idempotent, which is what lets the
     fixed-round oracle replay an early-exited run).
     """
+    if rounds < 1:
+        raise ValueError(f"kcore_peel needs rounds >= 1, got {rounds}")
     und = und.localCheckpoint(eager=True)
     alive = (
         und.select(F.col("src").alias("v"))
