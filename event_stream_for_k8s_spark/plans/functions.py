@@ -478,6 +478,51 @@ def fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_regexp",
+    oracle="""
+SELECT p_partkey,
+       len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
+       regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+       coalesce(array_to_string(
+                  regexp_extract_all(p_name, '\\b[a-z]{5,}\\b'), '|'),
+                '') AS long_words,
+       regexp_matches(p_type, 'BRUSHED|POLISHED') AS is_finished,
+       len(string_split_regex(p_name, '\\s+')) AS n_fields,
+       regexp_replace(p_name, '(\\w+) (\\w+)', '\\2 \\1') AS swapped
+FROM part
+""",
+    section="B.8",
+    notes="regexp family beyond fn_string's extract/replace basics: "
+    "match COUNT (regexp_count vs len(regexp_extract_all) — "
+    "independent engines, true differential), anchored group "
+    "extract, extract_all joined to a scalar (driver-hashable, no "
+    "array column), boolean rlike, regex split count, and a "
+    "capture-group BACKREFERENCE swap (Java $2/$1 vs RE2 \\\\2/\\\\1 "
+    "spellings of the same semantics). Patterns stay in the "
+    "Java-regex/RE2 common dialect (classes, alternation, word "
+    "boundaries, bounded quantifiers). Narrow map, no shuffle",
+)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_count("p_name", F.lit("[aeiou]")).alias("n_vowels"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.array_join(
+            F.regexp_extract_all(
+                "p_name", F.lit(r"\b[a-z]{5,}\b"), 0
+            ),
+            "|",
+        ).alias("long_words"),
+        F.col("p_type").rlike("BRUSHED|POLISHED").alias("is_finished"),
+        F.size(F.split("p_name", r"\s+")).alias("n_fields"),
+        F.regexp_replace("p_name", r"(\w+) (\w+)", r"$2 $1").alias(
+            "swapped"
+        ),
+    )
+
+
+@query(
     "fn_trig",
     oracle="""
 SELECT l_orderkey, l_linenumber,

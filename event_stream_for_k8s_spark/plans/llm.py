@@ -2752,13 +2752,22 @@ FROM sig
     "would reuse llm_mm_dedup_phash's Hamming-LSH shape verbatim",
 )
 def llm_mm_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _audio_fp_corpus(load(spark, sf_dir, "documents"))
+    counts = sig.groupBy("afp").agg(F.count("*").alias("group_n"))
+    return sig.join(counts, "afp").select("doc_id", "afp", "group_n")
+
+
+def _audio_fp_corpus(d: DataFrame) -> DataFrame:
+    """The real audio signature pass over a (doc_id, text) relation:
+    normalized body -> 8 kHz PCM16 RIFF/WAVE payload (1 char = 1
+    sample) -> genuine chunk-walk -> energy-contour fingerprint.
+    Shared by llm_mm_audio_fp and llm_mm_dedup_audio."""
     import pandas as pd
 
     from event_stream_for_k8s_spark.functions.multimodal import (
         audio_fp_media,
     )
 
-    d = load(spark, sf_dir, "documents")
     src = d.select(
         "doc_id", F.encode(_body768(), "UTF-8").alias("raw")
     )
@@ -2791,9 +2800,130 @@ def llm_mm_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     mm = src.mapInPandas(enc, "doc_id bigint, payload binary")
-    sig = audio_fp_media(mm)
-    counts = sig.groupBy("afp").agg(F.count("*").alias("group_n"))
-    return sig.join(counts, "afp").select("doc_id", "afp", "group_n")
+    return audio_fp_media(mm)
+
+
+@query(
+    "llm_mm_dedup_audio",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, 'zzz' || substr(text, 4) AS text
+  FROM documents WHERE doc_id % 50 = 0
+), norm AS (
+  SELECT doc_id,
+         rpad(regexp_replace(substr(text, 1, 768), '[^ -~]', '?', 'g'),
+              768, ' ') AS body
+  FROM corpus
+), e AS (
+  SELECT doc_id, list_transform(range(0, 24), f ->
+           list_sum(list_transform(range(1, 33), i ->
+             abs((ord(substr(body, cast(32*f + i AS int), 1)) - 79)
+                 * 256)))) AS ev
+  FROM norm
+), sig AS (
+  SELECT doc_id,
+         cast(list_sum(list_transform(range(0, 23), f ->
+           CASE WHEN ev[cast(f + 2 AS int)] > ev[cast(f + 1 AS int)]
+                THEN (1::BIGINT << f) ELSE 0 END)) AS BIGINT) AS afp
+  FROM e
+), bands AS (
+  SELECT doc_id, afp, cast(r.b AS int) AS band_idx,
+         (afp >> (12 * cast(r.b AS int))) & 4095 AS band_val
+  FROM sig CROSS JOIN range(0, 2) r(b)
+), okb AS (
+  SELECT band_idx, band_val FROM bands
+  GROUP BY band_idx, band_val
+  HAVING count(*) BETWEEN 2 AND 64
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         cast(bit_count(xor(a.afp, b.afp)) AS int) AS hamming
+  FROM bands a
+  JOIN okb ON a.band_idx = okb.band_idx AND a.band_val = okb.band_val
+  JOIN bands b ON b.band_idx = okb.band_idx AND b.band_val = okb.band_val
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 1
+""",
+    section="B.11",
+    notes="near-duplicate AUDIO detection — llm_mm_dedup_phash's "
+    "Hamming-LSH shape applied to the 23-bit energy-contour "
+    "fingerprint: 2 bands x 12 bits (band equi-join, cap 64 "
+    "oracle-replayed), bit_count(xor) verify at threshold 1 — "
+    "pigeonhole-exact recall within un-capped buckets (distance 1 "
+    "leaves one band intact). Fixture plants byte-identical clips "
+    "(doc+1M: Hamming 0) and 3-char perturbations (doc+2M: one "
+    "sample window changes => only frame 0's delta bit can flip). "
+    "Spark side: the REAL WAV encode -> chunk-walk -> fingerprint "
+    "pass (audio_fp_media), persisted because both explode sides "
+    "consume it; everything downstream is codegen equi-join",
+)
+def llm_mm_dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.unionByName(
+        planted.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    ).unionByName(
+        planted.select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(
+                F.lit("zzz"), F.expr("substring(text, 4)")
+            ).alias("text"),
+        )
+    )
+    sig = _audio_fp_corpus(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = sig.select(
+        "doc_id",
+        "afp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("afp", 12 * b).bitwiseAND(F.lit(4095))
+                    for b in range(2)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    okb = (
+        bands.groupBy("band_idx", "band_val")
+        .count()
+        .filter((F.col("count") >= 2) & (F.col("count") <= 64))
+        .drop("count")
+    )
+    bb = bands.join(okb, ["band_idx", "band_val"])
+    a = bb.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("afp").alias("fa"),
+        "band_idx",
+        "band_val",
+    )
+    b = bb.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("afp").alias("fb"),
+        "band_idx",
+        "band_val",
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 1)
+    )
 
 
 @query(

@@ -1841,3 +1841,35 @@ def test_mm_pipeline_matches_standalone_signatures(spark):
     for did, (phash, _afp, _n, canon) in pipe.items():
         canons[phash] += bool(canon)
     assert all(c == 1 for c in canons.values())
+
+
+def test_mm_dedup_audio_planted_pairs(spark):
+    """The audio near-dup query recovers every planted byte-identical
+    clip at Hamming 0 (unless its band bucket overflows the cap);
+    perturbed clips land within the one-frame locality bound."""
+    from event_stream_for_k8s_spark.plans.registry import REGISTRY
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    planted = [
+        r["doc_id"]
+        for r in d.filter("doc_id % 50 = 0").select("doc_id").collect()
+    ]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in REGISTRY["llm_mm_dedup_audio"]
+        .spark(spark, SF)
+        .collect()
+    }
+    assert planted
+    found = 0
+    for did in planted:
+        h = pairs.get((did, did + 1_000_000))
+        if h is not None:
+            assert h == 0
+            found += 1
+        perturbed = pairs.get((did, did + 2_000_000))
+        if perturbed is not None:
+            assert perturbed <= 1
+    # the 23-bit space collides more than dHash64, so some buckets
+    # may overflow the cap — but most planted pairs must survive
+    assert found >= len(planted) * 0.5
