@@ -46,13 +46,18 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_ppm(b: bytes) -> tuple[float, float, float, float]:
-    """P6 (binary) PPM: (width, height, mean pixel, max pixel)."""
+def ppm_raster(b: bytes) -> tuple[int, int, int]:
+    """Parse a P6 header and return (width, height, raster offset).
+
+    The offset is HEADER-derived (magic, then width/height/maxval as
+    whitespace-separated tokens with '#' comments, then one
+    whitespace byte), never an end-anchored ``len(b) - w*h*3`` slice
+    — a payload with trailing bytes after the raster would silently
+    shift every pixel under the end-anchored form. Shared by the
+    feature decoder, the resizer and the dHash pass.
+    """
     if b[:2] != b"P6":
         raise ValueError("not a P6 PPM payload")
-    # header = magic, width, height, maxval as whitespace-separated
-    # ASCII tokens (comments '#...' allowed), then a single whitespace
-    # byte, then width*height*3 raw bytes.
     pos, fields = 2, []
     while len(fields) < 3:
         while pos < len(b) and b[pos : pos + 1].isspace():
@@ -67,9 +72,15 @@ def decode_ppm(b: bytes) -> tuple[float, float, float, float]:
         fields.append(int(b[start:pos]))
     pos += 1  # the single whitespace after maxval
     width, height, _maxval = fields
-    px = b[pos : pos + width * height * 3]
-    if len(px) != width * height * 3:
+    if len(b) - pos < width * height * 3:
         raise ValueError("truncated PPM pixel data")
+    return width, height, pos
+
+
+def decode_ppm(b: bytes) -> tuple[float, float, float, float]:
+    """P6 (binary) PPM: (width, height, mean pixel, max pixel)."""
+    width, height, pos = ppm_raster(b)
+    px = b[pos : pos + width * height * 3]
     return (
         float(width),
         float(height),
@@ -408,11 +419,10 @@ def resize_media(
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
-                w, h, _, _ = decode_ppm(b)
-                w, h = int(w), int(h)
-                # re-parse the pixel block (decode_ppm validated it)
-                px_off = len(b) - w * h * 3
-                px = np.frombuffer(b, dtype=np.uint8, offset=px_off)
+                w, h, px_off = ppm_raster(b)
+                px = np.frombuffer(
+                    b, dtype=np.uint8, offset=px_off, count=w * h * 3
+                )
                 img = px.reshape(h, w, 3)
                 ri = (np.arange(out_h) * h) // out_h
                 rj = (np.arange(out_w) * w) // out_w
@@ -522,10 +532,10 @@ def dhash_media(df: DataFrame) -> DataFrame:
             hashes = []
             for payload in pdf["payload"]:
                 b = bytes(payload)
-                w, h, _, _ = decode_ppm(b)
-                w, h = int(w), int(h)
-                px_off = len(b) - w * h * 3
-                px = np.frombuffer(b, dtype=np.uint8, offset=px_off)
+                w, h, px_off = ppm_raster(b)
+                px = np.frombuffer(
+                    b, dtype=np.uint8, offset=px_off, count=w * h * 3
+                )
                 hashes.append(dhash64(px.reshape(h, w, 3)))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "phash": hashes}

@@ -488,7 +488,8 @@ SELECT p_partkey,
                 '') AS long_words,
        regexp_matches(p_type, 'BRUSHED|POLISHED') AS is_finished,
        len(string_split_regex(p_name, '\\s+')) AS n_fields,
-       regexp_replace(p_name, '(\\w+) (\\w+)', '\\2 \\1') AS swapped
+       regexp_replace(p_name, '(\\w+) (\\w+)', '\\2 \\1', 'g')
+         AS swapped
 FROM part
 """,
     section="B.8",

@@ -2511,17 +2511,81 @@ _PHASH_TERMS = " + ".join(
 )
 
 
+def _norm_cte(src: str) -> str:
+    """The shared normalized-body CTE (printable-mapped, space-padded
+    768 chars — the SQL twin of the Spark-side _body768)."""
+    return f"""norm AS (
+  SELECT doc_id,
+         rpad(regexp_replace(substr(text, 1, 768), '[^ -~]', '?', 'g'),
+              768, ' ') AS body
+  FROM {src}
+)"""
+
+
+# The audio fingerprint chain FROM an existing `norm` CTE: 24 frame
+# energies -> 23 delta-sign bits as `asig(doc_id, afp)`. Named asig
+# (not sig) so it composes with _phash_sig_cte in one WITH clause.
+_AFP_FROM_NORM = """e AS (
+  SELECT doc_id, list_transform(range(0, 24), f ->
+           list_sum(list_transform(range(1, 33), i ->
+             abs((ord(substr(body, cast(32*f + i AS int), 1)) - 79)
+                 * 256)))) AS ev
+  FROM norm
+), asig AS (
+  SELECT doc_id,
+         cast(list_sum(list_transform(range(0, 23), f ->
+           CASE WHEN ev[cast(f + 2 AS int)] > ev[cast(f + 1 AS int)]
+                THEN (1::BIGINT << f) ELSE 0 END)) AS BIGINT) AS afp
+  FROM e
+)"""
+
+
+# The planted near-dup corpus both banded dedup oracles replay:
+# byte-identical crops at +1M, first-pixel perturbations at +2M.
+_PLANT_CORPUS_SQL = """corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, 'zzz' || substr(text, 4) AS text
+  FROM documents WHERE doc_id % 50 = 0
+)"""
+
+
+def _band_pairs_sql(
+    sig_cte: str, col: str, bands: int, bits: int, threshold: int
+) -> str:
+    """The banded Hamming-LSH candidate/verify tail: explode the
+    signature into ``bands`` x ``bits``-bit band values, keep buckets
+    of 2..64 members, equi-join for candidates, bit_count(xor)
+    verify at ``threshold``."""
+    mask = (1 << bits) - 1
+    return f"""bands AS (
+  SELECT doc_id, {col}, cast(r.b AS int) AS band_idx,
+         ({col} >> ({bits} * cast(r.b AS int))) & {mask} AS band_val
+  FROM {sig_cte} CROSS JOIN range(0, {bands}) r(b)
+), okb AS (
+  SELECT band_idx, band_val FROM bands
+  GROUP BY band_idx, band_val
+  HAVING count(*) BETWEEN 2 AND 64
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         cast(bit_count(xor(a.{col}, b.{col})) AS int) AS hamming
+  FROM bands a
+  JOIN okb ON a.band_idx = okb.band_idx AND a.band_val = okb.band_val
+  JOIN bands b ON b.band_idx = okb.band_idx AND b.band_val = okb.band_val
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {threshold}"""
+
+
 def _phash_sig_cte(src: str) -> str:
     """DuckDB CTE chain computing the 64-bit dHash (as ``sig``) from a
     (doc_id, text) relation via the same 16x16 deterministic image the
     Spark side genuinely encodes and decodes."""
     return f"""
-norm AS (
-  SELECT doc_id,
-         rpad(regexp_replace(substr(text, 1, 768), '[^ -~]', '?', 'g'),
-              768, ' ') AS body
-  FROM {src}
-), g AS (
+{_norm_cte(src)}, g AS (
   SELECT doc_id, list_transform(range(0, 256),
            k -> (ord(substr(body, cast(3*k+1 AS int), 1))
                + ord(substr(body, cast(3*k+2 AS int), 1))
@@ -2547,6 +2611,81 @@ def _body768():
         ),
         768,
         " ",
+    )
+
+
+def _planted_corpus(d: DataFrame) -> DataFrame:
+    """documents plus the planted near-dups both banded dedup tiers
+    detect: every 50th doc re-appears byte-identical at +1M and with
+    its first 3 chars (= the first pixel / first sample window)
+    replaced at +2M — the Spark twin of _PLANT_CORPUS_SQL."""
+    planted = d.filter(F.col("doc_id") % 50 == 0)
+    return d.unionByName(
+        planted.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    ).unionByName(
+        planted.select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(
+                F.lit("zzz"), F.expr("substring(text, 4)")
+            ).alias("text"),
+        )
+    )
+
+
+def _banded_pairs(
+    sig: DataFrame, col: str, bands: int, bits: int, threshold: int
+) -> DataFrame:
+    """Banded Hamming-LSH candidate generation + verify over a
+    (doc_id, <col>) signature relation — the Spark twin of
+    _band_pairs_sql: posexplode band values, drop buckets outside
+    2..64 members, self-equi-join, bit_count(xor) <= threshold.
+    Everything after the signature pass is codegen equi-join."""
+    mask = (1 << bits) - 1
+    bands_df = sig.select(
+        "doc_id",
+        col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(col, bits * b).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    okb = (
+        bands_df.groupBy("band_idx", "band_val")
+        .count()
+        .filter((F.col("count") >= 2) & (F.col("count") <= 64))
+        .drop("count")
+    )
+    bb = bands_df.join(okb, ["band_idx", "band_val"])
+    a = bb.select(
+        F.col("doc_id").alias("id_a"),
+        F.col(col).alias("sig_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = bb.select(
+        F.col("doc_id").alias("id_b"),
+        F.col(col).alias("sig_b"),
+        "band_idx",
+        "band_val",
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= threshold)
     )
 
 
@@ -2594,32 +2733,8 @@ def llm_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_mm_dedup_phash",
     oracle=f"""
-WITH corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text
-  FROM documents WHERE doc_id % 50 = 0
-  UNION ALL
-  SELECT doc_id + 2000000 AS doc_id, 'zzz' || substr(text, 4) AS text
-  FROM documents WHERE doc_id % 50 = 0
-), {_phash_sig_cte("corpus")},
-bands AS (
-  SELECT doc_id, phash, cast(r.b AS int) AS band_idx,
-         (phash >> (16 * cast(r.b AS int))) & 65535 AS band_val
-  FROM sig CROSS JOIN range(0, 4) r(b)
-), okb AS (
-  SELECT band_idx, band_val FROM bands
-  GROUP BY band_idx, band_val
-  HAVING count(*) BETWEEN 2 AND 64
-), cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         cast(bit_count(xor(a.phash, b.phash)) AS int) AS hamming
-  FROM bands a
-  JOIN okb ON a.band_idx = okb.band_idx AND a.band_val = okb.band_val
-  JOIN bands b ON b.band_idx = okb.band_idx AND b.band_val = okb.band_val
-  WHERE a.doc_id < b.doc_id
-)
-SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+WITH {_PLANT_CORPUS_SQL}, {_phash_sig_cte("corpus")},
+{_band_pairs_sql("sig", "phash", bands=4, bits=16, threshold=3)}
 """,
     section="B.11",
     notes="near-duplicate IMAGE detection — dHash signatures "
@@ -2646,94 +2761,19 @@ def llm_mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = d.filter(F.col("doc_id") % 50 == 0)
-    corpus = d.unionByName(
-        planted.select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-        )
-    ).unionByName(
-        planted.select(
-            (F.col("doc_id") + 2_000_000).alias("doc_id"),
-            F.concat(
-                F.lit("zzz"), F.expr("substring(text, 4)")
-            ).alias("text"),
-        )
-    )
-    sig = dhash_media(_ppm16(corpus)).persist(
+    sig = dhash_media(_ppm16(_planted_corpus(d))).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    bands = sig.select(
-        "doc_id",
-        "phash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("phash", 16 * b).bitwiseAND(
-                        F.lit(65535)
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("band_idx", "band_val"),
-    )
-    okb = (
-        bands.groupBy("band_idx", "band_val")
-        .count()
-        .filter((F.col("count") >= 2) & (F.col("count") <= 64))
-        .drop("count")
-    )
-    bb = bands.join(okb, ["band_idx", "band_val"])
-    a = bb.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("phash").alias("pa"),
-        "band_idx",
-        "band_val",
-    )
-    b = bb.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("phash").alias("pb"),
-        "band_idx",
-        "band_val",
-    )
-    return (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
-            .cast("int")
-            .alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= 3)
-    )
+    return _banded_pairs(sig, "phash", bands=4, bits=16, threshold=3)
 
 
 @query(
     "llm_mm_audio_fp",
-    oracle="""
-WITH norm AS (
-  SELECT doc_id,
-         rpad(regexp_replace(substr(text, 1, 768), '[^ -~]', '?', 'g'),
-              768, ' ') AS body
-  FROM documents
-), e AS (
-  SELECT doc_id, list_transform(range(0, 24), f ->
-           list_sum(list_transform(range(1, 33), i ->
-             abs((ord(substr(body, cast(32*f + i AS int), 1)) - 79)
-                 * 256)))) AS ev
-  FROM norm
-), sig AS (
-  SELECT doc_id,
-         cast(list_sum(list_transform(range(0, 23), f ->
-           CASE WHEN ev[cast(f + 2 AS int)] > ev[cast(f + 1 AS int)]
-                THEN (1::BIGINT << f) ELSE 0 END)) AS BIGINT) AS afp
-  FROM e
-)
+    oracle=f"""
+WITH {_norm_cte("documents")}, {_AFP_FROM_NORM}
 SELECT doc_id, afp,
        count(*) OVER (PARTITION BY afp) AS group_n
-FROM sig
+FROM asig
 """,
     section="B.11",
     notes="acoustic fingerprints (the Chromaprint/Shazam energy-"
@@ -2805,49 +2845,9 @@ def _audio_fp_corpus(d: DataFrame) -> DataFrame:
 
 @query(
     "llm_mm_dedup_audio",
-    oracle="""
-WITH corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text
-  FROM documents WHERE doc_id % 50 = 0
-  UNION ALL
-  SELECT doc_id + 2000000 AS doc_id, 'zzz' || substr(text, 4) AS text
-  FROM documents WHERE doc_id % 50 = 0
-), norm AS (
-  SELECT doc_id,
-         rpad(regexp_replace(substr(text, 1, 768), '[^ -~]', '?', 'g'),
-              768, ' ') AS body
-  FROM corpus
-), e AS (
-  SELECT doc_id, list_transform(range(0, 24), f ->
-           list_sum(list_transform(range(1, 33), i ->
-             abs((ord(substr(body, cast(32*f + i AS int), 1)) - 79)
-                 * 256)))) AS ev
-  FROM norm
-), sig AS (
-  SELECT doc_id,
-         cast(list_sum(list_transform(range(0, 23), f ->
-           CASE WHEN ev[cast(f + 2 AS int)] > ev[cast(f + 1 AS int)]
-                THEN (1::BIGINT << f) ELSE 0 END)) AS BIGINT) AS afp
-  FROM e
-), bands AS (
-  SELECT doc_id, afp, cast(r.b AS int) AS band_idx,
-         (afp >> (12 * cast(r.b AS int))) & 4095 AS band_val
-  FROM sig CROSS JOIN range(0, 2) r(b)
-), okb AS (
-  SELECT band_idx, band_val FROM bands
-  GROUP BY band_idx, band_val
-  HAVING count(*) BETWEEN 2 AND 64
-), cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         cast(bit_count(xor(a.afp, b.afp)) AS int) AS hamming
-  FROM bands a
-  JOIN okb ON a.band_idx = okb.band_idx AND a.band_val = okb.band_val
-  JOIN bands b ON b.band_idx = okb.band_idx AND b.band_val = okb.band_val
-  WHERE a.doc_id < b.doc_id
-)
-SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 1
+    oracle=f"""
+WITH {_PLANT_CORPUS_SQL}, {_norm_cte("corpus")}, {_AFP_FROM_NORM},
+{_band_pairs_sql("asig", "afp", bands=2, bits=12, threshold=1)}
 """,
     section="B.11",
     notes="near-duplicate AUDIO detection — llm_mm_dedup_phash's "
@@ -2866,87 +2866,21 @@ def llm_mm_dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = d.filter(F.col("doc_id") % 50 == 0)
-    corpus = d.unionByName(
-        planted.select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-        )
-    ).unionByName(
-        planted.select(
-            (F.col("doc_id") + 2_000_000).alias("doc_id"),
-            F.concat(
-                F.lit("zzz"), F.expr("substring(text, 4)")
-            ).alias("text"),
-        )
+    sig = _audio_fp_corpus(_planted_corpus(d)).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    sig = _audio_fp_corpus(corpus).persist(StorageLevel.MEMORY_AND_DISK)
-    bands = sig.select(
-        "doc_id",
-        "afp",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("afp", 12 * b).bitwiseAND(F.lit(4095))
-                    for b in range(2)
-                ]
-            )
-        ).alias("band_idx", "band_val"),
-    )
-    okb = (
-        bands.groupBy("band_idx", "band_val")
-        .count()
-        .filter((F.col("count") >= 2) & (F.col("count") <= 64))
-        .drop("count")
-    )
-    bb = bands.join(okb, ["band_idx", "band_val"])
-    a = bb.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("afp").alias("fa"),
-        "band_idx",
-        "band_val",
-    )
-    b = bb.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("afp").alias("fb"),
-        "band_idx",
-        "band_val",
-    )
-    return (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
-            .cast("int")
-            .alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= 1)
-    )
+    return _banded_pairs(sig, "afp", bands=2, bits=12, threshold=1)
 
 
 @query(
     "llm_mm_pipeline",
     oracle=f"""
-WITH {_phash_sig_cte("documents")},
-af AS (
-  SELECT n.doc_id,
-         cast(list_sum(list_transform(range(0, 23), f ->
-           CASE WHEN ev[cast(f + 2 AS int)] > ev[cast(f + 1 AS int)]
-                THEN (1::BIGINT << f) ELSE 0 END)) AS BIGINT) AS afp
-  FROM (
-    SELECT doc_id, list_transform(range(0, 24), f ->
-             list_sum(list_transform(range(1, 33), i ->
-               abs((ord(substr(body, cast(32*f + i AS int), 1)) - 79)
-                   * 256)))) AS ev
-    FROM norm) n
-)
-SELECT s.doc_id, s.phash, af.afp,
+WITH {_phash_sig_cte("documents")}, {_AFP_FROM_NORM}
+SELECT s.doc_id, s.phash, asig.afp,
        count(*) OVER (PARTITION BY s.phash) AS n_copies,
        s.doc_id = min(s.doc_id) OVER (PARTITION BY s.phash)
          AS is_canonical
-FROM sig s JOIN af ON s.doc_id = af.doc_id
+FROM sig s JOIN asig ON s.doc_id = asig.doc_id
 """,
     section="B.11",
     notes="the MULTIMODAL capstone (the llm_sft_pipeline pattern "

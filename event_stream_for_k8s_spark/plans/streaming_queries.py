@@ -1271,6 +1271,7 @@ def stream_mm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_stream_for_k8s_spark.functions.multimodal import (
         dhash_media,
     )
+    from event_stream_for_k8s_spark.plans.llm import _ppm16
 
     src = _doc_ingest_src(spark, sf_dir)
     ss = _streaming_session(spark)
@@ -1279,23 +1280,8 @@ def stream_mm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .json(src)
     )
-    # same normalized-body PPM the batch tier hashes (plans.llm's
-    # _body768 contract restated: printable-mapped, space-padded 768)
-    body = F.rpad(
-        F.regexp_replace(
-            F.substring("text", 1, 768), r"[^\x20-\x7e]", "?"
-        ),
-        768,
-        " ",
-    )
-    ppm = stream.select(
-        "doc_id",
-        F.encode(
-            F.concat(F.lit("P6\n16 16\n255\n"), body), "UTF-8"
-        ).alias("payload"),
-    )
     ledger = (
-        dhash_media(ppm)
+        dhash_media(_ppm16(stream))
         .groupBy("phash")
         .agg(
             F.min("doc_id").cast("long").alias("first_doc"),

@@ -239,12 +239,9 @@ def test_kcore_peel_matches_python_reference(spark):
         df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     for k in (1, 2, 3):
-        got = {
-            r["v"]: r["core_deg"]
-            for r in kcore_peel(und, k=k, rounds=8).collect()
-        }
-        assert got == reference(edges, k), f"k={k}"
         rows = kcore_peel(und, k=k, rounds=8).collect()
+        got = {r["v"]: r["core_deg"] for r in rows}
+        assert got == reference(edges, k), f"k={k}"
         assert all(r["converged"] for r in rows)
 
 
