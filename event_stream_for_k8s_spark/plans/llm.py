@@ -64,6 +64,7 @@ def effective_caps() -> dict[str, int]:
         "SPARK_GRAFT_NGRAM_BLOCK_CAP": NGRAM_BLOCK_CAP,
         "SPARK_GRAFT_SEMDEDUP_CAP": SEMDEDUP_CLUSTER_CAP,
         "SPARK_GRAFT_SEMDEDUP_TARGET": SEMDEDUP_TARGET_BLOCK,
+        "SPARK_GRAFT_PHASH_BANDS": PHASH_BANDS,
     }
 
 
@@ -2540,6 +2541,24 @@ _AFP_FROM_NORM = """e AS (
 )"""
 
 
+# SPARK_GRAFT_PHASH_BANDS sizes the image tier's Hamming-LSH layout
+# (the LSH_ROWS / NGRAM_BLOCK_CAP knob discipline): bands * bits = 64
+# and the verify threshold is bands - 1, so the pigeonhole recall
+# guarantee (distance <= threshold => one band intact) holds at EVERY
+# setting. More bands = wider recall radius but smaller band values
+# (2^(64/bands) bucket space) = more candidates; default 4 (16-bit
+# bands, threshold 3) keeps every attested hash unchanged. Read ONCE
+# at import by BOTH the Spark plan and the oracle f-string, so the
+# engines stay consistent at any setting; the at-setting differential
+# is pinned by a subprocess test like the semdedup caps.
+PHASH_BANDS = _env_int("SPARK_GRAFT_PHASH_BANDS", 4)
+if 64 % PHASH_BANDS or not 2 <= PHASH_BANDS <= 16:
+    raise ValueError(
+        f"env var SPARK_GRAFT_PHASH_BANDS={PHASH_BANDS} must be a "
+        "divisor of 64 in 2..16"
+    )
+
+
 # The planted near-dup corpus both banded dedup oracles replay:
 # byte-identical crops at +1M, first-pixel perturbations at +2M.
 _PLANT_CORPUS_SQL = """corpus AS (
@@ -2734,7 +2753,8 @@ def llm_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_mm_dedup_phash",
     oracle=f"""
 WITH {_PLANT_CORPUS_SQL}, {_phash_sig_cte("corpus")},
-{_band_pairs_sql("sig", "phash", bands=4, bits=16, threshold=3)}
+{_band_pairs_sql("sig", "phash", bands=PHASH_BANDS,
+                 bits=64 // PHASH_BANDS, threshold=PHASH_BANDS - 1)}
 """,
     section="B.11",
     notes="near-duplicate IMAGE detection — dHash signatures "
@@ -2764,7 +2784,13 @@ def llm_mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = dhash_media(_ppm16(_planted_corpus(d))).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    return _banded_pairs(sig, "phash", bands=4, bits=16, threshold=3)
+    return _banded_pairs(
+        sig,
+        "phash",
+        bands=PHASH_BANDS,
+        bits=64 // PHASH_BANDS,
+        threshold=PHASH_BANDS - 1,
+    )
 
 
 @query(

@@ -1873,3 +1873,29 @@ def test_mm_dedup_audio_planted_pairs(spark):
     # the 23-bit space collides more than dHash64, so some buckets
     # may overflow the cap — but most planted pairs must survive
     assert found >= len(planted) * 0.5
+
+
+def test_phash_bands_knob_matches_oracle_at_nondefault():
+    """SPARK_GRAFT_PHASH_BANDS is a real layout knob: at bands=8
+    (8-bit bands, threshold 7 — a much wider recall radius with far
+    smaller bucket space) the Spark plan must still hash-match the
+    oracle, which interpolates the same constants. Subprocess because
+    the knob binds at registry import."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    env = dict(os.environ, SPARK_GRAFT_PHASH_BANDS="8")
+    proc = subprocess.run(
+        [sys.executable, "tools/selfcheck.py", "llm_mm_dedup_phash",
+         "--sf", "/root/testdata/sf0.001"],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "1/1 ok" in proc.stdout
