@@ -89,12 +89,16 @@ def decode_ppm(b: bytes) -> tuple[float, float, float, float]:
     )
 
 
-def wav_pcm16(b: bytes) -> tuple[int, tuple[int, ...]]:
+def wav_pcm16(b: bytes):
     """Parse a RIFF/WAVE PCM16 payload into (sample_rate, samples).
 
     The chunk walk shared by the feature decoder and the audio
-    fingerprint: fmt + data chunks located with word alignment,
-    16-bit little-endian samples unpacked."""
+    fingerprint: fmt + data chunks located with word alignment.
+    Samples come back as a little-endian int16 numpy view over the
+    data chunk — zero-copy, so a 100 TB Arrow batch pass never
+    materializes per-sample Python objects."""
+    import numpy as np
+
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, rate, bits, data = 12, None, None, None
@@ -110,19 +114,21 @@ def wav_pcm16(b: bytes) -> tuple[int, tuple[int, ...]]:
     if rate is None or data is None or bits != 16:
         raise ValueError("unsupported WAV layout (need fmt + data, PCM16)")
     n = len(data) // 2
-    return rate, struct.unpack(f"<{n}h", data[: n * 2])
+    return rate, np.frombuffer(data, dtype="<i2", count=n)
 
 
 def decode_wav(b: bytes) -> tuple[float, float, float, float]:
     """RIFF/WAVE PCM16: (n_samples, sample_rate, mean |amp|, peak |amp|)."""
+    import numpy as np
+
     rate, samples = wav_pcm16(b)
     n = len(samples)
-    absv = [abs(s) for s in samples]
+    absv = np.abs(samples.astype(np.int64))
     return (
         float(n),
         float(rate),
-        float(sum(absv)) / max(n, 1),
-        float(max(absv) if absv else 0),
+        float(int(absv.sum())) / max(n, 1),
+        float(int(absv.max()) if n else 0),
     )
 
 
@@ -515,6 +521,52 @@ def dhash64(img) -> int:
     return sig - (1 << 64) if sig >= 1 << 63 else sig
 
 
+def dhash64_batch(imgs):
+    """Vectorized :func:`dhash64` over an (N, H, W, 3) uint8 stack —
+    the whole-Arrow-batch form (VERDICT r12 #1: the per-doc numpy
+    calls were the Python-speed constant in the signature passes).
+    Bit-identical to dhash64 row by row; returns int64 (two's
+    complement via a bit-reinterpreting view, same sign rule)."""
+    import numpy as np
+
+    h, w = imgs.shape[1], imgs.shape[2]
+    gray = imgs.astype(np.int64).sum(axis=3) // 3
+    ri = (np.arange(8) * h) // 8
+    rj = (np.arange(9) * w) // 9
+    g = gray[:, ri][:, :, rj]
+    bits = (g[:, :, :-1] > g[:, :, 1:]).reshape(imgs.shape[0], 64)
+    sig = (bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+        axis=1, dtype=np.uint64
+    )
+    return sig.view(np.int64)
+
+
+def audio_fp_batch(arrs, frame: int = 32):
+    """Vectorized :func:`audio_fp` over an (N, L) equal-length sample
+    matrix. Bit-identical to audio_fp row by row; only valid while
+    the fingerprint fits 63 bits (n_frames - 1 <= 63 — callers fall
+    back to the per-row form past that)."""
+    import numpy as np
+
+    a = np.abs(np.asarray(arrs, dtype=np.int64))
+    n, length = a.shape
+    n_frames = (length + frame - 1) // frame
+    if n_frames < 2:
+        return np.zeros(n, dtype=np.int64)
+    if n_frames - 1 > 63:
+        raise ValueError("fingerprint wider than 63 bits: use audio_fp")
+    pad = n_frames * frame - length
+    if pad:
+        a = np.pad(a, ((0, 0), (0, pad)))
+    ev = a.reshape(n, n_frames, frame).sum(axis=2)
+    rising = (ev[:, 1:] > ev[:, :-1]).astype(np.uint64)
+    return (
+        (rising << np.arange(n_frames - 1, dtype=np.uint64))
+        .sum(axis=1, dtype=np.uint64)
+        .view(np.int64)
+    )
+
+
 def dhash_media(df: DataFrame) -> DataFrame:
     """Perceptual-hash signatures over P6 PPM image payloads.
 
@@ -529,14 +581,21 @@ def dhash_media(df: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            hashes = []
+            imgs, shapes = [], set()
             for payload in pdf["payload"]:
                 b = bytes(payload)
                 w, h, px_off = ppm_raster(b)
                 px = np.frombuffer(
                     b, dtype=np.uint8, offset=px_off, count=w * h * 3
                 )
-                hashes.append(dhash64(px.reshape(h, w, 3)))
+                imgs.append(px.reshape(h, w, 3))
+                shapes.add((h, w))
+            # uniform-raster batch (the common corpus shape) hashes as
+            # ONE (N, H, W, 3) stack; ragged batches hash per image
+            if len(shapes) == 1 and imgs:
+                hashes = dhash64_batch(np.stack(imgs))
+            else:
+                hashes = [dhash64(img) for img in imgs]
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "phash": hashes}
             )
@@ -558,16 +617,21 @@ def audio_fp(samples, frame: int = 32) -> int:
     so a SQL engine replays every bit from the source samples. Frames
     beyond the signal contribute zero energy.
     """
-    n_frames = (len(samples) + frame - 1) // frame
-    ev = [
-        sum(abs(int(s)) for s in samples[f * frame : (f + 1) * frame])
-        for f in range(n_frames)
-    ]
-    fp = 0
-    for f in range(len(ev) - 1):
-        if ev[f + 1] > ev[f]:
-            fp |= 1 << f
-    return fp
+    import numpy as np
+
+    arr = np.abs(np.asarray(samples, dtype=np.int64))
+    n_frames = (len(arr) + frame - 1) // frame
+    if n_frames < 2:
+        return 0
+    padded = np.zeros(n_frames * frame, dtype=np.int64)
+    padded[: len(arr)] = arr
+    ev = padded.reshape(n_frames, frame).sum(axis=1)
+    rising = ev[1:] > ev[:-1]
+    # packbits(little) + from_bytes(little) == sum(rising[f] << f),
+    # exact for any frame count (no 64-bit shift ceiling)
+    return int.from_bytes(
+        np.packbits(rising, bitorder="little").tobytes(), "little"
+    )
 
 
 def audio_fp_media(df: DataFrame, frame: int = 32) -> DataFrame:
@@ -582,11 +646,18 @@ def audio_fp_media(df: DataFrame, frame: int = 32) -> DataFrame:
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
-            fps = []
-            for payload in pdf["payload"]:
-                _rate, samples = wav_pcm16(bytes(payload))
-                fps.append(audio_fp(samples, frame))
+            sigs = [wav_pcm16(bytes(p))[1] for p in pdf["payload"]]
+            lens = {len(s) for s in sigs}
+            n_frames = ((max(lens) if lens else 0) + frame - 1) // frame
+            # equal-length clips (the synthesized-corpus shape)
+            # fingerprint as ONE (N, L) matrix; ragged per clip
+            if len(lens) == 1 and sigs and n_frames - 1 <= 63:
+                fps = audio_fp_batch(np.stack(sigs), frame)
+            else:
+                fps = [audio_fp(s, frame) for s in sigs]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "afp": fps})
 
     return df.mapInPandas(batches, AUDIO_FP_SCHEMA)
@@ -611,13 +682,19 @@ def mm_signatures(df: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            phashes, afps = [], []
-            for body in pdf["body"]:
-                b = np.frombuffer(bytes(body), dtype=np.uint8)
-                img = b.reshape(16, 16, 3)
-                phashes.append(dhash64(img))
-                samples = b.astype(np.int64) - 79
-                afps.append(audio_fp((samples * 256).tolist(), 32))
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "phash": [], "afp": []}
+                )
+                continue
+            # the 768-byte body contract makes the WHOLE Arrow batch
+            # one (N, 768) matrix — both signatures vectorize across
+            # docs, zero per-doc Python (VERDICT r12 #1)
+            mat = np.stack(
+                [np.frombuffer(bytes(b), dtype=np.uint8) for b in pdf["body"]]
+            )
+            phashes = dhash64_batch(mat.reshape(-1, 16, 16, 3))
+            afps = audio_fp_batch((mat.astype(np.int64) - 79) * 256, 32)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -2841,15 +2841,22 @@ def _audio_fp_corpus(d: DataFrame) -> DataFrame:
     def enc(it):
         import struct as st
 
+        import numpy as np
+
+        fmt = st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
         for pdf in it:
             payloads = []
             for r in pdf["raw"]:
                 rb = bytes(r)
                 # printable ASCII in, so byte == codepoint; center on
-                # 'O' (79) and scale to a +/-12k swing inside int16
-                samples = [(c - 79) * 256 for c in rb]
-                data = st.pack(f"<{len(samples)}h", *samples)
-                fmt = st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                # 'O' (79) and scale to a +/-12k swing inside int16.
+                # numpy-vectorized (VERDICT r12 #1): int32 math then a
+                # little-endian int16 view — in-range for 0x20..0x7e
+                # bodies, byte-identical to the struct.pack form
+                data = (
+                    (np.frombuffer(rb, dtype=np.uint8).astype(np.int32) - 79)
+                    * 256
+                ).astype("<i2").tobytes()
                 payloads.append(
                     b"RIFF"
                     + st.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))

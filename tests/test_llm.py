@@ -1719,6 +1719,52 @@ def test_audio_fp_invariants():
     check()
 
 
+def test_signature_batch_forms_match_scalar():
+    """The whole-Arrow-batch vectorized signatures (dhash64_batch /
+    audio_fp_batch — the VERDICT r12 #1 constant-killers) are
+    bit-identical to the scalar forms, including sign-bit images
+    (two's-complement wrap) and partial tail frames."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from event_stream_for_k8s_spark.functions.multimodal import (
+        audio_fp,
+        audio_fp_batch,
+        dhash64,
+        dhash64_batch,
+    )
+
+    rng = np.random.default_rng(13)
+    imgs = rng.integers(0, 256, size=(40, 16, 16, 3), dtype=np.uint8)
+    # force both gradient directions in one image so some batch rows
+    # exercise the sign bit (bit 63 set -> negative LongType)
+    imgs[0, :, :, :] = 255
+    imgs[0, :, ::2, :] = 0
+    batch = dhash64_batch(imgs)
+    for k in range(len(imgs)):
+        assert int(batch[k]) == dhash64(imgs[k])
+    assert (batch < 0).any()  # the wrap path is actually exercised
+
+    @given(
+        n=st.integers(min_value=1, max_value=8),
+        length=st.integers(min_value=0, max_value=200),
+        seed=st.integers(min_value=0, max_value=1000),
+    )
+    @settings(max_examples=40, deadline=None)
+    def check(n, length, seed):
+        r = np.random.default_rng(seed)
+        mat = r.integers(-16000, 16000, size=(n, length), dtype=np.int64)
+        got = audio_fp_batch(mat, frame=32)
+        for k in range(n):
+            assert int(got[k]) == audio_fp(mat[k].tolist(), frame=32)
+
+    check()
+
+    with np.testing.assert_raises(ValueError):
+        audio_fp_batch(np.zeros((2, 65 * 32), dtype=np.int64), frame=32)
+
+
 def test_audio_fp_media_parses_real_wav(spark):
     """audio_fp_media genuinely chunk-walks the RIFF container and
     fingerprints the PCM16 samples it finds there."""
