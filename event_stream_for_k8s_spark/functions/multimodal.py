@@ -337,10 +337,428 @@ def encode_png(
     )
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (grayscale subset) — VERDICT r12 #2: one more codec
+# through the declared boundary, stdlib+numpy only. Scope: baseline
+# DCT (SOF0), 8-bit, single component; progressive / chroma /
+# arithmetic coding stay behind NotImplementedError. The decoder
+# trusts NOTHING from the encoder: it reads quant + Huffman tables
+# from the stream (DQT/DHT), handles byte stuffing and restart
+# markers, and rebuilds pixels via dequant -> dezigzag -> IDCT.
+
+_JPEG_ZIGZAG = [  # zigzag scan order: index k -> (row, col) flat pos
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+# JPEG Annex K typical luminance Huffman tables (public spec
+# constants). Encode/decode parity does NOT depend on these being
+# the spec's exact values — the decoder reads whatever DHT carries —
+# they are here so emitted files look like ordinary JPEGs.
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _jpeg_canonical_codes(bits, vals):
+    """(BITS, HUFFVAL) -> {symbol: (code, length)} per spec C.2."""
+    codes, code = {}, 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_dct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    t = 0.5 * np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    t[0, :] = 0.5 / np.sqrt(2.0)
+    return t  # T @ block @ T.T == the spec's (1/4)C(u)C(v) FDCT
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+        return bytes(self.out)
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """Coefficient -> (SSSS size category, appended value bits)."""
+    if v == 0:
+        return 0, 0
+    size = abs(v).bit_length()
+    return size, v if v > 0 else v + (1 << size) - 1
+
+
+def encode_jpeg_gray(img, quant: int = 8) -> bytes:
+    """Minimal baseline JPEG encoder for an (H, W) uint8 grayscale
+    image with a FLAT quantization table — the ingest-side twin of
+    :func:`decode_jpeg_gray` and the fixture builder for
+    llm_mm_decode_jpeg. Real JFIF structure: SOI, APP0, DQT, SOF0,
+    DHT (Annex K typical tables), SOS, stuffed entropy stream, EOI.
+    Partial edge MCUs are padded by edge replication (the spec's
+    recommended fill)."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 2:
+        raise ValueError("encode_jpeg_gray expects an (H, W) image")
+    h, w = img.shape
+    bh, bw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.empty((bh, bw), dtype=np.uint8)
+    padded[:h, :w] = img
+    if bw > w:
+        padded[:h, w:] = img[:, -1:]
+    if bh > h:
+        padded[h:, :] = padded[h - 1 : h, :]
+
+    t = _jpeg_dct_matrix()
+    blocks = (
+        padded.reshape(bh // 8, 8, bw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    coef = np.einsum("ux,nxy,vy->nuv", t, blocks, t)
+    q = np.rint(coef / quant).astype(np.int64)
+
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw_ = _BitWriter()
+    pred = 0
+    for blk in q:
+        flat = blk.ravel()
+        zz = [int(flat[p]) for p in _JPEG_ZIGZAG]
+        size, bits_v = _jpeg_magnitude(zz[0] - pred)
+        pred = zz[0]
+        code, length = dc_codes[size]
+        bw_.put(code, length)
+        bw_.put(bits_v, size)
+        run = 0
+        last = max((k for k in range(1, 64) if zz[k]), default=0)
+        for k in range(1, last + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]  # ZRL
+                bw_.put(code, length)
+                run -= 16
+            size, bits_v = _jpeg_magnitude(zz[k])
+            code, length = ac_codes[(run << 4) | size]
+            bw_.put(code, length)
+            bw_.put(bits_v, size)
+            run = 0
+        if last < 63:
+            code, length = ac_codes[0x00]  # EOB
+            bw_.put(code, length)
+
+    qt = bytes([0]) + bytes(
+        min(max(int(quant), 1), 255) for _ in range(64)
+    )
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
+        [1, 1, 0x11, 0]
+    )
+    dht_dc = bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, app0)
+        + seg(0xDB, qt)
+        + seg(0xC0, sof)
+        + seg(0xC4, dht_dc)
+        + seg(0xC4, dht_ac)
+        + seg(0xDA, sos)
+        + bw_.flush()
+        + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        while self.n <= 24:
+            if self.pos >= len(self.data):
+                self.acc = (self.acc << 8) | 0xFF  # pad past the end
+                self.n += 8
+                continue
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    # a real marker: behave as end-of-data padding
+                    self.pos -= 1
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.n += 8
+                    continue
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def get(self, length: int) -> int:
+        if length == 0:
+            return 0
+        self._fill()
+        v = (self.acc >> (self.n - length)) & ((1 << length) - 1)
+        self.n -= length
+        self.acc &= (1 << self.n) - 1
+        return v
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _jpeg_decode_tree(bits, vals):
+    """(BITS, HUFFVAL) -> {(length, code): symbol} for MSB-first read."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_read_symbol(br: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.get(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def decode_jpeg_gray(b: bytes):
+    """Baseline-DCT grayscale JPEG decoder (stdlib+numpy): marker
+    walk, DQT/DHT/SOF0/SOS parse, Huffman entropy decode with byte
+    unstuffing and RSTn handling, dequantize, dezigzag, float IDCT,
+    level shift, clamp, crop. Returns the (H, W) uint8 image.
+    Progressive (SOF2), multi-component (color), 12-bit and
+    arithmetic-coded streams raise NotImplementedError — the
+    declared external-codec boundary."""
+    import numpy as np
+
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    width = height = None
+    comp_q = 0
+    dc_id = ac_id = 0
+    restart = 0
+    scan = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        size = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        body = b[pos + 4 : pos + 2 + size]
+        pos += 2 + size
+        if marker == 0xDB:  # DQT (possibly several tables per seg)
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0x0F
+                if prec != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qtables[tid] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                htables[(cls, tid)] = _jpeg_decode_tree(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            if body[0] != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            height = int.from_bytes(body[1:3], "big")
+            width = int.from_bytes(body[3:5], "big")
+            if body[5] != 1:
+                raise NotImplementedError(
+                    "only single-component (grayscale) JPEG supported"
+                )
+            if body[7] != 0x11:
+                raise NotImplementedError("subsampled JPEG unsupported")
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+            raise NotImplementedError(
+                "progressive/extended JPEG unsupported (baseline only)"
+            )
+        elif marker == 0xDD:  # DRI
+            restart = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            scan_start = pos
+            # entropy data runs to the next non-RST marker
+            i = scan_start
+            while i + 1 < len(b):
+                if b[i] == 0xFF and b[i + 1] not in (0x00,) and not (
+                    0xD0 <= b[i + 1] <= 0xD7
+                ):
+                    break
+                i += 1
+            scan = b[scan_start:i]
+            pos = i
+        # APPn / COM / others: skipped via the generic size advance
+    if width is None or scan is None:
+        raise ValueError("JPEG missing SOF0 or SOS")
+    if comp_q not in qtables or (0, dc_id) not in htables or (
+        1,
+        ac_id,
+    ) not in htables:
+        raise ValueError("JPEG missing quant/Huffman tables")
+
+    qt = np.array(qtables[comp_q], dtype=np.float64)
+    dc_tree, ac_tree = htables[(0, dc_id)], htables[(1, ac_id)]
+    bh, bw = (height + 7) // 8 * 8, (width + 7) // 8 * 8
+    n_blocks = (bh // 8) * (bw // 8)
+    coefs = np.zeros((n_blocks, 64), dtype=np.float64)
+
+    # split the scan on RST markers so DC prediction resets per spec
+    if restart:
+        segments = []
+        i = start = 0
+        while i + 1 < len(scan):
+            if scan[i] == 0xFF and 0xD0 <= scan[i + 1] <= 0xD7:
+                segments.append(scan[start:i])
+                start = i + 2
+                i += 2
+            else:
+                i += 1
+        segments.append(scan[start:])
+    else:
+        segments = [scan]
+
+    blk = 0
+    for seg_bytes in segments:
+        br = _BitReader(seg_bytes)
+        pred = 0
+        limit = blk + restart if restart else n_blocks
+        while blk < min(limit, n_blocks):
+            size = _jpeg_read_symbol(br, dc_tree)
+            pred += _jpeg_extend(br.get(size), size)
+            zz = coefs[blk]
+            zz[_JPEG_ZIGZAG[0]] = pred
+            k = 1
+            while k < 64:
+                sym = _jpeg_read_symbol(br, ac_tree)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += sym >> 4
+                if k > 63:
+                    raise ValueError("JPEG AC coefficient overrun")
+                s = sym & 0x0F
+                zz[_JPEG_ZIGZAG[k]] = _jpeg_extend(br.get(s), s)
+                k += 1
+            blk += 1
+
+    t = _jpeg_dct_matrix()
+    deq = (coefs * qt).reshape(-1, 8, 8)
+    px = np.einsum("ux,nuv,vy->nxy", t, deq, t) + 128.0
+    px = np.clip(np.rint(px), 0, 255).astype(np.uint8)
+    grid = (
+        px.reshape(bh // 8, bw // 8, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(bh, bw)
+    )
+    return grid[:height, :width]
+
+
+def decode_jpeg(b: bytes) -> tuple[float, float, float, float]:
+    """JPEG through the shared image-feature contract:
+    (width, height, mean sample, max sample) over the decoded
+    grayscale raster — the image/jpeg member of decode_media."""
+    img = decode_jpeg_gray(b)
+    return (
+        float(img.shape[1]),
+        float(img.shape[0]),
+        float(int(img.sum(dtype="int64"))) / max(img.size, 1),
+        float(int(img.max()) if img.size else 0),
+    )
+
+
 _DECODERS = {
     "text/plain": decode_text,
     "image/x-portable-pixmap": decode_ppm,
     "image/png": decode_png,
+    "image/jpeg": decode_jpeg,
     "audio/wav": decode_wav,
     "audio/x-wav": decode_wav,
 }

@@ -243,6 +243,183 @@ def test_png_encode_decode_roundtrip_and_boundaries():
         decode_png(png16)
 
 
+def _jpeg_seg(marker, body):
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _jpeg_hand_headers(w, h, dc_dht, ac_dht, quant=8):
+    """Hand-assembled JPEG header stream (SOI..SOS) with a flat quant
+    table and CUSTOM tiny Huffman tables — shares no code with
+    encode_jpeg_gray, so a matched encoder/decoder bug cannot pass."""
+    qt = bytes([0]) + bytes([quant] * 64)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
+        [1, 1, 0x11, 0]
+    )
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + _jpeg_seg(0xDB, qt)
+        + _jpeg_seg(0xC0, sof)
+        + _jpeg_seg(0xC4, dc_dht)
+        + _jpeg_seg(0xC4, ac_dht)
+        + _jpeg_seg(0xDA, sos)
+    )
+
+
+def test_jpeg_decode_hand_built_spec_vectors():
+    """decode_jpeg_gray against HAND-BUILT bytestreams with
+    hand-assigned Huffman codes (spec C.2 canonical construction done
+    on paper), hand-computed zigzag position and closed-form DCT
+    expectations — fully independent of encode_jpeg_gray.
+
+    Custom tables: DC bits=[0,1,0,...] vals=[2] -> symbol 2 = '00';
+    AC bits=[0,2,0,...] vals=[0x00, 0xD2] -> EOB='00', 0xD2='01'.
+
+    Vector 1 (DC only): quantized DC diff 2 (size 2, bits '10'), flat
+    Q=8 -> coefficient 16 -> constant 128 + 16/8 = 130.
+    Entropy bits: 00 10 00 + pad 1s = 0x23.
+
+    Vector 2 (one AC): after the DC, symbol 0xD2 = run 13, size 2,
+    value bits '11' (=3). Zigzag index 14 is flat position 4 = (u=0,
+    v=4), the horizontal square wave: dequantized 24 -> pixel row
+    130 + 3*[+,-,-,+,+,-,-,+]. Entropy bits: 00 10 01 11 00 + pad =
+    0x27 0x3f."""
+    import numpy as np
+
+    from event_stream_for_k8s_spark.functions.multimodal import (
+        decode_jpeg_gray,
+    )
+
+    dc_dht = bytes([0x00, 0, 1] + [0] * 14 + [2])
+    ac_dht = bytes([0x10, 0, 2] + [0] * 14 + [0x00, 0xD2])
+
+    head = _jpeg_hand_headers(8, 8, dc_dht, ac_dht)
+    img1 = decode_jpeg_gray(head + bytes([0x23]) + b"\xff\xd9")
+    assert img1.shape == (8, 8) and (img1 == 130).all()
+
+    img2 = decode_jpeg_gray(head + bytes([0x27, 0x3F]) + b"\xff\xd9")
+    row = np.array([133, 127, 127, 133, 133, 127, 127, 133])
+    assert (img2 == row[None, :]).all()
+
+
+def test_jpeg_decode_restart_markers_reset_dc():
+    """DRI/RSTn handling: two DC-only blocks separated by RST0, each
+    encoding diff=2 — the second block is only 130 (not 132) if the
+    DC predictor genuinely resets at the restart marker."""
+    from event_stream_for_k8s_spark.functions.multimodal import (
+        decode_jpeg_gray,
+    )
+
+    dc_dht = bytes([0x00, 0, 1] + [0] * 14 + [2])
+    ac_dht = bytes([0x10, 0, 2] + [0] * 14 + [0x00, 0xD2])
+    qt = bytes([0]) + bytes([8] * 64)
+    sof = bytes([8]) + (8).to_bytes(2, "big") + (16).to_bytes(2, "big") + bytes(
+        [1, 1, 0x11, 0]
+    )
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    stream = (
+        b"\xff\xd8"
+        + _jpeg_seg(0xDB, qt)
+        + _jpeg_seg(0xC0, sof)
+        + _jpeg_seg(0xC4, dc_dht)
+        + _jpeg_seg(0xC4, ac_dht)
+        + _jpeg_seg(0xDD, (1).to_bytes(2, "big"))  # DRI: restart every MCU
+        + _jpeg_seg(0xDA, sos)
+        + bytes([0x23])  # block 1: diff 2 -> DC 2 -> 130
+        + b"\xff\xd0"  # RST0
+        + bytes([0x23])  # block 2: diff 2 AGAIN from a reset predictor
+        + b"\xff\xd9"
+    )
+    img = decode_jpeg_gray(stream)
+    assert img.shape == (8, 16) and (img == 130).all()
+
+
+def test_jpeg_encode_decode_roundtrip_and_boundaries():
+    """encode_jpeg_gray -> decode_jpeg_gray: integer-exact on the
+    blockwise DC+square-wave family (the llm_mm_decode_jpeg
+    construction), bounded-error on general content, shape-exact on
+    ragged sizes (partial MCU padding + crop), byte stuffing
+    exercised, and the declared NotImplementedError boundary."""
+    import numpy as np
+    import pytest as pt
+
+    from event_stream_for_k8s_spark.functions.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    sqw = np.array([1, -1, -1, 1, 1, -1, -1, 1])
+    rng = np.random.default_rng(7)
+    img = np.zeros((16, 16), dtype=np.uint8)
+    for p, (bi, bj) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        m, a = [40, 120, 90, 60][p], [3, 7, 0, 5][p]
+        img[bi * 8 : bi * 8 + 8, bj * 8 : bj * 8 + 8] = m + a * sqw
+    assert (decode_jpeg_gray(encode_jpeg_gray(img, 8)) == img).all()
+
+    # hunt content whose entropy stream contains a stuffed 0xFF 0x00
+    # so the unstuffing path is provably exercised
+    stuffed = None
+    for seed in range(200):
+        g = np.random.default_rng(seed).integers(
+            0, 256, size=(8, 8), dtype=np.uint8
+        )
+        enc = encode_jpeg_gray(g, 8)
+        scan = enc[enc.index(b"\xff\xda") + 14 : -2]
+        if b"\xff\x00" in scan:
+            stuffed = (g, enc)
+            break
+    assert stuffed is not None, "no stuffing case found in 200 seeds"
+    g, enc = stuffed
+    dec = decode_jpeg_gray(enc)
+    assert np.abs(dec.astype(int) - g.astype(int)).max() <= 32
+
+    for shape in [(20, 13), (8, 8), (1, 1), (17, 32)]:
+        g = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        dec = decode_jpeg_gray(encode_jpeg_gray(g, 8))
+        assert dec.shape == shape
+        assert np.abs(dec.astype(int) - g.astype(int)).max() <= 32
+
+    with pt.raises(ValueError, match="not a JPEG"):
+        decode_jpeg_gray(b"\x89PNG\r\n\x1a\n")
+    # progressive (SOF2) and color (3-component SOF0): the boundary
+    base = encode_jpeg_gray(np.full((8, 8), 130, dtype=np.uint8), 8)
+    sof2 = _jpeg_seg(
+        0xC2,
+        bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),
+    )
+    with pt.raises(NotImplementedError, match="progressive"):
+        decode_jpeg_gray(b"\xff\xd8" + sof2 + base[2:])
+    sof_color = _jpeg_seg(
+        0xC0,
+        bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    with pt.raises(NotImplementedError, match="single-component"):
+        decode_jpeg_gray(b"\xff\xd8" + sof_color + base[2:])
+
+
+def test_jpeg_decode_through_decode_media(spark):
+    """image/jpeg dispatches through the same mapInPandas decode path
+    as PNG/PPM/WAV with the shared feature contract."""
+    import numpy as np
+
+    from event_stream_for_k8s_spark.functions.multimodal import (
+        decode_media,
+        encode_jpeg_gray,
+    )
+
+    img = np.full((8, 8), 130, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(9, bytearray(encode_jpeg_gray(img, 8)), "image/jpeg")],
+        "doc_id long, payload binary, mime string",
+    )
+    rows = decode_media(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["f0"], r["f1"], r["f2"], r["f3"]) == (8.0, 8.0, 130.0, 130.0)
+
+
 def test_png_decode_through_decode_media(spark):
     """image/png dispatches through the same mapInPandas decode path
     as PPM/WAV, feature contract included."""
