@@ -65,6 +65,7 @@ def effective_caps() -> dict[str, int]:
         "SPARK_GRAFT_SEMDEDUP_CAP": SEMDEDUP_CLUSTER_CAP,
         "SPARK_GRAFT_SEMDEDUP_TARGET": SEMDEDUP_TARGET_BLOCK,
         "SPARK_GRAFT_PHASH_BANDS": PHASH_BANDS,
+        "SPARK_GRAFT_AFP_BANDS": AFP_BANDS,
     }
 
 
@@ -2659,6 +2660,23 @@ if 64 % PHASH_BANDS or not 2 <= PHASH_BANDS <= 16:
         "divisor of 64 in 2..16"
     )
 
+# SPARK_GRAFT_AFP_BANDS sizes the AUDIO tier's Hamming-LSH layout the
+# same way (VERDICT r12 #6): the 23-bit energy-contour fingerprint is
+# split into AFP_BANDS bands of ceil(23/bands) bits (the top band may
+# be ragged); the pigeonhole threshold = bands - 1 is DERIVED, so any
+# pair within threshold shares at least one intact band. More bands =
+# wider recall radius AND smaller per-band value space (more bucket
+# collisions against the cap) — at 2x12 bits most buckets overflow the
+# 64-member cap as the corpus grows, so recall decays with corpus size
+# (oracle-replayed, but silent at runtime; see llm_mm_dedup_audio's
+# capped_buckets note).
+AFP_BANDS = _env_int("SPARK_GRAFT_AFP_BANDS", 2)
+if not 2 <= AFP_BANDS <= 23:
+    raise ValueError(
+        f"env var SPARK_GRAFT_AFP_BANDS={AFP_BANDS} must be in 2..23"
+    )
+AFP_BITS = (23 + AFP_BANDS - 1) // AFP_BANDS
+
 
 # The planted near-dup corpus both banded dedup oracles replay:
 # byte-identical crops at +1M, first-pixel perturbations at +2M.
@@ -2981,20 +2999,28 @@ def _audio_fp_corpus(d: DataFrame) -> DataFrame:
     "llm_mm_dedup_audio",
     oracle=f"""
 WITH {_PLANT_CORPUS_SQL}, {_norm_cte("corpus")}, {_AFP_FROM_NORM},
-{_band_pairs_sql("asig", "afp", bands=2, bits=12, threshold=1)}
+{_band_pairs_sql("asig", "afp", bands=AFP_BANDS, bits=AFP_BITS,
+                 threshold=AFP_BANDS - 1)}
 """,
     section="B.11",
     notes="near-duplicate AUDIO detection — llm_mm_dedup_phash's "
     "Hamming-LSH shape applied to the 23-bit energy-contour "
-    "fingerprint: 2 bands x 12 bits (band equi-join, cap 64 "
-    "oracle-replayed), bit_count(xor) verify at threshold 1 — "
-    "pigeonhole-exact recall within un-capped buckets (distance 1 "
-    "leaves one band intact). Fixture plants byte-identical clips "
-    "(doc+1M: Hamming 0) and 3-char perturbations (doc+2M: one "
-    "sample window changes => only frame 0's delta bit can flip). "
-    "Spark side: the REAL WAV encode -> chunk-walk -> fingerprint "
-    "pass (audio_fp_media), persisted because both explode sides "
-    "consume it; everything downstream is codegen equi-join",
+    "fingerprint: SPARK_GRAFT_AFP_BANDS bands x ceil(23/bands) bits "
+    "(default 2x12; band equi-join, cap 64 oracle-replayed), "
+    "bit_count(xor) verify at the DERIVED pigeonhole threshold "
+    "bands-1 — exact recall within un-capped buckets. RECALL DECAY "
+    "NOTE (ADVICE r12): band values live in a 2^12/2^11 space, so at "
+    "large corpora most buckets exceed the 64-member cap and planted "
+    "duplicates drop silently — the cap is replayed by the oracle "
+    "(correctness holds) but recall shrinks with corpus size; raise "
+    "SPARK_GRAFT_AFP_BANDS for a wider radius or monitor the capped "
+    "fraction via llm_mm_dedup_audio_capped. Fixture plants "
+    "byte-identical clips (doc+1M: Hamming 0) and 3-char "
+    "perturbations (doc+2M: one sample window changes => only frame "
+    "0's delta bit can flip). Spark side: the REAL WAV encode -> "
+    "chunk-walk -> fingerprint pass (audio_fp_media), persisted "
+    "because both explode sides consume it; everything downstream is "
+    "codegen equi-join",
 )
 def llm_mm_dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
@@ -3003,7 +3029,79 @@ def llm_mm_dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _audio_fp_corpus(_planted_corpus(d)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    return _banded_pairs(sig, "afp", bands=2, bits=12, threshold=1)
+    return _banded_pairs(
+        sig, "afp", bands=AFP_BANDS, bits=AFP_BITS,
+        threshold=AFP_BANDS - 1,
+    )
+
+
+@query(
+    "llm_mm_dedup_audio_capped",
+    oracle=f"""
+WITH {_PLANT_CORPUS_SQL}, {_norm_cte("corpus")}, {_AFP_FROM_NORM},
+bands AS (
+  SELECT doc_id, cast(r.b AS int) AS band_idx,
+         (afp >> ({AFP_BITS} * cast(r.b AS int)))
+           & {(1 << AFP_BITS) - 1} AS band_val
+  FROM asig CROSS JOIN range(0, {AFP_BANDS}) r(b)
+), bk AS (
+  SELECT band_idx, band_val, count(*) AS n
+  FROM bands GROUP BY band_idx, band_val
+)
+SELECT band_idx,
+       cast(count(*) AS bigint) AS n_buckets,
+       cast(coalesce(sum(CASE WHEN n > 64 THEN 1 END), 0)
+            AS bigint) AS capped_buckets,
+       cast(coalesce(sum(CASE WHEN n > 64 THEN n END), 0)
+            AS bigint) AS capped_docs
+FROM bk GROUP BY band_idx
+""",
+    section="B.11",
+    notes="the no-silent-caps diagnostic for the audio Hamming-LSH "
+    "tier (ADVICE r12): per band, how many buckets exist, how many "
+    "exceed the 64-member cap (and therefore silently produce NO "
+    "candidate pairs in llm_mm_dedup_audio), and how many docs sit "
+    "in capped buckets. capped_docs over the corpus size rising "
+    "toward 1 is "
+    "the runtime signal that the 2^ceil(23/bands)-value band space "
+    "has saturated and recall is decaying — the operator's documented "
+    "failure mode at corpus scale. One keyed shuffle over the "
+    "signature relation; band-cardinality output",
+)
+def llm_mm_dedup_audio_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = _audio_fp_corpus(_planted_corpus(d))
+    mask = (1 << AFP_BITS) - 1
+    bands_df = sig.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("afp", AFP_BITS * b).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(AFP_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    bk = bands_df.groupBy("band_idx", "band_val").agg(
+        F.count("*").alias("n")
+    )
+    return bk.groupBy("band_idx").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") > 64, F.lit(1))), F.lit(0)
+        )
+        .cast("long")
+        .alias("capped_buckets"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") > 64, F.col("n"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("capped_docs"),
+    )
 
 
 @query(
@@ -5605,8 +5703,8 @@ WITH tok AS (
                 cast(sum(n_docs) AS BIGINT) AS nd FROM tok),
 w AS (
   SELECT source, avail,
-         cast(round(pow(n_docs * 1.0 / nd, {_MIX_INV_T!r}) * 1000000)
-              AS BIGINT) AS w6s,
+         greatest(cast(round(pow(n_docs * 1.0 / nd, {_MIX_INV_T!r})
+                             * 1000000) AS BIGINT), 1) AS w6s,
          (avail * 7) // 4 AS cap,
          (ta * 3) // 2 AS budget
   FROM tok CROSS JOIN t
@@ -5681,14 +5779,21 @@ def llm_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = src.crossJoin(F.broadcast(t)).select(
         "source",
         "avail",
-        F.round(
-            F.pow(
-                F.col("n_docs") * 1.0 / F.col("nd"), F.lit(_MIX_INV_T)
-            )
-            * F.lit(1_000_000)
-        )
-        .cast("long")
-        .alias("w6s"),
+        # clamp to >= 1 (ADVICE r12): a doc share below ~4e-5 rounds
+        # the 6-digit weight to 0, which would make the sort key
+        # cap/w6s infinite and mark the source CAPPED at full cap —
+        # the water-filling fixed point allocates it its (tiny)
+        # pro-rata floor instead
+        F.greatest(
+            F.round(
+                F.pow(
+                    F.col("n_docs") * 1.0 / F.col("nd"),
+                    F.lit(_MIX_INV_T),
+                )
+                * F.lit(1_000_000)
+            ).cast("long"),
+            F.lit(1),
+        ).alias("w6s"),
         F.expr("avail * 7 div 4").alias("cap"),
         F.expr("ta * 3 div 2").alias("budget"),
     )
