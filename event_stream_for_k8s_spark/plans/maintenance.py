@@ -486,10 +486,13 @@ def maint_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "maint_snapshot_expire",
     oracle="""
-WITH refs AS (
-  SELECT DISTINCT 'part-' || (event_id % 300) AS path,
-         (event_id // 300) % 10 AS snap
-  FROM events
+WITH f AS (
+  SELECT DISTINCT event_id % 3000 AS fid FROM events
+), refs AS (
+  SELECT 'part-' || fid AS path,
+         (fid % 10) + cast(r.s AS bigint) AS snap
+  FROM f CROSS JOIN range(0, 3) r(s)
+  WHERE (fid % 10) + cast(r.s AS bigint) <= 9
 )
 SELECT path,
        cast(max(snap) AS bigint) AS last_snap,
@@ -504,22 +507,39 @@ HAVING max(snap) < 7
     "references it, i.e. its newest referencing snapshot is expired "
     "— the reachability rule behind Iceberg/Delta "
     "expire_snapshots/VACUUM. The file-reference log derives "
-    "deterministically from events (path = event_id mod 300, snapshot "
-    "= event_id div 300 mod 10) so the result is exactly "
-    "oracle-checkable; the plan is manifest-sized (distinct + one "
-    "aggregation), never touches data files, and the HAVING prunes "
-    "before any output materializes — at any corpus size this costs "
-    "what the manifest costs, which is the point of snapshot "
-    "metadata",
+    "deterministically from events — file id = event_id mod 3000, "
+    "born in snapshot fid mod 10, referenced for a 3-snapshot "
+    "lifetime (compaction churn), truncated at snapshot 9 — so files "
+    "born before snapshot 5 really do expire and the result is "
+    "NON-EMPTY at every SF (the r12 derivation kept every file "
+    "referenced forever, a 0=0 attestation; VERDICT r12 #5). The "
+    "plan is manifest-sized (distinct + one aggregation), never "
+    "touches data files, and the HAVING prunes before any output "
+    "materializes — at any corpus size this costs what the manifest "
+    "costs, which is the point of snapshot metadata",
 )
 def maint_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     KEEP_FROM = 7  # retain snapshots 7..9 of 0..9
     ev = load(spark, sf_dir, "events")
-    refs = ev.select(
-        F.concat(F.lit("part-"), (F.col("event_id") % 300).cast("string"))
-        .alias("path"),
-        F.expr("(event_id div 300) % 10").alias("snap"),
-    ).distinct()
+    f = ev.select((F.col("event_id") % 3000).alias("fid")).distinct()
+    refs = (
+        f.crossJoin(
+            F.broadcast(
+                f.sparkSession.range(0, 3).select(
+                    F.col("id").alias("s")
+                )
+            )
+        )
+        .select(
+            F.concat(F.lit("part-"), F.col("fid").cast("string")).alias(
+                "path"
+            ),
+            ((F.col("fid") % 10) + F.col("s")).alias("snap"),
+        )
+        # (fid, s) is unique by construction and the lifetime filter
+        # keeps snap in range, so refs needs NO dedup shuffle
+        .filter(F.col("snap") <= 9)
+    )
     return (
         refs.groupBy("path")
         .agg(

@@ -582,18 +582,36 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "set_except",
     oracle="""
-SELECT c_custkey AS k FROM customer
+SELECT k FROM (
+  SELECT c_custkey AS k FROM customer
+  UNION ALL
+  SELECT -c_custkey AS k FROM customer
+  WHERE c_custkey % 100 = 0 AND c_custkey > 0
+)
 EXCEPT
 SELECT o_custkey AS k FROM orders
 """,
     section="B.7",
+    notes="customers that never ordered, phrased as a set difference "
+    "(the reference's A6 dedup probe). The synthetic fixture has "
+    "every customer ordering at every SF, which made this a 0=0 "
+    "attestation (VERDICT r12 'what's wrong' #3: a 0-row match "
+    "cannot catch a value bug) — so the left side plants negated "
+    "sentinel keys (every 100th customer) that provably survive the "
+    "difference on BOTH engines; genuine orderless customers would "
+    "surface alongside them",
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Customers that never ordered — the reference's dedup probe (A6)
-    # phrased as a set difference.
-    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    c = load(spark, sf_dir, "customer")
+    left = c.select(F.col("c_custkey").alias("k")).unionAll(
+        c.filter(
+            (F.col("c_custkey") % 100 == 0) & (F.col("c_custkey") > 0)
+        ).select((-F.col("c_custkey")).alias("k"))
+    )
     o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
-    return c.exceptAll(o.distinct())
+    # left keys are unique by construction (distinct customers plus
+    # disjoint negated sentinels), so EXCEPT == exceptAll here
+    return left.exceptAll(o.distinct())
 
 
 @query(
@@ -2376,7 +2394,12 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "set_except_all",
     oracle="""
-SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+SELECT k FROM (
+  SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+  UNION ALL
+  SELECT -l_suppkey AS k FROM lineitem
+  WHERE l_orderkey % 500 = 0 AND l_suppkey > 0
+)
 EXCEPT ALL
 SELECT l_suppkey AS k FROM lineitem WHERE l_quantity >= 25
 """,
@@ -2384,12 +2407,20 @@ SELECT l_suppkey AS k FROM lineitem WHERE l_quantity >= 25
     notes="bag-semantics EXCEPT ALL (multiplicity = left count minus "
     "right count, floored at zero — 'what remains after cancelling "
     "one-for-one'): completes the multiset algebra with "
-    "set_intersect_all / set_union_all",
+    "set_intersect_all / set_union_all. The original fixture "
+    "cancelled to 0 rows at sf0.01 (a 0=0 attestation proves "
+    "nothing — VERDICT r12), so the left bag plants NEGATED suppkeys "
+    "from every 500th order, which survive with their exact "
+    "multiplicity (duplicates included, pinning the ALL semantics)",
 )
 def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     a = li.filter(F.col("l_returnflag") == "R").select(
         F.col("l_suppkey").alias("k")
+    ).unionAll(
+        li.filter(
+            (F.col("l_orderkey") % 500 == 0) & (F.col("l_suppkey") > 0)
+        ).select((-F.col("l_suppkey")).alias("k"))
     )
     b = li.filter(F.col("l_quantity") >= 25).select(
         F.col("l_suppkey").alias("k")
