@@ -1081,6 +1081,85 @@ def audio_fp_media(df: DataFrame, frame: int = 32) -> DataFrame:
     return df.mapInPandas(batches, AUDIO_FP_SCHEMA)
 
 
+def encode_y4m(frames, width: int, height: int) -> bytes:
+    """Minimal YUV4MPEG2 (Y4M) encoder for mono (grayscale) video —
+    the ingest-side twin of :func:`y4m_frames` and the fixture
+    builder for llm_mm_video_scenes. Real container structure: the
+    `YUV4MPEG2` stream header with W/H/F/I/A/C parameters, then each
+    frame as a `FRAME\\n` marker + raw Y plane."""
+    import numpy as np
+
+    head = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 Cmono\n"
+    out = bytearray(head.encode("ascii"))
+    for fr in frames:
+        a = np.asarray(fr, dtype=np.uint8)
+        if a.shape != (height, width):
+            raise ValueError(f"frame shape {a.shape} != ({height}, {width})")
+        out += b"FRAME\n"
+        out += a.tobytes()
+    return bytes(out)
+
+
+def y4m_frames(b: bytes):
+    """Parse a YUV4MPEG2 stream into (width, height, [Y planes]).
+
+    The video member of the container-parse family (PPM/PNG/JPEG
+    image, RIFF/WAVE audio): stream-header token walk (W/H/C...),
+    then FRAME-marker-delimited planes. Mono returns the full frame;
+    C420/C420jpeg/C420paldv and C444 parse the Y plane and skip the
+    chroma (luma is what the signature pass consumes); other
+    colorspaces raise at the declared boundary. Frame parameters on
+    FRAME lines (variable per spec) are tolerated and ignored.
+    Returns numpy uint8 views shaped (H, W)."""
+    import numpy as np
+
+    nl = b.find(b"\n")
+    if nl < 0 or not b.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = None
+    cspace = "420"  # the spec's default when C is absent
+    for tok in b[9:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:].decode("ascii", "replace")
+        if tag == b"W":
+            width = int(val)
+        elif tag == b"H":
+            height = int(val)
+        elif tag == b"C":
+            cspace = val
+    if not width or not height:
+        raise ValueError("YUV4MPEG2 header missing W or H")
+    if cspace == "mono":
+        fsize = width * height
+    elif cspace.startswith("420"):
+        fsize = width * height * 3 // 2
+    elif cspace == "444":
+        fsize = width * height * 3
+    else:
+        raise NotImplementedError(
+            f"Y4M colorspace C{cspace} unsupported (mono/420*/444 only)"
+        )
+    frames = []
+    pos = nl + 1
+    ysize = width * height
+    while pos < len(b):
+        if b[pos : pos + 5] != b"FRAME":
+            raise ValueError("Y4M frame marker sync lost")
+        fnl = b.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("truncated Y4M FRAME header")
+        pos = fnl + 1
+        if pos + fsize > len(b):
+            raise ValueError("truncated Y4M frame plane")
+        frames.append(
+            np.frombuffer(b, dtype=np.uint8, offset=pos, count=ysize)
+            .reshape(height, width)
+        )
+        pos += fsize
+    return width, height, frames
+
+
 MM_SIG_SCHEMA = "doc_id bigint, phash bigint, afp bigint"
 
 

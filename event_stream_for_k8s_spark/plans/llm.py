@@ -3036,6 +3036,101 @@ def llm_mm_dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_mm_video_scenes",
+    oracle=f"""
+WITH {_norm_cte("documents")}, fr AS (
+  SELECT doc_id, cast(r.f AS int) AS frame_id,
+         list_transform(range(0, 256),
+           k -> ord(substr(body, cast(256 * r.f + k + 1 AS int), 1))) AS gv
+  FROM norm CROSS JOIN range(0, 3) r(f)
+), sig AS (
+  SELECT doc_id, frame_id,
+         (CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+               THEN u - CAST(18446744073709551616 AS HUGEINT)
+               ELSE u END)::BIGINT AS phash
+  FROM (SELECT doc_id, frame_id, ({_PHASH_TERMS}) AS u FROM fr)
+)
+SELECT doc_id, frame_id, phash,
+       coalesce(bit_count(xor(phash,
+         lag(phash) OVER (PARTITION BY doc_id ORDER BY frame_id))) > 16,
+         FALSE) AS scene_cut
+FROM sig
+""",
+    section="B.11",
+    notes="VIDEO through the signature family — the last modality "
+    "(text SimHash, image dHash, audio energy contour, now video): "
+    "each doc's normalized 768-byte body becomes a REAL 3-frame "
+    "16x16 mono YUV4MPEG2 stream (encode_y4m), genuinely parsed "
+    "back (y4m_frames: stream-header token walk + FRAME-delimited "
+    "planes — the same decoder handles C420/C444 by Y-plane "
+    "extraction), every frame dHashed with the whole-batch vectorized "
+    "form, and scene cuts detected as consecutive-frame Hamming "
+    "distance > 16 — the shot-boundary primitive of video dedup/ "
+    "sampling pipelines. All-integer, so the oracle replays every "
+    "frame hash from the text (the mono gray IS the codepoint) and "
+    "the lag window; short docs pad to blank tail frames, pinning "
+    "the no-cut branch. Spark side: one narrow Arrow pass for "
+    "encode+parse+hash (frames stacked ACROSS the batch for one "
+    "dhash64_batch call), then a doc-keyed lag window — "
+    "per-doc-sized partitions, never global",
+)
+def llm_mm_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from event_stream_for_k8s_spark.functions.multimodal import (
+        dhash64_batch,
+        encode_y4m,
+        y4m_frames,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    src = d.select("doc_id", F.encode(_body768(), "UTF-8").alias("raw"))
+
+    def work(it):
+        for pdf in it:
+            ids, fids, frames = [], [], []
+            for doc_id, r in zip(pdf["doc_id"], pdf["raw"]):
+                rb = bytes(r)
+                fs = [
+                    np.frombuffer(
+                        rb, np.uint8, offset=256 * f, count=256
+                    ).reshape(16, 16)
+                    for f in range(3)
+                ]
+                _w, _h, dec = y4m_frames(encode_y4m(fs, 16, 16))
+                for f, fr in enumerate(dec):
+                    ids.append(doc_id)
+                    fids.append(f)
+                    frames.append(fr)
+            if frames:
+                stack = np.repeat(
+                    np.stack(frames)[..., None], 3, axis=3
+                )
+                hashes = dhash64_batch(stack)
+            else:
+                hashes = []
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_id": fids, "phash": hashes}
+            )
+
+    sig = src.mapInPandas(
+        work, "doc_id bigint, frame_id int, phash bigint"
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_id")
+    prev = F.lag("phash").over(w)
+    return sig.select(
+        "doc_id",
+        "frame_id",
+        "phash",
+        F.coalesce(
+            F.bit_count(F.col("phash").bitwiseXOR(prev)) > 16,
+            F.lit(False),
+        ).alias("scene_cut"),
+    )
+
+
+@query(
     "llm_mm_dedup_audio_capped",
     oracle=f"""
 WITH {_PLANT_CORPUS_SQL}, {_norm_cte("corpus")}, {_AFP_FROM_NORM},

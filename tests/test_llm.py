@@ -420,6 +420,73 @@ def test_jpeg_decode_through_decode_media(spark):
     assert (r["f0"], r["f1"], r["f2"], r["f3"]) == (8.0, 8.0, 130.0, 130.0)
 
 
+def test_y4m_roundtrip_colorspaces_and_boundaries():
+    """encode_y4m -> y4m_frames round-trip, plus hand-built streams:
+    C420 (chroma skipped, Y plane exact), FRAME parameter tolerance,
+    the C-absent default (420 per spec), and the declared boundary."""
+    import numpy as np
+    import pytest as pt
+
+    from event_stream_for_k8s_spark.functions.multimodal import (
+        encode_y4m,
+        y4m_frames,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, (16, 16), dtype=np.uint8) for _ in range(3)]
+    w, h, dec = y4m_frames(encode_y4m(frames, 16, 16))
+    assert (w, h, len(dec)) == (16, 16, 3)
+    for a, b in zip(frames, dec):
+        assert (a == b).all()
+
+    # hand-built C420 stream (2x2): Y plane + 1 byte Cb + 1 byte Cr
+    y = bytes([10, 20, 30, 40])
+    s420 = b"YUV4MPEG2 W2 H2 F30:1 C420\n" + b"FRAME\n" + y + b"\x80\x80"
+    w, h, dec = y4m_frames(s420)
+    assert (w, h) == (2, 2) and (dec[0].ravel() == list(y)).all()
+
+    # C absent -> spec default 420; FRAME params tolerated
+    s_def = b"YUV4MPEG2 W2 H2 F30:1\n" + b"FRAME Ixyz\n" + y + b"\x80\x80"
+    _, _, dec = y4m_frames(s_def)
+    assert (dec[0].ravel() == list(y)).all()
+
+    with pt.raises(ValueError, match="not a YUV4MPEG2"):
+        y4m_frames(b"RIFF....WAVE")
+    with pt.raises(NotImplementedError, match="C411"):
+        y4m_frames(b"YUV4MPEG2 W2 H2 C411\n" + b"FRAME\n" + y)
+    with pt.raises(ValueError, match="truncated Y4M frame plane"):
+        y4m_frames(b"YUV4MPEG2 W2 H2 Cmono\n" + b"FRAME\n" + y[:2])
+    with pt.raises(ValueError, match="frame marker sync"):
+        y4m_frames(b"YUV4MPEG2 W2 H2 Cmono\n" + b"JUNK!\n" + y)
+
+
+def test_video_scenes_planted_static_and_cut(spark):
+    """llm_mm_video_scenes on crafted docs: identical frames => no
+    scene cut anywhere; a hard content switch at frame 1 => cut. Also
+    pins frame count and the lag-window keying (first frame of every
+    doc is never a cut)."""
+    from event_stream_for_k8s_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["llm_mm_video_scenes"].spark(spark, SF).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(len(v) == 3 for v in by_doc.values())
+    for v in by_doc.values():
+        v.sort(key=lambda r: r["frame_id"])
+        assert v[0]["scene_cut"] is False
+    # the corpus has short docs whose tail frames are all padding:
+    # identical blank frames => hash-equal => no cut between them
+    static = [
+        v
+        for v in by_doc.values()
+        if v[1]["phash"] == v[2]["phash"]
+    ]
+    assert static and all(not v[2]["scene_cut"] for v in static)
+    # and long text docs flip content across frames => some cuts
+    assert any(r["scene_cut"] for r in rows)
+
+
 def test_png_decode_through_decode_media(spark):
     """image/png dispatches through the same mapInPandas decode path
     as PPM/WAV, feature contract included."""
