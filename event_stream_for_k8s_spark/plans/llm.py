@@ -3035,10 +3035,10 @@ def llm_mm_dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "llm_mm_video_scenes",
-    oracle=f"""
-WITH {_norm_cte("documents")}, fr AS (
+# The per-frame hash CTE chain shared by the video oracles (expects a
+# `norm` CTE in scope): 3 mono frames per doc, frame f's gray = the
+# codepoints at body[256f..256f+255].
+_VIDEO_SIG_SQL = f"""fr AS (
   SELECT doc_id, cast(r.f AS int) AS frame_id,
          list_transform(range(0, 256),
            k -> ord(substr(body, cast(256 * r.f + k + 1 AS int), 1))) AS gv
@@ -3049,7 +3049,13 @@ WITH {_norm_cte("documents")}, fr AS (
                THEN u - CAST(18446744073709551616 AS HUGEINT)
                ELSE u END)::BIGINT AS phash
   FROM (SELECT doc_id, frame_id, ({_PHASH_TERMS}) AS u FROM fr)
-)
+)"""
+
+
+@query(
+    "llm_mm_video_scenes",
+    oracle=f"""
+WITH {_norm_cte("documents")}, {_VIDEO_SIG_SQL}
 SELECT doc_id, frame_id, phash,
        coalesce(bit_count(xor(phash,
          lag(phash) OVER (PARTITION BY doc_id ORDER BY frame_id))) > 16,
@@ -3075,6 +3081,26 @@ FROM sig
     "per-doc-sized partitions, never global",
 )
 def llm_mm_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _video_sig_corpus(load(spark, sf_dir, "documents"))
+    w = Window.partitionBy("doc_id").orderBy("frame_id")
+    prev = F.lag("phash").over(w)
+    return sig.select(
+        "doc_id",
+        "frame_id",
+        "phash",
+        F.coalesce(
+            F.bit_count(F.col("phash").bitwiseXOR(prev)) > 16,
+            F.lit(False),
+        ).alias("scene_cut"),
+    )
+
+
+def _video_sig_corpus(d: DataFrame) -> DataFrame:
+    """The real video signature pass over a (doc_id, text) relation:
+    normalized 768-byte body -> 3-frame 16x16 mono Y4M stream ->
+    genuine container parse -> per-frame dHash (ONE vectorized call
+    per Arrow batch). Shared by llm_mm_video_scenes and
+    llm_mm_dedup_video."""
     import numpy as np
     import pandas as pd
 
@@ -3084,7 +3110,6 @@ def llm_mm_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
         y4m_frames,
     )
 
-    d = load(spark, sf_dir, "documents")
     src = d.select("doc_id", F.encode(_body768(), "UTF-8").alias("raw"))
 
     def work(it):
@@ -3114,19 +3139,68 @@ def llm_mm_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": ids, "frame_id": fids, "phash": hashes}
             )
 
-    sig = src.mapInPandas(
+    return src.mapInPandas(
         work, "doc_id bigint, frame_id int, phash bigint"
     )
-    w = Window.partitionBy("doc_id").orderBy("frame_id")
-    prev = F.lag("phash").over(w)
-    return sig.select(
-        "doc_id",
-        "frame_id",
-        "phash",
-        F.coalesce(
-            F.bit_count(F.col("phash").bitwiseXOR(prev)) > 16,
-            F.lit(False),
-        ).alias("scene_cut"),
+
+
+@query(
+    "llm_mm_dedup_video",
+    oracle=f"""
+WITH {_PLANT_CORPUS_SQL}, {_norm_cte("corpus")}, {_VIDEO_SIG_SQL},
+okb AS (
+  SELECT frame_id, phash FROM sig
+  GROUP BY frame_id, phash
+  HAVING count(*) BETWEEN 2 AND 64
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       cast(count(*) AS bigint) AS n_shared
+FROM sig a
+JOIN okb ON a.frame_id = okb.frame_id AND a.phash = okb.phash
+JOIN sig b ON b.frame_id = okb.frame_id AND b.phash = okb.phash
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+""",
+    section="B.11",
+    notes="near-duplicate VIDEO detection, completing the dedup "
+    "family across modalities: candidate pair = two videos sharing "
+    "at least one same-position identical scene hash (frame_id, "
+    "phash equi-join — position-sensitive like real shot-sequence "
+    "matching), scored by n_shared (3 = frame-exact duplicate). "
+    "Boilerplate scenes are excluded by the same 2..64 bucket cap "
+    "the banded tiers use (oracle-replayed): short docs' blank "
+    "padding frames collide corpus-wide and would otherwise produce "
+    "a quadratic pair set — the cap IS the scale story, identical "
+    "to the image/audio tiers. Fixture plants byte-identical videos "
+    "(doc+1M: n_shared=3 when buckets allow) and first-scene "
+    "perturbations (doc+2M: frames 1-2 still shared). Everything "
+    "after the signature pass is codegen equi-join + one keyed agg",
+)
+def llm_mm_dedup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = _video_sig_corpus(_planted_corpus(d)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    okb = (
+        sig.groupBy("frame_id", "phash")
+        .count()
+        .filter((F.col("count") >= 2) & (F.col("count") <= 64))
+        .drop("count")
+    )
+    bb = sig.join(okb, ["frame_id", "phash"])
+    a = bb.select(
+        F.col("doc_id").alias("id_a"), "frame_id", "phash"
+    )
+    b = bb.select(
+        F.col("doc_id").alias("id_b"), "frame_id", "phash"
+    )
+    return (
+        a.join(b, ["frame_id", "phash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
     )
 
 

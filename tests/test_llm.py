@@ -487,6 +487,38 @@ def test_video_scenes_planted_static_and_cut(spark):
     assert any(r["scene_cut"] for r in rows)
 
 
+def test_mm_dedup_video_planted_pairs(spark):
+    """The video near-dup query recovers planted byte-identical
+    videos at n_shared=3 and first-scene perturbations at n_shared>=2
+    — unless a shared frame's (frame_id, phash) bucket overflows the
+    cap (blank padding frames collide corpus-wide by design)."""
+    from event_stream_for_k8s_spark.plans.registry import REGISTRY
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    planted = [
+        r["doc_id"]
+        for r in d.filter("doc_id % 50 = 0").select("doc_id").collect()
+    ]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in REGISTRY["llm_mm_dedup_video"].spark(spark, SF).collect()
+    }
+    assert planted
+    found = perturbed_found = 0
+    for did in planted:
+        n = pairs.get((did, did + 1_000_000))
+        if n is not None:
+            assert 1 <= n <= 3
+            found += 1
+        n2 = pairs.get((did, did + 2_000_000))
+        if n2 is not None:
+            # the 3-char perturbation only changes frame 0
+            assert 1 <= n2 <= 2
+            perturbed_found += 1
+    assert found >= len(planted) * 0.5
+    assert perturbed_found >= 1
+
+
 def test_png_decode_through_decode_media(spark):
     """image/png dispatches through the same mapInPandas decode path
     as PPM/WAV, feature contract included."""
