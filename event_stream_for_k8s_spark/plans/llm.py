@@ -1774,6 +1774,94 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_mm_pack_interleaved",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         cast(len(string_split(text, ' ')) AS bigint) AS n_tok,
+         doc_id % 3 AS n_images
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tok, n_images,
+         n_tok + 64 * n_images AS mm_cost,
+         sum(n_tok + 64 * n_images) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, shard, n_tok, cast(n_images AS int) AS n_images,
+       mm_cost,
+       cast((cum - mm_cost) // 2048 AS bigint) AS start_bin,
+       cast((cum - 1) // 2048 AS bigint) AS end_bin,
+       cast(coalesce(list_sum(list_transform(range(0, n_images),
+         i -> CASE WHEN ((cum - mm_cost) + n_tok + 64 * i) // 2048
+                   <> ((cum - mm_cost) + n_tok + 64 * i + 63) // 2048
+              THEN 1 ELSE 0 END)), 0) AS int) AS n_split_images
+FROM c
+""",
+    section="B.11",
+    notes="INTERLEAVED image-text sequence packing (the MMC4/OBELICS "
+    "prep stage for vision-LM pretraining): each doc costs its text "
+    "tokens plus 64 patch tokens per image (n_images derived "
+    "deterministically as doc_id%3 — a corpus with a real image "
+    "column feeds the count in unchanged), concat-and-cut at 2048 "
+    "into per-SHARD context windows like llm_pack_sequences, PLUS "
+    "the metric that makes the mm variant its own operator: "
+    "n_split_images — how many of the doc's trailing 64-token patch "
+    "blocks straddle a window boundary (split patch blocks corrupt "
+    "the image embedding; pipelines re-pad or reorder to drive this "
+    "to 0). Every position is closed-form from the shard cumsum, so "
+    "the oracle replays bins AND splits exactly; shard-keyed windows "
+    "parallelize at 100 TB like the text packer",
+)
+def llm_mm_pack_interleaved(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        (F.col("doc_id") % 3).cast("int").alias("n_images"),
+    ).withColumn("mm_cost", F.col("n_tok") + 64 * F.col("n_images"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("mm_cost").over(w))
+    start = F.col("cum") - F.col("mm_cost")
+    # image i's 64-token patch block starts after the text at
+    # start + n_tok + 64*i; it splits iff it straddles a 2048 cut.
+    # sequence(0, n-1) descends for n=0, so the zero-image case is
+    # guarded explicitly
+    splits = F.when(F.col("n_images") == 0, F.lit(0)).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(0), F.col("n_images") - 1),
+            F.lit(0),
+            lambda acc, i: acc
+            + F.when(
+                F.floor((start + F.col("n_tok") + 64 * i) / 2048)
+                != F.floor(
+                    (start + F.col("n_tok") + 64 * i + 63) / 2048
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_tok",
+        "n_images",
+        "mm_cost",
+        F.floor(start / 2048).cast("long").alias("start_bin"),
+        F.floor((F.col("cum") - 1) / 2048).cast("long").alias("end_bin"),
+        splits.cast("int").alias("n_split_images"),
+    )
+
+
+@query(
     "llm_pack_pairs",
     oracle="""
 WITH t AS (

@@ -1975,6 +1975,40 @@ def test_mix_epochs_caps_short_source_on_skewed_corpus(spark, tmp_path):
         assert got[s]["epochs"] == round(595 / 400, 6)
 
 
+def test_mm_pack_interleaved_recount(spark):
+    """llm_mm_pack_interleaved's bins and split counts against an
+    independent per-shard Python recount (plain cumsum + per-image
+    boundary check), plus branch coverage: the fixture must contain
+    split and non-split image blocks and multi-bin docs."""
+    from event_stream_for_k8s_spark.plans.registry import REGISTRY
+
+    rows = sorted(
+        REGISTRY["llm_mm_pack_interleaved"].spark(spark, SF).collect(),
+        key=lambda r: (r["shard"], r["doc_id"]),
+    )
+    assert rows
+    cum: dict = {}
+    for r in rows:
+        assert r["mm_cost"] == r["n_tok"] + 64 * r["n_images"]
+        start = cum.get(r["shard"], 0)
+        end = start + r["mm_cost"]
+        cum[r["shard"]] = end
+        assert r["start_bin"] == start // 2048
+        assert r["end_bin"] == (end - 1) // 2048
+        n_split = sum(
+            1
+            for i in range(r["n_images"])
+            if (start + r["n_tok"] + 64 * i) // 2048
+            != (start + r["n_tok"] + 64 * i + 63) // 2048
+        )
+        assert r["n_split_images"] == n_split
+    assert any(r["n_split_images"] > 0 for r in rows)
+    assert any(
+        r["n_images"] > 0 and r["n_split_images"] == 0 for r in rows
+    )
+    assert any(r["end_bin"] > r["start_bin"] for r in rows)
+
+
 def test_mix_epochs_zero_rounded_weight_clamps_to_floor(spark, tmp_path):
     """ADVICE r12: a source whose doc share is below ~4e-5 rounds its
     6-digit temperature weight to 0; unclamped, cap/w6s is infinite
