@@ -1160,12 +1160,16 @@ def y4m_frames(b: bytes):
     return width, height, frames
 
 
-MM_SIG_SCHEMA = "doc_id bigint, phash bigint, afp bigint"
+MM_SIG_SCHEMA = (
+    "doc_id bigint, phash bigint, afp bigint, "
+    "vhash0 bigint, vhash1 bigint, vhash2 bigint"
+)
 
 
 def mm_signatures(df: DataFrame) -> DataFrame:
-    """Both media signatures (image dHash + audio fingerprint) in ONE
-    Arrow-batched pass over the normalized 768-byte body column.
+    """All three media signatures (image dHash + audio fingerprint +
+    per-frame video hashes) in ONE Arrow-batched pass over the
+    normalized 768-byte body column.
 
     The capstone composition: the per-modality queries prove the real
     container round-trips (PPM/WAV encode -> parse -> hash); here the
@@ -1181,22 +1185,40 @@ def mm_signatures(df: DataFrame) -> DataFrame:
         for pdf in it:
             if len(pdf) == 0:
                 yield pd.DataFrame(
-                    {"doc_id": pdf["doc_id"], "phash": [], "afp": []}
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "phash": [],
+                        "afp": [],
+                        "vhash0": [],
+                        "vhash1": [],
+                        "vhash2": [],
+                    }
                 )
                 continue
             # the 768-byte body contract makes the WHOLE Arrow batch
-            # one (N, 768) matrix — both signatures vectorize across
-            # docs, zero per-doc Python (VERDICT r12 #1)
+            # one (N, 768) matrix — all three modality signatures
+            # vectorize across docs, zero per-doc Python (VERDICT
+            # r12 #1): image = the 16x16x3 raster, audio = the PCM16
+            # sample view, video = the same bytes as 3 mono frames
             mat = np.stack(
                 [np.frombuffer(bytes(b), dtype=np.uint8) for b in pdf["body"]]
             )
+            n = len(mat)
             phashes = dhash64_batch(mat.reshape(-1, 16, 16, 3))
             afps = audio_fp_batch((mat.astype(np.int64) - 79) * 256, 32)
+            vh = dhash64_batch(
+                np.repeat(
+                    mat.reshape(n * 3, 16, 16)[..., None], 3, axis=3
+                )
+            ).reshape(n, 3)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "phash": phashes,
                     "afp": afps,
+                    "vhash0": vh[:, 0],
+                    "vhash1": vh[:, 1],
+                    "vhash2": vh[:, 2],
                 }
             )
 

@@ -3123,21 +3123,27 @@ def llm_mm_dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The per-frame hash CTE chain shared by the video oracles (expects a
-# `norm` CTE in scope): 3 mono frames per doc, frame f's gray = the
-# codepoints at body[256f..256f+255].
-_VIDEO_SIG_SQL = f"""fr AS (
+def _video_sig_sql(prefix: str = "") -> str:
+    """The per-frame hash CTE chain shared by the video oracles
+    (expects a `norm` CTE in scope): 3 mono frames per doc, frame f's
+    gray = the codepoints at body[256f..256f+255]. ``prefix`` renames
+    the CTEs ({prefix}fr, {prefix}sig) so the chain composes with
+    _phash_sig_cte (which also defines `sig`) in one WITH clause."""
+    return f"""{prefix}fr AS (
   SELECT doc_id, cast(r.f AS int) AS frame_id,
          list_transform(range(0, 256),
            k -> ord(substr(body, cast(256 * r.f + k + 1 AS int), 1))) AS gv
   FROM norm CROSS JOIN range(0, 3) r(f)
-), sig AS (
+), {prefix}sig AS (
   SELECT doc_id, frame_id,
          (CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
                THEN u - CAST(18446744073709551616 AS HUGEINT)
                ELSE u END)::BIGINT AS phash
-  FROM (SELECT doc_id, frame_id, ({_PHASH_TERMS}) AS u FROM fr)
+  FROM (SELECT doc_id, frame_id, ({_PHASH_TERMS}) AS u FROM {prefix}fr)
 )"""
+
+
+_VIDEO_SIG_SQL = _video_sig_sql()
 
 
 @query(
@@ -3364,26 +3370,41 @@ def llm_mm_dedup_audio_capped(
 @query(
     "llm_mm_pipeline",
     oracle=f"""
-WITH {_phash_sig_cte("documents")}, {_AFP_FROM_NORM}
+WITH {_phash_sig_cte("documents")}, {_AFP_FROM_NORM},
+{_video_sig_sql("v")},
+vid AS (
+  SELECT doc_id,
+         max(CASE WHEN frame_id = 0 THEN phash END) AS vhash0,
+         max(CASE WHEN frame_id = 1 THEN phash END) AS vhash1,
+         max(CASE WHEN frame_id = 2 THEN phash END) AS vhash2
+  FROM vsig GROUP BY doc_id
+)
 SELECT s.doc_id, s.phash, asig.afp,
+       cast((CASE WHEN bit_count(xor(vid.vhash0, vid.vhash1)) > 16
+                  THEN 1 ELSE 0 END)
+          + (CASE WHEN bit_count(xor(vid.vhash1, vid.vhash2)) > 16
+                  THEN 1 ELSE 0 END) AS int) AS n_scene_cuts,
        count(*) OVER (PARTITION BY s.phash) AS n_copies,
        s.doc_id = min(s.doc_id) OVER (PARTITION BY s.phash)
          AS is_canonical
-FROM sig s JOIN asig ON s.doc_id = asig.doc_id
+FROM sig s
+JOIN asig ON s.doc_id = asig.doc_id
+JOIN vid ON s.doc_id = vid.doc_id
 """,
     section="B.11",
     notes="the MULTIMODAL capstone (the llm_sft_pipeline pattern "
     "applied to media prep): ONE documents scan -> ONE Arrow pass "
-    "computing BOTH signatures (image dHash + audio fingerprint) "
-    "straight off the shared normalized body "
-    "(functions/multimodal.py::mm_signatures — the per-modality "
-    "queries prove the container round-trips; the pipeline composes "
-    "the signature math without re-encoding twice and joining), then "
-    "exact image-dedup bookkeeping: per-phash copy count and the "
-    "canonical (min doc_id) flag via one map-combinable struct "
-    "min/count aggregate broadcast back — the dedup_first_agg "
-    "pattern, no corpus-wide window on the Spark side. Every bit "
-    "and count replayed exactly in DuckDB",
+    "computing ALL THREE signatures (image dHash + audio fingerprint "
+    "+ per-frame video hashes, r13) straight off the shared "
+    "normalized body (functions/multimodal.py::mm_signatures — the "
+    "per-modality queries prove the container round-trips; the "
+    "pipeline composes the signature math without re-encoding three "
+    "times and joining), then exact image-dedup bookkeeping "
+    "(per-phash copy count + canonical min-doc flag via one "
+    "map-combinable aggregate broadcast back) and the per-doc "
+    "scene-cut count off the video hashes — no corpus-wide window "
+    "on the Spark side. Every bit and count replayed exactly in "
+    "DuckDB",
 )
 def llm_mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_stream_for_k8s_spark.functions.multimodal import (
@@ -3399,12 +3420,29 @@ def llm_mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_copies"),
         F.min("doc_id").alias("first_doc"),
     )
+    cuts = (
+        F.when(
+            F.bit_count(
+                F.col("vhash0").bitwiseXOR(F.col("vhash1"))
+            )
+            > 16,
+            1,
+        ).otherwise(0)
+        + F.when(
+            F.bit_count(
+                F.col("vhash1").bitwiseXOR(F.col("vhash2"))
+            )
+            > 16,
+            1,
+        ).otherwise(0)
+    )
     return (
         sig.join(groups, "phash")
         .select(
             "doc_id",
             "phash",
             "afp",
+            cuts.cast("int").alias("n_scene_cuts"),
             "n_copies",
             (F.col("doc_id") == F.col("first_doc")).alias(
                 "is_canonical"

@@ -150,12 +150,21 @@ def test_multimodal_decode_real_formats(spark):
     assert got[2]["f2"] == (100 + 200 + 300 + 400) / 4  # mean |amp|
     assert got[2]["f3"] == 400.0  # peak
 
+    # image/jpeg is a REAL decoder since r13 — a truncated stream is a
+    # parse error, not the codec boundary; the boundary itself moved
+    # to formats with no stdlib decoder (e.g. video/mp4)
     jpeg = spark.createDataFrame(
         [(3, bytearray(b"\xff\xd8\xff"), "image/jpeg", {})],
         "doc_id bigint, payload binary, mime string, meta map<string,string>",
     )
-    with pytest.raises(Exception, match="NotImplementedError|no decoder"):
+    with pytest.raises(Exception, match="JPEG missing SOF0 or SOS"):
         decode_media(jpeg).collect()
+    mp4 = spark.createDataFrame(
+        [(4, bytearray(b"\x00\x00\x00\x18ftypmp42"), "video/mp4", {})],
+        "doc_id bigint, payload binary, mime string, meta map<string,string>",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|no decoder"):
+        decode_media(mp4).collect()
 
 
 def test_png_decode_hand_filtered_spec_vectors():
@@ -2226,13 +2235,23 @@ def test_length_batches_invariants(spark):
 def test_mm_pipeline_matches_standalone_signatures(spark):
     """The one-pass capstone computes EXACTLY the signatures the
     per-modality container round-trips produce: phash == llm_mm_phash
-    (PPM encode -> parse -> dHash) and afp == llm_mm_audio_fp (WAV
-    encode -> chunk walk -> fingerprint) for every doc — the
-    composition skips the containers, not the math."""
+    (PPM encode -> parse -> dHash), afp == llm_mm_audio_fp (WAV
+    encode -> chunk walk -> fingerprint), and n_scene_cuts == the
+    scene_cut count of llm_mm_video_scenes (Y4M encode -> parse ->
+    per-frame dHash -> lag) for every doc — the composition skips
+    the containers, not the math."""
+    from collections import Counter
+
     from event_stream_for_k8s_spark.plans.registry import REGISTRY
 
     pipe = {
-        r["doc_id"]: (r["phash"], r["afp"], r["n_copies"], r["is_canonical"])
+        r["doc_id"]: (
+            r["phash"],
+            r["afp"],
+            r["n_scene_cuts"],
+            r["n_copies"],
+            r["is_canonical"],
+        )
         for r in REGISTRY["llm_mm_pipeline"].spark(spark, SF).collect()
     }
     ph = {
@@ -2243,16 +2262,20 @@ def test_mm_pipeline_matches_standalone_signatures(spark):
         r["doc_id"]: r["afp"]
         for r in REGISTRY["llm_mm_audio_fp"].spark(spark, SF).collect()
     }
-    assert set(pipe) == set(ph) == set(af)
-    for did, (phash, afp, n_copies, canon) in pipe.items():
+    vc = Counter()
+    for r in REGISTRY["llm_mm_video_scenes"].spark(spark, SF).collect():
+        vc[r["doc_id"]] += bool(r["scene_cut"])
+    assert set(pipe) == set(ph) == set(af) == set(vc)
+    for did, (phash, afp, cuts, n_copies, canon) in pipe.items():
         assert phash == ph[did]
         assert afp == af[did]
+        assert cuts == vc[did]
         assert n_copies >= 1
     # exactly one canonical per phash group
     from collections import defaultdict
 
     canons = defaultdict(int)
-    for did, (phash, _afp, _n, canon) in pipe.items():
+    for did, (phash, _afp, _cuts, _n, canon) in pipe.items():
         canons[phash] += bool(canon)
     assert all(c == 1 for c in canons.values())
 
