@@ -1224,6 +1224,80 @@ def stream_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(deduped, sink)
 
 
+def _stream_video_scenes_oracle() -> str:
+    from event_stream_for_k8s_spark.plans.llm import (
+        _norm_cte,
+        _video_sig_sql,
+    )
+
+    return f"""
+WITH kept AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text)
+                              ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+), feed AS (
+  SELECT doc_id, text FROM kept
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM kept WHERE doc_id % 7 = 0
+), {_norm_cte("feed")}, {_video_sig_sql()}
+SELECT phash, first_doc, first_frame, n_seen FROM (
+  SELECT phash, doc_id AS first_doc,
+         cast(frame_id AS int) AS first_frame,
+         row_number() OVER (PARTITION BY phash
+                            ORDER BY doc_id, frame_id) AS rn,
+         cast(count(*) OVER (PARTITION BY phash) AS bigint) AS n_seen
+  FROM sig) WHERE rn = 1
+"""
+
+
+@query(
+    "stream_video_scenes",
+    oracle=_stream_video_scenes_oracle(),
+    section="B.9",
+    notes="STREAMING scene-dedup ledger for VIDEO — 'have we seen "
+    "this scene before, in any video': the ingest feed's docs are "
+    "synthesized into real 3-frame Y4M streams and per-frame-hashed "
+    "INSIDE each micro-batch (the r13 video signature pass running "
+    "under the streaming engine), then a complete-mode aggregate "
+    "keyed by the scene hash keeps (first occurrence, n_seen). The "
+    "first occurrence is min(struct(doc_id, frame_id)) — a "
+    "deterministic lexicographic min, never a survivor choice, so "
+    "any batch split yields the same ledger; batch-4 re-deliveries "
+    "surface as n_seen increments with the original pinned. State "
+    "at 100 TB: one 8-byte scene key -> (long, int, long) in the "
+    "RocksDB store; llm_mm_dedup_video is the batch compaction path",
+)
+def stream_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_stream_for_k8s_spark.plans.llm import _video_sig_corpus
+
+    src = _doc_ingest_src(spark, sf_dir)
+    ss = _streaming_session(spark)
+    stream = (
+        ss.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    ledger = (
+        _video_sig_corpus(stream)
+        .groupBy("phash")
+        .agg(
+            F.min(F.struct("doc_id", "frame_id")).alias("first"),
+            F.count("*").cast("long").alias("n_seen"),
+        )
+    )
+    sink = f"svs_{abs(hash(sf_dir)) % 10**8}"
+    out = _run_to_memory(ledger, sink, mode="complete")
+    return out.select(
+        "phash",
+        F.col("first.doc_id").alias("first_doc"),
+        F.col("first.frame_id").cast("int").alias("first_frame"),
+        "n_seen",
+    )
+
+
 def _stream_mm_dedup_oracle() -> str:
     from event_stream_for_k8s_spark.plans.llm import _phash_sig_cte
 
