@@ -1185,6 +1185,116 @@ def llm_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_dedup_chunks",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), tok AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) + 1),
+           i -> struct_pack(pos := i,
+                h := list_reduce(
+                       list_prepend(cast(0 AS bigint),
+                         list_transform(range(1, length(toks[i]) + 1),
+                           j -> cast(ascii(toks[i][j:j]) AS bigint))),
+                       (a, b) -> (a * 31 + b) % {MOD})))) AS u
+  FROM t
+), pos AS (
+  SELECT doc_id, u.pos AS pos, u.h AS h,
+         coalesce(sum(CASE WHEN u.h % 16 = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY u.pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS chunk_id
+  FROM tok
+), chunks AS (
+  SELECT doc_id, chunk_id,
+         list_reduce(list_prepend(cast(0 AS bigint),
+                                  list(h ORDER BY pos)),
+                     (a, b) -> (a * 31 + b) % {MOD}) AS sig
+  FROM pos GROUP BY doc_id, chunk_id
+), counted AS (
+  SELECT c.doc_id, c.sig, n.cnt
+  FROM chunks c JOIN (
+    SELECT sig, count(*) AS cnt FROM chunks GROUP BY sig) n
+  ON c.sig = n.sig
+)
+SELECT doc_id, cast(count(*) AS bigint) AS n_chunks,
+       cast(coalesce(sum(CASE WHEN cnt >= 2 THEN 1 END), 0)
+            AS bigint) AS n_dup_chunks
+FROM counted GROUP BY doc_id
+""",
+    section="B.11",
+    notes="content-defined chunking dedup (the Rabin/FastCDC storage-"
+    "dedup primitive at token granularity): a chunk boundary falls "
+    "AFTER any token whose rolling hash is 0 mod 16, so boundaries "
+    "move with CONTENT, not position — an insertion reshuffles only "
+    "its local chunk while fixed-window schemes (llm_dedup_substring) "
+    "shift every window after the edit. Chunk identity is the "
+    "order-sensitive 31-radix fold of its token hashes; per doc the "
+    "output counts chunks and how many are duplicated ANYWHERE in "
+    "the corpus — the chunk-level dup mass a 100 TB pipeline "
+    "dedups at sub-document granularity. Shapes: token explode "
+    "(linear), a doc-keyed running-sum window (never global), one "
+    "chunk-key aggregation + a sig-count equi-join back — all keyed "
+    "shuffles. Token hashing reuses the broadcast-vocabulary trick "
+    "from llm_fingerprint (hash the Zipf-small distinct vocab once, "
+    "never per-occurrence per-char Python)",
+)
+def llm_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from event_stream_for_k8s_spark.functions.text import token_hash
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    vocab = (
+        toks.select("tok")
+        .distinct()
+        .withColumn("th", token_hash(F.col("tok")))
+    )
+    hashed = toks.join(F.broadcast(vocab), "tok")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pos = hashed.select(
+        "doc_id",
+        "pos",
+        F.col("th").alias("h"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("th") % 16 == 0, 1).otherwise(0)
+            ).over(w),
+            F.lit(0),
+        ).alias("chunk_id"),
+    )
+    chunks = pos.groupBy("doc_id", "chunk_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "h"))),
+                lambda x: x.h,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: (acc * 31 + x) % F.lit(MOD),
+        ).alias("sig")
+    )
+    counts = chunks.groupBy("sig").agg(F.count("*").alias("cnt"))
+    return (
+        chunks.join(counts, "sig")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.coalesce(
+                F.sum(F.when(F.col("cnt") >= 2, F.lit(1))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_dup_chunks"),
+        )
+    )
+
+
+@query(
     "llm_fingerprint",
     oracle=f"""
 WITH hashed AS (

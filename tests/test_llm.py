@@ -1984,6 +1984,49 @@ def test_mix_epochs_caps_short_source_on_skewed_corpus(spark, tmp_path):
         assert got[s]["epochs"] == round(595 / 400, 6)
 
 
+def test_dedup_chunks_content_defined_stability(spark, tmp_path):
+    """The CDC property that motivates the operator: inserting ONE
+    token into a long doc leaves most chunks byte-identical (only the
+    edited chunk's signature changes), because boundaries derive from
+    CONTENT. A fixed-window scheme would shift every window after the
+    edit. Also pins: an unrelated doc shares zero chunks."""
+    import os
+
+    from tests.conftest import SF_SMOKE
+    from event_stream_for_k8s_spark.catalog import TABLES
+    from event_stream_for_k8s_spark.plans import REGISTRY
+
+    sf = str(tmp_path / "cdc")
+    os.makedirs(sf)
+    for t in TABLES:
+        os.symlink(f"{SF_SMOKE}/{t}.parquet", f"{sf}/{t}.parquet")
+    os.unlink(f"{sf}/documents.parquet")
+    base = [f"tok{i}alpha" for i in range(120)]
+    edited = base[:60] + ["inserted"] + base[60:]
+    other = [f"zz{i}beta" for i in range(120)]
+    rows = [
+        (0, " ".join(base), "en", "s", len(" ".join(base))),
+        (1, " ".join(edited), "en", "s", len(" ".join(edited))),
+        (2, " ".join(other), "en", "s", len(" ".join(other))),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).toPandas().to_parquet(f"{sf}/documents.parquet", index=False)
+
+    got = {
+        r["doc_id"]: r
+        for r in REGISTRY["llm_dedup_chunks"].spark(spark, sf).collect()
+    }
+    assert got[2]["n_dup_chunks"] == 0  # unrelated: nothing shared
+    for did in (0, 1):
+        assert got[did]["n_chunks"] >= 3  # boundaries actually fire
+        # at most 2 chunks differ (the edited chunk, split or merged)
+        assert got[did]["n_dup_chunks"] >= got[did]["n_chunks"] - 2
+        assert got[did]["n_dup_chunks"] < got[did]["n_chunks"]
+
+
 def test_mm_pack_interleaved_recount(spark):
     """llm_mm_pack_interleaved's bins and split counts against an
     independent per-shard Python recount (plain cumsum + per-image
