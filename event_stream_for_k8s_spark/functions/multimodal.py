@@ -452,6 +452,11 @@ def encode_jpeg_gray(img, quant: int = 8) -> bytes:
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim != 2:
         raise ValueError("encode_jpeg_gray expects an (H, W) image")
+    if not 1 <= int(quant) <= 255:
+        # the DQT segment stores one byte per entry; clamping only the
+        # emitted table would silently desync encoder and decoder
+        # (ADVICE r13) — reject instead
+        raise ValueError(f"quant {quant} outside the DQT byte range 1..255")
     h, w = img.shape
     bh, bw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
     padded = np.empty((bh, bw), dtype=np.uint8)
@@ -503,9 +508,7 @@ def encode_jpeg_gray(img, quant: int = 8) -> bytes:
             code, length = ac_codes[0x00]  # EOB
             bw_.put(code, length)
 
-    qt = bytes([0]) + bytes(
-        min(max(int(quant), 1), 255) for _ in range(64)
-    )
+    qt = bytes([0]) + bytes(int(quant) for _ in range(64))
     app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
         [1, 1, 0x11, 0]
@@ -619,6 +622,10 @@ def decode_jpeg_gray(b: bytes):
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
+        # spec B.1.1.2: a marker may be preceded by any number of
+        # 0xFF fill bytes — other encoders emit them (ADVICE r13)
+        while pos + 4 <= len(b) and b[pos + 1] == 0xFF:
+            pos += 1
         marker = b[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -1033,7 +1040,11 @@ def audio_fp(samples, frame: int = 32) -> int:
     — bit f is set iff energy(f+1) > energy(f). Robust to uniform
     volume scaling direction and exactly integer (energy = sum |s|),
     so a SQL engine replays every bit from the source samples. Frames
-    beyond the signal contribute zero energy.
+    beyond the signal contribute zero energy. Raises past 63 delta
+    bits, mirroring :func:`audio_fp_batch`: every consumer stores the
+    fingerprint in a signed 64-bit column (AUDIO_FP_SCHEMA), and an
+    arbitrary-width int would fail only later at Arrow conversion
+    (ADVICE r13) — fail loudly at the source instead.
     """
     import numpy as np
 
@@ -1041,12 +1052,16 @@ def audio_fp(samples, frame: int = 32) -> int:
     n_frames = (len(arr) + frame - 1) // frame
     if n_frames < 2:
         return 0
+    if n_frames - 1 > 63:
+        raise ValueError(
+            "fingerprint wider than 63 bits: shorten the clip or widen "
+            "the frame"
+        )
     padded = np.zeros(n_frames * frame, dtype=np.int64)
     padded[: len(arr)] = arr
     ev = padded.reshape(n_frames, frame).sum(axis=1)
     rising = ev[1:] > ev[:-1]
-    # packbits(little) + from_bytes(little) == sum(rising[f] << f),
-    # exact for any frame count (no 64-bit shift ceiling)
+    # packbits(little) + from_bytes(little) == sum(rising[f] << f)
     return int.from_bytes(
         np.packbits(rising, bitorder="little").tobytes(), "little"
     )

@@ -176,8 +176,14 @@ def source_kafka_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize while the broker is alive; the checkpointed
         # relation is what downstream consumers (and the oracle
-        # comparison) read
-        return df.localCheckpoint(eager=True)
+        # comparison) read. INVARIANT (ADVICE r13): the broker dies in
+        # the finally below, so the returned plan must never re-read
+        # the socket — assert full materialization here rather than
+        # trusting eager=True alone to survive future edits.
+        out = df.localCheckpoint(eager=True)
+        if out.count() < 0:  # pragma: no cover — forces materialization
+            raise AssertionError("unreachable")
+        return out
     finally:
         broker.stop()
 

@@ -243,16 +243,32 @@ class KafkaWireClient:
 
     def fetch_all(self, topic: str, partition: int, max_bytes: int = 4096):
         """Drain a partition with repeated bounded fetches — the real
-        consumer loop, including continuation past truncated tails."""
+        consumer loop, including continuation past truncated tails.
+
+        An EMPTY fetch while offset < high-watermark means a single
+        message exceeds max_bytes (the protocol returns only the
+        truncated head of that message). Silently breaking there would
+        be a silent-data-loss path (ADVICE r13), so the drain retries
+        with a doubled max_bytes until the message fits, mirroring the
+        real consumer's fetch.max.bytes escalation guidance."""
         out = []
         offset = 0
+        cur_max = max_bytes
         while True:
-            hw, msgs = self.fetch(topic, partition, offset, max_bytes)
+            hw, msgs = self.fetch(topic, partition, offset, cur_max)
             out.extend(msgs)
             if msgs:
                 offset = msgs[-1][0] + 1
-            if offset >= hw or not msgs:
+                cur_max = max_bytes  # reset after progress
+            if offset >= hw:
                 break
+            if not msgs:
+                if cur_max >= 1 << 30:
+                    raise ValueError(
+                        f"kafka-wire: message at offset {offset} exceeds "
+                        f"{cur_max} bytes (partition {partition})"
+                    )
+                cur_max *= 2  # oversized message: widen and retry
         return out
 
 

@@ -105,3 +105,17 @@ def test_datasource_one_task_per_partition(spark, broker):
     assert p1[0] == (0, "v0") and p1[-1] == (199, "v199")
     nullkey = [r for r in rows if r["key"] is None]
     assert len(nullkey) == 1 and nullkey[0]["value"] == "nullkey"
+
+
+def test_fetch_all_widens_past_oversized_message(broker):
+    """A message larger than max_bytes yields an empty fetch below the
+    high watermark; the drain must widen and retry, never silently
+    return a partial log (ADVICE r13 silent-data-loss path)."""
+    c = KafkaWireClient("127.0.0.1", broker.port)
+    try:
+        # partition 0's first message frame is ~40 bytes; max_bytes=8
+        # truncates even the MessageSet header, so fetch #1 is empty
+        msgs = c.fetch_all("docs", 0, max_bytes=8)
+        assert [v for _, _, v in msgs] == [b"hello", b"world", b"nullkey"]
+    finally:
+        c.close()

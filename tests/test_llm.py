@@ -2423,3 +2423,37 @@ def test_phash_bands_knob_matches_oracle_at_nondefault():
     )
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     assert "1/1 ok" in proc.stdout
+
+
+def test_jpeg_fill_bytes_quant_guard_audio_guard():
+    """ADVICE r13 regressions: (1) spec-legal 0xFF fill bytes before a
+    marker decode fine; (2) out-of-range quant raises instead of
+    silently desyncing the DQT; (3) audio_fp raises past 63 delta bits
+    exactly like audio_fp_batch (the bigint schema contract)."""
+    import numpy as np
+    import pytest as pt
+
+    from event_stream_for_k8s_spark.functions.multimodal import (
+        audio_fp,
+        audio_fp_batch,
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    img = np.full((8, 8), 130, dtype=np.uint8)
+    enc = encode_jpeg_gray(img, 8)
+    # inject fill bytes before the DQT marker (spec B.1.1.2): other
+    # encoders pad marker boundaries like this
+    dqt = enc.index(b"\xff\xdb")
+    padded = enc[:dqt] + b"\xff\xff\xff" + enc[dqt:]
+    assert (decode_jpeg_gray(padded) == decode_jpeg_gray(enc)).all()
+
+    for q in (0, 256, -3):
+        with pt.raises(ValueError, match="DQT byte range"):
+            encode_jpeg_gray(img, q)
+
+    wide = [0, 30000] * (65 * 16)  # 65 frames of 32 samples
+    with pt.raises(ValueError, match="63 bits"):
+        audio_fp(wide, frame=32)
+    with pt.raises(ValueError, match="63 bits"):
+        audio_fp_batch(np.array([wide], dtype=np.int64), frame=32)
