@@ -100,6 +100,146 @@ class _Reader:
         return len(self.data) - self.pos
 
 
+# ------------------------------------------- record batch v2 (magic 2)
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, reflected poly 0x82F63B78) — the checksum
+    record-batch v2 mandates (KIP-98 switched from zlib crc32 to
+    crc32c); stdlib zlib has no crc32c, so this is the standard
+    table-driven form."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        table = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            table.append(c)
+        _CRC32C_TABLE = table
+    crc = 0xFFFFFFFF
+    tab = _CRC32C_TABLE
+    for b in data:
+        crc = tab[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+_CRC32C_TABLE: list | None = None
+
+
+def _enc_varint(v: int) -> bytes:
+    """Kafka signed varint: protobuf zigzag then base-128 LSB-first."""
+    z = (v << 1) ^ (v >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _dec_varint(r: "_Reader") -> int:
+    z = shift = 0
+    while True:
+        b = r.take(1)[0]
+        z |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint too long")
+    return (z >> 1) ^ -(z & 1)  # un-zigzag
+
+
+def encode_record_batch_v2(
+    entries, base_offset: int = 0, base_timestamp: int = 0
+) -> bytes:
+    """[(key|None, value)] -> ONE RecordBatch (message format v2, the
+    on-wire format every broker since 0.11 produces): the 61-byte
+    batch header (crc32c over attributes..records), then varint-framed
+    Records with offset/timestamp deltas. kafka.apache.org/protocol
+    'Record Batch'."""
+    records = bytearray()
+    for i, (key, value) in enumerate(entries):
+        body = bytearray(b"\x00")  # record attributes
+        body += _enc_varint(i)  # timestampDelta (1 ms per record)
+        body += _enc_varint(i)  # offsetDelta
+        if key is None:
+            body += _enc_varint(-1)
+        else:
+            body += _enc_varint(len(key)) + key
+        if value is None:
+            body += _enc_varint(-1)
+        else:
+            body += _enc_varint(len(value)) + value
+        body += _enc_varint(0)  # headers count
+        records += _enc_varint(len(body)) + body
+    n = len(entries)
+    # everything the crc covers: attributes .. records
+    crc_part = (
+        struct.pack(">hi", 0, n - 1)  # attributes, lastOffsetDelta
+        + struct.pack(">qq", base_timestamp, base_timestamp + n - 1)
+        + struct.pack(">qhi", -1, -1, -1)  # producerId/Epoch, baseSeq
+        + struct.pack(">i", n)
+        + bytes(records)
+    )
+    tail = (
+        struct.pack(">ib", 0, 2)  # partitionLeaderEpoch, magic 2
+        + struct.pack(">I", _crc32c(crc_part))
+        + crc_part
+    )
+    return struct.pack(">qi", base_offset, len(tail)) + tail
+
+
+def decode_record_batch_v2(r: "_Reader"):
+    """Parse one complete RecordBatch at the reader's position ->
+    [(offset, key, value)], crc32c-verified. The caller has already
+    checked the full batchLength is present (truncated tails are the
+    fetch max_bytes cut, handled like v0's partial trailing entry)."""
+    base_offset = r.i64()
+    batch_len = r.i32()
+    batch = _Reader(r.take(batch_len))
+    batch.i32()  # partitionLeaderEpoch
+    magic = batch.i8()
+    if magic != 2:
+        raise NotImplementedError(f"record batch magic {magic}")
+    crc = struct.unpack(">I", batch.take(4))[0]
+    covered = batch.data[batch.pos :]
+    if _crc32c(covered) != crc:
+        raise ValueError(
+            f"record batch crc32c mismatch at offset {base_offset}"
+        )
+    batch.i16()  # attributes (compression 0 in this transport)
+    batch.i32()  # lastOffsetDelta
+    batch.i64()  # baseTimestamp
+    batch.i64()  # maxTimestamp
+    batch.i64()  # producerId
+    batch.i16()  # producerEpoch
+    batch.i32()  # baseSequence
+    n = batch.i32()
+    out = []
+    for _ in range(n):
+        rec_len = _dec_varint(batch)
+        rec = _Reader(batch.take(rec_len))
+        rec.i8()  # record attributes
+        _dec_varint(rec)  # timestampDelta
+        off_delta = _dec_varint(rec)
+        klen = _dec_varint(rec)
+        key = None if klen < 0 else rec.take(klen)
+        vlen = _dec_varint(rec)
+        value = None if vlen < 0 else rec.take(vlen)
+        for _ in range(_dec_varint(rec)):  # headers
+            hklen = _dec_varint(rec)
+            rec.take(hklen)
+            hvlen = _dec_varint(rec)
+            if hvlen > 0:
+                rec.take(hvlen)
+        out.append((base_offset + off_delta, key, value))
+    return out
+
+
 def encode_message_set(entries, base_offset: int = 0) -> bytes:
     """[(key|None, value)] -> MessageSet v0 bytes with real CRCs."""
     out = bytearray()
@@ -115,11 +255,28 @@ def encode_message_set(entries, base_offset: int = 0) -> bytes:
 
 
 def decode_message_set(data: bytes):
-    """MessageSet v0 bytes -> [(offset, key, value)], CRC-verified.
-    Stops cleanly at a truncated trailing entry (the max_bytes cut)."""
+    """Fetch-response record bytes -> [(offset, key, value)], CRC-
+    verified. Handles BOTH on-wire record formats a broker can send:
+    classic MessageSet v0 entries (zlib crc32) and RecordBatch v2
+    (magic 2, varint records, crc32c) — the magic byte sits at byte
+    16 of an entry under either layout (v0: offset8+size4+crc4+magic;
+    v2: baseOffset8+batchLength4+leaderEpoch4+magic), which is how
+    real consumers dispatch. Stops cleanly at a truncated trailing
+    entry/batch (the max_bytes cut)."""
     r = _Reader(data)
     out = []
-    while r.remaining() >= 12:
+    while r.remaining() >= 17:
+        magic = data[r.pos + 16]
+        if magic == 2:
+            size = struct.unpack(
+                ">i", data[r.pos + 8 : r.pos + 12]
+            )[0]
+            if r.remaining() < 12 + size:
+                break  # truncated trailing batch: fetch again
+            out.extend(decode_record_batch_v2(r))
+            continue
+        if magic != 0:
+            raise NotImplementedError(f"message magic {magic} (v0/v2 only)")
         offset = r.i64()
         size = r.i32()
         if r.remaining() < size:
@@ -130,9 +287,7 @@ def decode_message_set(data: bytes):
         rest = msg[4:]
         if zlib.crc32(rest) & 0xFFFFFFFF != crc:
             raise ValueError(f"Kafka message CRC mismatch at offset {offset}")
-        magic = mr.i8()
-        if magic != 0:
-            raise NotImplementedError(f"message magic {magic} (v0 only)")
+        mr.i8()  # magic (0, checked above)
         mr.i8()  # attributes (no compression in v0 stub)
         key = mr.bytes_()
         value = mr.bytes_()
@@ -241,6 +396,39 @@ class KafkaWireClient:
                 return hw, decode_message_set(ms)
         return 0, []
 
+    def produce(
+        self, topic: str, partition: int, entries, magic: int = 0
+    ) -> int:
+        """Produce v0 round trip: append [(key|None, value)] to the
+        partition, return the assigned base offset. ``magic`` picks
+        the on-wire record format (0 = MessageSet v0, 2 = RecordBatch
+        v2 — the broker accepts either, like a real post-0.11 broker
+        with down-conversion)."""
+        if magic == 2:
+            ms = encode_record_batch_v2(entries)
+        else:
+            ms = encode_message_set(entries)
+        body = (
+            struct.pack(">hi", 1, 10000)  # required_acks, timeout
+            + struct.pack(">i", 1)
+            + _enc_string(topic)
+            + struct.pack(">i", 1)
+            + struct.pack(">i", partition)
+            + struct.pack(">i", len(ms))
+            + ms
+        )
+        r = self._call(0, body)
+        for _ in range(r.i32()):  # topics
+            r.string()
+            for _ in range(r.i32()):
+                r.i32()  # partition id
+                err = r.i16()
+                base = r.i64()
+                if err:
+                    raise ValueError(f"Kafka produce error code {err}")
+                return base
+        raise ValueError("empty produce response")
+
     def fetch_all(self, topic: str, partition: int, max_bytes: int = 4096):
         """Drain a partition with repeated bounded fetches — the real
         consumer loop, including continuation past truncated tails.
@@ -273,16 +461,25 @@ class KafkaWireClient:
 
 
 class StubKafkaBroker:
-    """In-memory single-node broker speaking Metadata v0 + Fetch v0.
+    """In-memory single-node broker speaking Metadata v0 + Fetch v0 +
+    Produce v0.
 
     The test/fixture twin of the protocol client — the same role the
     k8s tier's stub API server plays. `logs` maps (topic, partition)
     -> list[(key bytes|None, value bytes)]. Fetch responses honor
-    max_bytes by cutting the MessageSet mid-entry (the protocol's
-    documented truncation), so consumers must paginate."""
+    max_bytes by cutting the record bytes mid-entry (the protocol's
+    documented truncation), so consumers must paginate. ``magic=0``
+    serves classic MessageSet v0 entries; ``magic=2`` serves
+    RecordBatch v2 (what every post-0.11 broker actually sends),
+    grouping ``batch_records`` records per batch so multi-record
+    batches and mid-batch cuts are both exercised."""
 
-    def __init__(self, logs):
+    def __init__(self, logs, magic: int = 0, batch_records: int = 50):
+        if magic not in (0, 2):
+            raise ValueError(f"unsupported stub magic {magic}")
         self.logs = {k: list(v) for k, v in logs.items()}
+        self.magic = magic
+        self.batch_records = batch_records
         outer = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -299,6 +496,8 @@ class StubKafkaBroker:
                             resp = outer._metadata_response(r)
                         elif api_key == 1:
                             resp = outer._fetch_response(r)
+                        elif api_key == 0:
+                            resp = outer._produce_response(r)
                         else:
                             break
                         payload = struct.pack(">i", corr) + resp
@@ -362,7 +561,20 @@ class StubKafkaBroker:
                 if log is None:
                     parts.append((pid, 3, 0, b""))  # unknown topic/part
                     continue
-                ms = encode_message_set(log[offset:], base_offset=offset)
+                if self.magic == 2:
+                    ms = b"".join(
+                        encode_record_batch_v2(
+                            log[i : i + self.batch_records],
+                            base_offset=i,
+                        )
+                        for i in range(
+                            offset, len(log), self.batch_records
+                        )
+                    )
+                else:
+                    ms = encode_message_set(
+                        log[offset:], base_offset=offset
+                    )
                 parts.append((pid, 0, len(log), ms[:max_bytes]))
             out_topics.append((topic, parts))
         out = struct.pack(">i", len(out_topics))
@@ -372,6 +584,33 @@ class StubKafkaBroker:
             for pid, err, hw, ms in parts:
                 out += struct.pack(">ihq", pid, err, hw)
                 out += struct.pack(">i", len(ms)) + ms
+        return out
+
+    def _produce_response(self, r: _Reader) -> bytes:
+        """Produce v0: append the request's record bytes (either wire
+        format — decode_message_set dispatches on the magic byte) to
+        the in-memory log, ack with the base offset."""
+        r.i16()  # required_acks
+        r.i32()  # timeout
+        out_topics = []
+        for _ in range(r.i32()):
+            topic = r.string()
+            parts = []
+            for _ in range(r.i32()):
+                pid = r.i32()
+                ms = r.take(r.i32())
+                log = self.logs.setdefault((topic, pid), [])
+                base = len(log)
+                for _off, key, value in decode_message_set(ms):
+                    log.append((key, value))
+                parts.append((pid, 0, base))
+            out_topics.append((topic, parts))
+        out = struct.pack(">i", len(out_topics))
+        for topic, parts in out_topics:
+            out += _enc_string(topic)
+            out += struct.pack(">i", len(parts))
+            for pid, err, base in parts:
+                out += struct.pack(">ihq", pid, err, base)
         return out
 
 
