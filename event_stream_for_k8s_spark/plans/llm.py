@@ -66,7 +66,32 @@ def effective_caps() -> dict[str, int]:
         "SPARK_GRAFT_SEMDEDUP_TARGET": SEMDEDUP_TARGET_BLOCK,
         "SPARK_GRAFT_PHASH_BANDS": PHASH_BANDS,
         "SPARK_GRAFT_AFP_BANDS": AFP_BANDS,
+        "SPARK_GRAFT_CDC_MIN": CDC_MIN,
+        "SPARK_GRAFT_CDC_AVG": CDC_AVG,
+        "SPARK_GRAFT_CDC_MAX": CDC_MAX,
     }
+
+
+# FastCDC chunk-size bounds (token granularity) for
+# llm_dedup_chunks_cdc — VERDICT r13 #5: the unbounded 0-mod-16 rule
+# (llm_dedup_chunks, kept as the anchor) degenerates under
+# boundary-spam content (every token a boundary) or boundary deserts
+# (one giant chunk). FastCDC's fix, replayed exactly by the oracle:
+# no boundary before MIN tokens, forced at MAX, and NORMALIZED
+# chunking — a stricter divisor (2*AVG) while the chunk is short
+# (<= AVG tokens), a looser one (AVG/2) after — which re-centers
+# chunk lengths around AVG without the cut-point-skew of a plain
+# min-clamp.
+CDC_MIN = _env_int("SPARK_GRAFT_CDC_MIN", 4)
+CDC_AVG = _env_int("SPARK_GRAFT_CDC_AVG", 16)
+CDC_MAX = _env_int("SPARK_GRAFT_CDC_MAX", 64)
+if not CDC_MIN <= CDC_AVG <= CDC_MAX:
+    raise ValueError(
+        f"SPARK_GRAFT_CDC_MIN={CDC_MIN} <= _AVG={CDC_AVG} <= "
+        f"_MAX={CDC_MAX} required"
+    )
+CDC_STRICT = 2 * CDC_AVG  # divisor while chunk length <= AVG
+CDC_LOOSE = max(CDC_AVG // 2, 1)  # divisor past AVG
 
 
 # --------------------------------------------------------------------------
@@ -1282,6 +1307,158 @@ def llm_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = chunks.groupBy("sig").agg(F.count("*").alias("cnt"))
     return (
         chunks.join(counts, "sig")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.coalesce(
+                F.sum(F.when(F.col("cnt") >= 2, F.lit(1))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_dup_chunks"),
+        )
+    )
+
+
+def _cdc_next_b(s: str) -> str:
+    """The FastCDC next-boundary expression (1-indexed token position)
+    for the oracle's recursive CTE, with ``s`` = the current chunk
+    start (tokens consumed so far): strict divisor while the chunk is
+    short, loose past AVG, forced at MAX/end."""
+    return f"""coalesce(
+  list_min(list_filter(range({s} + {CDC_MIN}, least({s} + {CDC_AVG}, n) + 1),
+                       i -> hs[i] % {CDC_STRICT} = 0)),
+  list_min(list_filter(range({s} + {CDC_AVG} + 1, least({s} + {CDC_MAX}, n) + 1),
+                       i -> hs[i] % {CDC_LOOSE} = 0)),
+  least({s} + {CDC_MAX}, n))"""
+
+
+@query(
+    "llm_dedup_chunks_cdc",
+    oracle=f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), h AS (
+  SELECT doc_id,
+         list_transform(toks,
+           tk -> list_reduce(
+                   list_prepend(cast(0 AS bigint),
+                     list_transform(range(1, length(tk) + 1),
+                       j -> cast(ascii(tk[j:j]) AS bigint))),
+                   (a, b) -> (a * 31 + b) % {MOD})) AS hs,
+         len(toks) AS n
+  FROM t
+), cb AS (
+  SELECT doc_id, hs, n, CAST(0 AS BIGINT) AS s,
+         {_cdc_next_b("0")} AS b
+  FROM h
+  UNION ALL
+  SELECT doc_id, hs, n, b AS s, {_cdc_next_b("b")} AS b
+  FROM cb WHERE b < n
+), sigs AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), hs[s+1:b]),
+                     (a, x) -> (a * 31 + x) % {MOD}) AS sig
+  FROM cb
+), counted AS (
+  SELECT c.doc_id, c.sig, nn.cnt
+  FROM sigs c JOIN (
+    SELECT sig, count(*) AS cnt FROM sigs GROUP BY sig) nn
+  ON c.sig = nn.sig
+)
+SELECT doc_id, cast(count(*) AS bigint) AS n_chunks,
+       cast(coalesce(sum(CASE WHEN cnt >= 2 THEN 1 END), 0)
+            AS bigint) AS n_dup_chunks
+FROM counted GROUP BY doc_id
+""",
+    section="B.11",
+    notes="FastCDC chunking dedup (VERDICT r13 #5): llm_dedup_chunks' "
+    "content-defined boundaries with the THREE production guards the "
+    "plain 0-mod rule lacks — a MIN bound (boundary-spam content, "
+    "e.g. a run of tokens whose hash always satisfies the mask, "
+    "can't shatter into 1-token chunks), a MAX bound (boundary "
+    "deserts can't produce unbounded chunks), and NORMALIZED "
+    "chunking (divisor 2*AVG while the chunk is <= AVG tokens, "
+    "AVG/2 after — FastCDC's cut-point re-centering). All three are "
+    "env knobs (SPARK_GRAFT_CDC_MIN/AVG/MAX, stamped into bench "
+    "artifacts via effective_caps) and the oracle replays them "
+    "exactly via a recursive CTE whose step expression is the same "
+    "next-boundary rule. The boundary scan is inherently sequential "
+    "PER DOC (each boundary depends on the previous — the same "
+    "data dependence real CDC has over byte streams), so it runs as "
+    "one Arrow pass over doc-partitioned token-hash arrays; token "
+    "hashing stays JVM-side via the broadcast-vocabulary trick, and "
+    "everything downstream is the same keyed agg + sig-count "
+    "equi-join as the anchor query. Corpus-linear; chunk work is "
+    "O(tokens) per doc with MAX-bounded lookahead",
+)
+def llm_dedup_chunks_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from event_stream_for_k8s_spark.functions.text import token_hash
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    vocab = (
+        toks.select("tok")
+        .distinct()
+        .withColumn("th", token_hash(F.col("tok")))
+    )
+    hashed = toks.join(F.broadcast(vocab), "tok")
+    perdoc = hashed.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "th"))),
+            lambda x: x.th,
+        ).alias("hs")
+    )
+
+    cmin, cavg, cmax = CDC_MIN, CDC_AVG, CDC_MAX
+    strict, loose = CDC_STRICT, CDC_LOOSE
+
+    def chunks(it):
+        for pdf in it:
+            ids, cids, sigs = [], [], []
+            for doc_id, hs in zip(pdf["doc_id"], pdf["hs"]):
+                h = np.asarray(hs, dtype=np.int64)
+                n = len(h)
+                s_ok = (h % strict) == 0
+                l_ok = (h % loose) == 0
+                s = cid = 0
+                while s < n:
+                    lo = s + cmin - 1
+                    mid = min(s + cavg, n)
+                    hi = min(s + cmax, n)
+                    b = None
+                    if lo < mid:
+                        nz = np.flatnonzero(s_ok[lo:mid])
+                        if nz.size:
+                            b = lo + int(nz[0])
+                    if b is None and mid < hi:
+                        nz = np.flatnonzero(l_ok[mid:hi])
+                        if nz.size:
+                            b = mid + int(nz[0])
+                    if b is None:
+                        b = hi - 1  # forced: MAX reached or doc end
+                    sig = 0
+                    for x in h[s : b + 1]:
+                        sig = (sig * 31 + int(x)) % MOD
+                    ids.append(doc_id)
+                    cids.append(cid)
+                    sigs.append(sig)
+                    cid += 1
+                    s = b + 1
+            yield pd.DataFrame(
+                {"doc_id": ids, "chunk_id": cids, "sig": sigs}
+            )
+
+    sigs = perdoc.mapInPandas(
+        chunks, "doc_id bigint, chunk_id int, sig bigint"
+    )
+    counts = sigs.groupBy("sig").agg(F.count("*").alias("cnt"))
+    return (
+        sigs.join(counts, "sig")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_chunks"),

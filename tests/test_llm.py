@@ -2507,3 +2507,133 @@ def test_y4m_batch_forms_match_scalar():
     arr = np.frombuffer(color, np.uint8)[None, :]
     with pt.raises(ValueError):
         y4m_frames_batch(arr)
+
+
+def test_cdc_fastcdc_bounds_and_stability(spark, tmp_path):
+    """llm_dedup_chunks_cdc (VERDICT r13 #5): FastCDC min/max bounds +
+    normalized chunking. (1) Boundary-spam content — a long run of one
+    token whose hash satisfies BOTH divisors — cannot shatter into
+    1-token chunks: every chunk is >= CDC_MIN (the plain-rule anchor
+    llm_dedup_chunks degenerates here by design). (2) A boundary
+    desert (no token hash ever on the mask) cannot exceed CDC_MAX.
+    (3) The CDC-stability property the anchor test pins: a one-token
+    insertion changes only local chunks. (4) Spark rows match the
+    recursive-CTE oracle on this crafted corpus (not just testdata)."""
+    import os
+
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+    from event_stream_for_k8s_spark.catalog import TABLES
+    from event_stream_for_k8s_spark.functions.text import MOD
+    from event_stream_for_k8s_spark.plans import REGISTRY
+    from event_stream_for_k8s_spark.plans.llm import (
+        CDC_LOOSE,
+        CDC_MAX,
+        CDC_MIN,
+        CDC_STRICT,
+    )
+
+    # hunt a spam token hitting the STRICT divisor (hence also loose
+    # when loose divides strict) and desert tokens missing the LOOSE
+    # divisor (hence also strict)
+    def th(tok: str) -> int:
+        h = 0
+        for ch in tok:
+            h = (h * 31 + ord(ch)) % MOD
+        return h
+
+    spam = next(
+        t
+        for t in (f"sp{i}" for i in range(10_000))
+        if th(t) % CDC_STRICT == 0
+    )
+    desert = [
+        t
+        for t in (f"de{i}" for i in range(10_000))
+        if th(t) % CDC_LOOSE != 0
+    ][:300]
+    base = [f"tok{i}alpha" for i in range(120)]
+    edited = base[:60] + ["inserted"] + base[60:]
+    rows = [
+        (0, " ".join([spam] * 300), "en", "s", 0),
+        (1, " ".join(desert), "en", "s", 0),
+        (2, " ".join(base), "en", "s", 0),
+        (3, " ".join(edited), "en", "s", 0),
+    ]
+    sf = str(tmp_path / "cdc2")
+    os.makedirs(sf)
+    for t in TABLES:
+        os.symlink(f"{SF_SMOKE}/{t}.parquet", f"{sf}/{t}.parquet")
+    os.unlink(f"{sf}/documents.parquet")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).toPandas().to_parquet(f"{sf}/documents.parquet", index=False)
+
+    got = {
+        r["doc_id"]: r
+        for r in REGISTRY["llm_dedup_chunks_cdc"].spark(spark, sf).collect()
+    }
+    # (1) spam: 300 identical boundary-eligible tokens -> chunks of
+    # exactly CDC_MIN (every position eligible, MIN wins), so
+    # ceil(300/CDC_MIN) chunks, all duplicated within the doc
+    assert got[0]["n_chunks"] == -(-300 // CDC_MIN)
+    assert got[0]["n_dup_chunks"] >= got[0]["n_chunks"] - 2
+    # (2) desert: no eligible boundary -> forced cuts at CDC_MAX
+    assert got[1]["n_chunks"] == -(-300 // CDC_MAX)
+    # (3) stability under a single insertion
+    for did in (2, 3):
+        assert got[did]["n_chunks"] >= 3
+        assert got[did]["n_dup_chunks"] >= got[did]["n_chunks"] - 2
+        assert got[did]["n_dup_chunks"] < got[did]["n_chunks"]
+    # (4) the oracle replays the same knobs on the crafted corpus
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            REGISTRY["llm_dedup_chunks_cdc"].oracle
+        ).fetchall()
+    }
+    assert {
+        k: (v["n_chunks"], v["n_dup_chunks"]) for k, v in got.items()
+    } == want
+    # sanity on the derived divisors (oracle/Spark share them)
+    assert CDC_STRICT == 2 * 16 or CDC_STRICT != 0
+    assert CDC_MIN <= CDC_MAX
+
+
+def test_cdc_knobs_match_oracle_at_nondefault():
+    """SPARK_GRAFT_CDC_MIN/AVG/MAX are real layout knobs: at a
+    2/8/24 geometry (strict divisor 16, loose 4) the Spark plan must
+    still hash-match the oracle, which interpolates the same derived
+    constants into its recursive CTE. Subprocess because the knobs
+    bind at registry import."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CDC_MIN="2",
+        SPARK_GRAFT_CDC_AVG="8",
+        SPARK_GRAFT_CDC_MAX="24",
+    )
+    proc = subprocess.run(
+        [sys.executable, "tools/selfcheck.py", "llm_dedup_chunks_cdc",
+         "--sf", "/root/testdata/sf0.001"],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "1/1 ok" in proc.stdout
