@@ -154,13 +154,18 @@ def _dec_varint(r: "_Reader") -> int:
 
 
 def encode_record_batch_v2(
-    entries, base_offset: int = 0, base_timestamp: int = 0
+    entries,
+    base_offset: int = 0,
+    base_timestamp: int = 0,
+    compression: str | None = None,
 ) -> bytes:
     """[(key|None, value)] -> ONE RecordBatch (message format v2, the
     on-wire format every broker since 0.11 produces): the 61-byte
     batch header (crc32c over attributes..records), then varint-framed
     Records with offset/timestamp deltas. kafka.apache.org/protocol
-    'Record Batch'."""
+    'Record Batch'. ``compression='gzip'`` gzips the records blob and
+    sets attributes codec bits to 1 (the one codec the stdlib
+    provides; snappy/lz4/zstd stay at the declared boundary)."""
     records = bytearray()
     for i, (key, value) in enumerate(entries):
         body = bytearray(b"\x00")  # record attributes
@@ -177,13 +182,25 @@ def encode_record_batch_v2(
         body += _enc_varint(0)  # headers count
         records += _enc_varint(len(body)) + body
     n = len(entries)
+    if compression is None:
+        attrs = 0
+        blob = bytes(records)
+    elif compression == "gzip":
+        import gzip
+
+        attrs = 1  # attributes bits 0-2: codec 1 = gzip
+        blob = gzip.compress(bytes(records), mtime=0)
+    else:
+        raise NotImplementedError(
+            f"record batch compression {compression!r} (gzip only)"
+        )
     # everything the crc covers: attributes .. records
     crc_part = (
-        struct.pack(">hi", 0, n - 1)  # attributes, lastOffsetDelta
+        struct.pack(">hi", attrs, n - 1)  # attributes, lastOffsetDelta
         + struct.pack(">qq", base_timestamp, base_timestamp + n - 1)
         + struct.pack(">qhi", -1, -1, -1)  # producerId/Epoch, baseSeq
         + struct.pack(">i", n)
-        + bytes(records)
+        + blob
     )
     tail = (
         struct.pack(">ib", 0, 2)  # partitionLeaderEpoch, magic 2
@@ -211,7 +228,7 @@ def decode_record_batch_v2(r: "_Reader"):
         raise ValueError(
             f"record batch crc32c mismatch at offset {base_offset}"
         )
-    batch.i16()  # attributes (compression 0 in this transport)
+    attrs = batch.i16()
     batch.i32()  # lastOffsetDelta
     batch.i64()  # baseTimestamp
     batch.i64()  # maxTimestamp
@@ -219,10 +236,22 @@ def decode_record_batch_v2(r: "_Reader"):
     batch.i16()  # producerEpoch
     batch.i32()  # baseSequence
     n = batch.i32()
+    codec = attrs & 0x07
+    if codec == 0:
+        recs = batch
+    elif codec == 1:  # gzip — the stdlib-covered codec
+        import gzip
+
+        recs = _Reader(gzip.decompress(batch.data[batch.pos :]))
+    else:
+        # parsing a compressed blob as records would be silent garbage
+        raise NotImplementedError(
+            f"record batch compression codec {codec} (none/gzip only)"
+        )
     out = []
     for _ in range(n):
-        rec_len = _dec_varint(batch)
-        rec = _Reader(batch.take(rec_len))
+        rec_len = _dec_varint(recs)
+        rec = _Reader(recs.take(rec_len))
         rec.i8()  # record attributes
         _dec_varint(rec)  # timestampDelta
         off_delta = _dec_varint(rec)
@@ -288,7 +317,10 @@ def decode_message_set(data: bytes):
         if zlib.crc32(rest) & 0xFFFFFFFF != crc:
             raise ValueError(f"Kafka message CRC mismatch at offset {offset}")
         mr.i8()  # magic (0, checked above)
-        mr.i8()  # attributes (no compression in v0 stub)
+        if mr.i8() & 0x07:  # v0 wrapper-message compression
+            raise NotImplementedError(
+                "compressed MessageSet v0 (use record batch v2 + gzip)"
+            )
         key = mr.bytes_()
         value = mr.bytes_()
         out.append((offset, key, value))
@@ -474,12 +506,21 @@ class StubKafkaBroker:
     grouping ``batch_records`` records per batch so multi-record
     batches and mid-batch cuts are both exercised."""
 
-    def __init__(self, logs, magic: int = 0, batch_records: int = 50):
+    def __init__(
+        self,
+        logs,
+        magic: int = 0,
+        batch_records: int = 50,
+        compression: str | None = None,
+    ):
         if magic not in (0, 2):
             raise ValueError(f"unsupported stub magic {magic}")
+        if compression is not None and magic != 2:
+            raise ValueError("compression requires magic=2")
         self.logs = {k: list(v) for k, v in logs.items()}
         self.magic = magic
         self.batch_records = batch_records
+        self.compression = compression
         outer = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -566,6 +607,7 @@ class StubKafkaBroker:
                         encode_record_batch_v2(
                             log[i : i + self.batch_records],
                             base_offset=i,
+                            compression=self.compression,
                         )
                         for i in range(
                             offset, len(log), self.batch_records
