@@ -439,6 +439,61 @@ def _jpeg_magnitude(v: int) -> tuple[int, int]:
     return size, v if v > 0 else v + (1 << size) - 1
 
 
+def _jpeg_entropy_block(bw_, zz, pred, dc_codes, ac_codes) -> int:
+    """Huffman-write ONE zigzagged 8x8 coefficient block (shared by
+    the grayscale and interleaved-color encoders); returns the new DC
+    predictor for this block's component."""
+    size, bits_v = _jpeg_magnitude(zz[0] - pred)
+    code, length = dc_codes[size]
+    bw_.put(code, length)
+    bw_.put(bits_v, size)
+    run = 0
+    last = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw_.put(code, length)
+            run -= 16
+        size, bits_v = _jpeg_magnitude(zz[k])
+        code, length = ac_codes[(run << 4) | size]
+        bw_.put(code, length)
+        bw_.put(bits_v, size)
+        run = 0
+    if last < 63:
+        code, length = ac_codes[0x00]  # EOB
+        bw_.put(code, length)
+    return zz[0]
+
+
+def _jpeg_quant_blocks(plane, quant: int):
+    """Float (H, W) plane (already level-shiftable 0..255 scale) ->
+    (n_blocks, 64) zigzagged quantized int coefficients, edge-padded
+    to whole MCUs — the shared transform half of both encoders."""
+    import numpy as np
+
+    h, w = plane.shape
+    bh, bw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.empty((bh, bw), dtype=np.float64)
+    padded[:h, :w] = plane
+    if bw > w:
+        padded[:h, w:] = plane[:, -1:]
+    if bh > h:
+        padded[h:, :] = padded[h - 1 : h, :]
+    t = _jpeg_dct_matrix()
+    blocks = (
+        padded.reshape(bh // 8, 8, bw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        - 128.0
+    )
+    coef = np.einsum("ux,nxy,vy->nuv", t, blocks, t)
+    q = np.rint(coef / quant).astype(np.int64).reshape(-1, 64)
+    return q[:, _JPEG_ZIGZAG]
+
+
 def encode_jpeg_gray(img, quant: int = 8) -> bytes:
     """Minimal baseline JPEG encoder for an (H, W) uint8 grayscale
     image with a FLAT quantization table — the ingest-side twin of
@@ -458,55 +513,14 @@ def encode_jpeg_gray(img, quant: int = 8) -> bytes:
         # (ADVICE r13) — reject instead
         raise ValueError(f"quant {quant} outside the DQT byte range 1..255")
     h, w = img.shape
-    bh, bw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    padded = np.empty((bh, bw), dtype=np.uint8)
-    padded[:h, :w] = img
-    if bw > w:
-        padded[:h, w:] = img[:, -1:]
-    if bh > h:
-        padded[h:, :] = padded[h - 1 : h, :]
-
-    t = _jpeg_dct_matrix()
-    blocks = (
-        padded.reshape(bh // 8, 8, bw // 8, 8)
-        .transpose(0, 2, 1, 3)
-        .reshape(-1, 8, 8)
-        .astype(np.float64)
-        - 128.0
-    )
-    coef = np.einsum("ux,nxy,vy->nuv", t, blocks, t)
-    q = np.rint(coef / quant).astype(np.int64)
+    q = _jpeg_quant_blocks(img.astype(np.float64), quant)
 
     dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     bw_ = _BitWriter()
     pred = 0
-    for blk in q:
-        flat = blk.ravel()
-        zz = [int(flat[p]) for p in _JPEG_ZIGZAG]
-        size, bits_v = _jpeg_magnitude(zz[0] - pred)
-        pred = zz[0]
-        code, length = dc_codes[size]
-        bw_.put(code, length)
-        bw_.put(bits_v, size)
-        run = 0
-        last = max((k for k in range(1, 64) if zz[k]), default=0)
-        for k in range(1, last + 1):
-            if zz[k] == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, length = ac_codes[0xF0]  # ZRL
-                bw_.put(code, length)
-                run -= 16
-            size, bits_v = _jpeg_magnitude(zz[k])
-            code, length = ac_codes[(run << 4) | size]
-            bw_.put(code, length)
-            bw_.put(bits_v, size)
-            run = 0
-        if last < 63:
-            code, length = ac_codes[0x00]  # EOB
-            bw_.put(code, length)
+    for zz in q.tolist():
+        pred = _jpeg_entropy_block(bw_, zz, pred, dc_codes, ac_codes)
 
     qt = bytes([0]) + bytes(int(quant) for _ in range(64))
     app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -528,6 +542,99 @@ def encode_jpeg_gray(img, quant: int = 8) -> bytes:
         + seg(0xC4, dht_dc)
         + seg(0xC4, dht_ac)
         + seg(0xDA, sos)
+        + bw_.flush()
+        + b"\xff\xd9"
+    )
+
+
+def _jpeg_seg_bytes(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _rgb_to_ycbcr(rgb):
+    """JFIF full-range BT.601 RGB -> (Y, Cb, Cr) float planes. Kept in
+    float (no intermediate uint8 rounding) so grayscale content
+    (R=G=B) maps to Y exactly and Cb=Cr=128.0 exactly — the property
+    the color oracle construction relies on."""
+    r = rgb[..., 0].astype("float64")
+    g = rgb[..., 1].astype("float64")
+    b = rgb[..., 2].astype("float64")
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def _ycbcr_to_rgb(y, cb, cr):
+    """JFIF full-range BT.601 inverse, rounded and clamped to uint8."""
+    import numpy as np
+
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(
+        np.rint(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
+def encode_jpeg_color(img, quant: int = 8) -> bytes:
+    """Baseline JPEG encoder for an (H, W, 3) uint8 RGB image at
+    4:4:4 (no chroma subsampling) — the color twin of
+    :func:`encode_jpeg_gray` and the round-trip source for
+    llm_mm_decode_jpeg_color. Real 3-component JFIF structure: two
+    DQT tables (Y -> tid 0, Cb/Cr -> tid 1), four DHT tables (the
+    chroma pair registered under tid 1 — same canonical code lists as
+    the luma pair, which is spec-legal and exercises the decoder's
+    per-component table dispatch), SOF0 with three 0x11-sampled
+    components, SOS binding Y to tables 0/0 and chroma to 1/1, and
+    one INTERLEAVED entropy scan (MCU = one block per component,
+    Y Cb Cr, with per-component DC predictors). Chroma subsampling
+    (4:2:0/4:2:2) stays at the declared boundary."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_jpeg_color expects an (H, W, 3) image")
+    if not 1 <= int(quant) <= 255:
+        raise ValueError(f"quant {quant} outside the DQT byte range 1..255")
+    h, w = img.shape[:2]
+    planes = _rgb_to_ycbcr(img)
+    qblocks = [_jpeg_quant_blocks(p, quant) for p in planes]
+
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw_ = _BitWriter()
+    preds = [0, 0, 0]
+    zz_lists = [q.tolist() for q in qblocks]
+    for m in range(len(zz_lists[0])):  # interleaved MCU order: Y Cb Cr
+        for c in range(3):
+            preds[c] = _jpeg_entropy_block(
+                bw_, zz_lists[c][m], preds[c], dc_codes, ac_codes
+            )
+
+    qv = bytes(int(quant) for _ in range(64))
+    dqt = bytes([0]) + qv + bytes([1]) + qv
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof = (
+        bytes([8])
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    dht = (
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+        + bytes([0x01]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x11]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + _jpeg_seg_bytes(0xE0, app0)
+        + _jpeg_seg_bytes(0xDB, dqt)
+        + _jpeg_seg_bytes(0xC0, sof)
+        + _jpeg_seg_bytes(0xC4, dht)
+        + _jpeg_seg_bytes(0xDA, sos)
         + bw_.flush()
         + b"\xff\xd9"
     )
@@ -614,83 +721,93 @@ def _jpeg_w32(data: bytes):
 
 
 def _jpeg_decode_segment(
-    seg_bytes: bytes, dc_lut, ac_lut, coefs, zigzag, blk: int, limit: int
+    seg_bytes: bytes, comps, zigzag, mcu: int, limit: int
 ) -> int:
-    """Huffman-decode one restart segment into ``coefs[blk:limit]``
-    (natural order), returning the next block index. Flat-LUT 16-bit
-    peeks over the unstuffed scan — the entropy decode stays
-    inherently sequential per spec, but each symbol is now O(1)
-    Python ops instead of a 16-step tree walk."""
-    dc_sym, dc_len = dc_lut
-    ac_sym, ac_len = ac_lut
+    """Huffman-decode one restart segment of MCUs [mcu, limit) in
+    interleaved component order, ``comps`` = [(dc_lut, ac_lut,
+    coefs)] per scan component (one entry for grayscale; at 4:4:4 an
+    MCU is one block per component and block index == MCU index).
+    Returns the next MCU index. Flat-LUT 16-bit peeks over the
+    unstuffed scan — the entropy decode stays inherently sequential
+    per spec, but each symbol is O(1) Python ops instead of a 16-step
+    tree walk."""
     data = _jpeg_unstuff(seg_bytes)
     w32 = _jpeg_w32(data)
     safe = (len(data) - 8) << 3  # bit positions with 8 whole bytes left
     bitpos = 0
-    pred = 0
-    while blk < limit:
-        if bitpos >= safe:
-            # truncated stream: extend the all-ones padding (rare —
-            # mirrors the old reader's unbounded pad-past-the-end)
-            data += b"\xff" * 4096
-            w32 = _jpeg_w32(data)
-            safe = (len(data) - 8) << 3
-        w = (w32[bitpos >> 3] >> (16 - (bitpos & 7))) & 0xFFFF
-        size = dc_sym[w]
-        length = dc_len[w]
-        if length == 0:
-            raise ValueError("invalid JPEG Huffman code")
-        bitpos += length
-        if size:
-            v = (w32[bitpos >> 3] >> (32 - (bitpos & 7) - size)) & (
-                (1 << size) - 1
-            )
-            bitpos += size
-            pred += v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-        row = coefs[blk]
-        row[0] = pred  # zigzag[0] == 0: the DC slot
-        k = 1
-        while k < 64:
+    preds = [0] * len(comps)
+    while mcu < limit:
+        for ci, (dc_lut, ac_lut, coefs) in enumerate(comps):
+            dc_sym, dc_len = dc_lut
+            ac_sym, ac_len = ac_lut
             if bitpos >= safe:
+                # truncated stream: extend the all-ones padding (rare
+                # — mirrors the old reader's unbounded pad-past-end)
                 data += b"\xff" * 4096
                 w32 = _jpeg_w32(data)
                 safe = (len(data) - 8) << 3
             w = (w32[bitpos >> 3] >> (16 - (bitpos & 7))) & 0xFFFF
-            sym = ac_sym[w]
-            length = ac_len[w]
+            size = dc_sym[w]
+            length = dc_len[w]
             if length == 0:
                 raise ValueError("invalid JPEG Huffman code")
             bitpos += length
-            if sym == 0x00:  # EOB
-                break
-            if sym == 0xF0:  # ZRL
-                k += 16
-                continue
-            k += sym >> 4
-            if k > 63:
-                raise ValueError("JPEG AC coefficient overrun")
-            s = sym & 0x0F
-            if s:
-                v = (w32[bitpos >> 3] >> (32 - (bitpos & 7) - s)) & (
-                    (1 << s) - 1
+            if size:
+                v = (w32[bitpos >> 3] >> (32 - (bitpos & 7) - size)) & (
+                    (1 << size) - 1
                 )
-                bitpos += s
-                row[zigzag[k]] = (
-                    v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                bitpos += size
+                preds[ci] += (
+                    v if v >= (1 << (size - 1)) else v - (1 << size) + 1
                 )
-            k += 1
-        blk += 1
-    return blk
+            row = coefs[mcu]
+            row[0] = preds[ci]  # zigzag[0] == 0: the DC slot
+            k = 1
+            while k < 64:
+                if bitpos >= safe:
+                    data += b"\xff" * 4096
+                    w32 = _jpeg_w32(data)
+                    safe = (len(data) - 8) << 3
+                w = (w32[bitpos >> 3] >> (16 - (bitpos & 7))) & 0xFFFF
+                sym = ac_sym[w]
+                length = ac_len[w]
+                if length == 0:
+                    raise ValueError("invalid JPEG Huffman code")
+                bitpos += length
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += sym >> 4
+                if k > 63:
+                    raise ValueError("JPEG AC coefficient overrun")
+                s = sym & 0x0F
+                if s:
+                    v = (
+                        w32[bitpos >> 3] >> (32 - (bitpos & 7) - s)
+                    ) & ((1 << s) - 1)
+                    bitpos += s
+                    row[zigzag[k]] = (
+                        v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                    )
+                k += 1
+        mcu += 1
+    return mcu
 
 
-def decode_jpeg_gray(b: bytes):
-    """Baseline-DCT grayscale JPEG decoder (stdlib+numpy): marker
-    walk, DQT/DHT/SOF0/SOS parse, Huffman entropy decode with byte
+def decode_jpeg_image(b: bytes):
+    """Baseline-DCT JPEG decoder (stdlib+numpy): marker walk,
+    DQT/DHT/SOF0/SOS parse, Huffman entropy decode with byte
     unstuffing and RSTn handling, dequantize, dezigzag, float IDCT,
-    level shift, clamp, crop. Returns the (H, W) uint8 image.
-    Progressive (SOF2), multi-component (color), 12-bit and
-    arithmetic-coded streams raise NotImplementedError — the
-    declared external-codec boundary."""
+    level shift, clamp, crop. Single-component streams return the
+    (H, W) uint8 grayscale raster; 3-component 4:4:4 streams decode
+    the interleaved Y/Cb/Cr scan (per-component quant + Huffman
+    tables, per-component DC predictors) and return the (H, W, 3)
+    uint8 RGB raster via the JFIF BT.601 inverse. Progressive (SOF2),
+    chroma-SUBSAMPLED (4:2:0/4:2:2), 12-bit and arithmetic-coded
+    streams raise NotImplementedError — the declared external-codec
+    boundary."""
     import numpy as np
 
     if b[:2] != b"\xff\xd8":
@@ -699,8 +816,8 @@ def decode_jpeg_gray(b: bytes):
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict] = {}
     width = height = None
-    comp_q = 0
-    dc_id = ac_id = 0
+    sof_comps: list[tuple[int, int]] = []  # (component id, quant tid)
+    scan_comps: list[tuple[int, int, int]] = []  # (cid, dc tid, ac tid)
     restart = 0
     scan = None
     while pos + 4 <= len(b):
@@ -738,13 +855,20 @@ def decode_jpeg_gray(b: bytes):
                 raise NotImplementedError("only 8-bit JPEG supported")
             height = int.from_bytes(body[1:3], "big")
             width = int.from_bytes(body[3:5], "big")
-            if body[5] != 1:
+            ncomp = body[5]
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "only single-component (grayscale) JPEG supported"
+                    f"{ncomp}-component JPEG unsupported (gray or"
+                    " YCbCr 4:4:4 only)"
                 )
-            if body[7] != 0x11:
-                raise NotImplementedError("subsampled JPEG unsupported")
-            comp_q = body[8]
+            sof_comps = []
+            for c in range(ncomp):
+                cid, samp, qtid = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "subsampled JPEG unsupported (4:4:4 only)"
+                    )
+                sof_comps.append((cid, qtid))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise NotImplementedError(
                 "progressive/extended JPEG unsupported (baseline only)"
@@ -752,7 +876,15 @@ def decode_jpeg_gray(b: bytes):
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
-            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            ns = body[0]
+            scan_comps = [
+                (
+                    body[1 + 2 * c],
+                    body[2 + 2 * c] >> 4,
+                    body[2 + 2 * c] & 0x0F,
+                )
+                for c in range(ns)
+            ]
             scan_start = pos
             # entropy data runs to the next non-RST marker
             i = scan_start
@@ -767,17 +899,28 @@ def decode_jpeg_gray(b: bytes):
         # APPn / COM / others: skipped via the generic size advance
     if width is None or scan is None:
         raise ValueError("JPEG missing SOF0 or SOS")
-    if comp_q not in qtables or (0, dc_id) not in htables or (
-        1,
-        ac_id,
-    ) not in htables:
-        raise ValueError("JPEG missing quant/Huffman tables")
+    if len(scan_comps) != len(sof_comps):
+        raise NotImplementedError(
+            "multi-scan (non-interleaved) baseline JPEG unsupported"
+        )
+    qtid_by_cid = dict(sof_comps)
+    for cid, dc_id, ac_id in scan_comps:
+        if (
+            cid not in qtid_by_cid
+            or qtid_by_cid[cid] not in qtables
+            or (0, dc_id) not in htables
+            or (1, ac_id) not in htables
+        ):
+            raise ValueError("JPEG missing quant/Huffman tables")
 
-    qt = np.array(qtables[comp_q], dtype=np.float64)
-    dc_lut, ac_lut = htables[(0, dc_id)], htables[(1, ac_id)]
     bh, bw = (height + 7) // 8 * 8, (width + 7) // 8 * 8
     n_blocks = (bh // 8) * (bw // 8)
-    coefs = np.zeros((n_blocks, 64), dtype=np.float64)
+    # scan-order component state: (dc_lut, ac_lut, coefs)
+    comps = [
+        (htables[(0, dc_id)], htables[(1, ac_id)],
+         np.zeros((n_blocks, 64), dtype=np.float64))
+        for _cid, dc_id, ac_id in scan_comps
+    ]
 
     # split the scan on RST markers so DC prediction resets per spec
     if restart:
@@ -794,30 +937,51 @@ def decode_jpeg_gray(b: bytes):
     else:
         segments = [scan]
 
-    blk = 0
+    mcu = 0
     for seg_bytes in segments:
-        limit = min(blk + restart if restart else n_blocks, n_blocks)
-        blk = _jpeg_decode_segment(
-            seg_bytes, dc_lut, ac_lut, coefs, _JPEG_ZIGZAG, blk, limit
+        limit = min(mcu + restart if restart else n_blocks, n_blocks)
+        mcu = _jpeg_decode_segment(
+            seg_bytes, comps, _JPEG_ZIGZAG, mcu, limit
         )
 
     t = _jpeg_dct_matrix()
-    deq = (coefs * qt).reshape(-1, 8, 8)
-    px = np.einsum("ux,nuv,vy->nxy", t, deq, t) + 128.0
-    px = np.clip(np.rint(px), 0, 255).astype(np.uint8)
-    grid = (
-        px.reshape(bh // 8, bw // 8, 8, 8)
-        .transpose(0, 2, 1, 3)
-        .reshape(bh, bw)
+    planes = {}
+    for (cid, _dc, _ac), (_dl, _al, coefs) in zip(scan_comps, comps):
+        qt = np.array(qtables[qtid_by_cid[cid]], dtype=np.float64)
+        deq = (coefs * qt).reshape(-1, 8, 8)
+        px = np.einsum("ux,nuv,vy->nxy", t, deq, t) + 128.0
+        grid = (
+            px.reshape(bh // 8, bw // 8, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh, bw)
+        )
+        planes[cid] = grid[:height, :width]
+    if len(sof_comps) == 1:
+        plane = planes[sof_comps[0][0]]
+        return np.clip(np.rint(plane), 0, 255).astype(np.uint8)
+    # SOF order is Y, Cb, Cr per JFIF; convert in float, clamp once
+    y, cb, cr = (planes[cid] for cid, _q in sof_comps)
+    return _ycbcr_to_rgb(
+        np.clip(y, 0, 255), np.clip(cb, 0, 255), np.clip(cr, 0, 255)
     )
-    return grid[:height, :width]
+
+
+def decode_jpeg_gray(b: bytes):
+    """The grayscale-contract wrapper over :func:`decode_jpeg_image`:
+    returns the (H, W) uint8 raster; a color stream is an explicit
+    error here (use decode_jpeg_image — the media feature path does)."""
+    img = decode_jpeg_image(b)
+    if img.ndim != 2:
+        raise ValueError("color JPEG: use decode_jpeg_image")
+    return img
 
 
 def decode_jpeg(b: bytes) -> tuple[float, float, float, float]:
     """JPEG through the shared image-feature contract:
-    (width, height, mean sample, max sample) over the decoded
-    grayscale raster — the image/jpeg member of decode_media."""
-    img = decode_jpeg_gray(b)
+    (width, height, mean sample, max sample) over the decoded raster
+    (grayscale or RGB — all samples pooled, like decode_ppm) — the
+    image/jpeg member of decode_media."""
+    img = decode_jpeg_image(b)
     return (
         float(img.shape[1]),
         float(img.shape[0]),

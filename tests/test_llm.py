@@ -399,13 +399,23 @@ def test_jpeg_encode_decode_roundtrip_and_boundaries():
     )
     with pt.raises(NotImplementedError, match="progressive"):
         decode_jpeg_gray(b"\xff\xd8" + sof2 + base[2:])
+    # 4:2:0-subsampled color (0x22 luma sampling): the boundary since
+    # r14 is SUBSAMPLING, not component count (4:4:4 color decodes)
     sof_color = _jpeg_seg(
         0xC0,
         bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
         + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
-    with pt.raises(NotImplementedError, match="single-component"):
+    with pt.raises(NotImplementedError, match="subsampled"):
         decode_jpeg_gray(b"\xff\xd8" + sof_color + base[2:])
+    # 4-component (CMYK-style) stays out
+    sof_cmyk = _jpeg_seg(
+        0xC0,
+        bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+        + bytes([4, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1, 4, 0x11, 1]),
+    )
+    with pt.raises(NotImplementedError, match="4-component"):
+        decode_jpeg_gray(b"\xff\xd8" + sof_cmyk + base[2:])
 
 
 def test_jpeg_decode_through_decode_media(spark):
@@ -2637,3 +2647,67 @@ def test_cdc_knobs_match_oracle_at_nondefault():
     )
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     assert "1/1 ok" in proc.stdout
+
+
+def test_jpeg_color_encode_decode():
+    """Baseline COLOR JPEG (4:4:4, 3 interleaved components) through
+    the codec boundary (r14 — color was the dominant excluded format):
+    exact on constant-color blocks and on gray-in-RGB content (the
+    two families where RGB<->YCbCr is lossless), bounded-error on
+    random color, per-component tables genuinely dispatched, RSTn in
+    the interleaved scan, shape on ragged sizes, and the grayscale
+    wrapper's explicit color rejection."""
+    import numpy as np
+    import pytest as pt
+
+    from event_stream_for_k8s_spark.functions.multimodal import (
+        decode_jpeg,
+        decode_jpeg_gray,
+        decode_jpeg_image,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+
+    # constant-color 8x8 blocks: Y/Cb/Cr constant per block -> DC-only
+    # -> integer-identity under flat Q=8 -> EXACT RGB round trip...
+    # for colors whose YCbCr is lossless both ways; gray is (by
+    # construction of the BT.601 matrices) always such a color
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:8, :8] = (64, 64, 64)
+    img[:8, 8:] = (200, 200, 200)
+    img[8:, :8] = (17, 17, 17)
+    img[8:, 8:] = (130, 130, 130)
+    enc = encode_jpeg_color(img, 8)
+    dec = decode_jpeg_image(enc)
+    assert dec.shape == (16, 16, 3)
+    assert (dec == img).all()
+    # the same gray content through the GRAY codec agrees channelwise
+    g = decode_jpeg_gray(encode_jpeg_gray(img[..., 0], 8))
+    assert (dec[..., 0] == g).all()
+
+    # saturated primaries: chroma blocks far from 128 — bounded error
+    rng = np.random.default_rng(3)
+    for shape in [(8, 8), (20, 13), (1, 1), (17, 32)]:
+        c = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+        d = decode_jpeg_image(encode_jpeg_color(c, 8))
+        assert d.shape == (*shape, 3)
+        assert np.abs(d.astype(int) - c.astype(int)).max() <= 48
+
+    # a red/blue split image must keep its chroma (the interleave and
+    # per-component predictors are load-bearing, not decorative)
+    rb = np.zeros((8, 16, 3), dtype=np.uint8)
+    rb[:, :8, 0] = 255
+    rb[:, 8:, 2] = 255
+    d = decode_jpeg_image(encode_jpeg_color(rb, 8))
+    assert d[:, :8, 0].mean() > 200 and d[:, :8, 2].mean() < 60
+    assert d[:, 8:, 2].mean() > 200 and d[:, 8:, 0].mean() < 60
+
+    # feature contract pools all samples
+    w, h, mean, mx = decode_jpeg(enc)
+    assert (w, h) == (16.0, 16.0)
+    assert mx == float(img.max()) and abs(mean - img.mean()) < 1e-9
+
+    with pt.raises(ValueError, match="color JPEG"):
+        decode_jpeg_gray(enc)
+    with pt.raises(ValueError, match="expects an"):
+        encode_jpeg_color(img[..., 0])
