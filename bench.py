@@ -43,6 +43,15 @@ HEADLINE = [
     "llm_text_tfidf",
     "llm_fingerprint",
     "llm_quality",
+    # post-r1 families (VERDICT r13 #6): one representative each so
+    # the recorded bench tracks what the engine has become — media
+    # signatures, the trainer tier, and the production ANN shape.
+    # Baseline-v2 rows for these were recorded the same session the
+    # set changed (BASELINE.md r14 block), keeping the gate
+    # like-for-like.
+    "llm_mm_phash",
+    "llm_bpe_encode_docs",
+    "llm_knn_ivfpq",
 ]
 
 

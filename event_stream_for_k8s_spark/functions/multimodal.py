@@ -577,19 +577,22 @@ def _ycbcr_to_rgb(y, cb, cr):
     ).astype(np.uint8)
 
 
-def encode_jpeg_color(img, quant: int = 8) -> bytes:
-    """Baseline JPEG encoder for an (H, W, 3) uint8 RGB image at
-    4:4:4 (no chroma subsampling) — the color twin of
-    :func:`encode_jpeg_gray` and the round-trip source for
-    llm_mm_decode_jpeg_color. Real 3-component JFIF structure: two
-    DQT tables (Y -> tid 0, Cb/Cr -> tid 1), four DHT tables (the
+def encode_jpeg_color(img, quant: int = 8, subsampling: str = "444") -> bytes:
+    """Baseline JPEG encoder for an (H, W, 3) uint8 RGB image — the
+    color twin of :func:`encode_jpeg_gray` and the round-trip source
+    for llm_mm_decode_jpeg_color. Real 3-component JFIF structure:
+    two DQT tables (Y -> tid 0, Cb/Cr -> tid 1), four DHT tables (the
     chroma pair registered under tid 1 — same canonical code lists as
     the luma pair, which is spec-legal and exercises the decoder's
-    per-component table dispatch), SOF0 with three 0x11-sampled
-    components, SOS binding Y to tables 0/0 and chroma to 1/1, and
-    one INTERLEAVED entropy scan (MCU = one block per component,
-    Y Cb Cr, with per-component DC predictors). Chroma subsampling
-    (4:2:0/4:2:2) stays at the declared boundary."""
+    per-component table dispatch), SOF0, SOS binding Y to tables 0/0
+    and chroma to 1/1, and one INTERLEAVED entropy scan with
+    per-component DC predictors. ``subsampling``:
+
+    - ``"444"`` — no chroma subsampling; MCU = 1 block/component.
+    - ``"420"`` — the real-world default: Y sampled 2x2, chroma 2x2
+      box-averaged to half resolution; MCU = 4 Y + 1 Cb + 1 Cr
+      blocks over a 16x16 pixel tile (image edge-padded to whole
+      MCUs, the spec's recommended fill)."""
     import numpy as np
 
     img = np.asarray(img, dtype=np.uint8)
@@ -597,20 +600,62 @@ def encode_jpeg_color(img, quant: int = 8) -> bytes:
         raise ValueError("encode_jpeg_color expects an (H, W, 3) image")
     if not 1 <= int(quant) <= 255:
         raise ValueError(f"quant {quant} outside the DQT byte range 1..255")
+    if subsampling not in ("444", "420"):
+        raise NotImplementedError(
+            f"subsampling {subsampling!r} unsupported (444/420 only)"
+        )
     h, w = img.shape[:2]
-    planes = _rgb_to_ycbcr(img)
-    qblocks = [_jpeg_quant_blocks(p, quant) for p in planes]
 
     dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     bw_ = _BitWriter()
     preds = [0, 0, 0]
-    zz_lists = [q.tolist() for q in qblocks]
-    for m in range(len(zz_lists[0])):  # interleaved MCU order: Y Cb Cr
-        for c in range(3):
-            preds[c] = _jpeg_entropy_block(
-                bw_, zz_lists[c][m], preds[c], dc_codes, ac_codes
-            )
+    if subsampling == "444":
+        samp = [0x11, 0x11, 0x11]
+        planes = _rgb_to_ycbcr(img)
+        zz_lists = [_jpeg_quant_blocks(p, quant).tolist() for p in planes]
+        for m in range(len(zz_lists[0])):  # MCU order: Y Cb Cr
+            for c in range(3):
+                preds[c] = _jpeg_entropy_block(
+                    bw_, zz_lists[c][m], preds[c], dc_codes, ac_codes
+                )
+    else:  # 420
+        samp = [0x22, 0x11, 0x11]
+        mh, mw = -(-h // 16) * 16, -(-w // 16) * 16
+        padded = np.empty((mh, mw, 3), dtype=np.uint8)
+        padded[:h, :w] = img
+        if mw > w:
+            padded[:h, w:] = img[:, -1:]
+        if mh > h:
+            padded[h:, :] = padded[h - 1 : h, :]
+        y, cb, cr = _rgb_to_ycbcr(padded)
+        # 2x2 box-average chroma downsample (the JFIF-recommended
+        # centered mean for 2x2)
+        cb = cb.reshape(mh // 2, 2, mw // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(mh // 2, 2, mw // 2, 2).mean(axis=(1, 3))
+        zz_y = _jpeg_quant_blocks(y, quant).tolist()
+        zz_cb = _jpeg_quant_blocks(cb, quant).tolist()
+        zz_cr = _jpeg_quant_blocks(cr, quant).tolist()
+        mcux, mcuy = mw // 16, mh // 16
+        ybpr = 2 * mcux
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for dv in range(2):  # 4 Y blocks, raster order
+                    for dh in range(2):
+                        preds[0] = _jpeg_entropy_block(
+                            bw_,
+                            zz_y[(2 * my + dv) * ybpr + 2 * mx + dh],
+                            preds[0],
+                            dc_codes,
+                            ac_codes,
+                        )
+                m = my * mcux + mx
+                preds[1] = _jpeg_entropy_block(
+                    bw_, zz_cb[m], preds[1], dc_codes, ac_codes
+                )
+                preds[2] = _jpeg_entropy_block(
+                    bw_, zz_cr[m], preds[2], dc_codes, ac_codes
+                )
 
     qv = bytes(int(quant) for _ in range(64))
     dqt = bytes([0]) + qv + bytes([1]) + qv
@@ -619,7 +664,7 @@ def encode_jpeg_color(img, quant: int = 8) -> bytes:
         bytes([8])
         + h.to_bytes(2, "big")
         + w.to_bytes(2, "big")
-        + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+        + bytes([3, 1, samp[0], 0, 2, samp[1], 1, 3, samp[2], 1])
     )
     dht = (
         bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
@@ -721,12 +766,16 @@ def _jpeg_w32(data: bytes):
 
 
 def _jpeg_decode_segment(
-    seg_bytes: bytes, comps, zigzag, mcu: int, limit: int
+    seg_bytes: bytes, comps, zigzag, mcux: int, mcu: int, limit: int
 ) -> int:
     """Huffman-decode one restart segment of MCUs [mcu, limit) in
-    interleaved component order, ``comps`` = [(dc_lut, ac_lut,
-    coefs)] per scan component (one entry for grayscale; at 4:4:4 an
-    MCU is one block per component and block index == MCU index).
+    interleaved component order; ``comps`` = [(dc_lut, ac_lut,
+    coefs, hs, vs, bpr)] per scan component, where (hs, vs) are the
+    spec sampling factors (an MCU holds hs*vs blocks of the
+    component in raster order) and bpr is the component's blocks per
+    row (= mcux * hs). Grayscale and 4:4:4 are the hs=vs=1 case
+    (block index == MCU index); 4:2:0 is Y at 2x2 + chroma at 1x1.
+    ``mcux`` = MCUs per row (for the block-grid coordinates).
     Returns the next MCU index. Flat-LUT 16-bit peeks over the
     unstuffed scan — the entropy decode stays inherently sequential
     per spec, but each symbol is O(1) Python ops instead of a 16-step
@@ -737,61 +786,75 @@ def _jpeg_decode_segment(
     bitpos = 0
     preds = [0] * len(comps)
     while mcu < limit:
-        for ci, (dc_lut, ac_lut, coefs) in enumerate(comps):
+        my, mx = mcu // mcux, mcu % mcux
+        for ci, (dc_lut, ac_lut, coefs, hs, vs, bpr) in enumerate(comps):
             dc_sym, dc_len = dc_lut
             ac_sym, ac_len = ac_lut
-            if bitpos >= safe:
-                # truncated stream: extend the all-ones padding (rare
-                # — mirrors the old reader's unbounded pad-past-end)
-                data += b"\xff" * 4096
-                w32 = _jpeg_w32(data)
-                safe = (len(data) - 8) << 3
-            w = (w32[bitpos >> 3] >> (16 - (bitpos & 7))) & 0xFFFF
-            size = dc_sym[w]
-            length = dc_len[w]
-            if length == 0:
-                raise ValueError("invalid JPEG Huffman code")
-            bitpos += length
-            if size:
-                v = (w32[bitpos >> 3] >> (32 - (bitpos & 7) - size)) & (
-                    (1 << size) - 1
-                )
-                bitpos += size
-                preds[ci] += (
-                    v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-                )
-            row = coefs[mcu]
-            row[0] = preds[ci]  # zigzag[0] == 0: the DC slot
-            k = 1
-            while k < 64:
-                if bitpos >= safe:
-                    data += b"\xff" * 4096
-                    w32 = _jpeg_w32(data)
-                    safe = (len(data) - 8) << 3
-                w = (w32[bitpos >> 3] >> (16 - (bitpos & 7))) & 0xFFFF
-                sym = ac_sym[w]
-                length = ac_len[w]
-                if length == 0:
-                    raise ValueError("invalid JPEG Huffman code")
-                bitpos += length
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += sym >> 4
-                if k > 63:
-                    raise ValueError("JPEG AC coefficient overrun")
-                s = sym & 0x0F
-                if s:
-                    v = (
-                        w32[bitpos >> 3] >> (32 - (bitpos & 7) - s)
-                    ) & ((1 << s) - 1)
-                    bitpos += s
-                    row[zigzag[k]] = (
-                        v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-                    )
-                k += 1
+            for dv in range(vs):
+                for dh in range(hs):
+                    if bitpos >= safe:
+                        # truncated stream: extend the all-ones
+                        # padding (rare — mirrors the old reader's
+                        # unbounded pad-past-end)
+                        data += b"\xff" * 4096
+                        w32 = _jpeg_w32(data)
+                        safe = (len(data) - 8) << 3
+                    w = (
+                        w32[bitpos >> 3] >> (16 - (bitpos & 7))
+                    ) & 0xFFFF
+                    size = dc_sym[w]
+                    length = dc_len[w]
+                    if length == 0:
+                        raise ValueError("invalid JPEG Huffman code")
+                    bitpos += length
+                    if size:
+                        v = (
+                            w32[bitpos >> 3]
+                            >> (32 - (bitpos & 7) - size)
+                        ) & ((1 << size) - 1)
+                        bitpos += size
+                        preds[ci] += (
+                            v
+                            if v >= (1 << (size - 1))
+                            else v - (1 << size) + 1
+                        )
+                    row = coefs[(my * vs + dv) * bpr + mx * hs + dh]
+                    row[0] = preds[ci]  # zigzag[0] == 0: the DC slot
+                    k = 1
+                    while k < 64:
+                        if bitpos >= safe:
+                            data += b"\xff" * 4096
+                            w32 = _jpeg_w32(data)
+                            safe = (len(data) - 8) << 3
+                        w = (
+                            w32[bitpos >> 3] >> (16 - (bitpos & 7))
+                        ) & 0xFFFF
+                        sym = ac_sym[w]
+                        length = ac_len[w]
+                        if length == 0:
+                            raise ValueError("invalid JPEG Huffman code")
+                        bitpos += length
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += sym >> 4
+                        if k > 63:
+                            raise ValueError("JPEG AC coefficient overrun")
+                        s = sym & 0x0F
+                        if s:
+                            v = (
+                                w32[bitpos >> 3]
+                                >> (32 - (bitpos & 7) - s)
+                            ) & ((1 << s) - 1)
+                            bitpos += s
+                            row[zigzag[k]] = (
+                                v
+                                if v >= (1 << (s - 1))
+                                else v - (1 << s) + 1
+                            )
+                        k += 1
         mcu += 1
     return mcu
 
@@ -859,16 +922,22 @@ def decode_jpeg_image(b: bytes):
             if ncomp not in (1, 3):
                 raise NotImplementedError(
                     f"{ncomp}-component JPEG unsupported (gray or"
-                    " YCbCr 4:4:4 only)"
+                    " YCbCr only)"
                 )
             sof_comps = []
             for c in range(ncomp):
                 cid, samp, qtid = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
+                hs, vs = samp >> 4, samp & 0x0F
+                if ncomp == 1:
+                    # spec A.2.2: a single-component scan is always
+                    # coded one 8x8 block at a time — sampling
+                    # factors don't partition anything
+                    hs = vs = 1
+                if hs not in (1, 2, 4) or vs not in (1, 2, 4):
                     raise NotImplementedError(
-                        "subsampled JPEG unsupported (4:4:4 only)"
+                        f"sampling factors {hs}x{vs} unsupported"
                     )
-                sof_comps.append((cid, qtid))
+                sof_comps.append((cid, qtid, hs, vs))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise NotImplementedError(
                 "progressive/extended JPEG unsupported (baseline only)"
@@ -903,24 +972,35 @@ def decode_jpeg_image(b: bytes):
         raise NotImplementedError(
             "multi-scan (non-interleaved) baseline JPEG unsupported"
         )
-    qtid_by_cid = dict(sof_comps)
+    sof_by_cid = {cid: (qtid, hs, vs) for cid, qtid, hs, vs in sof_comps}
     for cid, dc_id, ac_id in scan_comps:
         if (
-            cid not in qtid_by_cid
-            or qtid_by_cid[cid] not in qtables
+            cid not in sof_by_cid
+            or sof_by_cid[cid][0] not in qtables
             or (0, dc_id) not in htables
             or (1, ac_id) not in htables
         ):
             raise ValueError("JPEG missing quant/Huffman tables")
 
-    bh, bw = (height + 7) // 8 * 8, (width + 7) // 8 * 8
-    n_blocks = (bh // 8) * (bw // 8)
-    # scan-order component state: (dc_lut, ac_lut, coefs)
-    comps = [
-        (htables[(0, dc_id)], htables[(1, ac_id)],
-         np.zeros((n_blocks, 64), dtype=np.float64))
-        for _cid, dc_id, ac_id in scan_comps
-    ]
+    hmax = max(hs for _c, _q, hs, _v in sof_comps)
+    vmax = max(vs for _c, _q, _h, vs in sof_comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    n_mcus = mcux * mcuy
+    # scan-order component state: (dc_lut, ac_lut, coefs, hs, vs, bpr)
+    comps = []
+    for cid, dc_id, ac_id in scan_comps:
+        _qtid, hs, vs = sof_by_cid[cid]
+        comps.append(
+            (
+                htables[(0, dc_id)],
+                htables[(1, ac_id)],
+                np.zeros((mcux * hs * mcuy * vs, 64), dtype=np.float64),
+                hs,
+                vs,
+                mcux * hs,
+            )
+        )
 
     # split the scan on RST markers so DC prediction resets per spec
     if restart:
@@ -939,28 +1019,36 @@ def decode_jpeg_image(b: bytes):
 
     mcu = 0
     for seg_bytes in segments:
-        limit = min(mcu + restart if restart else n_blocks, n_blocks)
+        limit = min(mcu + restart if restart else n_mcus, n_mcus)
         mcu = _jpeg_decode_segment(
-            seg_bytes, comps, _JPEG_ZIGZAG, mcu, limit
+            seg_bytes, comps, _JPEG_ZIGZAG, mcux, mcu, limit
         )
 
     t = _jpeg_dct_matrix()
     planes = {}
-    for (cid, _dc, _ac), (_dl, _al, coefs) in zip(scan_comps, comps):
-        qt = np.array(qtables[qtid_by_cid[cid]], dtype=np.float64)
+    for (cid, _dc, _ac), (_dl, _al, coefs, hs, vs, bpr) in zip(
+        scan_comps, comps
+    ):
+        qt = np.array(qtables[sof_by_cid[cid][0]], dtype=np.float64)
         deq = (coefs * qt).reshape(-1, 8, 8)
         px = np.einsum("ux,nuv,vy->nxy", t, deq, t) + 128.0
+        bpc = mcuy * vs
         grid = (
-            px.reshape(bh // 8, bw // 8, 8, 8)
+            px.reshape(bpc, bpr, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(bh, bw)
+            .reshape(bpc * 8, bpr * 8)
         )
+        if hs < hmax or vs < vmax:
+            # sample-replication upsample back to luma resolution
+            grid = np.repeat(
+                np.repeat(grid, vmax // vs, axis=0), hmax // hs, axis=1
+            )
         planes[cid] = grid[:height, :width]
     if len(sof_comps) == 1:
         plane = planes[sof_comps[0][0]]
         return np.clip(np.rint(plane), 0, 255).astype(np.uint8)
     # SOF order is Y, Cb, Cr per JFIF; convert in float, clamp once
-    y, cb, cr = (planes[cid] for cid, _q in sof_comps)
+    y, cb, cr = (planes[cid] for cid, _q, _h, _v in sof_comps)
     return _ycbcr_to_rgb(
         np.clip(y, 0, 255), np.clip(cb, 0, 255), np.clip(cr, 0, 255)
     )

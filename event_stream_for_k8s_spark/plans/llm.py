@@ -3000,22 +3000,26 @@ FROM c
     section="B.11",
     notes="COLOR JPEG through the codec boundary (r14 — VERDICT r13 "
     "flagged color as the dominant excluded format): per doc a REAL "
-    "3-component baseline 4:4:4 JPEG is encoded (two DQT tables, "
-    "four DHT tables dispatched per component, ONE interleaved "
-    "Y/Cb/Cr scan with per-component DC predictors) and decoded by "
-    "the full parser back to RGB via the JFIF BT.601 inverse. The "
-    "fixture is gray-in-RGB blockwise DC + square-wave — the family "
-    "where RGB<->YCbCr is lossless (Cb=Cr=128 up to float ulps that "
-    "rint-quantization provably absorbs) — so the round trip is "
-    "integer-identity and the oracle EXACT: sum_r/max_px/ac_abs64 "
-    "replay the R channel like llm_mm_decode_jpeg's gray stats, and "
-    "n_offgray (pixels where the decoded channels differ) pins the "
-    "CHROMA path at exactly 0 — any chroma bug (wrong predictor, "
-    "wrong table binding, matrix sign) shifts Cb/Cr off neutral and "
-    "fails THIS row; a desynced interleave corrupts the Y stats "
-    "too. Saturated-color content is covered with bounded error in "
-    "tests; subsampled (4:2:0) and progressive stay at the boundary. "
-    "One narrow Arrow pass, no shuffle",
+    "3-component baseline 4:2:0 JPEG — the real-world default form — "
+    "is encoded (two DQT tables, four DHT tables dispatched per "
+    "component, chroma 2x2 box-downsampled, ONE interleaved scan "
+    "whose MCU is 4 Y + 1 Cb + 1 Cr blocks with per-component DC "
+    "predictors) and decoded by the full parser (sampling-factor MCU "
+    "geometry, chroma sample-replication upsample, JFIF BT.601 "
+    "inverse) back to RGB. The fixture is gray-in-RGB blockwise DC + "
+    "square-wave — the family where RGB<->YCbCr is lossless AND "
+    "invariant under the chroma down/up trip (Cb=Cr=128 constant, up "
+    "to float ulps that rint-quantization provably absorbs) — so the "
+    "round trip is integer-identity and the oracle EXACT: sum_r/"
+    "max_px/ac_abs64 replay the R channel like llm_mm_decode_jpeg's "
+    "gray stats, and n_offgray (pixels where the decoded channels "
+    "differ) pins the CHROMA path at exactly 0 — any chroma bug "
+    "(wrong predictor, wrong table binding, wrong MCU block order, "
+    "matrix sign) shifts Cb/Cr off neutral and fails THIS row; a "
+    "desynced interleave corrupts the Y stats too. 4:4:4 and "
+    "saturated-color content are covered in tests; progressive and "
+    "exotic sampling stay at the boundary. One narrow Arrow pass, "
+    "no shuffle",
 )
 def llm_mm_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -3050,7 +3054,9 @@ def llm_mm_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
                     img[
                         bi * 8 : bi * 8 + 8, bj * 8 : bj * 8 + 8, :
                     ] = (rb[p] + (rb[4 + p] % 8) * sqw)[None, :, None]
-                dec = decode_jpeg_image(encode_jpeg_color(img, 8))
+                dec = decode_jpeg_image(
+                    encode_jpeg_color(img, 8, subsampling="420")
+                )
                 red = dec[..., 0].astype(np.int64)
                 blocks = (
                     red.reshape(2, 8, 2, 8)

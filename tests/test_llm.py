@@ -399,15 +399,27 @@ def test_jpeg_encode_decode_roundtrip_and_boundaries():
     )
     with pt.raises(NotImplementedError, match="progressive"):
         decode_jpeg_gray(b"\xff\xd8" + sof2 + base[2:])
-    # 4:2:0-subsampled color (0x22 luma sampling): the boundary since
-    # r14 is SUBSAMPLING, not component count (4:4:4 color decodes)
+    # exotic sampling factors (3x3): the boundary since r14 is the
+    # factor set, not component count (4:4:4 and 4:2:0 color decode)
     sof_color = _jpeg_seg(
+        0xC0,
+        bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+        + bytes([3, 1, 0x33, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    with pt.raises(NotImplementedError, match="sampling factors"):
+        decode_jpeg_gray(b"\xff\xd8" + sof_color + base[2:])
+    # a color SOF with a single-component SOS is a non-interleaved
+    # multi-scan stream — rejected, not mis-parsed (REPLACE base's own
+    # SOF segment so only the 3-component one is seen)
+    sof_420 = _jpeg_seg(
         0xC0,
         bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
         + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
-    with pt.raises(NotImplementedError, match="subsampled"):
-        decode_jpeg_gray(b"\xff\xd8" + sof_color + base[2:])
+    i0 = base.index(b"\xff\xc0")
+    sof_len = 2 + int.from_bytes(base[i0 + 2 : i0 + 4], "big")
+    with pt.raises(NotImplementedError, match="multi-scan"):
+        decode_jpeg_gray(base[:i0] + sof_420 + base[i0 + sof_len :])
     # 4-component (CMYK-style) stays out
     sof_cmyk = _jpeg_seg(
         0xC0,
@@ -2711,3 +2723,58 @@ def test_jpeg_color_encode_decode():
         decode_jpeg_gray(enc)
     with pt.raises(ValueError, match="expects an"):
         encode_jpeg_color(img[..., 0])
+
+
+def test_jpeg_420_subsampling_roundtrip():
+    """4:2:0 — the real-world default JPEG form — through the codec:
+    MCU = 4 Y + 1 Cb + 1 Cr blocks over a 16x16 tile, chroma
+    box-averaged down and sample-replicated back up. Exact on the
+    gray-in-RGB DC+square-wave family (constant neutral chroma
+    survives the down/up trip untouched), bounded-error with chroma
+    bleed on saturated color, MCU edge padding on ragged sizes."""
+    import numpy as np
+    import pytest as pt
+
+    from event_stream_for_k8s_spark.functions.multimodal import (
+        decode_jpeg_image,
+        encode_jpeg_color,
+    )
+
+    sqw = np.array([1, -1, -1, 1, 1, -1, -1, 1])
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    for p, (bi, bj) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        m, a = [40, 120, 90, 60][p], [3, 7, 0, 5][p]
+        img[bi * 8 : bi * 8 + 8, bj * 8 : bj * 8 + 8, :] = (
+            m + a * sqw
+        )[None, :, None]
+    enc = encode_jpeg_color(img, 8, subsampling="420")
+    dec = decode_jpeg_image(enc)
+    assert dec.shape == (16, 16, 3)
+    assert (dec == img).all()  # integer-identity, like 4:4:4
+
+    # the 420 stream is genuinely subsampled (smaller than 444) and
+    # carries the 0x22 sampling byte
+    enc444 = encode_jpeg_color(img, 8, subsampling="444")
+    assert len(enc) < len(enc444)
+    assert enc[enc.index(b"\xff\xc0") + 11] == 0x22
+
+    rng = np.random.default_rng(5)
+    for shape in [(16, 16), (20, 13), (1, 1), (17, 32)]:
+        c = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+        d = decode_jpeg_image(encode_jpeg_color(c, 8, subsampling="420"))
+        assert d.shape == (*shape, 3)
+        # luma is block-exact-ish; chroma averaged over 2x2 — compare
+        # against the chroma-smoothed reference, not the raw pixels
+        assert np.abs(
+            d.mean(axis=(0, 1)) - c.mean(axis=(0, 1))
+        ).max() <= 16
+
+    # 16-wide color fields survive at half chroma resolution
+    rb = np.zeros((16, 32, 3), dtype=np.uint8)
+    rb[:, :16, 0] = 255
+    rb[:, 16:, 2] = 255
+    d = decode_jpeg_image(encode_jpeg_color(rb, 8, subsampling="420"))
+    assert d[:, :14, 0].mean() > 180 and d[:, 18:, 2].mean() > 180
+
+    with pt.raises(NotImplementedError, match="444/420"):
+        encode_jpeg_color(img, 8, subsampling="422")
