@@ -592,7 +592,10 @@ def encode_jpeg_color(img, quant: int = 8, subsampling: str = "444") -> bytes:
     - ``"420"`` — the real-world default: Y sampled 2x2, chroma 2x2
       box-averaged to half resolution; MCU = 4 Y + 1 Cb + 1 Cr
       blocks over a 16x16 pixel tile (image edge-padded to whole
-      MCUs, the spec's recommended fill)."""
+      MCUs, the spec's recommended fill).
+    - ``"422"`` — the broadcast/video form: Y sampled 2x1, chroma
+      halved horizontally only; MCU = 2 Y + 1 Cb + 1 Cr blocks over
+      a 16x8 tile."""
     import numpy as np
 
     img = np.asarray(img, dtype=np.uint8)
@@ -600,9 +603,9 @@ def encode_jpeg_color(img, quant: int = 8, subsampling: str = "444") -> bytes:
         raise ValueError("encode_jpeg_color expects an (H, W, 3) image")
     if not 1 <= int(quant) <= 255:
         raise ValueError(f"quant {quant} outside the DQT byte range 1..255")
-    if subsampling not in ("444", "420"):
+    if subsampling not in ("444", "420", "422"):
         raise NotImplementedError(
-            f"subsampling {subsampling!r} unsupported (444/420 only)"
+            f"subsampling {subsampling!r} unsupported (444/420/422 only)"
         )
     h, w = img.shape[:2]
 
@@ -619,9 +622,11 @@ def encode_jpeg_color(img, quant: int = 8, subsampling: str = "444") -> bytes:
                 preds[c] = _jpeg_entropy_block(
                     bw_, zz_lists[c][m], preds[c], dc_codes, ac_codes
                 )
-    else:  # 420
-        samp = [0x22, 0x11, 0x11]
-        mh, mw = -(-h // 16) * 16, -(-w // 16) * 16
+    else:  # 420 / 422: Y at (2, yv), chroma at (1, 1)
+        yv = 2 if subsampling == "420" else 1  # Y vertical factor
+        samp = [0x20 | yv, 0x11, 0x11]
+        th, tw = 8 * yv, 16  # MCU tile in pixels
+        mh, mw = -(-h // th) * th, -(-w // tw) * tw
         padded = np.empty((mh, mw, 3), dtype=np.uint8)
         padded[:h, :w] = img
         if mw > w:
@@ -629,22 +634,22 @@ def encode_jpeg_color(img, quant: int = 8, subsampling: str = "444") -> bytes:
         if mh > h:
             padded[h:, :] = padded[h - 1 : h, :]
         y, cb, cr = _rgb_to_ycbcr(padded)
-        # 2x2 box-average chroma downsample (the JFIF-recommended
-        # centered mean for 2x2)
-        cb = cb.reshape(mh // 2, 2, mw // 2, 2).mean(axis=(1, 3))
-        cr = cr.reshape(mh // 2, 2, mw // 2, 2).mean(axis=(1, 3))
+        # box-average chroma downsample (the JFIF-recommended
+        # centered mean): 2x2 for 420, 1x2 (horizontal only) for 422
+        cb = cb.reshape(mh // yv, yv, mw // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(mh // yv, yv, mw // 2, 2).mean(axis=(1, 3))
         zz_y = _jpeg_quant_blocks(y, quant).tolist()
         zz_cb = _jpeg_quant_blocks(cb, quant).tolist()
         zz_cr = _jpeg_quant_blocks(cr, quant).tolist()
-        mcux, mcuy = mw // 16, mh // 16
+        mcux, mcuy = mw // tw, mh // th
         ybpr = 2 * mcux
         for my in range(mcuy):
             for mx in range(mcux):
-                for dv in range(2):  # 4 Y blocks, raster order
+                for dv in range(yv):  # yv*2 Y blocks, raster order
                     for dh in range(2):
                         preds[0] = _jpeg_entropy_block(
                             bw_,
-                            zz_y[(2 * my + dv) * ybpr + 2 * mx + dh],
+                            zz_y[(yv * my + dv) * ybpr + 2 * mx + dh],
                             preds[0],
                             dc_codes,
                             ac_codes,

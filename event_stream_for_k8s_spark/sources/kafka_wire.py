@@ -4,12 +4,15 @@ VERDICT r12 "What's missing" #3: the Kafka path was exercised only
 down to option construction because the image carries no connector
 jars and no broker. This module closes that gap the same way the k8s
 tier did (sources/k8s_watch_http.py: a real LIST-then-WATCH HTTP
-transport + an in-test API stub): the classic Kafka binary protocol —
-Metadata v0 and Fetch v0 with MessageSet v0 entries (public protocol,
-kafka.apache.org/protocol) — implemented over raw sockets, and a
-threaded in-memory stub broker speaking the same frames, so the
-transport is exercised END-TO-END down to CRC-checked bytes on a TCP
-socket.
+transport + an in-test API stub): the Kafka binary protocol (public,
+kafka.apache.org/protocol) implemented over raw sockets — ApiVersions
+v0, Metadata v0, ListOffsets v0 (earliest/latest seek), Fetch v0 and
+Produce v0, carrying BOTH on-wire record formats: classic MessageSet
+v0 (zlib crc32) and RecordBatch v2 (magic 2, zigzag-varint records,
+crc32c, gzip/snappy codecs — snappy via the from-scratch block codec
+in functions/snappy_codec.py) — plus a threaded in-memory stub broker
+speaking the same frames, so the transport is exercised END-TO-END
+down to CRC-checked bytes on a TCP socket.
 
 Wire layout implemented (all big-endian):
 
@@ -190,9 +193,16 @@ def encode_record_batch_v2(
 
         attrs = 1  # attributes bits 0-2: codec 1 = gzip
         blob = gzip.compress(bytes(records), mtime=0)
+    elif compression == "snappy":
+        from event_stream_for_k8s_spark.functions.snappy_codec import (
+            snappy_compress,
+        )
+
+        attrs = 2  # codec 2 = snappy (raw block in format v2)
+        blob = snappy_compress(bytes(records))
     else:
         raise NotImplementedError(
-            f"record batch compression {compression!r} (gzip only)"
+            f"record batch compression {compression!r} (gzip/snappy only)"
         )
     # everything the crc covers: attributes .. records
     crc_part = (
@@ -239,14 +249,21 @@ def decode_record_batch_v2(r: "_Reader"):
     codec = attrs & 0x07
     if codec == 0:
         recs = batch
-    elif codec == 1:  # gzip — the stdlib-covered codec
+    elif codec == 1:  # gzip — stdlib
         import gzip
 
         recs = _Reader(gzip.decompress(batch.data[batch.pos :]))
+    elif codec == 2:  # snappy — from-scratch raw-block codec
+        from event_stream_for_k8s_spark.functions.snappy_codec import (
+            snappy_decompress,
+        )
+
+        recs = _Reader(snappy_decompress(batch.data[batch.pos :]))
     else:
         # parsing a compressed blob as records would be silent garbage
         raise NotImplementedError(
-            f"record batch compression codec {codec} (none/gzip only)"
+            f"record batch compression codec {codec} "
+            "(none/gzip/snappy only)"
         )
     out = []
     for _ in range(n):
@@ -428,6 +445,46 @@ class KafkaWireClient:
                 return hw, decode_message_set(ms)
         return 0, []
 
+    def api_versions(self):
+        """ApiVersions v0 (api_key 18) -> {api_key: (min, max)} —
+        the first request every real client sends to negotiate
+        protocol versions."""
+        r = self._call(18, b"")
+        err = r.i16()
+        if err:
+            raise ValueError(f"Kafka ApiVersions error code {err}")
+        return {
+            k: rng
+            for k, rng in (
+                (r.i16(), (r.i16(), r.i16())) for _ in range(r.i32())
+            )
+        }
+
+    def list_offsets(
+        self, topic: str, partition: int, timestamp: int = -1
+    ):
+        """ListOffsets v0 (api_key 2) -> [offset] for the partition;
+        timestamp -1 = latest, -2 = earliest (the classic consumer's
+        seek-to-beginning/end)."""
+        body = (
+            struct.pack(">i", -1)  # replica
+            + struct.pack(">i", 1)
+            + _enc_string(topic)
+            + struct.pack(">i", 1)
+            + struct.pack(">iqi", partition, timestamp, 1)
+        )
+        r = self._call(2, body)
+        for _ in range(r.i32()):  # topics
+            r.string()
+            for _ in range(r.i32()):
+                r.i32()  # partition id
+                err = r.i16()
+                offs = [r.i64() for _ in range(r.i32())]
+                if err:
+                    raise ValueError(f"Kafka ListOffsets error code {err}")
+                return offs
+        return []
+
     def produce(
         self, topic: str, partition: int, entries, magic: int = 0
     ) -> int:
@@ -472,7 +529,7 @@ class KafkaWireClient:
         with a doubled max_bytes until the message fits, mirroring the
         real consumer's fetch.max.bytes escalation guidance."""
         out = []
-        offset = 0
+        offset = self.list_offsets(topic, partition, -2)[0]  # earliest
         cur_max = max_bytes
         while True:
             hw, msgs = self.fetch(topic, partition, offset, cur_max)
@@ -539,6 +596,10 @@ class StubKafkaBroker:
                             resp = outer._fetch_response(r)
                         elif api_key == 0:
                             resp = outer._produce_response(r)
+                        elif api_key == 18:
+                            resp = outer._api_versions_response()
+                        elif api_key == 2:
+                            resp = outer._list_offsets_response(r)
                         else:
                             break
                         payload = struct.pack(">i", corr) + resp
@@ -626,6 +687,43 @@ class StubKafkaBroker:
             for pid, err, hw, ms in parts:
                 out += struct.pack(">ihq", pid, err, hw)
                 out += struct.pack(">i", len(ms)) + ms
+        return out
+
+    def _api_versions_response(self) -> bytes:
+        supported = [(0, 0, 0), (1, 0, 0), (2, 0, 0), (3, 0, 0),
+                     (18, 0, 0)]
+        out = struct.pack(">hi", 0, len(supported))
+        for k, lo, hi in supported:
+            out += struct.pack(">hhh", k, lo, hi)
+        return out
+
+    def _list_offsets_response(self, r: _Reader) -> bytes:
+        r.i32()  # replica
+        out_topics = []
+        for _ in range(r.i32()):
+            topic = r.string()
+            parts = []
+            for _ in range(r.i32()):
+                pid = r.i32()
+                ts = r.i64()
+                r.i32()  # max_num_offsets (we return exactly one)
+                log = self.logs.get((topic, pid))
+                if log is None:
+                    parts.append((pid, 3, []))  # unknown topic/part
+                elif ts == -2:  # earliest
+                    parts.append((pid, 0, [0]))
+                else:  # latest (or any timestamp in the stub)
+                    parts.append((pid, 0, [len(log)]))
+            out_topics.append((topic, parts))
+        out = struct.pack(">i", len(out_topics))
+        for topic, parts in out_topics:
+            out += _enc_string(topic)
+            out += struct.pack(">i", len(parts))
+            for pid, err, offs in parts:
+                out += struct.pack(">ih", pid, err)
+                out += struct.pack(">i", len(offs))
+                for o in offs:
+                    out += struct.pack(">q", o)
         return out
 
     def _produce_response(self, r: _Reader) -> bytes:

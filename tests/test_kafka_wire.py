@@ -288,18 +288,24 @@ def test_record_batch_v2_gzip_compression():
     assert decode_record_batch_v2(_Reader(gz)) == [
         (5 + i, k, v) for i, (k, v) in enumerate(entries)
     ]
-    # unknown codec bits: flip attributes to 2 (snappy) and re-crc
+    # snappy (codec 2): the from-scratch raw-block codec round-trips
+    sz = encode_record_batch_v2(entries, base_offset=5, compression="snappy")
+    assert len(sz) < len(plain)
+    assert decode_record_batch_v2(_Reader(sz)) == [
+        (5 + i, k, v) for i, (k, v) in enumerate(entries)
+    ]
+    # unknown codec bits: flip attributes to 3 (lz4) and re-crc
     from event_stream_for_k8s_spark.sources.kafka_wire import _crc32c
 
     body = bytearray(gz)
     crc_part = bytearray(body[21:])
-    crc_part[1] = 2  # attributes low byte -> codec 2
+    crc_part[1] = 3  # attributes low byte -> codec 3
     body = body[:17] + struct.pack(">I", _crc32c(bytes(crc_part))) + crc_part
-    with pt.raises(NotImplementedError, match="codec 2"):
+    with pt.raises(NotImplementedError, match="codec 3"):
         decode_record_batch_v2(_Reader(bytes(body)))
 
-    with pt.raises(NotImplementedError, match="gzip only"):
-        encode_record_batch_v2(entries, compression="snappy")
+    with pt.raises(NotImplementedError, match="gzip/snappy only"):
+        encode_record_batch_v2(entries, compression="zstd")
 
     # v0 wrapper compression: set the attribute byte, re-crc
     import zlib
@@ -311,3 +317,89 @@ def test_record_batch_v2_gzip_compression():
     ms[12:16] = struct.pack(">I", zlib.crc32(rest) & 0xFFFFFFFF)
     with pt.raises(NotImplementedError, match="compressed MessageSet"):
         decode_message_set(bytes(ms))
+
+
+def test_snappy_codec_spec_vectors_and_roundtrip():
+    """The from-scratch snappy block codec: hand-built spec vectors
+    exercise every element type independently of the compressor
+    (literal, 1/2/4-byte-offset copies, the overlapping LZ77 run),
+    malformed streams raise, and compress->decompress is identity on
+    adversarial shapes."""
+    import os
+    import random
+
+    import pytest as pt
+
+    from event_stream_for_k8s_spark.functions.snappy_codec import (
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    # literal "abcde"; copy1 len4 off5 -> "abcd"; copy2 len2 off1
+    # (overlap: the run doubles the last byte twice) -> "dd"
+    hand = (
+        bytes([11, (5 - 1) << 2])
+        + b"abcde"
+        + bytes([(4 - 4) << 2 | 1, 5, ((2 - 1) << 2) | 2, 1, 0])
+    )
+    assert snappy_decompress(hand) == b"abcdeabcddd"
+
+    # 4-byte-offset copy form (type 11)
+    hand4 = (
+        bytes([8, (4 - 1) << 2])
+        + b"wxyz"
+        + bytes([((4 - 1) << 2) | 3, 4, 0, 0, 0])
+    )
+    assert snappy_decompress(hand4) == b"wxyzwxyz"
+
+    # long-literal length bytes (60-form)
+    lit = bytes(range(256)) * 4  # 1024 bytes, no 4-byte repeats... use os
+    lit = os.urandom(100)
+    hand60 = bytes([100, 60 << 2, 99]) + lit
+    assert snappy_decompress(hand60) == lit
+
+    for bad, msg in [
+        (b"", "preamble"),
+        (bytes([5, (4 - 1) << 2]) + b"ab", "truncated literal"),
+        (bytes([4, ((4 - 1) << 2) | 2, 9, 0]), "offset out of range"),
+        (bytes([9, (5 - 1) << 2]) + b"abcde", "length mismatch"),
+    ]:
+        with pt.raises(ValueError, match=msg):
+            snappy_decompress(bad)
+
+    rng = random.Random(11)
+    cases = [
+        b"",
+        b"a",
+        b"abcd" * 1000,
+        os.urandom(5000),
+        bytes(rng.randrange(4) for _ in range(20000)),
+        b"x" * 100000,
+    ]
+    for c in cases:
+        z = snappy_compress(c)
+        assert snappy_decompress(z) == c
+    assert len(snappy_compress(b"x" * 100000)) < 6000  # it compresses
+
+
+def test_api_versions_and_list_offsets(broker):
+    """ApiVersions (the first request a real client sends) and
+    ListOffsets v0 (earliest/latest seek) over TCP; fetch_all now
+    discovers its start offset through the protocol instead of
+    assuming 0."""
+    c = KafkaWireClient("127.0.0.1", broker.port)
+    try:
+        vers = c.api_versions()
+        for key in (0, 1, 2, 3, 18):
+            assert vers[key] == (0, 0)
+        assert c.list_offsets("docs", 0, -2) == [0]   # earliest
+        assert c.list_offsets("docs", 0, -1) == [3]   # latest = hw
+        assert c.list_offsets("docs", 1, -1) == [200]
+        import pytest as pt
+
+        with pt.raises(ValueError, match="error code 3"):
+            c.list_offsets("nope", 0, -1)
+        # the drain still sees everything via the discovered start
+        assert len(c.fetch_all("docs", 0)) == 3
+    finally:
+        c.close()

@@ -2776,5 +2776,17 @@ def test_jpeg_420_subsampling_roundtrip():
     d = decode_jpeg_image(encode_jpeg_color(rb, 8, subsampling="420"))
     assert d[:, :14, 0].mean() > 180 and d[:, 18:, 2].mean() > 180
 
-    with pt.raises(NotImplementedError, match="444/420"):
-        encode_jpeg_color(img, 8, subsampling="422")
+    # 4:2:2 (chroma halved horizontally only; MCU = 2 Y + Cb + Cr
+    # over a 16x8 tile): same exactness family, distinct geometry
+    e422 = encode_jpeg_color(img, 8, subsampling="422")
+    assert (decode_jpeg_image(e422) == img).all()
+    assert e422[e422.index(b"\xff\xc0") + 11] == 0x21
+    for shape in [(20, 13), (1, 1), (17, 32)]:
+        c = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+        d = decode_jpeg_image(
+            encode_jpeg_color(c, 8, subsampling="422")
+        )
+        assert d.shape == (*shape, 3)
+
+    with pt.raises(NotImplementedError, match="444/420/422"):
+        encode_jpeg_color(img, 8, subsampling="411")
