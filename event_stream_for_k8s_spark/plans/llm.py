@@ -711,6 +711,47 @@ def llm_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_sq8_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION form of llm_knn_sq8: SQ8 scalar quantization — the
+    memory tier you take FIRST at 100 TB (closed-form per-dim
+    calibration, no codebook training, int8 codes = 4x fewer scan
+    bytes than float32, near-exact recall at range/255 resolution);
+    composes with IVF cell pruning exactly like the PQ tier."""
+    from event_stream_for_k8s_spark.operators.similarity import knn_sq8
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(
+        (F.col("vec_id") % 250 == 0) & (F.col("vec_id") < 25_000)
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    corpus = e.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("cvec")
+    )
+    return knn_sq8(queries, corpus, k=5).select("qid", "nid", "sim", "rnk")
+
+
+@query(
+    "llm_knn_sq8",
+    oracle=KNN_RECALL_ORACLE,
+    section="B.11",
+    notes="SQ8 scalar-quantized ANN (FAISS ScalarQuantizer QT_8bit "
+    "shape), slotting between brute and PQ in the tier ladder: "
+    "per-dimension min/max calibration is ONE closed-form aggregate "
+    "(d rows to the driver — no codebook training, no seed), codes "
+    "are the int8 stored form (4x fewer scan bytes than float32), "
+    "reconstruction + cosine top-k stay whole-stage codegen "
+    "(transform over literal calibration arrays). Recall is "
+    "near-exact (range/255 per-dim resolution; "
+    "tests/test_llm.py pins a 0.9 fixture floor vs brute — the "
+    "highest floor of any approximate tier). Hash-checked via the "
+    "shared recall-vs-brute envelope; knn_sq8_results above is the "
+    "production form",
+)
+def llm_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn_recall_envelope(
+        spark, sf_dir, knn_sq8_results(spark, sf_dir)
+    )
+
+
 def knn_ivfpq_residual_results(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

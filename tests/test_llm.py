@@ -2790,3 +2790,69 @@ def test_jpeg_420_subsampling_roundtrip():
 
     with pt.raises(NotImplementedError, match="444/420/422"):
         encode_jpeg_color(img, 8, subsampling="411")
+
+
+def test_knn_sq8_quantization_and_recall(spark):
+    """The SQ8 tier (r14): codes stay in 0..255, reconstruction error
+    is bounded by scale/2 per dimension, fixture recall vs brute
+    clears 0.9 (the highest approximate-tier floor — 8-bit per-dim
+    resolution barely loses anything), and the empty-corpus contract
+    holds."""
+    import pyspark.sql.functions as F
+
+    from event_stream_for_k8s_spark.catalog import load
+    from event_stream_for_k8s_spark.operators.similarity import (
+        knn_brute,
+        knn_sq8,
+        sq8_calibrate,
+        sq8_decode,
+        sq8_encode,
+    )
+
+    e = load(spark, SF, "embeddings")
+    q = e.filter(
+        (F.col("vec_id") % 250 == 0) & (F.col("vec_id") < 25_000)
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    c = e.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("cvec")
+    )
+
+    lo, scale = sq8_calibrate(c)
+    assert len(lo) == len(scale) > 0
+    enc = c.select(
+        "nid",
+        F.col("cvec").alias("orig"),
+        sq8_encode(F.col("cvec"), lo, scale).alias("code"),
+    )
+    row = enc.select(
+        F.min(F.array_min("code")).alias("cmin"),
+        F.max(F.array_max("code")).alias("cmax"),
+    ).first()
+    assert 0 <= row["cmin"] and row["cmax"] <= 255
+    # reconstruction error <= scale/2 + float slack, every dimension
+    err = (
+        enc.select(
+            F.posexplode(
+                F.zip_with(
+                    sq8_decode(F.col("code"), lo, scale),
+                    F.col("orig").cast("array<double>"),
+                    lambda r, o: F.abs(r - o),
+                )
+            ).alias("pos", "e")
+        )
+        .groupBy("pos")
+        .agg(F.max("e").alias("maxe"))
+        .collect()
+    )
+    for r in err:
+        assert r["maxe"] <= scale[r["pos"]] / 2 + 1e-9, r
+
+    approx = knn_sq8(q, c, 5).select("qid", "nid")
+    brute = knn_brute(q, c, 5).select("qid", "nid")
+    n_b = brute.count()
+    n_ov = approx.join(brute, ["qid", "nid"]).count()
+    assert n_b > 0 and n_ov / n_b >= 0.9
+
+    empty = knn_sq8(q, c.limit(0), 5)
+    assert empty.count() == 0
+    assert empty.columns == ["qid", "nid", "sim", "rnk"]
