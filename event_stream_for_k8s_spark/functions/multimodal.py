@@ -869,13 +869,13 @@ def decode_jpeg_image(b: bytes):
     DQT/DHT/SOF0/SOS parse, Huffman entropy decode with byte
     unstuffing and RSTn handling, dequantize, dezigzag, float IDCT,
     level shift, clamp, crop. Single-component streams return the
-    (H, W) uint8 grayscale raster; 3-component 4:4:4 streams decode
-    the interleaved Y/Cb/Cr scan (per-component quant + Huffman
-    tables, per-component DC predictors) and return the (H, W, 3)
-    uint8 RGB raster via the JFIF BT.601 inverse. Progressive (SOF2),
-    chroma-SUBSAMPLED (4:2:0/4:2:2), 12-bit and arithmetic-coded
-    streams raise NotImplementedError — the declared external-codec
-    boundary."""
+    (H, W) uint8 grayscale raster; 3-component streams (4:4:4, 4:2:0
+    and 4:2:2 — sampling-factor MCU geometry with replication chroma
+    upsample) decode the interleaved Y/Cb/Cr scan (per-component
+    quant + Huffman tables, per-component DC predictors) and return
+    the (H, W, 3) uint8 RGB raster via the JFIF BT.601 inverse.
+    Progressive (SOF2), 12-bit and arithmetic-coded streams raise
+    NotImplementedError — the declared external-codec boundary."""
     import numpy as np
 
     if b[:2] != b"\xff\xd8":

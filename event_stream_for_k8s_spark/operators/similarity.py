@@ -916,6 +916,16 @@ def knn_sq8(
     driver."""
     if corpus.isEmpty() or queries.isEmpty():
         return _empty_knn_result(queries, q_id, corpus, c_id)
+    # The query set is the broadcast side — the ANN serving contract is
+    # that queries are SMALL. Guard it so misuse (a corpus passed as
+    # queries) raises instead of OOMing the broadcast, mirroring the
+    # knn_pq / knn_ivfpq 100k guards (VERDICT r14 wrong #1).
+    max_queries = 100_000
+    if queries.limit(max_queries + 1).count() > max_queries:
+        raise ValueError(
+            f"knn_sq8 query set exceeds {max_queries} rows; chunk the "
+            "queries or use the LSH/IVF paths for query-heavy workloads"
+        )
     lo, scale = sq8_calibrate(corpus, c_vec)
     enc = corpus.select(
         c_id, sq8_encode(F.col(c_vec), lo, scale).alias("code")

@@ -166,9 +166,15 @@ def encode_record_batch_v2(
     on-wire format every broker since 0.11 produces): the 61-byte
     batch header (crc32c over attributes..records), then varint-framed
     Records with offset/timestamp deltas. kafka.apache.org/protocol
-    'Record Batch'. ``compression='gzip'`` gzips the records blob and
-    sets attributes codec bits to 1 (the one codec the stdlib
-    provides; snappy/lz4/zstd stay at the declared boundary)."""
+    'Record Batch'. ``compression='gzip'`` (stdlib) or ``'snappy'``
+    (from-scratch ``functions.snappy_codec``) compresses the records
+    blob and sets the attributes codec bits; lz4/zstd stay at the
+    declared boundary."""
+    if not entries:
+        # an empty batch would encode degenerate header fields
+        # (recordCount 0, lastOffsetDelta -1, maxTimestamp base-1) that
+        # a produce call would happily ship (ADVICE r14)
+        raise ValueError("encode_record_batch_v2 requires >=1 record")
     records = bytearray()
     for i, (key, value) in enumerate(entries):
         body = bytearray(b"\x00")  # record attributes
@@ -529,7 +535,16 @@ class KafkaWireClient:
         with a doubled max_bytes until the message fits, mirroring the
         real consumer's fetch.max.bytes escalation guidance."""
         out = []
-        offset = self.list_offsets(topic, partition, -2)[0]  # earliest
+        earliest = self.list_offsets(topic, partition, -2)  # earliest
+        if not earliest:
+            # a broker MAY answer with an empty offsets array; turn
+            # that protocol anomaly into a described error, not an
+            # IndexError (ADVICE r14)
+            raise ValueError(
+                f"kafka-wire: ListOffsets returned no offset for "
+                f"{topic}/{partition}"
+            )
+        offset = earliest[0]
         cur_max = max_bytes
         while True:
             hw, msgs = self.fetch(topic, partition, offset, cur_max)

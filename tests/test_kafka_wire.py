@@ -121,6 +121,31 @@ def test_fetch_all_widens_past_oversized_message(broker):
         c.close()
 
 
+def test_fetch_all_rejects_empty_listoffsets_reply(broker):
+    """A broker MAY answer ListOffsets with an empty offsets array;
+    the drain must turn that protocol anomaly into a described error,
+    not a bare IndexError (ADVICE r14)."""
+    c = KafkaWireClient("127.0.0.1", broker.port)
+    try:
+        c.list_offsets = lambda *a, **kw: []
+        with pytest.raises(ValueError, match="ListOffsets returned no offset"):
+            c.fetch_all("docs", 0)
+    finally:
+        c.close()
+
+
+def test_encode_record_batch_v2_rejects_empty_entries():
+    """An empty batch would encode degenerate header fields
+    (recordCount 0, lastOffsetDelta -1) that a produce call would
+    happily ship (ADVICE r14) — raise instead."""
+    from event_stream_for_k8s_spark.sources.kafka_wire import (
+        encode_record_batch_v2,
+    )
+
+    with pytest.raises(ValueError, match="requires >=1 record"):
+        encode_record_batch_v2([])
+
+
 def test_crc32c_known_vectors():
     """The v2 checksum against the published CRC-32C test vectors
     (RFC 3720 appendix / Castagnoli)."""
@@ -352,11 +377,15 @@ def test_snappy_codec_spec_vectors_and_roundtrip():
     )
     assert snappy_decompress(hand4) == b"wxyzwxyz"
 
-    # long-literal length bytes (60-form)
-    lit = bytes(range(256)) * 4  # 1024 bytes, no 4-byte repeats... use os
+    # long-literal length bytes (60-form: 1 length byte)
     lit = os.urandom(100)
     hand60 = bytes([100, 60 << 2, 99]) + lit
     assert snappy_decompress(hand60) == lit
+
+    # 61-form: 2 little-endian length bytes — covers literals >255 bytes
+    lit61 = os.urandom(300)
+    hand61 = bytes([(300 & 0x7F) | 0x80, 300 >> 7, 61 << 2, 299 & 0xFF, 299 >> 8]) + lit61
+    assert snappy_decompress(hand61) == lit61
 
     for bad, msg in [
         (b"", "preamble"),

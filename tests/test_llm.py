@@ -2856,3 +2856,22 @@ def test_knn_sq8_quantization_and_recall(spark):
     empty = knn_sq8(q, c.limit(0), 5)
     assert empty.count() == 0
     assert empty.columns == ["qid", "nid", "sim", "rnk"]
+
+
+def test_knn_sq8_query_set_guard(spark):
+    """VERDICT r14 wrong #1: the SQ8 query side is the broadcast side;
+    an oversized query set (a corpus passed as queries) must raise the
+    same 100k guard as the PQ tiers instead of OOMing the broadcast."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from event_stream_for_k8s_spark.operators.similarity import knn_sq8
+
+    big_q = spark.range(100_001).select(
+        F.col("id").alias("qid"), F.array(F.lit(0.5)).alias("qvec")
+    )
+    c = spark.range(4).select(
+        F.col("id").alias("nid"), F.array(F.lit(1.0)).alias("cvec")
+    )
+    with pytest.raises(ValueError, match="query set exceeds 100000"):
+        knn_sq8(big_q, c, 5)
