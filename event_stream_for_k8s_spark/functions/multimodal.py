@@ -690,6 +690,306 @@ def encode_jpeg_color(img, quant: int = 8, subsampling: str = "444") -> bytes:
     )
 
 
+# ---- progressive JPEG (ITU T.81 Annex G: spectral selection +
+# successive approximation). The encoder below exists as the fixture
+# builder / round-trip twin for the progressive decoder — the decoder
+# trusts nothing from it (tables, scan script, geometry all read from
+# the stream, and hand-built spec bytestreams pin it independently).
+
+_JPEG_PROG_SCRIPT_GRAY = [
+    # (component ids, Ss, Se, Ah, Al) — the libjpeg-style default:
+    # DC first at Al=1, split AC bands at Al=2, AC refine to Al=1,
+    # DC refine, final AC refine to full precision (Al=0).
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+_JPEG_PROG_SCRIPT_COLOR = [
+    ((0, 1, 2), 0, 0, 0, 1),  # interleaved DC first
+    ((0,), 1, 5, 0, 2),  # Y low band
+    ((2,), 1, 63, 0, 1),  # Cr full band
+    ((1,), 1, 63, 0, 1),  # Cb full band
+    ((0,), 6, 63, 0, 2),  # Y high band
+    ((0,), 1, 63, 2, 1),  # Y AC refine
+    ((0, 1, 2), 0, 0, 1, 0),  # interleaved DC refine
+    ((2,), 1, 63, 1, 0),  # Cr AC refine to Al=0
+    ((1,), 1, 63, 1, 0),  # Cb AC refine to Al=0
+    ((0,), 1, 63, 1, 0),  # Y AC refine to Al=0
+]
+
+
+def _jpeg_comp_indices(width, height, hs, vs, hmax, vmax, mcux):
+    """Block indices (into the MCU-padded per-component coefficient
+    grid, row stride mcux*hs) that a NON-INTERLEAVED scan of this
+    component transmits, in raster order — spec A.2.2: the component's
+    own ceil-divided grid, NOT padded to whole MCUs. Shared by the
+    progressive encoder and decoder so the geometry cannot desync."""
+    cw = (-(-(width * hs) // hmax) + 7) // 8
+    ch = (-(-(height * vs) // vmax) + 7) // 8
+    bpr = mcux * hs
+    return [r * bpr + c for r in range(ch) for c in range(cw)]
+
+
+def _jpeg_prog_flat_table(symbols):
+    """Used symbols -> a minimal spec-legal canonical table (BITS,
+    HUFFVAL): every symbol at one length L with 2^L > n, so the
+    all-ones code stays unused. The decoder reads whatever DHT
+    carries, so optimality is irrelevant here — validity is."""
+    vals = sorted(set(symbols))
+    n = len(vals)
+    length = 1
+    while (1 << length) <= n:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, vals
+
+
+def _jpeg_flush_eobrun(tokens, st) -> None:
+    """Emit the pending EOBn symbol (G.1.2.2: n = floor(log2(run)),
+    then n raw bits of run - 2^n) plus any correction bits buffered
+    during the run (refinement scans only)."""
+    if st["eobrun"] > 0:
+        n = st["eobrun"].bit_length() - 1
+        tokens.append(("s", n << 4))
+        if n:
+            tokens.append(("b", st["eobrun"] - (1 << n), n))
+        tokens.extend(("b", bit, 1) for bit in st["buf"])
+        st["buf"] = []
+        st["eobrun"] = 0
+
+
+def _jpeg_enc_ac_first_block(tokens, row, ss, se, al, st) -> None:
+    """AC first-scan tokens for one zigzag-ordered coefficient row
+    (G.1.2.2): point transform toward zero, ZRL for 16-zero runs,
+    trailing zeros folded into the cross-block EOB run."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(row[k])
+        t = (v >> al) if v >= 0 else -((-v) >> al)
+        if t == 0:
+            r += 1
+            continue
+        _jpeg_flush_eobrun(tokens, st)
+        while r > 15:
+            tokens.append(("s", 0xF0))
+            r -= 16
+        size, bits_v = _jpeg_magnitude(t)
+        tokens.append(("s", (r << 4) | size))
+        tokens.append(("b", bits_v, size))
+        r = 0
+    if r > 0:
+        st["eobrun"] += 1
+        if st["eobrun"] == 0x7FFF:
+            _jpeg_flush_eobrun(tokens, st)
+
+
+def _jpeg_enc_ac_refine_block(tokens, row, ss, se, al, st) -> None:
+    """AC refinement tokens for one zigzag-ordered row (G.1.2.3):
+    newly-significant coefficients emit (run<<4)|1 + a sign bit;
+    already-significant ones contribute one buffered correction bit
+    (bit Al of the magnitude) emitted after the next symbol; runs
+    past the last newly-significant index join the EOB run, whose
+    correction bits ride the eventual EOBn flush."""
+    absv = {}
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        t = abs(int(row[k])) >> al
+        absv[k] = t
+        if t == 1:
+            eob = k
+    r = 0
+    pend: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            _jpeg_flush_eobrun(tokens, st)
+            tokens.append(("s", 0xF0))
+            r -= 16
+            tokens.extend(("b", bit, 1) for bit in pend)
+            pend = []
+        if t > 1:
+            pend.append(t & 1)
+            continue
+        _jpeg_flush_eobrun(tokens, st)
+        tokens.append(("s", (r << 4) | 1))
+        tokens.append(("b", 0 if int(row[k]) < 0 else 1, 1))
+        tokens.extend(("b", bit, 1) for bit in pend)
+        pend = []
+        r = 0
+    if r > 0 or pend:
+        st["eobrun"] += 1
+        st["buf"].extend(pend)
+        if st["eobrun"] == 0x7FFF:
+            _jpeg_flush_eobrun(tokens, st)
+
+
+def _jpeg_write_tokens(tokens, codes) -> bytes:
+    bw_ = _BitWriter()
+    for t in tokens:
+        if t[0] == "s":
+            code, ln = codes[t[1]]
+            bw_.put(code, ln)
+        else:
+            bw_.put(t[1], t[2])
+    return bw_.flush()
+
+
+def encode_jpeg_prog(
+    img, quant: int = 8, subsampling: str = "444", script=None
+) -> bytes:
+    """Progressive JPEG encoder (SOF2 — the format the majority of
+    large web-crawl JPEGs actually use): spectral selection +
+    successive approximation over the same quantized coefficients the
+    baseline encoders produce, so with the flat quant table the
+    progressive round trip is exactly as lossy as the baseline one
+    (the scan script only reorders WHEN bits arrive, never which).
+    Accepts an (H, W) grayscale or (H, W, 3) RGB image; color takes
+    the same ``subsampling`` forms as :func:`encode_jpeg_color`.
+    Structure: SOI, APP0, DQT, SOF2, then per scan an optional DHT
+    (scan-local minimal canonical table; DC-refinement scans are raw
+    bits and carry none), SOS (Ss/Se/Ah/Al), entropy bits. ``script``
+    overrides the default libjpeg-style scan sequence as a list of
+    (component-index tuple, Ss, Se, Ah, Al)."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError("encode_jpeg_prog expects (H, W) or (H, W, 3)")
+    if not 1 <= int(quant) <= 255:
+        raise ValueError(f"quant {quant} outside the DQT byte range 1..255")
+    h, w = img.shape[:2]
+    if gray:
+        samp = [(1, 1)]
+        planes = [img.astype(np.float64)]
+    elif subsampling == "444":
+        samp = [(1, 1)] * 3
+        planes = list(_rgb_to_ycbcr(img))
+    elif subsampling in ("420", "422"):
+        yv = 2 if subsampling == "420" else 1
+        samp = [(2, yv), (1, 1), (1, 1)]
+        th, tw = 8 * yv, 16
+        mh, mw = -(-h // th) * th, -(-w // tw) * tw
+        padded = np.empty((mh, mw, 3), dtype=np.uint8)
+        padded[:h, :w] = img
+        if mw > w:
+            padded[:h, w:] = img[:, -1:]
+        if mh > h:
+            padded[h:, :] = padded[h - 1 : h, :]
+        y, cb, cr = _rgb_to_ycbcr(padded)
+        cb = cb.reshape(mh // yv, yv, mw // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(mh // yv, yv, mw // 2, 2).mean(axis=(1, 3))
+        planes = [y, cb, cr]
+    else:
+        raise NotImplementedError(
+            f"subsampling {subsampling!r} unsupported (444/420/422 only)"
+        )
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    zz = [_jpeg_quant_blocks(p, quant) for p in planes]
+    if script is None:
+        script = _JPEG_PROG_SCRIPT_GRAY if gray else _JPEG_PROG_SCRIPT_COLOR
+
+    scan_parts = []
+    for cl, ss, se, ah, al in script:
+        tokens: list = []
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan requires Se=0")
+            if len(cl) == 1:
+                c0 = cl[0]
+                walk = [
+                    (c0, i_)
+                    for i_ in _jpeg_comp_indices(
+                        w, h, *samp[c0], hmax, vmax, mcux
+                    )
+                ]
+            else:
+                walk = []
+                for m in range(mcux * mcuy):
+                    my, mx = divmod(m, mcux)
+                    for c in cl:
+                        hs, vs = samp[c]
+                        bpr = mcux * hs
+                        for dv in range(vs):
+                            for dh in range(hs):
+                                walk.append(
+                                    (c, (my * vs + dv) * bpr + mx * hs + dh)
+                                )
+            if ah == 0:
+                preds = dict.fromkeys(cl, 0)
+                for c, idx in walk:
+                    t = int(zz[c][idx, 0]) >> al  # arithmetic shift per G
+                    size, bits_v = _jpeg_magnitude(t - preds[c])
+                    preds[c] = t
+                    tokens.append(("s", size))
+                    if size:
+                        tokens.append(("b", bits_v, size))
+            else:
+                for c, idx in walk:
+                    tokens.append(("b", (int(zz[c][idx, 0]) >> al) & 1, 1))
+        else:
+            if len(cl) != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            c0 = cl[0]
+            st = {"eobrun": 0, "buf": []}
+            for idx in _jpeg_comp_indices(w, h, *samp[c0], hmax, vmax, mcux):
+                if ah == 0:
+                    _jpeg_enc_ac_first_block(tokens, zz[c0][idx], ss, se, al, st)
+                else:
+                    _jpeg_enc_ac_refine_block(tokens, zz[c0][idx], ss, se, al, st)
+            _jpeg_flush_eobrun(tokens, st)
+        syms = [t[1] for t in tokens if t[0] == "s"]
+        dht = None
+        codes: dict = {}
+        if syms:
+            bits, vals = _jpeg_prog_flat_table(syms)
+            dht = (
+                bytes([(0 if ss == 0 else 1) << 4])
+                + bytes(bits)
+                + bytes(vals)
+            )
+            codes = _jpeg_canonical_codes(bits, vals)
+        sos = (
+            bytes([len(cl)])
+            + b"".join(bytes([c + 1, 0x00]) for c in cl)
+            + bytes([ss, se, (ah << 4) | al])
+        )
+        scan_parts.append((dht, sos, _jpeg_write_tokens(tokens, codes)))
+
+    qv = bytes(int(quant) for _ in range(64))
+    if gray:
+        dqt = bytes([0]) + qv
+        sof_comps = bytes([1, 1, 0x11, 0])
+    else:
+        dqt = bytes([0]) + qv + bytes([1]) + qv
+        sof_comps = bytes([3])
+        for c in range(3):
+            hs, vs = samp[c]
+            sof_comps += bytes([c + 1, (hs << 4) | vs, 0 if c == 0 else 1])
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + sof_comps
+    out = (
+        b"\xff\xd8"
+        + _jpeg_seg_bytes(0xE0, app0)
+        + _jpeg_seg_bytes(0xDB, dqt)
+        + _jpeg_seg_bytes(0xC2, sof)
+    )
+    for dht, sos, ent in scan_parts:
+        if dht is not None:
+            out += _jpeg_seg_bytes(0xC4, dht)
+        out += _jpeg_seg_bytes(0xDA, sos) + ent
+    return out + b"\xff\xd9"
+
+
 _JPEG_LUT_CACHE: dict = {}
 
 
@@ -864,6 +1164,191 @@ def _jpeg_decode_segment(
     return mcu
 
 
+def _jpeg_rst_segments(scan: bytes, restart: int) -> list:
+    """Split an entropy-coded scan on RSTn markers (DC predictors and
+    EOB runs reset per segment, spec E.2.4); identity when DRI=0."""
+    if not restart:
+        return [scan]
+    segments = []
+    i = start = 0
+    while i + 1 < len(scan):
+        if scan[i] == 0xFF and 0xD0 <= scan[i + 1] <= 0xD7:
+            segments.append(scan[start:i])
+            start = i + 2
+            i += 2
+        else:
+            i += 1
+    segments.append(scan[start:])
+    return segments
+
+
+class _ScanBitReader:
+    """Flat-LUT bit reader over one unstuffed entropy segment — the
+    same 32-bit-window idiom as :func:`_jpeg_decode_segment`, packaged
+    as a cursor for the progressive scan decoders (many small reads
+    across four scan kinds; the baseline hot loop keeps its inlined
+    form)."""
+
+    def __init__(self, seg: bytes):
+        self.data = _jpeg_unstuff(seg)
+        self.w32 = _jpeg_w32(self.data)
+        self.safe = (len(self.data) - 8) << 3
+        self.pos = 0
+
+    def _ensure(self) -> None:
+        if self.pos >= self.safe:
+            self.data += b"\xff" * 4096
+            self.w32 = _jpeg_w32(self.data)
+            self.safe = (len(self.data) - 8) << 3
+
+    def huff(self, lut) -> int:
+        sym_l, len_l = lut
+        self._ensure()
+        w = (self.w32[self.pos >> 3] >> (16 - (self.pos & 7))) & 0xFFFF
+        n = len_l[w]
+        if n == 0:
+            raise ValueError("invalid JPEG Huffman code")
+        self.pos += n
+        return sym_l[w]
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._ensure()
+        v = (self.w32[self.pos >> 3] >> (32 - (self.pos & 7) - n)) & (
+            (1 << n) - 1
+        )
+        self.pos += n
+        return v
+
+
+def _jpeg_prog_dc_scan(segments, luts, mcu_blocks, restart, ah, al) -> None:
+    """Progressive DC scan (G.2): first pass (Ah=0) Huffman-decodes
+    DC differences of the point-transformed values and stores
+    pred << Al; refinement passes (Ah>0) read ONE raw bit per block
+    and OR it in at position Al (two's-complement OR reconstructs
+    negative DC values exactly). ``mcu_blocks[m]`` lists the
+    (scan-comp index, coefs, block index) tuples of MCU m — the
+    caller builds interleaved or non-interleaved geometry."""
+    n = len(mcu_blocks)
+    mcu = 0
+    for seg in segments:
+        br = _ScanBitReader(seg)
+        preds = [0] * len(luts)
+        limit = min(mcu + restart, n) if restart else n
+        while mcu < limit:
+            for ci, coefs, idx in mcu_blocks[mcu]:
+                if ah == 0:
+                    size = br.huff(luts[ci])
+                    if size:
+                        preds[ci] += _jpeg_extend(br.bits(size), size)
+                    coefs[idx, 0] = preds[ci] << al
+                elif br.bits(1):
+                    coefs[idx, 0] |= 1 << al
+            mcu += 1
+
+
+def _jpeg_prog_ac_first(
+    segments, lut, coefs, idxs, zig, ss, se, al, restart
+) -> None:
+    """Progressive AC first scan (G.1.2.2) over one component's blocks
+    in raster order: band [Ss, Se] coefficients at magnitude << Al,
+    ZRL 16-zero runs, EOBn end-of-band runs spanning whole blocks."""
+    i = 0
+    n = len(idxs)
+    for seg in segments:
+        br = _ScanBitReader(seg)
+        eobrun = 0
+        limit = min(i + restart, n) if restart else n
+        while i < limit:
+            if eobrun:
+                eobrun -= 1
+                i += 1
+                continue
+            row = coefs[idxs[i]]
+            k = ss
+            while k <= se:
+                sym = br.huff(lut)
+                r, s = sym >> 4, sym & 0x0F
+                if s:
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC coefficient overrun")
+                    row[zig[k]] = _jpeg_extend(br.bits(s), s) << al
+                    k += 1
+                elif r == 15:
+                    k += 16
+                else:
+                    eobrun = (1 << r) - 1  # this block is part of the run
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+            i += 1
+
+
+def _jpeg_prog_ac_refine(
+    segments, lut, coefs, idxs, zig, ss, se, al, restart
+) -> None:
+    """Progressive AC refinement scan (G.1.2.3): newly-significant
+    coefficients arrive as (run<<4)|1 + sign bit; every
+    already-nonzero coefficient passed over — inside zero runs, ZRLs
+    and EOB runs alike — carries one correction bit that adds
+    ±1<<Al toward larger magnitude when set."""
+    p1 = 1 << al
+    i = 0
+    n = len(idxs)
+    for seg in segments:
+        br = _ScanBitReader(seg)
+        eobrun = 0
+        limit = min(i + restart, n) if restart else n
+        while i < limit:
+            row = coefs[idxs[i]]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = br.huff(lut)
+                    r, s = sym >> 4, sym & 0x0F
+                    newval = 0
+                    if s:
+                        if s != 1:
+                            raise ValueError(
+                                "invalid JPEG AC refinement symbol"
+                            )
+                        newval = p1 if br.bits(1) else -p1
+                    elif r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.bits(r)
+                        break  # rest of this block handled below
+                    # advance past r zero-history coefficients, reading
+                    # correction bits for nonzero ones along the way
+                    while k <= se:
+                        pos = zig[k]
+                        c = int(row[pos])
+                        if c:
+                            if br.bits(1) and not (c & p1):
+                                row[pos] = c + (p1 if c > 0 else -p1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        row[zig[k]] = newval
+                    k += 1
+            if eobrun:
+                # blocks inside an EOB run still carry correction bits
+                # for their already-nonzero band coefficients
+                while k <= se:
+                    pos = zig[k]
+                    c = int(row[pos])
+                    if c and br.bits(1) and not (c & p1):
+                        row[pos] = c + (p1 if c > 0 else -p1)
+                    k += 1
+                eobrun -= 1
+            i += 1
+
+
 def decode_jpeg_image(b: bytes):
     """Baseline-DCT JPEG decoder (stdlib+numpy): marker walk,
     DQT/DHT/SOF0/SOS parse, Huffman entropy decode with byte
@@ -874,20 +1359,27 @@ def decode_jpeg_image(b: bytes):
     upsample) decode the interleaved Y/Cb/Cr scan (per-component
     quant + Huffman tables, per-component DC predictors) and return
     the (H, W, 3) uint8 RGB raster via the JFIF BT.601 inverse.
-    Progressive (SOF2), 12-bit and arithmetic-coded streams raise
-    NotImplementedError — the declared external-codec boundary."""
+    PROGRESSIVE (SOF2) streams decode through the full Annex-G path —
+    spectral-selection bands, successive-approximation DC/AC first
+    and refinement scans, EOB runs, per-scan Huffman table snapshots,
+    non-interleaved component geometry — accumulating coefficients
+    across scans into the same IDCT tail. Extended sequential (SOF1,
+    8-bit) decodes as baseline. 12-bit, arithmetic-coded, lossless
+    and hierarchical streams raise NotImplementedError — the declared
+    external-codec boundary."""
     import numpy as np
 
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qtables: dict[int, list[int]] = {}
-    htables: dict[tuple[int, int], dict] = {}
+    htables: dict[tuple[int, int], tuple] = {}
     width = height = None
-    sof_comps: list[tuple[int, int]] = []  # (component id, quant tid)
-    scan_comps: list[tuple[int, int, int]] = []  # (cid, dc tid, ac tid)
+    sof_comps: list[tuple[int, int, int, int]] = []  # (cid, qtid, hs, vs)
+    progressive = False
     restart = 0
-    scan = None
+    # (scan_comps, luts, ss, se, ah, al, entropy bytes, restart-at-scan)
+    scans: list[tuple] = []
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
@@ -918,7 +1410,10 @@ def decode_jpeg_image(b: bytes):
                 vals = list(body[i + 17 : i + 17 + n])
                 htables[(cls, tid)] = _jpeg_flat_lut(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential (identical
+            # coding at 8-bit) / SOF2 progressive
+            progressive = marker == 0xC2
             if body[0] != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
             height = int.from_bytes(body[1:3], "big")
@@ -943,9 +1438,10 @@ def decode_jpeg_image(b: bytes):
                         f"sampling factors {hs}x{vs} unsupported"
                     )
                 sof_comps.append((cid, qtid, hs, vs))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/extended JPEG unsupported (baseline only)"
+                "lossless/hierarchical/arithmetic JPEG unsupported"
             )
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(body[:2], "big")
@@ -959,6 +1455,25 @@ def decode_jpeg_image(b: bytes):
                 )
                 for c in range(ns)
             ]
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            # snapshot the Huffman tables THIS scan binds — a later
+            # DHT may legally overwrite the slot before the next scan
+            luts = []
+            for _cid, dc_id, ac_id in scan_comps:
+                need_dc = ss == 0 and ah == 0
+                need_ac = se > 0
+                if (need_dc and (0, dc_id) not in htables) or (
+                    need_ac and (1, ac_id) not in htables
+                ):
+                    raise ValueError("JPEG missing quant/Huffman tables")
+                luts.append(
+                    (
+                        htables.get((0, dc_id)) if ss == 0 else None,
+                        htables.get((1, ac_id)) if se > 0 else None,
+                    )
+                )
             scan_start = pos
             # entropy data runs to the next non-RST marker
             i = scan_start
@@ -968,73 +1483,114 @@ def decode_jpeg_image(b: bytes):
                 ):
                     break
                 i += 1
-            scan = b[scan_start:i]
+            scans.append(
+                (scan_comps, luts, ss, se, ah, al, b[scan_start:i], restart)
+            )
             pos = i
         # APPn / COM / others: skipped via the generic size advance
-    if width is None or scan is None:
-        raise ValueError("JPEG missing SOF0 or SOS")
-    if len(scan_comps) != len(sof_comps):
-        raise NotImplementedError(
-            "multi-scan (non-interleaved) baseline JPEG unsupported"
-        )
+    if width is None or not scans:
+        raise ValueError("JPEG missing SOF or SOS")
     sof_by_cid = {cid: (qtid, hs, vs) for cid, qtid, hs, vs in sof_comps}
-    for cid, dc_id, ac_id in scan_comps:
-        if (
-            cid not in sof_by_cid
-            or sof_by_cid[cid][0] not in qtables
-            or (0, dc_id) not in htables
-            or (1, ac_id) not in htables
-        ):
-            raise ValueError("JPEG missing quant/Huffman tables")
+    for scan_comps, *_rest in scans:
+        for cid, _dc_id, _ac_id in scan_comps:
+            if cid not in sof_by_cid or sof_by_cid[cid][0] not in qtables:
+                raise ValueError("JPEG missing quant/Huffman tables")
 
     hmax = max(hs for _c, _q, hs, _v in sof_comps)
     vmax = max(vs for _c, _q, _h, vs in sof_comps)
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
     n_mcus = mcux * mcuy
-    # scan-order component state: (dc_lut, ac_lut, coefs, hs, vs, bpr)
-    comps = []
-    for cid, dc_id, ac_id in scan_comps:
-        _qtid, hs, vs = sof_by_cid[cid]
-        comps.append(
-            (
-                htables[(0, dc_id)],
-                htables[(1, ac_id)],
-                np.zeros((mcux * hs * mcuy * vs, 64), dtype=np.float64),
-                hs,
-                vs,
-                mcux * hs,
+    # per-SOF-component coefficient grids, accumulated across scans
+    # (int64: progressive refinement ORs magnitude bits in place)
+    comp_state: dict[int, tuple] = {}
+    for cid, _qtid, hs, vs in sof_comps:
+        comp_state[cid] = (
+            np.zeros((mcux * hs * mcuy * vs, 64), dtype=np.int64),
+            hs,
+            vs,
+            mcux * hs,
+        )
+
+    if not progressive:
+        if len(scans) != 1 or len(scans[0][0]) != len(sof_comps):
+            raise NotImplementedError(
+                "multi-scan (non-interleaved) baseline JPEG unsupported"
             )
-        )
-
-    # split the scan on RST markers so DC prediction resets per spec
-    if restart:
-        segments = []
-        i = start = 0
-        while i + 1 < len(scan):
-            if scan[i] == 0xFF and 0xD0 <= scan[i + 1] <= 0xD7:
-                segments.append(scan[start:i])
-                start = i + 2
-                i += 2
-            else:
-                i += 1
-        segments.append(scan[start:])
+        scan_comps, luts, _ss, _se, _ah, _al2, scan, rst = scans[0]
+        comps = []
+        for (cid, _d, _a), (dc_lut, ac_lut) in zip(scan_comps, luts):
+            coefs, hs, vs, bpr = comp_state[cid]
+            comps.append((dc_lut, ac_lut, coefs, hs, vs, bpr))
+        mcu = 0
+        for seg_bytes in _jpeg_rst_segments(scan, rst):
+            limit = min(mcu + rst if rst else n_mcus, n_mcus)
+            mcu = _jpeg_decode_segment(
+                seg_bytes, comps, _JPEG_ZIGZAG, mcux, mcu, limit
+            )
     else:
-        segments = [scan]
-
-    mcu = 0
-    for seg_bytes in segments:
-        limit = min(mcu + restart if restart else n_mcus, n_mcus)
-        mcu = _jpeg_decode_segment(
-            seg_bytes, comps, _JPEG_ZIGZAG, mcux, mcu, limit
-        )
+        for scan_comps, luts, ss, se, ah, al, scan, rst in scans:
+            segments = _jpeg_rst_segments(scan, rst)
+            if ss == 0:  # DC scan (first or refinement)
+                if se != 0:
+                    raise ValueError("progressive DC scan requires Se=0")
+                if len(scan_comps) > 1:
+                    mcu_blocks = []
+                    for m in range(n_mcus):
+                        my, mx = divmod(m, mcux)
+                        blocks = []
+                        for ci, (cid, _d, _a) in enumerate(scan_comps):
+                            coefs, hs, vs, bpr = comp_state[cid]
+                            for dv in range(vs):
+                                for dh in range(hs):
+                                    blocks.append(
+                                        (
+                                            ci,
+                                            coefs,
+                                            (my * vs + dv) * bpr
+                                            + mx * hs
+                                            + dh,
+                                        )
+                                    )
+                        mcu_blocks.append(blocks)
+                else:
+                    cid = scan_comps[0][0]
+                    coefs, hs, vs, bpr = comp_state[cid]
+                    mcu_blocks = [
+                        [(0, coefs, i_)]
+                        for i_ in _jpeg_comp_indices(
+                            width, height, hs, vs, hmax, vmax, mcux
+                        )
+                    ]
+                _jpeg_prog_dc_scan(
+                    segments, [lu[0] for lu in luts], mcu_blocks, rst, ah, al
+                )
+            else:  # AC scan — spec G.1: always single-component
+                if len(scan_comps) != 1:
+                    raise ValueError(
+                        "progressive AC scan must be single-component"
+                    )
+                cid = scan_comps[0][0]
+                coefs, hs, vs, bpr = comp_state[cid]
+                idxs = _jpeg_comp_indices(
+                    width, height, hs, vs, hmax, vmax, mcux
+                )
+                if ah == 0:
+                    _jpeg_prog_ac_first(
+                        segments, luts[0][1], coefs, idxs,
+                        _JPEG_ZIGZAG, ss, se, al, rst,
+                    )
+                else:
+                    _jpeg_prog_ac_refine(
+                        segments, luts[0][1], coefs, idxs,
+                        _JPEG_ZIGZAG, ss, se, al, rst,
+                    )
 
     t = _jpeg_dct_matrix()
     planes = {}
-    for (cid, _dc, _ac), (_dl, _al, coefs, hs, vs, bpr) in zip(
-        scan_comps, comps
-    ):
-        qt = np.array(qtables[sof_by_cid[cid][0]], dtype=np.float64)
+    for cid, qtid, hs, vs in sof_comps:
+        coefs, _hs, _vs, bpr = comp_state[cid]
+        qt = np.array(qtables[qtid], dtype=np.float64)
         deq = (coefs * qt).reshape(-1, 8, 8)
         px = np.einsum("ux,nuv,vy->nxy", t, deq, t) + 128.0
         bpc = mcuy * vs

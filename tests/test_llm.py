@@ -390,15 +390,30 @@ def test_jpeg_encode_decode_roundtrip_and_boundaries():
 
     with pt.raises(ValueError, match="not a JPEG"):
         decode_jpeg_gray(b"\x89PNG\r\n\x1a\n")
-    # progressive (SOF2) and color (3-component SOF0): the boundary
+    # the boundary since r15 is lossless/hierarchical/arithmetic —
+    # progressive (SOF2) DECODES now, so a SOF2 frame whose only scan
+    # is a baseline full-band SOS is a structure error, not a decode
     base = encode_jpeg_gray(np.full((8, 8), 130, dtype=np.uint8), 8)
     sof2 = _jpeg_seg(
         0xC2,
         bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
         + bytes([1, 1, 0x11, 0]),
     )
-    with pt.raises(NotImplementedError, match="progressive"):
-        decode_jpeg_gray(b"\xff\xd8" + sof2 + base[2:])
+    i0 = base.index(b"\xff\xc0")
+    sof0_len = 2 + int.from_bytes(base[i0 + 2 : i0 + 4], "big")
+    with pt.raises(ValueError, match="DC scan requires Se=0"):
+        decode_jpeg_gray(base[:i0] + sof2 + base[i0 + sof0_len :])
+    # arithmetic-coded (SOF9) stays out
+    sof9 = _jpeg_seg(
+        0xC9,
+        bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),
+    )
+    with pt.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg_gray(b"\xff\xd8" + sof9 + base[2:])
+    # extended sequential (SOF1, 8-bit) is coding-identical to baseline
+    ext = base[:i0] + b"\xff\xc1" + base[i0 + 2 :]
+    assert (decode_jpeg_gray(ext) == decode_jpeg_gray(base)).all()
     # exotic sampling factors (3x3): the boundary since r14 is the
     # factor set, not component count (4:4:4 and 4:2:0 color decode)
     sof_color = _jpeg_seg(
@@ -428,6 +443,177 @@ def test_jpeg_encode_decode_roundtrip_and_boundaries():
     )
     with pt.raises(NotImplementedError, match="4-component"):
         decode_jpeg_gray(b"\xff\xd8" + sof_cmyk + base[2:])
+
+
+def _jpeg_prog_headers(w, h, quant=8):
+    """SOI..SOF2 head for hand-built progressive vectors — shares no
+    code with encode_jpeg_prog."""
+    qt = bytes([0]) + bytes([quant] * 64)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
+        [1, 1, 0x11, 0]
+    )
+    return (
+        b"\xff\xd8" + _jpeg_seg(0xDB, qt) + _jpeg_seg(0xC2, sof)
+    )
+
+
+def test_jpeg_progressive_hand_built_spec_vectors():
+    """decode_jpeg_image against HAND-BUILT progressive bytestreams
+    (T.81 Annex G) with hand-assigned canonical codes and closed-form
+    DCT expectations — fully independent of encode_jpeg_prog.
+
+    Vector 1 (the full SA ladder on one 8x8 block, DC=2 + AC 3 at
+    zigzag 14 = flat position 4, the horizontal square wave):
+      scan 1  DC first  Al=1: t=2>>1=1, diff 1 -> table {1:'0'},
+              bits '0'+'1' -> 0x7F
+      scan 2  AC first  1..63 Al=1: 3>>1=1 at zz14 -> r=13 size 1 =
+              symbol 0xD1; table {0x00:'00', 0xD1:'01'}; bits
+              '01'+'1'+'00'(EOB0) -> 0x67
+      scan 3  DC refine Ah=1,Al=0: bit 2&1=0 -> '0' -> 0x7F
+      scan 4  AC refine Ah=1,Al=0: |3|=3>1 -> correction bit 1 rides
+              the EOB0 flush; table {0x00:'0'}; bits '0'+'1' -> 0x7F
+    Final coefficients 2<<3... DC 2*8=16 -> 130 constant, AC 3*8=24 ->
+    row 130 + 3*[+,-,-,+,+,-,-,+]."""
+    import numpy as np
+
+    from event_stream_for_k8s_spark.functions.multimodal import (
+        decode_jpeg_image,
+    )
+
+    dc1 = bytes([0x00, 1] + [0] * 15 + [1])  # {1: '0'}
+    ac1 = bytes([0x10, 0, 2] + [0] * 14 + [0x00, 0xD1])
+    ac2 = bytes([0x10, 1] + [0] * 15 + [0x00])  # {EOB0: '0'}
+    stream = (
+        _jpeg_prog_headers(8, 8)
+        + _jpeg_seg(0xC4, dc1)
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+        + bytes([0x7F])
+        + _jpeg_seg(0xC4, ac1)
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+        + bytes([0x67])
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+        + bytes([0x7F])
+        + _jpeg_seg(0xC4, ac2)
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+        + bytes([0x7F])
+        + b"\xff\xd9"
+    )
+    img = decode_jpeg_image(stream)
+    row = np.array([133, 127, 127, 133, 133, 127, 127, 133])
+    assert img.shape == (8, 8) and (img == row[None, :]).all()
+
+    # Vector 2: EOB1 spanning two blocks (8x16). DC first at Al=0:
+    # diffs 2 then 0 with table {0:'00', 2:'01'} -> '01 10 00' = 0x63;
+    # AC first: both blocks empty -> EOBRUN=2 = symbol 0x10 + run bit
+    # '0' with table {0x10:'0'} -> '00' -> 0x3F. Constant 130.
+    dc2 = bytes([0x00, 0, 2] + [0] * 14 + [0, 2])
+    ac3 = bytes([0x10, 1] + [0] * 15 + [0x10])  # {EOB1: '0'}
+    stream2 = (
+        _jpeg_prog_headers(16, 8)
+        + _jpeg_seg(0xC4, dc2)
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+        + bytes([0x63])
+        + _jpeg_seg(0xC4, ac3)
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+        + bytes([0x3F])
+        + b"\xff\xd9"
+    )
+    img2 = decode_jpeg_image(stream2)
+    assert img2.shape == (8, 16) and (img2 == 130).all()
+
+    # Vector 3: a coefficient INVISIBLE to the first AC scan (1>>1=0)
+    # that becomes newly significant in the refinement scan: value 1
+    # at zigzag 10 = flat 32 (u=4, v=0), the VERTICAL square wave
+    # [+,-,-,+,+,-,-,+] down columns. AC refine sees run r=9 ->
+    # symbol 0x91 + sign '1' + EOB0: table {0x00:'00', 0x91:'01'} ->
+    # '01'+'1'+'00' = 0x67. DC scans as vector 1.
+    stream3 = (
+        _jpeg_prog_headers(8, 8)
+        + _jpeg_seg(0xC4, dc1)
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+        + bytes([0x7F])
+        + _jpeg_seg(0xC4, ac2)
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+        + bytes([0x7F])  # EOB0: nothing visible at Al=1
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+        + bytes([0x7F])
+        + _jpeg_seg(
+            0xC4, bytes([0x10, 0, 2] + [0] * 14 + [0x00, 0x91])
+        )
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+        + bytes([0x67])
+        + b"\xff\xd9"
+    )
+    img3 = decode_jpeg_image(stream3)
+    col = np.array([131, 129, 129, 131, 131, 129, 129, 131])
+    assert img3.shape == (8, 8) and (img3 == col[:, None]).all()
+
+    # Vector 4: restart markers inside a progressive DC scan reset the
+    # predictor — two blocks, DRI=1, diff=2 each ('0'+'10' = 0x5F per
+    # segment with table {2:'0'}) -> constant 130, not 130/146.
+    dc3 = bytes([0x00, 1] + [0] * 15 + [2])  # {2: '0'}
+    stream4 = (
+        _jpeg_prog_headers(16, 8)
+        + _jpeg_seg(0xC4, dc3)
+        + _jpeg_seg(0xDD, (1).to_bytes(2, "big"))
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+        + bytes([0x5F])
+        + b"\xff\xd0"
+        + bytes([0x5F])
+        + b"\xff\xd9"
+    )
+    img4 = decode_jpeg_image(stream4)
+    assert img4.shape == (8, 16) and (img4 == 130).all()
+
+
+def test_jpeg_progressive_roundtrip_matches_baseline():
+    """encode_jpeg_prog -> decode_jpeg_image is BIT-EXACT against the
+    baseline encode/decode of the same image: progressive coding
+    reorders when coefficient bits arrive, never which — so with the
+    same quant table the reconstructed raster must be identical. Runs
+    gray + color at every subsampling, ragged sizes, quant extremes,
+    sparse content (long cross-block EOB runs) and custom scan
+    scripts (deep successive-approximation ladders, no-SA)."""
+    import numpy as np
+
+    from event_stream_for_k8s_spark.functions.multimodal import (
+        decode_jpeg_image,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+        encode_jpeg_prog,
+    )
+
+    rng = np.random.default_rng(15)
+    for shape in [(8, 8), (24, 17), (31, 9), (1, 1)]:
+        for q in (1, 8, 64):
+            g = rng.integers(0, 256, shape, dtype=np.uint8)
+            base = decode_jpeg_image(encode_jpeg_gray(g, q))
+            prog = decode_jpeg_image(encode_jpeg_prog(g, q))
+            assert (base == prog).all(), (shape, q)
+    # sparse content: one energetic block in a flat field exercises
+    # EOBn runs spanning dozens of blocks plus ZRL inside the block
+    spot = np.full((64, 64), 100, dtype=np.uint8)
+    spot[5, 5], spot[40, 60] = 255, 0
+    assert (
+        decode_jpeg_image(encode_jpeg_prog(spot, 8))
+        == decode_jpeg_image(encode_jpeg_gray(spot, 8))
+    ).all()
+    for sub in ("444", "420", "422"):
+        c = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+        base = decode_jpeg_image(encode_jpeg_color(c, 8, subsampling=sub))
+        prog = decode_jpeg_image(encode_jpeg_prog(c, 8, subsampling=sub))
+        assert (base == prog).all(), sub
+    g = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    base = decode_jpeg_image(encode_jpeg_gray(g, 8))
+    for script in (
+        [((0,), 0, 0, 0, 0), ((0,), 1, 63, 0, 0)],  # no SA at all
+        [((0,), 0, 0, 0, 2), ((0,), 1, 20, 0, 3), ((0,), 21, 63, 0, 3),
+         ((0,), 1, 63, 3, 2), ((0,), 0, 0, 2, 1), ((0,), 0, 0, 1, 0),
+         ((0,), 1, 63, 2, 1), ((0,), 1, 63, 1, 0)],  # deep SA ladder
+    ):
+        assert (
+            decode_jpeg_image(encode_jpeg_prog(g, 8, script=script)) == base
+        ).all()
 
 
 def test_jpeg_decode_through_decode_media(spark):
@@ -2875,3 +3061,55 @@ def test_knn_sq8_query_set_guard(spark):
     )
     with pytest.raises(ValueError, match="query set exceeds 100000"):
         knn_sq8(big_q, c, 5)
+
+
+def test_knn_ivfsq8_recall_contract_and_codegen_scan(spark):
+    """llm_knn_ivfsq8's production form (r15 — the composition the
+    SQ8 tier claimed): aggregate recall vs brute holds the envelope
+    floor (0.3 measured exactly at this fixture — identical to the
+    ivfpq tier, both dominated by the same 4/16-cell pruning), the
+    per-query contract holds (k rows ranked 1..k, non-increasing
+    sims, no self-match), the empty-corpus contract holds, and the
+    structural claim is pinned: the scan stage runs WITHOUT Python —
+    no Arrow/Batch Python eval nodes anywhere in the physical plan
+    (unlike the PQ ADC, which needs LUT gathers)."""
+    import pyspark.sql.functions as F
+
+    from event_stream_for_k8s_spark.operators.similarity import knn_ivfsq8
+    from event_stream_for_k8s_spark.plans.llm import knn_ivfsq8_results
+
+    brute = {
+        (r["qid"], r["nid"])
+        for r in REGISTRY["llm_knn_brute"].spark(spark, SF).collect()
+    }
+    res = knn_ivfsq8_results(spark, SF)
+    rows = res.collect()
+    got = {(r["qid"], r["nid"]) for r in rows}
+    recall = len(brute & got) / len(brute)
+    assert recall >= 0.3, f"IVF-SQ8 recall too low: {recall}"
+    by_q: dict = {}
+    for r in rows:
+        assert r["qid"] != r["nid"]
+        by_q.setdefault(r["qid"], []).append(r)
+    for members in by_q.values():
+        members.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in members] == list(
+            range(1, len(members) + 1)
+        )
+        sims = [r["sim"] for r in members]
+        assert sims == sorted(sims, reverse=True)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, "IVF-SQ8 scan must stay JVM-side"
+
+    from event_stream_for_k8s_spark.catalog import load
+
+    e = load(spark, SF, "embeddings")
+    q = e.limit(3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    c = e.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("cvec")
+    )
+    empty = knn_ivfsq8(q, c.limit(0), 5)
+    assert empty.count() == 0
+    assert empty.columns == ["qid", "nid", "sim", "rnk"]
