@@ -213,12 +213,15 @@ FROM o
     "(sources/kafka_wire.py encode/decode_record_batch_v2; decoder "
     "pinned by a hand-built spec frame independently of the encoder, "
     "crc32c against RFC 3720 vectors). The topic is seeded through "
-    "the PRODUCE v0 path (one produce per partition, v2 payload) "
-    "rather than pre-loaded logs, so the write half of the protocol "
-    "is exercised in the registered query too; the read half drains "
-    "25-record batches through mid-batch max_bytes cuts with the "
-    "same DataSource (one Spark task per partition; "
-    "decode_message_set dispatches per entry on the magic byte). "
+    "the PRODUCE v0 path (one produce per partition, v2 payload, "
+    "per-partition compression.type: plain/lz4/snappy) rather than "
+    "pre-loaded logs, so the write half of the protocol is exercised "
+    "in the registered query too; the read half drains 25-record "
+    "batches through mid-batch max_bytes cuts with the same "
+    "DataSource (one Spark task per partition; decode_message_set "
+    "dispatches per entry on the magic byte), the topic serving "
+    "MIXED codecs rotating per batch — plain, gzip, from-scratch "
+    "snappy, from-scratch lz4 frame (r15). "
     "Fixture seeding is a bounded, documented driver-side collect "
     "(1500 rows); the production path stays spark-sql-kafka",
 )
@@ -236,13 +239,22 @@ def source_kafka_wire_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1500)
         .collect()
     )
+    # the fetch side serves MIXED codecs in one topic (rotating per
+    # batch ordinal: plain, gzip, snappy, lz4 — what a consumer sees
+    # after a producer fleet changes compression.type), and the
+    # produce side writes each partition with a different codec, so
+    # both protocol halves exercise every from-scratch codec (r15:
+    # lz4 joins via functions/lz4_codec.py)
     broker = StubKafkaBroker(
-        {("docs2", p): [] for p in range(3)}, magic=2, batch_records=25
+        {("docs2", p): [] for p in range(3)},
+        magic=2,
+        batch_records=25,
+        compression=[None, "gzip", "snappy", "lz4"],
     ).start()
     try:
         client = KafkaWireClient("127.0.0.1", broker.port)
         try:
-            for p in range(3):
+            for p, comp in enumerate([None, "lz4", "snappy"]):
                 client.produce(
                     "docs2",
                     p,
@@ -252,6 +264,7 @@ def source_kafka_wire_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
                         if r["doc_id"] % 3 == p
                     ],
                     magic=2,
+                    compression=comp,
                 )
         finally:
             client.close()

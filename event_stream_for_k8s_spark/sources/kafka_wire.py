@@ -166,10 +166,11 @@ def encode_record_batch_v2(
     on-wire format every broker since 0.11 produces): the 61-byte
     batch header (crc32c over attributes..records), then varint-framed
     Records with offset/timestamp deltas. kafka.apache.org/protocol
-    'Record Batch'. ``compression='gzip'`` (stdlib) or ``'snappy'``
-    (from-scratch ``functions.snappy_codec``) compresses the records
-    blob and sets the attributes codec bits; lz4/zstd stay at the
-    declared boundary."""
+    'Record Batch'. ``compression='gzip'`` (stdlib), ``'snappy'``
+    (from-scratch ``functions.snappy_codec``) or ``'lz4'``
+    (from-scratch ``functions.lz4_codec`` frame) compresses the
+    records blob and sets the attributes codec bits; zstd stays at
+    the declared boundary."""
     if not entries:
         # an empty batch would encode degenerate header fields
         # (recordCount 0, lastOffsetDelta -1, maxTimestamp base-1) that
@@ -206,9 +207,17 @@ def encode_record_batch_v2(
 
         attrs = 2  # codec 2 = snappy (raw block in format v2)
         blob = snappy_compress(bytes(records))
+    elif compression == "lz4":
+        from event_stream_for_k8s_spark.functions.lz4_codec import (
+            lz4_frame_compress,
+        )
+
+        attrs = 3  # codec 3 = lz4 (frame format in message format v2)
+        blob = lz4_frame_compress(bytes(records))
     else:
         raise NotImplementedError(
-            f"record batch compression {compression!r} (gzip/snappy only)"
+            f"record batch compression {compression!r} "
+            "(gzip/snappy/lz4 only)"
         )
     # everything the crc covers: attributes .. records
     crc_part = (
@@ -265,11 +274,17 @@ def decode_record_batch_v2(r: "_Reader"):
         )
 
         recs = _Reader(snappy_decompress(batch.data[batch.pos :]))
+    elif codec == 3:  # lz4 — from-scratch frame codec
+        from event_stream_for_k8s_spark.functions.lz4_codec import (
+            lz4_frame_decompress,
+        )
+
+        recs = _Reader(lz4_frame_decompress(batch.data[batch.pos :]))
     else:
         # parsing a compressed blob as records would be silent garbage
         raise NotImplementedError(
             f"record batch compression codec {codec} "
-            "(none/gzip/snappy only)"
+            "(none/gzip/snappy/lz4 only)"
         )
     out = []
     for _ in range(n):
@@ -492,16 +507,24 @@ class KafkaWireClient:
         return []
 
     def produce(
-        self, topic: str, partition: int, entries, magic: int = 0
+        self,
+        topic: str,
+        partition: int,
+        entries,
+        magic: int = 0,
+        compression: str | None = None,
     ) -> int:
         """Produce v0 round trip: append [(key|None, value)] to the
         partition, return the assigned base offset. ``magic`` picks
         the on-wire record format (0 = MessageSet v0, 2 = RecordBatch
         v2 — the broker accepts either, like a real post-0.11 broker
-        with down-conversion)."""
+        with down-conversion); ``compression`` compresses the v2
+        payload (gzip/snappy/lz4 — the producer's compression.type)."""
         if magic == 2:
-            ms = encode_record_batch_v2(entries)
+            ms = encode_record_batch_v2(entries, compression=compression)
         else:
+            if compression is not None:
+                raise ValueError("produce compression requires magic=2")
             ms = encode_message_set(entries)
         body = (
             struct.pack(">hi", 1, 10000)  # required_acks, timeout
@@ -583,7 +606,7 @@ class StubKafkaBroker:
         logs,
         magic: int = 0,
         batch_records: int = 50,
-        compression: str | None = None,
+        compression: str | list | None = None,
     ):
         if magic not in (0, 2):
             raise ValueError(f"unsupported stub magic {magic}")
@@ -679,11 +702,22 @@ class StubKafkaBroker:
                     parts.append((pid, 3, 0, b""))  # unknown topic/part
                     continue
                 if self.magic == 2:
+                    # a str compression serves every batch with one
+                    # codec; a list ROTATES codecs per batch ordinal —
+                    # mixed-codec topics are what a real consumer sees
+                    # after a producer fleet changes compression.type
+                    comp = self.compression
                     ms = b"".join(
                         encode_record_batch_v2(
                             log[i : i + self.batch_records],
                             base_offset=i,
-                            compression=self.compression,
+                            compression=(
+                                comp[
+                                    (i // self.batch_records) % len(comp)
+                                ]
+                                if isinstance(comp, (list, tuple))
+                                else comp
+                            ),
                         )
                         for i in range(
                             offset, len(log), self.batch_records

@@ -291,9 +291,10 @@ def test_v2_fetch_and_produce_over_tcp():
 
 def test_record_batch_v2_gzip_compression():
     """Compressed batches are real coverage, not silent garbage: gzip
-    (codec 1, the stdlib-covered codec) round-trips with a valid
-    crc32c over the COMPRESSED blob; snappy/lz4/zstd raise at the
-    declared boundary, as does a v0 wrapper-compressed message."""
+    (codec 1, stdlib), snappy (codec 2) and lz4 (codec 3, both
+    from-scratch codecs) round-trip with a valid crc32c over the
+    COMPRESSED blob; zstd raises at the declared boundary, as does a
+    v0 wrapper-compressed message."""
     import struct
 
     import pytest as pt
@@ -319,17 +320,23 @@ def test_record_batch_v2_gzip_compression():
     assert decode_record_batch_v2(_Reader(sz)) == [
         (5 + i, k, v) for i, (k, v) in enumerate(entries)
     ]
-    # unknown codec bits: flip attributes to 3 (lz4) and re-crc
+    # lz4 (codec 3): the from-scratch frame codec round-trips
+    lz = encode_record_batch_v2(entries, base_offset=5, compression="lz4")
+    assert len(lz) < len(plain)
+    assert decode_record_batch_v2(_Reader(lz)) == [
+        (5 + i, k, v) for i, (k, v) in enumerate(entries)
+    ]
+    # unknown codec bits: flip attributes to 4 (zstd) and re-crc
     from event_stream_for_k8s_spark.sources.kafka_wire import _crc32c
 
     body = bytearray(gz)
     crc_part = bytearray(body[21:])
-    crc_part[1] = 3  # attributes low byte -> codec 3
+    crc_part[1] = 4  # attributes low byte -> codec 4
     body = body[:17] + struct.pack(">I", _crc32c(bytes(crc_part))) + crc_part
-    with pt.raises(NotImplementedError, match="codec 3"):
+    with pt.raises(NotImplementedError, match="codec 4"):
         decode_record_batch_v2(_Reader(bytes(body)))
 
-    with pt.raises(NotImplementedError, match="gzip/snappy only"):
+    with pt.raises(NotImplementedError, match="gzip/snappy/lz4 only"):
         encode_record_batch_v2(entries, compression="zstd")
 
     # v0 wrapper compression: set the attribute byte, re-crc
@@ -409,6 +416,168 @@ def test_snappy_codec_spec_vectors_and_roundtrip():
         z = snappy_compress(c)
         assert snappy_decompress(z) == c
     assert len(snappy_compress(b"x" * 100000)) < 6000  # it compresses
+
+
+def test_xxh32_spec_vectors():
+    """xxHash32 against the published spec sanity vectors — the frame
+    codec's header/block/content checksums are all defined over it."""
+    from event_stream_for_k8s_spark.functions.lz4_codec import xxh32
+
+    assert xxh32(b"") == 0x02CC5D05
+    assert xxh32(b"", 0x9E3779B1) == 0x36B78AE7  # seed = prime32-1
+    assert xxh32(b"a") == 0x550D7456
+    assert xxh32(b"abc") == 0x32D153FF
+    # >=16 bytes exercises the 4-lane stripe loop
+    assert xxh32(b"Call me Ishmael.") == xxh32(b"Call me Ishmael.")
+    assert xxh32(b"0123456789abcdef") != xxh32(b"0123456789abcdeg")
+
+
+def test_lz4_block_hand_built_spec_vectors():
+    """lz4_block_decompress against HAND-BUILT sequence streams per
+    lz4_Block_format.md — every element type (plain literals, match,
+    overlap run, literal- and match-length 255-extensions) plus the
+    malformed-input raises, independent of lz4_block_compress."""
+    import pytest as pt
+
+    from event_stream_for_k8s_spark.functions.lz4_codec import (
+        lz4_block_decompress,
+    )
+
+    # literal-only final sequence
+    assert lz4_block_decompress(bytes([0x30]) + b"abc") == b"abc"
+    # one match: 5 literals, offset 5, matchlen 4+0, final empty token
+    assert (
+        lz4_block_decompress(
+            bytes([0x50]) + b"abcde" + b"\x05\x00" + bytes([0x00])
+        )
+        == b"abcdeabcd"
+    )
+    # overlapping run: offset 2 < matchlen 6 replicates "ab"
+    assert (
+        lz4_block_decompress(
+            bytes([0x22]) + b"ab" + b"\x02\x00" + bytes([0x00])
+        )
+        == b"abababab"
+    )
+    # literal length extension: 15 + 255 + 3 = 273 literals
+    lit = bytes(range(256)) + b"Q" * 17
+    assert (
+        lz4_block_decompress(bytes([0xF0, 255, 3]) + lit) == lit
+    )
+    # match length extension: 4 + 15 + 255 + 7 = 281 from offset 1
+    out = lz4_block_decompress(
+        bytes([0x1F]) + b"z" + b"\x01\x00" + bytes([255, 7, 0x00])
+    )
+    assert out == b"z" * 282
+    # dependent-block history: the match reaches into the prefix
+    assert (
+        lz4_block_decompress(
+            bytes([0x00]) + b"\x04\x00" + bytes([0x00]), prefix=b"abcd"
+        )
+        == b"abcd"
+    )
+    for bad, msg in [
+        (b"", "empty block"),
+        (bytes([0x50]) + b"ab", "truncated literals"),
+        (bytes([0x10]) + b"a" + b"\x09\x00" + bytes([0x00]), "offset out of range"),
+        (bytes([0x10]) + b"a" + b"\x00\x00" + bytes([0x00]), "offset out of range"),
+        (bytes([0x10]) + b"a" + b"\x01", "truncated match offset"),
+        (bytes([0xF0, 255]), "truncated literal length"),
+        (bytes([0x1F]) + b"z" + b"\x01\x00" + bytes([255]), "truncated match length"),
+    ]:
+        with pt.raises(ValueError, match=msg):
+            lz4_block_decompress(bad)
+
+
+def test_lz4_frame_hand_built_and_features():
+    """lz4_frame_decompress against hand-assembled frames: computed
+    header-checksum byte, stored (uncompressed) blocks, skippable
+    frames, dependent blocks across a block boundary, and the
+    checksum/structure raises."""
+    import pytest as pt
+
+    from event_stream_for_k8s_spark.functions.lz4_codec import (
+        lz4_frame_decompress,
+        xxh32,
+    )
+
+    def frame(flg, blocks, tail=b"", bd=0x40):
+        desc = bytes([flg, bd])
+        hc = (xxh32(desc) >> 8) & 0xFF
+        out = b"\x04\x22\x4d\x18" + desc + bytes([hc])
+        for stored, payload in blocks:
+            size = len(payload) | (0x80000000 if stored else 0)
+            out += size.to_bytes(4, "little") + payload
+        return out + b"\x00\x00\x00\x00" + tail
+
+    blk = bytes([0x30]) + b"abc"  # hand block from the vector test
+    assert lz4_frame_decompress(frame(0x60, [(False, blk)])) == b"abc"
+    # stored block (high size bit): payload passed through verbatim
+    assert lz4_frame_decompress(frame(0x60, [(True, b"RAW!")])) == b"RAW!"
+    # skippable frame before a real one
+    skip = b"\x50\x2a\x4d\x18" + (3).to_bytes(4, "little") + b"xyz"
+    assert (
+        lz4_frame_decompress(skip + frame(0x60, [(False, blk)])) == b"abc"
+    )
+    # dependent blocks (B.Indep off): block 2's match copies block 1's
+    # decompressed output
+    dep2 = bytes([0x00]) + b"\x04\x00" + bytes([0x00])
+    assert (
+        lz4_frame_decompress(
+            frame(0x40, [(True, b"abcd"), (False, dep2)])
+        )
+        == b"abcdabcd"
+    )
+    # content checksum verified (append the right one, then a wrong one)
+    good = frame(0x64, [(False, blk)], tail=xxh32(b"abc").to_bytes(4, "little"))
+    assert lz4_frame_decompress(good) == b"abc"
+    with pt.raises(ValueError, match="content checksum"):
+        lz4_frame_decompress(good[:-4] + b"\x00\x00\x00\x00")
+    # header checksum byte is actually checked
+    bad_hc = bytearray(frame(0x60, [(False, blk)]))
+    bad_hc[6] ^= 0xFF
+    with pt.raises(ValueError, match="header checksum"):
+        lz4_frame_decompress(bytes(bad_hc))
+    with pt.raises(ValueError, match="bad frame magic"):
+        lz4_frame_decompress(b"\x00\x00\x00\x00" + b"junk")
+    # dictionary frames stay at the declared boundary
+    with pt.raises(NotImplementedError, match="dictionary"):
+        lz4_frame_decompress(frame(0x61, [(False, blk)]))
+
+
+def test_lz4_codec_roundtrip():
+    """lz4_frame_compress -> lz4_frame_decompress identity across
+    content classes and flag combinations, genuinely compressing on
+    repetitive input and storing incompressible blocks raw."""
+    import os
+    import random
+
+    from event_stream_for_k8s_spark.functions.lz4_codec import (
+        lz4_frame_compress,
+        lz4_frame_decompress,
+    )
+
+    rng = random.Random(11)
+    cases = [
+        b"",
+        b"a",
+        b"abcd" * 1000,
+        os.urandom(5000),
+        bytes(rng.randrange(4) for _ in range(20000)),
+        b"x" * 200000,  # spans multiple 64 KiB blocks
+        os.urandom(70000),
+    ]
+    for c in cases:
+        assert lz4_frame_decompress(lz4_frame_compress(c)) == c
+        assert (
+            lz4_frame_decompress(
+                lz4_frame_compress(
+                    c, block_checksum=True, content_size=True
+                )
+            )
+            == c
+        )
+    assert len(lz4_frame_compress(b"x" * 200000)) < 2000  # it compresses
 
 
 def test_api_versions_and_list_offsets(broker):
