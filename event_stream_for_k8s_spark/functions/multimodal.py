@@ -1349,7 +1349,59 @@ def _jpeg_prog_ac_refine(
             i += 1
 
 
-def decode_jpeg_image(b: bytes):
+def _jpeg_fancy_upsample_h(p):
+    """libjpeg h2v1 'fancy' (triangle-filter) horizontal 2x chroma
+    upsample, integer-exact to jdsample.c: out[2i] = (3*in[i] +
+    in[i-1] + 1) >> 2, out[2i+1] = (3*in[i] + in[i+1] + 2) >> 2, with
+    edge replication (which reduces the first/last outputs to the
+    input sample exactly, as the special-cased libjpeg columns do).
+    ``p`` is an integer (H, Wc) array of rounded samples."""
+    import numpy as np
+
+    prev = np.concatenate([p[:, :1], p[:, :-1]], axis=1)
+    nxt = np.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+    out = np.empty((p.shape[0], 2 * p.shape[1]), dtype=p.dtype)
+    out[:, 0::2] = (3 * p + prev + 1) >> 2
+    out[:, 1::2] = (3 * p + nxt + 2) >> 2
+    return out
+
+
+def _jpeg_fancy_upsample_v(p):
+    """The vertical twin of :func:`_jpeg_fancy_upsample_h` (h1v2)."""
+    import numpy as np
+
+    up = np.concatenate([p[:1], p[:-1]], axis=0)
+    down = np.concatenate([p[1:], p[-1:]], axis=0)
+    out = np.empty((2 * p.shape[0], p.shape[1]), dtype=p.dtype)
+    out[0::2] = (3 * p + up + 1) >> 2
+    out[1::2] = (3 * p + down + 2) >> 2
+    return out
+
+
+def _jpeg_fancy_upsample_hv(p):
+    """libjpeg h2v2 'fancy' 2x2 chroma upsample, integer-exact to
+    jdsample.c: per output row a 3:1 vertical column sum toward the
+    nearer input row, then the horizontal triangle over the 16-scaled
+    sums with the +8/+7 rounding split (NOT separable into two 2x
+    passes — the rounding differs). Edge replication again reproduces
+    the special-cased first/last columns exactly: (4*cs + 8) >> 4 and
+    (4*cs + 7) >> 4."""
+    import numpy as np
+
+    up = np.concatenate([p[:1], p[:-1]], axis=0)
+    down = np.concatenate([p[1:], p[-1:]], axis=0)
+    cs = np.empty((2 * p.shape[0], p.shape[1]), dtype=p.dtype)
+    cs[0::2] = 3 * p + up
+    cs[1::2] = 3 * p + down
+    prev = np.concatenate([cs[:, :1], cs[:, :-1]], axis=1)
+    nxt = np.concatenate([cs[:, 1:], cs[:, -1:]], axis=1)
+    out = np.empty((cs.shape[0], 2 * cs.shape[1]), dtype=p.dtype)
+    out[:, 0::2] = (3 * cs + prev + 8) >> 4
+    out[:, 1::2] = (3 * cs + nxt + 7) >> 4
+    return out
+
+
+def decode_jpeg_image(b: bytes, chroma_upsample: str = "replicate"):
     """Baseline-DCT JPEG decoder (stdlib+numpy): marker walk,
     DQT/DHT/SOF0/SOS parse, Huffman entropy decode with byte
     unstuffing and RSTn handling, dequantize, dezigzag, float IDCT,
@@ -1366,7 +1418,16 @@ def decode_jpeg_image(b: bytes):
     across scans into the same IDCT tail. Extended sequential (SOF1,
     8-bit) decodes as baseline. 12-bit, arithmetic-coded, lossless
     and hierarchical streams raise NotImplementedError — the declared
-    external-codec boundary."""
+    external-codec boundary.
+
+    ``chroma_upsample`` selects how subsampled chroma is restored to
+    luma resolution: ``"replicate"`` (default — sample replication,
+    the inverse of this package's encoders, keeping self round trips
+    integer-exact) or ``"fancy"`` (the libjpeg-default triangle
+    filter, integer-exact to jdsample.c's h2v1/h1v2/h2v2 kernels over
+    the rounded chroma samples — how libjpeg-decoded foreign 4:2:0/
+    4:2:2 JPEGs actually render; 4x ratios fall back to
+    replication)."""
     import numpy as np
 
     if b[:2] != b"\xff\xd8":
@@ -1600,10 +1661,23 @@ def decode_jpeg_image(b: bytes):
             .reshape(bpc * 8, bpr * 8)
         )
         if hs < hmax or vs < vmax:
-            # sample-replication upsample back to luma resolution
-            grid = np.repeat(
-                np.repeat(grid, vmax // vs, axis=0), hmax // hs, axis=1
-            )
+            hr, vr = hmax // hs, vmax // vs
+            if chroma_upsample == "fancy" and hr <= 2 and vr <= 2:
+                # libjpeg triangle filter over ROUNDED samples (the
+                # filter is defined on integer JSAMPLEs)
+                g = np.clip(np.rint(grid), 0, 255).astype(np.int64)
+                if hr == 2 and vr == 2:
+                    g = _jpeg_fancy_upsample_hv(g)
+                elif hr == 2:
+                    g = _jpeg_fancy_upsample_h(g)
+                elif vr == 2:
+                    g = _jpeg_fancy_upsample_v(g)
+                grid = g.astype(np.float64)
+            else:
+                # sample-replication upsample back to luma resolution
+                grid = np.repeat(
+                    np.repeat(grid, vr, axis=0), hr, axis=1
+                )
         planes[cid] = grid[:height, :width]
     if len(sof_comps) == 1:
         plane = planes[sof_comps[0][0]]

@@ -616,6 +616,68 @@ def test_jpeg_progressive_roundtrip_matches_baseline():
         ).all()
 
 
+def test_jpeg_fancy_chroma_upsample():
+    """The libjpeg-default 'fancy' (triangle) chroma upsample as a
+    decoder option (r15): kernels pinned against HAND-COMPUTED
+    jdsample.c arithmetic, constants are a fixed point (so gray
+    content decodes identically under both modes and the exact-oracle
+    self-round-trip default stays replicate), and on saturated-color
+    4:2:0 content the filter genuinely produces the interpolated
+    rendering, not replication."""
+    import numpy as np
+
+    from event_stream_for_k8s_spark.functions.multimodal import (
+        _jpeg_fancy_upsample_h,
+        _jpeg_fancy_upsample_hv,
+        _jpeg_fancy_upsample_v,
+        decode_jpeg_image,
+        encode_jpeg_color,
+    )
+
+    # h2v1: out[2i] = (3c+prev+1)>>2, out[2i+1] = (3c+next+2)>>2
+    row = np.array([[10, 20]], dtype=np.int64)
+    assert _jpeg_fancy_upsample_h(row).tolist() == [[10, 13, 17, 20]]
+    assert _jpeg_fancy_upsample_v(row.T).T.tolist() == [[10, 13, 17, 20]]
+    # h2v2: 3:1 column sums then the +8/+7 horizontal split — NOT two
+    # separable 2x passes; hand-computed from jdsample.c
+    col = np.array([[0], [16]], dtype=np.int64)
+    assert _jpeg_fancy_upsample_hv(col).tolist() == [
+        [0, 0], [4, 4], [12, 12], [16, 16]
+    ]
+    # constants are a fixed point of every kernel
+    const = np.full((3, 4), 77, dtype=np.int64)
+    assert (_jpeg_fancy_upsample_hv(const) == 77).all()
+    assert (_jpeg_fancy_upsample_h(const) == 77).all()
+    assert (_jpeg_fancy_upsample_v(const) == 77).all()
+
+    # gray content (neutral chroma): both modes decode identically,
+    # so the integer-exact oracle family is untouched by the option
+    rng = np.random.default_rng(15)
+    gray3 = np.repeat(
+        rng.integers(0, 256, (16, 16, 1), dtype=np.uint8), 3, axis=2
+    )
+    enc = encode_jpeg_color(gray3, 8, subsampling="420")
+    assert (
+        decode_jpeg_image(enc, chroma_upsample="fancy")
+        == decode_jpeg_image(enc)
+    ).all()
+
+    # saturated color: fancy genuinely interpolates (differs from
+    # replication) while staying a valid raster
+    color = np.zeros((16, 16, 3), dtype=np.uint8)
+    color[:, :8] = (255, 0, 0)
+    color[:, 8:] = (0, 0, 255)
+    enc = encode_jpeg_color(color, 8, subsampling="420")
+    rep = decode_jpeg_image(enc)
+    fan = decode_jpeg_image(enc, chroma_upsample="fancy")
+    assert fan.shape == rep.shape and (fan != rep).any()
+    # 4:2:2 exercises the h-only kernel end to end
+    enc422 = encode_jpeg_color(color, 8, subsampling="422")
+    fan422 = decode_jpeg_image(enc422, chroma_upsample="fancy")
+    assert fan422.shape == rep.shape
+    assert (fan422 != decode_jpeg_image(enc422)).any()
+
+
 def test_jpeg_decode_through_decode_media(spark):
     """image/jpeg dispatches through the same mapInPandas decode path
     as PNG/PPM/WAV with the shared feature contract."""
