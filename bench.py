@@ -52,6 +52,12 @@ HEADLINE = [
     "llm_mm_phash",
     "llm_bpe_encode_docs",
     "llm_knn_ivfpq",
+    # r15 refresh (VERDICT r14 #6): the r14 production-relevant
+    # additions join the headline — the SQ8 memory tier and FastCDC
+    # sub-document chunking. Baseline-v2 rows recorded the same
+    # session the set changed (BASELINE.md r15 block).
+    "llm_knn_sq8",
+    "llm_dedup_chunks_cdc",
 ]
 
 

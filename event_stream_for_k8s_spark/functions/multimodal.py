@@ -1723,6 +1723,27 @@ _DECODERS = {
 }
 
 
+def spread_for_python_stage(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to full core width when the input has
+    FEWER partitions — the single-partition trap (r15): the test-SF
+    corpus parquet is one file, so an Arrow/mapInPandas codec stage
+    downstream would run on ONE core while 31 idle. One narrow keyless
+    shuffle of (doc_id, payload) buys full parallelism for the
+    Python-heavy stage; at production scale the scan already has many
+    partitions and this is a no-op (the condition keeps an
+    already-spread input — e.g. a post-shuffle relation — untouched,
+    so no gratuitous second shuffle of large blobs)."""
+    if df.isStreaming:
+        # a streaming relation has no static partition count to probe
+        # (df.rdd raises); micro-batch parallelism is the source's
+        # concern (maxFilesPerTrigger / kafka partitions), not ours
+        return df
+    ncores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < ncores:
+        return df.repartition(ncores)
+    return df
+
+
 def decode_media(df: DataFrame) -> DataFrame:
     """Decode binary payloads into fixed-size feature vectors.
 
@@ -1764,7 +1785,7 @@ def decode_media(df: DataFrame) -> DataFrame:
                 out["f3"].append(f3)
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(batches, DECODE_SCHEMA)
+    return spread_for_python_stage(df).mapInPandas(batches, DECODE_SCHEMA)
 
 
 RESIZE_SCHEMA = (
@@ -1820,7 +1841,7 @@ def resize_media(
                 out["checksum"].append(tot % 997)
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(batches, RESIZE_SCHEMA)
+    return spread_for_python_stage(df).mapInPandas(batches, RESIZE_SCHEMA)
 
 
 FRAMES_SCHEMA = (
@@ -1868,7 +1889,7 @@ def sample_frames(df: DataFrame, stride: int = 128) -> DataFrame:
                     out["checksum"].append(sum(frame) % 997)
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(batches, FRAMES_SCHEMA)
+    return spread_for_python_stage(df).mapInPandas(batches, FRAMES_SCHEMA)
 
 
 PHASH_SCHEMA = "doc_id bigint, phash bigint"
@@ -1977,7 +1998,7 @@ def dhash_media(df: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "phash": hashes}
             )
 
-    return df.mapInPandas(batches, PHASH_SCHEMA)
+    return spread_for_python_stage(df).mapInPandas(batches, PHASH_SCHEMA)
 
 
 AUDIO_FP_SCHEMA = "doc_id bigint, afp bigint"
@@ -2045,7 +2066,7 @@ def audio_fp_media(df: DataFrame, frame: int = 32) -> DataFrame:
                 fps = [audio_fp(s, frame) for s in sigs]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "afp": fps})
 
-    return df.mapInPandas(batches, AUDIO_FP_SCHEMA)
+    return spread_for_python_stage(df).mapInPandas(batches, AUDIO_FP_SCHEMA)
 
 
 def encode_y4m(frames, width: int, height: int) -> bytes:
@@ -2260,4 +2281,4 @@ def mm_signatures(df: DataFrame) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(batches, MM_SIG_SCHEMA)
+    return spread_for_python_stage(df).mapInPandas(batches, MM_SIG_SCHEMA)

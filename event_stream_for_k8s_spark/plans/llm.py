@@ -94,6 +94,20 @@ CDC_STRICT = 2 * CDC_AVG  # divisor while chunk length <= AVG
 CDC_LOOSE = max(CDC_AVG // 2, 1)  # divisor past AVG
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """functions.multimodal.spread_for_python_stage, re-exported for
+    the plans that feed a raw corpus scan straight into an Arrow/
+    mapInPandas stage: the test-SF corpus parquet is one file -> one
+    partition, and a Python-heavy stage on one core while 31 idle is
+    the single-partition trap (r11 BPE precedent, r15 media sweep).
+    No-op on inputs that already have full-width partitioning."""
+    from event_stream_for_k8s_spark.functions.multimodal import (
+        spread_for_python_stage,
+    )
+
+    return spread_for_python_stage(df)
+
+
 # --------------------------------------------------------------------------
 # Deduplication family
 # --------------------------------------------------------------------------
@@ -437,7 +451,7 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sigs.append(sig)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": sigs})
 
-    return d.mapInPandas(batches, "doc_id bigint, simhash bigint")
+    return _spread(d).mapInPandas(batches, "doc_id bigint, simhash bigint")
 
 
 _SIMHASH32_ORACLE = f"""
@@ -2968,7 +2982,7 @@ def llm_mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    mm = src.mapInPandas(enc, "doc_id bigint, payload binary, mime string")
+    mm = _spread(src).mapInPandas(enc, "doc_id bigint, payload binary, mime string")
     return decode_media(mm).select(
         "doc_id", "mime", "f0", "f1", "f2", "f3"
     )
@@ -3068,7 +3082,7 @@ def llm_mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return src.mapInPandas(
+    return _spread(src).mapInPandas(
         work,
         "doc_id bigint, width int, height int, sum_px bigint, "
         "max_px int, ac_abs64 bigint",
@@ -3183,7 +3197,7 @@ def llm_mm_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["n_offgray"].append(offgray)
             yield pd.DataFrame(out)
 
-    return src.mapInPandas(
+    return _spread(src).mapInPandas(
         work,
         "doc_id bigint, width int, height int, sum_r bigint, "
         "max_px int, ac_abs64 bigint, n_offgray bigint",
@@ -3297,7 +3311,7 @@ def llm_mm_decode_jpeg_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["n_offgray"].append(offgray)
             yield pd.DataFrame(out)
 
-    return src.mapInPandas(
+    return _spread(src).mapInPandas(
         work,
         "doc_id bigint, width int, height int, sum_r bigint, "
         "max_px int, ac_abs64 bigint, n_offgray bigint",
@@ -3697,7 +3711,7 @@ def _audio_fp_corpus(d: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "payload": payloads}
             )
 
-    mm = src.mapInPandas(enc, "doc_id bigint, payload binary")
+    mm = _spread(src).mapInPandas(enc, "doc_id bigint, payload binary")
     return audio_fp_media(mm)
 
 
@@ -3854,7 +3868,7 @@ def _video_sig_corpus(d: DataFrame) -> DataFrame:
                 }
             )
 
-    return src.mapInPandas(
+    return _spread(src).mapInPandas(
         work, "doc_id bigint, frame_id int, phash bigint"
     )
 
