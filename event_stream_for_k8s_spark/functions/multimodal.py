@@ -1724,24 +1724,15 @@ _DECODERS = {
 
 
 def spread_for_python_stage(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to full core width when the input has
-    FEWER partitions — the single-partition trap (r15): the test-SF
-    corpus parquet is one file, so an Arrow/mapInPandas codec stage
-    downstream would run on ONE core while 31 idle. One narrow keyless
-    shuffle of (doc_id, payload) buys full parallelism for the
-    Python-heavy stage; at production scale the scan already has many
-    partitions and this is a no-op (the condition keeps an
-    already-spread input — e.g. a post-shuffle relation — untouched,
-    so no gratuitous second shuffle of large blobs)."""
-    if df.isStreaming:
-        # a streaming relation has no static partition count to probe
-        # (df.rdd raises); micro-batch parallelism is the source's
-        # concern (maxFilesPerTrigger / kafka partitions), not ours
-        return df
-    ncores = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < ncores:
-        return df.repartition(ncores)
-    return df
+    """The media helpers' entry to the shared partition-width
+    discipline (see functions/partitioning.py + SCALING.md §18): the
+    Arrow codec stages below must never run on a one-file scan's
+    single partition."""
+    from event_stream_for_k8s_spark.functions.partitioning import (
+        spread_to_cores,
+    )
+
+    return spread_to_cores(df)
 
 
 def decode_media(df: DataFrame) -> DataFrame:

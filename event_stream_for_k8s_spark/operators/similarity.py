@@ -19,6 +19,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from event_stream_for_k8s_spark.functions.partitioning import (
+    spread_to_cores,
+)
 from event_stream_for_k8s_spark.functions.vectors import cosine
 from event_stream_for_k8s_spark.operators.topk import top_k_per_group
 
@@ -34,6 +37,9 @@ def knn_brute(
     round_dp: int = 6,
 ) -> DataFrame:
     """Exact cosine top-k; queries must be broadcast-sized."""
+    # the compute-dense nested-loop scan must not run on a one-file
+    # scan's single partition (SCALING.md §18); no-op at real scale
+    corpus = spread_to_cores(corpus)
     sim = F.round(cosine(F.col(q_vec), F.col(c_vec)), round_dp)
     pairs = (
         corpus.crossJoin(F.broadcast(queries))
@@ -93,6 +99,7 @@ def knn_lsh(
 
     if corpus.isEmpty() or queries.isEmpty():
         return _empty_knn_result(queries, q_id, corpus, c_id)
+    corpus = spread_to_cores(corpus)
     q = _to_ml_vectors(queries.withColumnRenamed(q_vec, "__raw"), "__raw")
     c = _to_ml_vectors(corpus.withColumnRenamed(c_vec, "__raw"), "__raw")
     lsh = BucketedRandomProjectionLSH(
@@ -133,6 +140,7 @@ def knn_ivf(
 
     if corpus.isEmpty() or queries.isEmpty():
         return _empty_knn_result(queries, q_id, corpus, c_id)
+    corpus = spread_to_cores(corpus)
     c = _to_ml_vectors(corpus, c_vec)
     km = KMeans(k=n_cells, seed=42, featuresCol="__v", predictionCol="cell")
     model = km.fit(c)
@@ -469,6 +477,7 @@ def knn_pq(
     # dim comes from the training sample already collected — the
     # array<float> schema doesn't carry it, and probing .first() would
     # cost one extra Spark job per call (VERDICT r03 "What's wrong" #2)
+    corpus = spread_to_cores(corpus)
     dim = train.shape[1]
     sub = dim // m
     assert sub * m == dim, f"dim {dim} not divisible by m={m}"
@@ -644,6 +653,7 @@ def knn_ivfpq(
 
     if corpus.isEmpty() or queries.isEmpty():
         return _empty_knn_result(queries, q_id, corpus, c_id)
+    corpus = spread_to_cores(corpus)
 
     # --- IVF half: coarse quantizer + per-query probe list ----------
     c = _to_ml_vectors(corpus, c_vec)
@@ -915,6 +925,7 @@ def knn_sq8(
     codegen; only the d-row calibration touches the driver."""
     if corpus.isEmpty() or queries.isEmpty():
         return _empty_knn_result(queries, q_id, corpus, c_id)
+    corpus = spread_to_cores(corpus)
     # The query set is the broadcast side — the ANN serving contract is
     # that queries are SMALL. Guard it so misuse (a corpus passed as
     # queries) raises instead of OOMing the broadcast, mirroring the
@@ -972,6 +983,7 @@ def knn_ivfsq8(
 
     if corpus.isEmpty() or queries.isEmpty():
         return _empty_knn_result(queries, q_id, corpus, c_id)
+    corpus = spread_to_cores(corpus)
     max_queries = 100_000
     if queries.limit(max_queries + 1).count() > max_queries:
         raise ValueError(

@@ -255,17 +255,15 @@ def source_kafka_wire_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         client = KafkaWireClient("127.0.0.1", broker.port)
         try:
             for p, comp in enumerate([None, "lz4", "snappy"]):
-                client.produce(
-                    "docs2",
-                    p,
-                    [
-                        (str(r["doc_id"]).encode(), r["v"].encode())
-                        for r in rows
-                        if r["doc_id"] % 3 == p
-                    ],
-                    magic=2,
-                    compression=comp,
-                )
+                entries = [
+                    (str(r["doc_id"]).encode(), r["v"].encode())
+                    for r in rows
+                    if r["doc_id"] % 3 == p
+                ]
+                if entries:  # a producer never ships an empty batch
+                    client.produce(
+                        "docs2", p, entries, magic=2, compression=comp
+                    )
         finally:
             client.close()
         register(spark)
