@@ -580,6 +580,43 @@ def test_lz4_codec_roundtrip():
     assert len(lz4_frame_compress(b"x" * 200000)) < 2000  # it compresses
 
 
+def test_lz4_roundtrip_property():
+    """Hypothesis property: lz4 frame compress -> decompress is the
+    identity for ANY byte string (random, repetitive, tiny-alphabet —
+    the tiny-alphabet class maximizes match density and overlap runs),
+    under every checksum/size flag combination. Pure Python, so the
+    example budget is cheap."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from event_stream_for_k8s_spark.functions.lz4_codec import (
+        lz4_frame_compress,
+        lz4_frame_decompress,
+    )
+
+    payloads = st.one_of(
+        st.binary(max_size=3000),
+        st.binary(min_size=1, max_size=8).flatmap(
+            lambda unit: st.integers(1, 400).map(lambda n: unit * n)
+        ),
+        st.lists(st.sampled_from([b"ab", b"a", b"abc", b"\x00"]))
+        .map(b"".join),
+    )
+
+    @given(data=payloads, bc=st.booleans(), cc=st.booleans(), cs=st.booleans())
+    @settings(max_examples=200, deadline=None)
+    def prop(data, bc, cc, cs):
+        frame = lz4_frame_compress(
+            data,
+            block_checksum=bc,
+            content_checksum=cc,
+            content_size=cs,
+        )
+        assert lz4_frame_decompress(frame) == data
+
+    prop()
+
+
 def test_api_versions_and_list_offsets(broker):
     """ApiVersions (the first request a real client sends) and
     ListOffsets v0 (earliest/latest seek) over TCP; fetch_all now

@@ -616,6 +616,62 @@ def test_jpeg_progressive_roundtrip_matches_baseline():
         ).all()
 
 
+def test_jpeg_progressive_script_property():
+    """Hypothesis property: for ANY image content, size, quant and any
+    spec-valid successive-approximation scan script (random band split,
+    random DC/AC precision ladders), the progressive round trip decodes
+    BIT-EXACTLY to the baseline round trip — the coefficients are the
+    same, only their bit arrival order differs. Pure-Python codec, so
+    examples are cheap."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from event_stream_for_k8s_spark.functions.multimodal import (
+        decode_jpeg_image,
+        encode_jpeg_gray,
+        encode_jpeg_prog,
+    )
+
+    def build_script(split, al_dc, al_ac):
+        script = [((0,), 0, 0, 0, al_dc)]
+        for a in range(al_dc - 1, -1, -1):
+            script.append(((0,), 0, 0, a + 1, a))
+        script.append(((0,), 1, split, 0, al_ac))
+        script.append(((0,), split + 1, 63, 0, al_ac))
+        for a in range(al_ac - 1, -1, -1):
+            script.append(((0,), 1, 63, a + 1, a))
+        return script
+
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        quant=st.sampled_from([1, 4, 8, 32]),
+        split=st.integers(1, 62),
+        al_dc=st.integers(0, 3),
+        al_ac=st.integers(0, 3),
+        seed=st.integers(0, 2**31 - 1),
+        flat=st.booleans(),
+    )
+    @settings(max_examples=60, deadline=None)
+    def prop(h, w, quant, split, al_dc, al_ac, seed, flat):
+        rng = np.random.default_rng(seed)
+        img = (
+            np.full((h, w), int(rng.integers(0, 256)), dtype=np.uint8)
+            if flat  # flat images maximize EOB-run coverage
+            else rng.integers(0, 256, (h, w), dtype=np.uint8)
+        )
+        base = decode_jpeg_image(encode_jpeg_gray(img, quant))
+        prog = decode_jpeg_image(
+            encode_jpeg_prog(
+                img, quant, script=build_script(split, al_dc, al_ac)
+            )
+        )
+        assert (base == prog).all()
+
+    prop()
+
+
 def test_jpeg_fancy_chroma_upsample():
     """The libjpeg-default 'fancy' (triangle) chroma upsample as a
     decoder option (r15): kernels pinned against HAND-COMPUTED
