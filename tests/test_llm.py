@@ -157,7 +157,7 @@ def test_multimodal_decode_real_formats(spark):
         [(3, bytearray(b"\xff\xd8\xff"), "image/jpeg", {})],
         "doc_id bigint, payload binary, mime string, meta map<string,string>",
     )
-    with pytest.raises(Exception, match="JPEG missing SOF0 or SOS"):
+    with pytest.raises(Exception, match="JPEG missing SOF or SOS"):
         decode_media(jpeg).collect()
     mp4 = spark.createDataFrame(
         [(4, bytearray(b"\x00\x00\x00\x18ftypmp42"), "video/mp4", {})],
