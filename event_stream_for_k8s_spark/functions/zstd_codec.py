@@ -1,0 +1,737 @@
+"""From-scratch Zstandard codec (stdlib-only): a full RFC 8878
+DECODER and a store-mode encoder.
+
+Kafka record batches with attributes codec 4 carry a zstd frame.
+The decoder implements the complete single-frame format:
+
+- frame header (magic, FHD flags, window descriptor, content size),
+  skippable frames, content checksum (low 32 bits of XXH64 —
+  implemented here from the published spec);
+- Raw / RLE / Compressed blocks;
+- literals sections: Raw, RLE, Huffman-compressed (1- and 4-stream,
+  tree described by direct 4-bit weights OR by the FSE-compressed
+  two-state interleaved weight stream) and Treeless (previous table);
+- sequences sections: Predefined / RLE / FSE_Compressed / Repeat
+  modes per LL/OF/ML, the backward bitstream with three interleaved
+  FSE states, offset codes with the three-slot repcode history
+  including the literals_length==0 index shift and the repcode-1
+  minus-one case;
+- sequence execution with overlapping matches.
+
+The encoder emits spec-legal STORE-mode frames (Raw/RLE blocks, one
+per 128 KiB, optional content checksum + content size): always
+valid, never expanding beyond the per-block 3-byte header — the
+write half a transport demo needs. Real compression stays on the
+decode path, which is what a consumer of foreign producers requires.
+
+Parity is pinned THREE ways (tests/test_kafka_wire.py): hand-built
+spec vectors (RLE/Raw blocks, direct-weight Huffman, predefined
+sequences, error paths), round trips through this module, and —
+uniquely among the from-scratch codecs here — DIFFERENTIAL tests
+against a real implementation: pyarrow bundles libzstd, so
+libzstd-compressed frames at several levels must decode byte-exactly
+here, and this encoder's checksummed frames must decompress under
+libzstd (which verifies the XXH64 checksum, pinning that too).
+
+Dictionaries raise NotImplementedError — the declared boundary.
+"""
+
+from __future__ import annotations
+
+# ------------------------------------------------------------ xxh64
+
+_P64_1 = 0x9E3779B185EBCA87
+_P64_2 = 0xC2B2AE3D27D4EB4F
+_P64_3 = 0x165667B19E3779F9
+_P64_4 = 0x85EBCA77C2B2AE63
+_P64_5 = 0x27D4EB2F165667C5
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _round64(acc: int, lane: int) -> int:
+    return (_rotl64((acc + lane * _P64_2) & _M64, 31) * _P64_1) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """xxHash64 per the published spec; the zstd content checksum is
+    its low 32 bits."""
+    i, n = 0, len(data)
+    if n >= 32:
+        v1 = (seed + _P64_1 + _P64_2) & _M64
+        v2 = (seed + _P64_2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P64_1) & _M64
+        while i + 32 <= n:
+            v1 = _round64(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _round64(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _round64(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _round64(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (
+            _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)
+        ) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _round64(0, v)) * _P64_1 + _P64_4) & _M64
+    else:
+        h = (seed + _P64_5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = _round64(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (_rotl64(h ^ k, 27) * _P64_1 + _P64_4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h = (
+            _rotl64(h ^ (int.from_bytes(data[i : i + 4], "little") * _P64_1) & _M64, 23)
+            * _P64_2
+            + _P64_3
+        ) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl64(h ^ (data[i] * _P64_5) & _M64, 11) * _P64_1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P64_2) & _M64
+    h ^= h >> 29
+    h = (h * _P64_3) & _M64
+    h ^= h >> 32
+    return h
+
+
+# ------------------------------------------------- bitstream readers
+
+
+class _FwdBits:
+    """Forward little-endian bit reader (FSE table descriptions are
+    read this way, starting at a byte boundary)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # in bits
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        pos = self.pos
+        end = (pos + n + 7) >> 3
+        if end > len(self.data):
+            raise ValueError("zstd: truncated forward bitstream")
+        chunk = int.from_bytes(self.data[pos >> 3 : end], "little")
+        self.pos += n
+        return (chunk >> (pos & 7)) & ((1 << n) - 1)
+
+    def bytes_consumed(self) -> int:
+        return (self.pos + 7) >> 3
+
+
+class _BackBits:
+    """Backward bit reader over one entropy-coded segment: the writer
+    appends bits low-to-high; a final 1-bit sentinel marks the end of
+    the stream in the last byte; the reader starts just below the
+    sentinel and walks toward bit 0, first-read bit = MSB of each
+    returned value."""
+
+    def __init__(self, data: bytes):
+        if not data or data[-1] == 0:
+            raise ValueError("zstd: corrupted bitstream padding")
+        self.data = data
+        self.bits = 8 * (len(data) - 1) + data[-1].bit_length() - 1
+
+    def read(self, n: int) -> int:
+        """Read n bits; bits past the start of the stream read as 0
+        (the FSE/Huffman tail convention); self.bits may go negative
+        and is the exhaustion signal the decoders test."""
+        self.bits -= n
+        if n == 0:
+            return 0
+        pos = self.bits
+        if pos <= -64:
+            raise ValueError("zstd: bitstream exhausted")
+        if pos < 0:
+            chunk = int.from_bytes(self.data[0 : (n + 7) >> 3], "little")
+            return (chunk << -pos) & ((1 << n) - 1)
+        end = (pos + n + 7) >> 3
+        chunk = int.from_bytes(self.data[pos >> 3 : end], "little")
+        return (chunk >> (pos & 7)) & ((1 << n) - 1)
+
+
+# ----------------------------------------------------------- FSE
+
+
+def _fse_read_distribution(fb: _FwdBits, max_symbol: int, max_al: int):
+    """Read an FSE table description (RFC 8878 §4.1.1): accuracy log,
+    then variable-width normalized probabilities with the small-value
+    one-bit saving and the prob-0 2-bit repeat runs."""
+    al = fb.read(4) + 5
+    if al > max_al:
+        raise ValueError(f"zstd: accuracy log {al} > max {max_al}")
+    remaining = (1 << al) + 1
+    probs: list[int] = []
+    while remaining > 1:
+        if len(probs) > max_symbol:
+            raise ValueError("zstd: too many FSE symbols")
+        nbits = remaining.bit_length()
+        low = fb.read(nbits - 1)
+        threshold = (1 << nbits) - 1 - remaining
+        if low < threshold:
+            val = low
+        else:
+            val = low | (fb.read(1) << (nbits - 1))
+            if val >> (nbits - 1):
+                # extra bit set: the high range wraps back by threshold
+                val -= threshold
+        p = val - 1
+        probs.append(p)
+        remaining -= p if p > 0 else (1 if p < 0 else 0)
+        if p == 0:
+            while True:
+                rep = fb.read(2)
+                probs.extend([0] * rep)
+                if rep != 3:
+                    break
+    if remaining != 1:
+        raise ValueError("zstd: FSE distribution does not sum to table size")
+    return al, probs
+
+
+def _fse_build_dtable(probs, al: int):
+    """Normalized probabilities -> (symbol, nbits, baseline) decode
+    arrays (spec §4.1.1 spread + state assignment; -1 probabilities
+    take one cell each from the top with a full-accuracy reset)."""
+    size = 1 << al
+    symbols = [0] * size
+    high = size - 1
+    for s, p in enumerate(probs):
+        if p == -1:
+            symbols[high] = s
+            high -= 1
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    pos = 0
+    for s, p in enumerate(probs):
+        for _ in range(max(p, 0)):
+            symbols[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    if pos != 0:
+        raise ValueError("zstd: FSE table spread desync")
+    desc = [p if p > 0 else 1 for p in probs] + [1] * 64
+    counter = list(desc)
+    nbits = [0] * size
+    base = [0] * size
+    for i in range(size):
+        s = symbols[i]
+        d = counter[s]
+        counter[s] += 1
+        nb = al - (d.bit_length() - 1)
+        nbits[i] = nb
+        base[i] = (d << nb) - size
+    return symbols, nbits, base
+
+
+# Predefined distributions (RFC 8878 §3.1.1.3.2.2)
+_LL_DEFAULT = (
+    [4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2, 2, 2,
+     2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1],
+    6,
+)
+_ML_DEFAULT = (
+    [1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, -1, -1, -1, -1, -1, -1, -1],
+    6,
+)
+_OF_DEFAULT = (
+    [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, -1, -1, -1, -1, -1],
+    5,
+)
+
+# Literals-length code -> (baseline, extra bits) for codes >= 16
+_LL_EXTRA = [
+    (16, 1), (18, 1), (20, 1), (22, 1), (24, 2), (28, 2), (32, 3),
+    (40, 3), (48, 4), (64, 6), (128, 7), (256, 8), (512, 9), (1024, 10),
+    (2048, 11), (4096, 12), (8192, 13), (16384, 14), (32768, 15),
+    (65536, 16),
+]
+# Match-length code -> (baseline, extra bits) for codes >= 32
+_ML_EXTRA = [
+    (35, 1), (37, 1), (39, 1), (41, 1), (43, 2), (47, 2), (51, 3),
+    (59, 3), (67, 4), (83, 4), (99, 5), (131, 7), (259, 8), (515, 9),
+    (1027, 10), (2051, 11), (4099, 12), (8195, 13), (16387, 14),
+    (32771, 15), (65539, 16),
+]
+
+
+def _ll_value(code: int, br: _BackBits) -> int:
+    if code < 16:
+        return code
+    if code > 35:
+        raise ValueError(f"zstd: invalid literals-length code {code}")
+    baseline, nb = _LL_EXTRA[code - 16]
+    return baseline + br.read(nb)
+
+
+def _ml_value(code: int, br: _BackBits) -> int:
+    if code < 32:
+        return code + 3
+    if code > 52:
+        raise ValueError(f"zstd: invalid match-length code {code}")
+    baseline, nb = _ML_EXTRA[code - 32]
+    return baseline + br.read(nb)
+
+
+# --------------------------------------------------------- Huffman
+
+
+def _huf_read_weights(data: bytes):
+    """Huffman_Tree_Description -> (weights list incl. the deduced
+    last one, bytes consumed). Header byte >= 128: direct 4-bit
+    weights; < 128: FSE-compressed two-state interleaved stream."""
+    if not data:
+        raise ValueError("zstd: missing Huffman tree description")
+    h = data[0]
+    if h >= 128:
+        n = h - 127
+        nbytes = (n + 1) // 2
+        if 1 + nbytes > len(data):
+            raise ValueError("zstd: truncated Huffman weights")
+        weights = []
+        for i in range(n):
+            b = data[1 + i // 2]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0x0F))
+        consumed = 1 + nbytes
+    else:
+        if 1 + h > len(data):
+            raise ValueError("zstd: truncated FSE weight stream")
+        blob = data[1 : 1 + h]
+        fb = _FwdBits(blob)
+        al, probs = _fse_read_distribution(fb, 255, 6)
+        symbols, nbits, base = _fse_build_dtable(probs, al)
+        br = _BackBits(blob[fb.bytes_consumed() :])
+        s1 = br.read(al)
+        s2 = br.read(al)
+        weights = []
+        while True:
+            weights.append(symbols[s1])
+            s1 = base[s1] + br.read(nbits[s1])
+            if br.bits < 0:
+                weights.append(symbols[s2])
+                break
+            weights.append(symbols[s2])
+            s2 = base[s2] + br.read(nbits[s2])
+            if br.bits < 0:
+                weights.append(symbols[s1])
+                break
+            if len(weights) > 255:
+                raise ValueError("zstd: too many Huffman weights")
+        consumed = 1 + h
+    # deduce the last weight: totals must complete a power of two
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0:
+        raise ValueError("zstd: empty Huffman tree")
+    max_bits = total.bit_length()
+    left = (1 << max_bits) - total
+    if left & (left - 1):
+        raise ValueError("zstd: corrupted Huffman weights")
+    weights.append(left.bit_length())
+    return weights, consumed
+
+
+def _huf_build_dtable(weights):
+    """Weights -> (symbols, nbits, max_bits) flat decode table of size
+    2^max_bits: symbols orderd by increasing weight (longest codes at
+    the low indices), natural order within a weight, each spanning
+    2^(weight-1) cells."""
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0 or total & (total - 1):
+        raise ValueError("zstd: Huffman weights do not sum to a power of 2")
+    max_bits = total.bit_length() - 1
+    size = 1 << max_bits
+    symbols = [0] * size
+    nbits = [0] * size
+    pos = 0
+    for w in range(1, max_bits + 1):
+        span = 1 << (w - 1)
+        nb = max_bits + 1 - w
+        for sym, sw in enumerate(weights):
+            if sw == w:
+                for _ in range(span):
+                    symbols[pos] = sym
+                    nbits[pos] = nb
+                    pos += 1
+    if pos != size:
+        raise ValueError("zstd: Huffman table underfilled")
+    return symbols, nbits, max_bits
+
+
+def _huf_decode_stream(data: bytes, out_len: int, table) -> bytes:
+    symbols, nbits, max_bits = table
+    br = _BackBits(data)
+    out = bytearray()
+    while len(out) < out_len:
+        idx = br.read(max_bits)
+        out.append(symbols[idx])
+        br.bits += max_bits - nbits[idx]  # consume only the code length
+        if br.bits < 0:
+            raise ValueError("zstd: Huffman stream exhausted early")
+    return bytes(out)
+
+
+# ------------------------------------------------ compressed blocks
+
+
+def _decode_literals(block: bytes, ctx: dict):
+    """Literals_Section -> (literals bytes, bytes consumed)."""
+    if not block:
+        raise ValueError("zstd: empty compressed block")
+    b0 = block[0]
+    lb_type = b0 & 3
+    size_format = (b0 >> 2) & 3
+    if lb_type in (0, 1):  # Raw / RLE
+        if size_format in (0, 2):
+            rs = b0 >> 3
+            hdr = 1
+        elif size_format == 1:
+            if len(block) < 2:
+                raise ValueError("zstd: truncated literals header")
+            rs = (b0 >> 4) | (block[1] << 4)
+            hdr = 2
+        else:
+            if len(block) < 3:
+                raise ValueError("zstd: truncated literals header")
+            rs = (b0 >> 4) | (block[1] << 4) | (block[2] << 12)
+            hdr = 3
+        if lb_type == 0:
+            if hdr + rs > len(block):
+                raise ValueError("zstd: truncated raw literals")
+            return bytes(block[hdr : hdr + rs]), hdr + rs
+        if hdr + 1 > len(block):
+            raise ValueError("zstd: truncated RLE literal")
+        return bytes([block[hdr]]) * rs, hdr + 1
+    # Compressed (2) / Treeless (3)
+    if size_format == 0:
+        streams, hdr = 1, 3
+        if len(block) < 3:
+            raise ValueError("zstd: truncated literals header")
+        rs = (b0 >> 4) | ((block[1] & 0x3F) << 4)
+        cs = (block[1] >> 6) | (block[2] << 2)
+    elif size_format == 1:
+        streams, hdr = 4, 3
+        if len(block) < 3:
+            raise ValueError("zstd: truncated literals header")
+        rs = (b0 >> 4) | ((block[1] & 0x3F) << 4)
+        cs = (block[1] >> 6) | (block[2] << 2)
+    elif size_format == 2:
+        streams, hdr = 4, 4
+        if len(block) < 4:
+            raise ValueError("zstd: truncated literals header")
+        rs = (b0 >> 4) | (block[1] << 4) | ((block[2] & 0x03) << 12)
+        cs = (block[2] >> 2) | (block[3] << 6)
+    else:
+        streams, hdr = 4, 5
+        if len(block) < 5:
+            raise ValueError("zstd: truncated literals header")
+        rs = (b0 >> 4) | (block[1] << 4) | ((block[2] & 0x3F) << 12)
+        cs = (block[2] >> 6) | (block[3] << 2) | (block[4] << 10)
+    if hdr + cs > len(block):
+        raise ValueError("zstd: truncated compressed literals")
+    payload = block[hdr : hdr + cs]
+    if lb_type == 2:
+        weights, consumed = _huf_read_weights(payload)
+        ctx["huf"] = _huf_build_dtable(weights)
+        payload = payload[consumed:]
+    elif "huf" not in ctx:
+        raise ValueError("zstd: treeless literals with no previous table")
+    table = ctx["huf"]
+    if streams == 1:
+        lit = _huf_decode_stream(payload, rs, table)
+    else:
+        if len(payload) < 6:
+            raise ValueError("zstd: truncated 4-stream jump table")
+        s1 = int.from_bytes(payload[0:2], "little")
+        s2 = int.from_bytes(payload[2:4], "little")
+        s3 = int.from_bytes(payload[4:6], "little")
+        p = payload[6:]
+        if s1 + s2 + s3 > len(p):
+            raise ValueError("zstd: 4-stream sizes overflow section")
+        r13 = (rs + 3) // 4
+        r4 = rs - 3 * r13
+        if r4 < 0:
+            raise ValueError("zstd: 4-stream regenerated size too small")
+        lit = (
+            _huf_decode_stream(p[:s1], r13, table)
+            + _huf_decode_stream(p[s1 : s1 + s2], r13, table)
+            + _huf_decode_stream(p[s1 + s2 : s1 + s2 + s3], r13, table)
+            + _huf_decode_stream(p[s1 + s2 + s3 :], r4, table)
+        )
+    if len(lit) != rs:
+        raise ValueError("zstd: literals size mismatch")
+    return lit, hdr + cs
+
+
+def _seq_table(mode: int, data: bytes, pos: int, which: str, ctx: dict):
+    """One LL/OF/ML compression mode -> ((symbols, nbits, base, al) or
+    RLE symbol, new pos)."""
+    defaults = {"ll": _LL_DEFAULT, "of": _OF_DEFAULT, "ml": _ML_DEFAULT}
+    max_al = {"ll": 9, "of": 8, "ml": 9}[which]
+    max_sym = {"ll": 35, "of": 31, "ml": 52}[which]
+    if mode == 0:  # Predefined
+        probs, al = defaults[which]
+        table = ctx.setdefault(
+            f"_pre_{which}", (*_fse_build_dtable(probs, al), al)
+        )
+        ctx[f"prev_{which}"] = table
+        return table, pos
+    if mode == 1:  # RLE: one byte, zero-bit state
+        if pos >= len(data):
+            raise ValueError("zstd: truncated RLE sequence table")
+        sym = data[pos]
+        if sym > max_sym:
+            raise ValueError(f"zstd: RLE {which} symbol {sym} out of range")
+        table = ([sym], [0], [0], 0)
+        ctx[f"prev_{which}"] = table
+        return table, pos + 1
+    if mode == 2:  # FSE_Compressed
+        fb = _FwdBits(data[pos:])
+        al, probs = _fse_read_distribution(fb, max_sym, max_al)
+        table = (*_fse_build_dtable(probs, al), al)
+        ctx[f"prev_{which}"] = table
+        return table, pos + fb.bytes_consumed()
+    # Repeat
+    table = ctx.get(f"prev_{which}")
+    if table is None:
+        raise ValueError(f"zstd: repeat {which} mode with no previous table")
+    return table, pos
+
+
+def _decode_block(block: bytes, out: bytearray, ctx: dict) -> None:
+    """One Compressed block -> appended to ``out`` (which also serves
+    as the match history window)."""
+    lit, pos = _decode_literals(block, ctx)
+    if pos >= len(block):
+        raise ValueError("zstd: missing sequences section")
+    b0 = block[pos]
+    if b0 == 0:
+        out.extend(lit)
+        return
+    if b0 < 128:
+        nseq = b0
+        pos += 1
+    elif b0 < 255:
+        if pos + 2 > len(block):
+            raise ValueError("zstd: truncated sequences header")
+        nseq = ((b0 - 128) << 8) | block[pos + 1]
+        pos += 2
+    else:
+        if pos + 3 > len(block):
+            raise ValueError("zstd: truncated sequences header")
+        nseq = block[pos + 1] | (block[pos + 2] << 8) | 0x7F00
+        pos += 3
+    if pos >= len(block):
+        raise ValueError("zstd: missing compression modes byte")
+    modes = block[pos]
+    if modes & 0x03:
+        raise ValueError("zstd: reserved sequence mode bits set")
+    pos += 1
+    ll_t, pos = _seq_table((modes >> 6) & 3, block, pos, "ll", ctx)
+    of_t, pos = _seq_table((modes >> 4) & 3, block, pos, "of", ctx)
+    ml_t, pos = _seq_table((modes >> 2) & 3, block, pos, "ml", ctx)
+    br = _BackBits(block[pos:])
+    ll_sym, ll_nb, ll_base, ll_al = ll_t
+    of_sym, of_nb, of_base, of_al = of_t
+    ml_sym, ml_nb, ml_base, ml_al = ml_t
+    ll_s = br.read(ll_al)
+    of_s = br.read(of_al)
+    ml_s = br.read(ml_al)
+    rep = ctx["rep"]
+    lit_pos = 0
+    for i in range(nseq):
+        of_code = of_sym[of_s]
+        if of_code > 31:
+            raise ValueError("zstd: offset code out of range")
+        of_val = (1 << of_code) + br.read(of_code)
+        ml_code = ml_sym[ml_s]
+        ll_code = ll_sym[ll_s]
+        ml = _ml_value(ml_code, br)
+        ll = _ll_value(ll_code, br)
+        if of_val > 3:
+            offset = of_val - 3
+            rep = [offset, rep[0], rep[1]]
+        else:
+            idx = of_val + (1 if ll == 0 else 0)
+            if idx == 1:
+                offset = rep[0]
+            elif idx == 2:
+                offset = rep[1]
+                rep = [offset, rep[0], rep[2]]
+            elif idx == 3:
+                offset = rep[2]
+                rep = [offset, rep[0], rep[1]]
+            else:  # ll == 0 and repcode 3: previous rep minus one
+                offset = rep[0] - 1
+                if offset == 0:
+                    raise ValueError("zstd: zero offset from repcode-1")
+                rep = [offset, rep[0], rep[1]]
+        if lit_pos + ll > len(lit):
+            raise ValueError("zstd: literals overrun")
+        out.extend(lit[lit_pos : lit_pos + ll])
+        lit_pos += ll
+        if offset > len(out):
+            raise ValueError("zstd: match offset beyond window")
+        start = len(out) - offset
+        if offset >= ml:
+            out.extend(out[start : start + ml])
+        else:
+            while ml > 0:
+                chunk = out[start : start + min(offset, ml)]
+                out.extend(chunk)
+                start += len(chunk)
+                ml -= len(chunk)
+        if i + 1 < nseq:  # states do not update after the last sequence
+            ll_s = ll_base[ll_s] + br.read(ll_nb[ll_s])
+            ml_s = ml_base[ml_s] + br.read(ml_nb[ml_s])
+            of_s = of_base[of_s] + br.read(of_nb[of_s])
+    if br.bits != 0:
+        raise ValueError("zstd: sequences bitstream not fully consumed")
+    out.extend(lit[lit_pos:])
+    ctx["rep"] = rep
+
+
+# ------------------------------------------------------ frame layer
+
+_ZSTD_MAGIC = 0xFD2FB528
+_ZSTD_BLOCK = 128 * 1024
+
+
+def zstd_decompress(data: bytes) -> bytes:
+    """One or more concatenated zstd (or skippable) frames -> bytes.
+    Verifies the content checksum and content size when present;
+    raises ValueError on malformed input and NotImplementedError at
+    the dictionary boundary."""
+    out_all = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        if i + 4 > n:
+            raise ValueError("zstd: truncated frame magic")
+        magic = int.from_bytes(data[i : i + 4], "little")
+        i += 4
+        if 0x184D2A50 <= magic <= 0x184D2A5F:
+            if i + 4 > n:
+                raise ValueError("zstd: truncated skippable frame")
+            skip = int.from_bytes(data[i : i + 4], "little")
+            i += 4 + skip
+            if i > n:
+                raise ValueError("zstd: truncated skippable frame")
+            continue
+        if magic != _ZSTD_MAGIC:
+            raise ValueError(f"zstd: bad frame magic 0x{magic:08x}")
+        if i >= n:
+            raise ValueError("zstd: truncated frame header")
+        fhd = data[i]
+        i += 1
+        fcs_flag = fhd >> 6
+        single = bool(fhd & 0x20)
+        if fhd & 0x08:
+            raise ValueError("zstd: reserved FHD bit set")
+        checksum = bool(fhd & 0x04)
+        did_size = (0, 1, 2, 4)[fhd & 0x03]
+        if not single:
+            i += 1  # window descriptor: informational for a buffered decoder
+        if did_size:
+            raise NotImplementedError("zstd: dictionary frames unsupported")
+        fcs = None
+        fcs_bytes = (1 if single else 0, 2, 4, 8)[fcs_flag]
+        if fcs_bytes:
+            if i + fcs_bytes > n:
+                raise ValueError("zstd: truncated content size")
+            fcs = int.from_bytes(data[i : i + fcs_bytes], "little")
+            if fcs_bytes == 2:
+                fcs += 256
+            i += fcs_bytes
+        out = bytearray()
+        ctx = {"rep": [1, 4, 8]}
+        while True:
+            if i + 3 > n:
+                raise ValueError("zstd: truncated block header")
+            bh = int.from_bytes(data[i : i + 3], "little")
+            i += 3
+            last = bh & 1
+            btype = (bh >> 1) & 3
+            bsize = bh >> 3
+            if btype == 0:  # Raw
+                if i + bsize > n:
+                    raise ValueError("zstd: truncated raw block")
+                out.extend(data[i : i + bsize])
+                i += bsize
+            elif btype == 1:  # RLE
+                if i >= n:
+                    raise ValueError("zstd: truncated RLE block")
+                out.extend(bytes([data[i]]) * bsize)
+                i += 1
+            elif btype == 2:  # Compressed
+                if i + bsize > n:
+                    raise ValueError("zstd: truncated compressed block")
+                _decode_block(data[i : i + bsize], out, ctx)
+                i += bsize
+            else:
+                raise ValueError("zstd: reserved block type")
+            if last:
+                break
+        if checksum:
+            if i + 4 > n:
+                raise ValueError("zstd: truncated content checksum")
+            want = int.from_bytes(data[i : i + 4], "little")
+            i += 4
+            if xxh64(bytes(out)) & 0xFFFFFFFF != want:
+                raise ValueError("zstd: content checksum mismatch")
+        if fcs is not None and len(out) != fcs:
+            raise ValueError(
+                f"zstd: content size mismatch (header {fcs}, got {len(out)})"
+            )
+        out_all.extend(out)
+    return bytes(out_all)
+
+
+def zstd_compress(data: bytes, content_checksum: bool = True) -> bytes:
+    """STORE-mode zstd frame writer: Raw blocks (RLE where a 128 KiB
+    block is one repeated byte), single-segment header with the exact
+    content size, optional XXH64 content checksum. Always spec-legal;
+    libzstd decodes (and checksum-verifies) the output — the write
+    half a transport demo needs, while real compression stays on the
+    decode path."""
+    n = len(data)
+    if n < 256:
+        fhd = 0x20 | (0 << 6)  # single segment, 1-byte FCS
+        fcs = n.to_bytes(1, "little")
+    elif n < 65536 + 256:
+        fhd = 0x20 | (1 << 6)
+        fcs = (n - 256).to_bytes(2, "little")
+    elif n < 1 << 32:
+        fhd = 0x20 | (2 << 6)
+        fcs = n.to_bytes(4, "little")
+    else:
+        fhd = 0x20 | (3 << 6)
+        fcs = n.to_bytes(8, "little")
+    if content_checksum:
+        fhd |= 0x04
+    out = bytearray(_ZSTD_MAGIC.to_bytes(4, "little"))
+    out.append(fhd)
+    out += fcs
+    nblocks = max(1, -(-n // _ZSTD_BLOCK))
+    for bi in range(nblocks):
+        chunk = data[bi * _ZSTD_BLOCK : (bi + 1) * _ZSTD_BLOCK]
+        last = 1 if bi == nblocks - 1 else 0
+        if len(chunk) > 1 and chunk.count(chunk[0]) == len(chunk):
+            out += ((len(chunk) << 3) | (1 << 1) | last).to_bytes(3, "little")
+            out.append(chunk[0])
+        else:
+            out += ((len(chunk) << 3) | (0 << 1) | last).to_bytes(3, "little")
+            out += chunk
+    if content_checksum:
+        out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)

@@ -214,14 +214,17 @@ FROM o
     "pinned by a hand-built spec frame independently of the encoder, "
     "crc32c against RFC 3720 vectors). The topic is seeded through "
     "the PRODUCE v0 path (one produce per partition, v2 payload, "
-    "per-partition compression.type: plain/lz4/snappy) rather than "
+    "per-partition compression.type: plain/lz4/zstd) rather than "
     "pre-loaded logs, so the write half of the protocol is exercised "
     "in the registered query too; the read half drains 25-record "
     "batches through mid-batch max_bytes cuts with the same "
     "DataSource (one Spark task per partition; decode_message_set "
     "dispatches per entry on the magic byte), the topic serving "
-    "MIXED codecs rotating per batch — plain, gzip, from-scratch "
-    "snappy, from-scratch lz4 frame (r15). "
+    "MIXED codecs rotating per batch — plain, gzip, and the THREE "
+    "from-scratch codecs: snappy block, lz4 frame, zstd (r15: the "
+    "full RFC 8878 decoder, differential-tested against libzstd — "
+    "the protocol codec set is now closed, no codec boundary "
+    "remains). "
     "Fixture seeding is a bounded, documented driver-side collect "
     "(1500 rows); the production path stays spark-sql-kafka",
 )
@@ -240,21 +243,21 @@ def source_kafka_wire_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     # the fetch side serves MIXED codecs in one topic (rotating per
-    # batch ordinal: plain, gzip, snappy, lz4 — what a consumer sees
-    # after a producer fleet changes compression.type), and the
+    # batch ordinal: plain, gzip, snappy, lz4, zstd — what a consumer
+    # sees after a producer fleet changes compression.type), and the
     # produce side writes each partition with a different codec, so
     # both protocol halves exercise every from-scratch codec (r15:
-    # lz4 joins via functions/lz4_codec.py)
+    # lz4 + zstd close the codec set entirely)
     broker = StubKafkaBroker(
         {("docs2", p): [] for p in range(3)},
         magic=2,
         batch_records=25,
-        compression=[None, "gzip", "snappy", "lz4"],
+        compression=[None, "gzip", "snappy", "lz4", "zstd"],
     ).start()
     try:
         client = KafkaWireClient("127.0.0.1", broker.port)
         try:
-            for p, comp in enumerate([None, "lz4", "snappy"]):
+            for p, comp in enumerate([None, "lz4", "zstd"]):
                 entries = [
                     (str(r["doc_id"]).encode(), r["v"].encode())
                     for r in rows

@@ -9,8 +9,9 @@ kafka.apache.org/protocol) implemented over raw sockets — ApiVersions
 v0, Metadata v0, ListOffsets v0 (earliest/latest seek), Fetch v0 and
 Produce v0, carrying BOTH on-wire record formats: classic MessageSet
 v0 (zlib crc32) and RecordBatch v2 (magic 2, zigzag-varint records,
-crc32c, gzip/snappy codecs — snappy via the from-scratch block codec
-in functions/snappy_codec.py) — plus a threaded in-memory stub broker
+crc32c, the FULL codec set: gzip via the stdlib, snappy/lz4/zstd via
+the from-scratch codecs in functions/{snappy,lz4,zstd}_codec.py) —
+plus a threaded in-memory stub broker
 speaking the same frames, so the transport is exercised END-TO-END
 down to CRC-checked bytes on a TCP socket.
 
@@ -167,10 +168,11 @@ def encode_record_batch_v2(
     batch header (crc32c over attributes..records), then varint-framed
     Records with offset/timestamp deltas. kafka.apache.org/protocol
     'Record Batch'. ``compression='gzip'`` (stdlib), ``'snappy'``
-    (from-scratch ``functions.snappy_codec``) or ``'lz4'``
-    (from-scratch ``functions.lz4_codec`` frame) compresses the
-    records blob and sets the attributes codec bits; zstd stays at
-    the declared boundary."""
+    (from-scratch ``functions.snappy_codec``), ``'lz4'``
+    (from-scratch ``functions.lz4_codec`` frame) or ``'zstd'``
+    (from-scratch ``functions.zstd_codec``, store-mode frames on the
+    write half) compresses the records blob and sets the attributes
+    codec bits — the full protocol codec set."""
     if not entries:
         # an empty batch would encode degenerate header fields
         # (recordCount 0, lastOffsetDelta -1, maxTimestamp base-1) that
@@ -214,10 +216,17 @@ def encode_record_batch_v2(
 
         attrs = 3  # codec 3 = lz4 (frame format in message format v2)
         blob = lz4_frame_compress(bytes(records))
+    elif compression == "zstd":
+        from event_stream_for_k8s_spark.functions.zstd_codec import (
+            zstd_compress,
+        )
+
+        attrs = 4  # codec 4 = zstd (message format v2 only)
+        blob = zstd_compress(bytes(records))
     else:
         raise NotImplementedError(
             f"record batch compression {compression!r} "
-            "(gzip/snappy/lz4 only)"
+            "(gzip/snappy/lz4/zstd only)"
         )
     # everything the crc covers: attributes .. records
     crc_part = (
@@ -280,11 +289,17 @@ def decode_record_batch_v2(r: "_Reader"):
         )
 
         recs = _Reader(lz4_frame_decompress(batch.data[batch.pos :]))
+    elif codec == 4:  # zstd — from-scratch RFC 8878 decoder
+        from event_stream_for_k8s_spark.functions.zstd_codec import (
+            zstd_decompress,
+        )
+
+        recs = _Reader(zstd_decompress(batch.data[batch.pos :]))
     else:
-        # parsing a compressed blob as records would be silent garbage
+        # attribute codec bits 5-7 are reserved by the protocol
         raise NotImplementedError(
             f"record batch compression codec {codec} "
-            "(none/gzip/snappy/lz4 only)"
+            "(none/gzip/snappy/lz4/zstd only)"
         )
     out = []
     for _ in range(n):

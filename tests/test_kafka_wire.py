@@ -291,10 +291,10 @@ def test_v2_fetch_and_produce_over_tcp():
 
 def test_record_batch_v2_gzip_compression():
     """Compressed batches are real coverage, not silent garbage: gzip
-    (codec 1, stdlib), snappy (codec 2) and lz4 (codec 3, both
-    from-scratch codecs) round-trip with a valid crc32c over the
-    COMPRESSED blob; zstd raises at the declared boundary, as does a
-    v0 wrapper-compressed message."""
+    (codec 1, stdlib), snappy (codec 2), lz4 (codec 3) and zstd
+    (codec 4 — all three from-scratch) round-trip with a valid crc32c
+    over the COMPRESSED blob; the reserved codec bits 5-7 raise, as
+    does a v0 wrapper-compressed message."""
     import struct
 
     import pytest as pt
@@ -326,18 +326,24 @@ def test_record_batch_v2_gzip_compression():
     assert decode_record_batch_v2(_Reader(lz)) == [
         (5 + i, k, v) for i, (k, v) in enumerate(entries)
     ]
-    # unknown codec bits: flip attributes to 4 (zstd) and re-crc
+    # zstd (codec 4): the from-scratch RFC 8878 decoder + store-mode
+    # encoder
+    zs = encode_record_batch_v2(entries, base_offset=5, compression="zstd")
+    assert decode_record_batch_v2(_Reader(zs)) == [
+        (5 + i, k, v) for i, (k, v) in enumerate(entries)
+    ]
+    # reserved codec bits: flip attributes to 5 and re-crc
     from event_stream_for_k8s_spark.sources.kafka_wire import _crc32c
 
     body = bytearray(gz)
     crc_part = bytearray(body[21:])
-    crc_part[1] = 4  # attributes low byte -> codec 4
+    crc_part[1] = 5  # attributes low byte -> reserved codec 5
     body = body[:17] + struct.pack(">I", _crc32c(bytes(crc_part))) + crc_part
-    with pt.raises(NotImplementedError, match="codec 4"):
+    with pt.raises(NotImplementedError, match="codec 5"):
         decode_record_batch_v2(_Reader(bytes(body)))
 
-    with pt.raises(NotImplementedError, match="gzip/snappy/lz4 only"):
-        encode_record_batch_v2(entries, compression="zstd")
+    with pt.raises(NotImplementedError, match="gzip/snappy/lz4/zstd only"):
+        encode_record_batch_v2(entries, compression="brotli")
 
     # v0 wrapper compression: set the attribute byte, re-crc
     import zlib
@@ -613,6 +619,172 @@ def test_lz4_roundtrip_property():
             content_size=cs,
         )
         assert lz4_frame_decompress(frame) == data
+
+    prop()
+
+
+def test_xxh64_spec_vector_and_zstd_hand_built_frames():
+    """xxHash64 against the published empty-input vector, and
+    zstd_decompress against HAND-ASSEMBLED frames per RFC 8878:
+    Raw and RLE blocks, a compressed block with RLE literals +
+    zero sequences, a compressed block with Raw literals + ONE
+    predefined-mode sequence exercising repcode 1, skippable frames,
+    and the malformed-input raises — all independent of both
+    encoders."""
+    import pytest as pt
+
+    from event_stream_for_k8s_spark.functions.zstd_codec import (
+        xxh64,
+        zstd_decompress,
+    )
+
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+
+    def frame(blocks, fhd=0x20, fcs=None, tail=b""):
+        out = b"\x28\xb5\x2f\xfd" + bytes([fhd])
+        if fcs is not None:
+            out += fcs
+        for last, btype, bsize, payload in blocks:
+            out += ((bsize << 3) | (btype << 1) | last).to_bytes(3, "little")
+            out += payload
+        return out + tail
+
+    # Raw block; single-segment 1-byte FCS
+    assert (
+        zstd_decompress(frame([(1, 0, 3, b"abc")], fcs=b"\x03")) == b"abc"
+    )
+    # RLE block: size field = regenerated size, one payload byte
+    assert (
+        zstd_decompress(frame([(1, 1, 5, b"z")], fcs=b"\x05")) == b"zzzzz"
+    )
+    # multi-block: raw then RLE
+    assert (
+        zstd_decompress(
+            frame([(0, 0, 2, b"ab"), (1, 1, 3, b"c")], fcs=b"\x05")
+        )
+        == b"abccc"
+    )
+    # compressed block: RLE literals header (type=1, SF=00: RS=4 ->
+    # byte 0b00100_0_01 = 0x21), literal byte 'q', then nbSeq=0
+    cb = bytes([0x21]) + b"q" + bytes([0x00])
+    assert (
+        zstd_decompress(frame([(1, 2, len(cb), cb)], fcs=b"\x04"))
+        == b"qqqq"
+    )
+    # compressed block with ONE predefined-mode sequence: raw literals
+    # "abcd" (header type=0 SF=00 RS=4 -> 0x20), nbSeq=1, modes byte 0
+    # (all predefined). Backward bitstream, 17 bits + sentinel, in
+    # read order: LL-state(6b) = 4 — the predefined LL table's spread
+    # places symbol 4 at cell 4, hand-walked — OF-state(5b) = 0 and
+    # ML-state(6b) = 0 (cell 0 of every spread is symbol 0), then no
+    # extra bits: of_code 0 -> offset_value (1<<0)+0 = 1 = repcode 1
+    # (initial history [1, 4, 8] -> offset 1), ml_code 0 -> ml 3,
+    # ll_code 4 -> ll 4. "abcd" then copy 3 back-1 -> "abcdddd".
+    # Bit 13 set of 17 -> little-endian bytes 00 20, sentinel 02.
+    cb2 = bytes([0x20]) + b"abcd" + bytes([0x01, 0x00, 0x00, 0x20, 0x02])
+    assert (
+        zstd_decompress(frame([(1, 2, len(cb2), cb2)], fcs=b"\x07"))
+        == b"abcdddd"
+    )
+    # skippable frame between real frames
+    skip = b"\x50\x2a\x4d\x18" + (3).to_bytes(4, "little") + b"xyz"
+    two = (
+        frame([(1, 0, 2, b"hi")], fcs=b"\x02")
+        + skip
+        + frame([(1, 0, 2, b"ho")], fcs=b"\x02")
+    )
+    assert zstd_decompress(two) == b"hiho"
+
+    for bad, msg in [
+        (b"\x00\x00\x00\x00", "bad frame magic"),
+        (frame([(1, 3, 2, b"ab")], fcs=b"\x02"), "reserved block type"),
+        (frame([(1, 0, 9, b"ab")], fcs=b"\x02"), "truncated raw block"),
+        (frame([(1, 0, 2, b"ab")], fcs=b"\x09"), "content size mismatch"),
+        (frame([(1, 0, 2, b"ab")], fhd=0x21, fcs=b"\x02"), "dictionary"),
+        (frame([(1, 0, 2, b"ab")], fhd=0x28, fcs=b"\x02"), "reserved FHD"),
+    ]:
+        with pt.raises((ValueError, NotImplementedError), match=msg):
+            zstd_decompress(bad)
+    # checksummed frame with a corrupt checksum
+    good = frame(
+        [(1, 0, 2, b"ab")], fhd=0x24, fcs=b"\x02",
+        tail=(xxh64(b"ab") & 0xFFFFFFFF).to_bytes(4, "little"),
+    )
+    assert zstd_decompress(good) == b"ab"
+    with pt.raises(ValueError, match="content checksum"):
+        zstd_decompress(good[:-4] + b"\x00\x00\x00\x00")
+
+
+def test_zstd_differential_vs_libzstd():
+    """The decoder against a REAL implementation: pyarrow bundles
+    libzstd, so libzstd-compressed frames at several levels — which
+    exercise Huffman literals (FSE-compressed weights, 1- and
+    4-stream), FSE_Compressed/RLE/Repeat sequence tables, repcodes
+    and multi-block treeless paths — must decode byte-exactly here;
+    and this module's store-mode checksummed frames must decompress
+    under libzstd, which VERIFIES the XXH64 content checksum,
+    pinning that implementation too."""
+    import os
+    import random
+
+    import pyarrow as pa
+
+    from event_stream_for_k8s_spark.functions.zstd_codec import (
+        zstd_compress,
+        zstd_decompress,
+    )
+
+    rng = random.Random(15)
+    cases = [
+        b"",
+        b"a",
+        b"hello world " * 500,
+        os.urandom(10_000),
+        bytes(rng.randrange(8) for _ in range(200_000)),
+        b"\x00" * 300_000,
+        "".join(rng.choice("abcdefg ") for _ in range(150_000)).encode(),
+    ]
+    for lvl in (1, 3, 19):
+        codec = pa.Codec("zstd", compression_level=lvl)
+        for data in cases:
+            z = codec.compress(data, asbytes=True)
+            assert zstd_decompress(z) == data, (lvl, len(data))
+    codec = pa.Codec("zstd")
+    for data in cases:
+        z = zstd_compress(data)  # content_checksum=True
+        got = codec.decompress(z, decompressed_size=len(data), asbytes=True)
+        assert got == data
+        assert zstd_decompress(z) == data  # self round trip
+
+
+def test_zstd_roundtrip_property():
+    """Hypothesis property: libzstd-compressed bytes of ANY shape
+    decode exactly, and store-mode frames round-trip, across random,
+    repetitive and tiny-alphabet payloads."""
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from event_stream_for_k8s_spark.functions.zstd_codec import (
+        zstd_compress,
+        zstd_decompress,
+    )
+
+    codec = pa.Codec("zstd", compression_level=3)
+    payloads = st.one_of(
+        st.binary(max_size=3000),
+        st.binary(min_size=1, max_size=8).flatmap(
+            lambda unit: st.integers(1, 400).map(lambda n: unit * n)
+        ),
+        st.lists(st.sampled_from([b"ab", b"a", b"abc", b"\x00"]))
+        .map(b"".join),
+    )
+
+    @given(data=payloads)
+    @settings(max_examples=150, deadline=None)
+    def prop(data):
+        assert zstd_decompress(codec.compress(data, asbytes=True)) == data
+        assert zstd_decompress(zstd_compress(data)) == data
 
     prop()
 
