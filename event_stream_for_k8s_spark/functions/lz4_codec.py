@@ -27,7 +27,7 @@ compressor, the same discipline as functions/snappy_codec.py.
 Used by sources/kafka_wire.py for record-batch codec 3 (message
 format v2 frames lz4 correctly; the v0/v1 legacy header-checksum
 interop bug predates format v2 and stays out of scope); zstd (codec
-4) remains at the declared boundary.
+4) is covered by the sibling functions/zstd_codec.py.
 
 xxHash32 (Cyan4973/xxHash `xxhash_spec.md`) is implemented here
 because the frame's header/block/content checksums are defined over

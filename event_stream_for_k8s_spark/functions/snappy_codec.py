@@ -23,7 +23,9 @@ copies) independently of the compressor, the same discipline as the
 JPEG/Kafka hand-built frames.
 
 Used by sources/kafka_wire.py for record-batch codec 2; gzip (codec
-1) stays on the stdlib, and lz4/zstd remain at the declared boundary.
+1) stays on the stdlib; lz4 and zstd are covered by the sibling
+functions/lz4_codec.py and functions/zstd_codec.py — the protocol
+codec set is closed.
 """
 
 from __future__ import annotations
