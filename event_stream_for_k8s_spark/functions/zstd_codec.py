@@ -1,5 +1,5 @@
 """From-scratch Zstandard codec (stdlib-only): a full RFC 8878
-DECODER and a store-mode encoder.
+DECODER and a genuinely-compressing encoder.
 
 Kafka record batches with attributes codec 4 carry a zstd frame.
 The decoder implements the complete single-frame format:
@@ -18,11 +18,14 @@ The decoder implements the complete single-frame format:
   minus-one case;
 - sequence execution with overlapping matches.
 
-The encoder emits spec-legal STORE-mode frames (Raw/RLE blocks, one
-per 128 KiB, optional content checksum + content size): always
-valid, never expanding beyond the per-block 3-byte header — the
-write half a transport demo needs. Real compression stays on the
-decode path, which is what a consumer of foreign producers requires.
+The encoder emits spec-legal frames that genuinely compress: per
+128 KiB chunk the best of a Compressed block (greedy 4-byte-hash
+matcher + predefined-mode FSE sequence coding via the classic
+reverse state walk + raw literals), an RLE block, or a stored Raw
+block — never expanding beyond the per-block 3-byte headers, with
+optional content checksum + content size. Huffman literal coding
+and repcode emission are deliberately left to real producers; the
+DECODER handles both in full.
 
 Parity is pinned THREE ways (tests/test_kafka_wire.py): hand-built
 spec vectors (RLE/Raw blocks, direct-weight Huffman, predefined
@@ -30,8 +33,9 @@ sequences, error paths), round trips through this module, and —
 uniquely among the from-scratch codecs here — DIFFERENTIAL tests
 against a real implementation: pyarrow bundles libzstd, so
 libzstd-compressed frames at several levels must decode byte-exactly
-here, and this encoder's checksummed frames must decompress under
-libzstd (which verifies the XXH64 checksum, pinning that too).
+here, and this encoder's compressed, checksummed frames must
+decompress under libzstd (which re-runs the FSE/sequence machinery
+and verifies the XXH64 checksum, pinning both directions).
 
 Dictionaries raise NotImplementedError — the declared boundary.
 """
@@ -697,13 +701,190 @@ def zstd_decompress(data: bytes) -> bytes:
     return bytes(out_all)
 
 
+# --------------------------------------------- compressing encoder
+
+
+class _LEBitWriter:
+    """Little-endian append-order bit writer — the inverse of
+    :class:`_BackBits`: fields written in REVERSE read order come back
+    in read order, each read MSB-first; finish() adds the 1-bit
+    sentinel the backward reader anchors on."""
+
+    def __init__(self):
+        self.acc = 0
+        self.n = 0
+        self.out = bytearray()
+
+    def put(self, v: int, nb: int) -> None:
+        if nb == 0:
+            return
+        self.acc |= (v & ((1 << nb) - 1)) << self.n
+        self.n += nb
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def finish(self) -> bytes:
+        self.put(1, 1)
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _fse_build_etable(probs, al):
+    """Decode table inverted for ENCODING: per symbol, its states'
+    (baseline, nbits, state) coverage triples — the ranges tile
+    [0, table_size), so for any target next-state exactly one state
+    of the symbol covers it."""
+    symbols, nbits, base = _fse_build_dtable(probs, al)
+    per: dict[int, list] = {}
+    for st in range(1 << al):
+        per.setdefault(symbols[st], []).append((base[st], nbits[st], st))
+    return per
+
+
+def _fse_cover(per, sym: int, target: int):
+    for b, nb, st in per[sym]:
+        if b <= target < b + (1 << nb):
+            return st, target - b, nb
+    raise ValueError(f"zstd: no FSE state of symbol {sym} covers {target}")
+
+
+def _fse_encode_states(per, codes):
+    """Symbols in decode order -> (initial state, [(bits, width)] for
+    the n-1 state transitions), derived by the classic reverse walk:
+    the decoder's newstate = baseline[state] + bits makes encoding a
+    backward covering search."""
+    x = per[codes[-1]][0][2]  # any state decoding the last symbol
+    trans = []
+    for i in range(len(codes) - 2, -1, -1):
+        x, bits, nb = _fse_cover(per, codes[i], x)
+        trans.append((bits, nb))
+    trans.reverse()
+    return x, trans
+
+
+def _ll_code_of(ll: int):
+    if ll < 16:
+        return ll, 0, 0
+    for code, (baseline, nb) in enumerate(_LL_EXTRA, start=16):
+        if ll < baseline + (1 << nb):
+            return code, ll - baseline, nb
+    raise ValueError(f"zstd: literals length {ll} unencodable")
+
+
+def _ml_code_of(ml: int):
+    if ml - 3 < 32:
+        return ml - 3, 0, 0
+    for code, (baseline, nb) in enumerate(_ML_EXTRA, start=32):
+        if ml < baseline + (1 << nb):
+            return code, ml - baseline, nb
+    raise ValueError(f"zstd: match length {ml} unencodable")
+
+
+_ETABLES: dict = {}
+
+
+def _etables():
+    if not _ETABLES:
+        _ETABLES["ll"] = (_fse_build_etable(*_LL_DEFAULT), _LL_DEFAULT[1])
+        _ETABLES["of"] = (_fse_build_etable(*_OF_DEFAULT), _OF_DEFAULT[1])
+        _ETABLES["ml"] = (_fse_build_etable(*_ML_DEFAULT), _ML_DEFAULT[1])
+    return _ETABLES
+
+
+def _zstd_compress_block(chunk: bytes) -> bytes | None:
+    """One <=128 KiB chunk -> a Compressed block body (Raw literals +
+    predefined-mode FSE-coded sequences from a greedy 4-byte-hash
+    matcher, block-local offsets, no repcodes), or None when the
+    compressed form would not be smaller."""
+    n = len(chunk)
+    seqs: list[tuple[int, int, int]] = []  # (ll, offset, ml)
+    lits = bytearray()
+    table: dict[bytes, int] = {}
+    i = lit_start = 0
+    while i + 4 <= n:
+        key = chunk[i : i + 4]
+        cand = table.get(key)
+        table[key] = i
+        if cand is not None:
+            ln = 4
+            while i + ln < n and chunk[cand + ln] == chunk[i + ln]:
+                ln += 1
+            lits += chunk[lit_start:i]
+            seqs.append((i - lit_start, i - cand, ln))
+            i += ln
+            lit_start = i
+        else:
+            i += 1
+    if not seqs:
+        return None
+    lits += chunk[lit_start:]
+
+    ll_codes, of_codes, ml_codes = [], [], []
+    extras = []  # (of_bits, of_nb, ml_bits, ml_nb, ll_bits, ll_nb)
+    for ll, offset, ml in seqs:
+        of_val = offset + 3  # no repcode use: offset_value > 3 always
+        of_code = of_val.bit_length() - 1
+        llc, llb, llnb = _ll_code_of(ll)
+        mlc, mlb, mlnb = _ml_code_of(ml)
+        ll_codes.append(llc)
+        of_codes.append(of_code)
+        ml_codes.append(mlc)
+        extras.append(
+            (of_val - (1 << of_code), of_code, mlb, mlnb, llb, llnb)
+        )
+    et = _etables()
+    ll_init, ll_tr = _fse_encode_states(et["ll"][0], ll_codes)
+    of_init, of_tr = _fse_encode_states(et["of"][0], of_codes)
+    ml_init, ml_tr = _fse_encode_states(et["ml"][0], ml_codes)
+
+    w = _LEBitWriter()
+    # reverse read order: the reader consumes LL/OF/ML inits, then per
+    # sequence OF/ML/LL extras, then LL/ML/OF state-update bits
+    for i in range(len(seqs) - 1, -1, -1):
+        ofb, ofnb, mlb, mlnb, llb, llnb = extras[i]
+        w.put(llb, llnb)
+        w.put(mlb, mlnb)
+        w.put(ofb, ofnb)
+        if i > 0:
+            w.put(*of_tr[i - 1])
+            w.put(*ml_tr[i - 1])
+            w.put(*ll_tr[i - 1])
+    w.put(ml_init, et["ml"][1])
+    w.put(of_init, et["of"][1])
+    w.put(ll_init, et["ll"][1])
+    stream = w.finish()
+
+    rs = len(lits)
+    if rs <= 31:
+        lit_hdr = bytes([rs << 3])
+    elif rs <= 4095:
+        lit_hdr = bytes([((rs & 0x0F) << 4) | 0x04, rs >> 4])
+    else:
+        lit_hdr = bytes(
+            [((rs & 0x0F) << 4) | 0x0C, (rs >> 4) & 0xFF, rs >> 12]
+        )
+    ns = len(seqs)
+    if ns < 128:
+        seq_hdr = bytes([ns])
+    elif ns < 0x7F00:
+        seq_hdr = bytes([(ns >> 8) + 128, ns & 0xFF])
+    else:
+        seq_hdr = bytes([255, (ns - 0x7F00) & 0xFF, (ns - 0x7F00) >> 8])
+    body = lit_hdr + bytes(lits) + seq_hdr + b"\x00" + stream
+    return body if len(body) < n else None
+
+
 def zstd_compress(data: bytes, content_checksum: bool = True) -> bytes:
-    """STORE-mode zstd frame writer: Raw blocks (RLE where a 128 KiB
-    block is one repeated byte), single-segment header with the exact
-    content size, optional XXH64 content checksum. Always spec-legal;
-    libzstd decodes (and checksum-verifies) the output — the write
-    half a transport demo needs, while real compression stays on the
-    decode path."""
+    """zstd frame writer: per 128 KiB chunk the best of a COMPRESSED
+    block (greedy matcher + predefined-mode FSE sequence coding + raw
+    literals — genuinely compressing on repetitive input), an RLE
+    block, or a Raw block; single-segment header with the exact
+    content size, optional XXH64 content checksum. Always spec-legal
+    and never expanding beyond the per-block headers; libzstd decodes
+    (and checksum-verifies) the output."""
     n = len(data)
     if n < 256:
         fhd = 0x20 | (0 << 6)  # single segment, 1-byte FCS
@@ -729,6 +910,11 @@ def zstd_compress(data: bytes, content_checksum: bool = True) -> bytes:
         if len(chunk) > 1 and chunk.count(chunk[0]) == len(chunk):
             out += ((len(chunk) << 3) | (1 << 1) | last).to_bytes(3, "little")
             out.append(chunk[0])
+            continue
+        comp = _zstd_compress_block(chunk) if len(chunk) >= 16 else None
+        if comp is not None:
+            out += ((len(comp) << 3) | (2 << 1) | last).to_bytes(3, "little")
+            out += comp
         else:
             out += ((len(chunk) << 3) | (0 << 1) | last).to_bytes(3, "little")
             out += chunk

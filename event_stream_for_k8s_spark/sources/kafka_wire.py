@@ -170,9 +170,9 @@ def encode_record_batch_v2(
     'Record Batch'. ``compression='gzip'`` (stdlib), ``'snappy'``
     (from-scratch ``functions.snappy_codec``), ``'lz4'``
     (from-scratch ``functions.lz4_codec`` frame) or ``'zstd'``
-    (from-scratch ``functions.zstd_codec``, store-mode frames on the
-    write half) compresses the records blob and sets the attributes
-    codec bits — the full protocol codec set."""
+    (from-scratch ``functions.zstd_codec``) compresses the records
+    blob and sets the attributes codec bits — the full protocol
+    codec set."""
     if not entries:
         # an empty batch would encode degenerate header fields
         # (recordCount 0, lastOffsetDelta -1, maxTimestamp base-1) that
