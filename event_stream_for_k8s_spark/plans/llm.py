@@ -627,7 +627,18 @@ def _knn_recall_envelope(
     corpus = e.select(
         F.col("vec_id").alias("nid"), F.col("embedding").alias("cvec")
     )
-    brute = knn_brute(queries, corpus, k=5).select("qid", "nid")
+    from pyspark import StorageLevel
+
+    # brute feeds BOTH the overlap join and the n_brute count —
+    # without persistence the Q x N exact scan (the envelope's
+    # dominant cost) executes twice, once per reference (r15, guide
+    # §5). The persisted relation is the post-top-k (qid, nid) set,
+    # Q x k rows.
+    brute = (
+        knn_brute(queries, corpus, k=5)
+        .select("qid", "nid")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nq = queries.agg(F.count("*").alias("n_queries"))
     nb = brute.agg(F.count("*").alias("n_brute"))
     ov = (
@@ -1410,6 +1421,12 @@ def llm_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: (acc * 31 + x) % F.lit(MOD),
         ).alias("sig")
     )
+    from pyspark import StorageLevel
+
+    # chunks feeds BOTH the count-by-sig aggregate and the join back
+    # — persist it or the explode + vocab join + window + collect_list
+    # pipeline executes twice (r15; same fix as llm_dedup_chunks_cdc)
+    chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
     counts = chunks.groupBy("sig").agg(F.count("*").alias("cnt"))
     return (
         chunks.join(counts, "sig")
@@ -1564,9 +1581,18 @@ def llm_dedup_chunks_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": ids, "chunk_id": cids, "sig": sigs}
             )
 
+    from pyspark import StorageLevel
+
+    # sigs feeds BOTH the count-by-sig aggregate and the join back —
+    # without persistence the whole upstream pipeline (explode,
+    # vocab hash join, per-doc collect_list, the Arrow CDC boundary
+    # scan) executes twice, once per reference (r15, guide §5:
+    # reused-and-expensive-to-recompute is exactly the persist case).
+    # The persisted relation is 3 small ints per CHUNK, a tiny
+    # fraction of the token stream it derives from.
     sigs = perdoc.mapInPandas(
         chunks, "doc_id bigint, chunk_id int, sig bigint"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     counts = sigs.groupBy("sig").agg(F.count("*").alias("cnt"))
     return (
         sigs.join(counts, "sig")
