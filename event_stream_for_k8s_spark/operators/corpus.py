@@ -426,6 +426,154 @@ def bpe_token_ids(words: DataFrame, merges) -> DataFrame:
     )
 
 
+def _bpe_local_cap() -> int:
+    """Driver-side trainer gate (r15 optimization): histograms at or
+    under this many DISTINCT words are collected and trained locally.
+    Read at call time so tests can force either path. 0 disables the
+    fast path entirely."""
+    return int(_os.environ.get("SPARK_GRAFT_BPE_LOCAL_VOCAB_CAP", "65536"))
+
+
+def _bpe_merge_word_py(w: str, a: str, b: str) -> str:
+    """Python twin of :func:`_bpe_merge_word`, byte-identical on any
+    symbol string: same doubled-boundary wrap, same left-to-right
+    non-overlapping replace (str.replace == UTF8String.replace
+    semantics), same both-end SEP trim (str.strip(SEP) == btrim —
+    both strip every leading/trailing SEP character)."""
+    wrapped = BPE_BOUND + w + BPE_BOUND
+    replaced = wrapped.replace(
+        BPE_SEP + a + BPE_BOUND + b + BPE_SEP, BPE_SEP + a + b + BPE_SEP
+    )
+    return replaced.strip(BPE_SEP)
+
+
+def _bpe_pairs_py(w: str) -> list[str]:
+    """Python twin of :func:`_bpe_pair_counts`'s per-word pair list:
+    SEP-joined adjacent symbol pairs; a single-symbol word yields
+    none. BPE_BOUND has no regex metacharacters, so str.split equals
+    the F.split regex split on well-formed symbol strings."""
+    syms = w.split(BPE_BOUND)
+    return [
+        syms[i] + BPE_SEP + syms[i + 1] for i in range(len(syms) - 1)
+    ]
+
+
+def _bpe_apply_local(words, counts, merge_list):
+    """Apply ``merge_list`` [(a, b)] in order to every (w, cnt)
+    histogram row, delta-updating ``counts`` (subtract the old word's
+    pairs, add the new word's — identical totals to a fresh recount,
+    the classic incremental-BPE device). Sequential application of
+    the per-merge replace equals the trainer's composed chain (the
+    unwrap/wrap roundtrip between steps is the identity — the
+    bpe_train_batched exactness argument)."""
+    out = []
+    for w, cnt in words:
+        nw = w
+        for a, b in merge_list:
+            nw = _bpe_merge_word_py(nw, a, b)
+        if nw != w:
+            for q in _bpe_pairs_py(w):
+                counts[q] -= cnt
+            for q in _bpe_pairs_py(nw):
+                counts[q] += cnt
+        out.append((nw, cnt))
+    return out
+
+
+def _bpe_top_pairs_local(counts, k: int):
+    """The trainer's total order — (count DESC, SEP-joined key ASC)
+    — over the live pair counts, top ``k``. Python str comparison is
+    code-point order, which equals Spark's UTF8 binary order (UTF-8
+    preserves code-point order), so ties break identically."""
+    return sorted(
+        ((pk, n) for pk, n in counts.items() if n > 0),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:k]
+
+
+def _bpe_train_local(
+    hist: list[tuple[str, int]], rounds: int
+) -> list[tuple[int, str, str, int]]:
+    """Driver-side sequential trainer over a collected distinct-word
+    histogram: semantics byte-identical to the distributed rounds
+    (same pair weighting, same total order, same greedy rewrite —
+    pinned by the hypothesis differentials and the pure-Python
+    reference spec in tests/test_properties.py)."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    words = list(hist)
+    for w, cnt in words:
+        for q in _bpe_pairs_py(w):
+            counts[q] += cnt
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(rounds):
+        top = _bpe_top_pairs_local(counts, 1)
+        if not top:
+            break
+        pk, n = top[0]
+        a, b = pk.split(BPE_SEP)
+        merges.append((r, a, b, n))
+        words = _bpe_apply_local(words, counts, [(a, b)])
+    return merges
+
+
+def _bpe_train_batched_local(
+    hist: list[tuple[str, int]], rounds: int, batch: int, candidates: int
+) -> list[tuple[int, str, str, int]]:
+    """Driver-side batched trainer over a collected histogram — the
+    bpe_train_batched contract verbatim (rank window, symbol-disjoint
+    greedy acceptance incl. outputs, static per-round cap, rank-order
+    application)."""
+    import math
+
+    from collections import Counter
+
+    counts: Counter = Counter()
+    words = list(hist)
+    for w, cnt in words:
+        for q in _bpe_pairs_py(w):
+            counts[q] += cnt
+    merges: list[tuple[int, str, str, int]] = []
+    for t in range(math.ceil(rounds / max(batch, 1))):
+        cap = min(batch, rounds - t * batch)
+        top = _bpe_top_pairs_local(counts, candidates)
+        if not top:
+            break
+        used: set[str] = set()
+        accepted: list[tuple[str, str, int]] = []
+        for pk, n in top:
+            if len(accepted) >= cap:
+                break
+            a, b = pk.split(BPE_SEP)
+            if a in used or b in used:
+                continue
+            used.update((a, b, a + b))
+            accepted.append((a, b, n))
+        for a, b, n in accepted:
+            merges.append((len(merges), a, b, n))
+        words = _bpe_apply_local(
+            words, counts, [(a, b) for a, b, _ in accepted]
+        )
+    return merges
+
+
+def _bpe_hist_if_small(cur: DataFrame):
+    """Collect the persisted histogram iff it fits the driver-side
+    cap: ``limit(cap+1)`` bounds the driver transfer, and in the
+    fallback (cap exceeded) the work is not wasted — the aggregation's
+    map side ran fully and the touched reduce partitions are already
+    in ``cur``'s cache for round 1's pair count. Returns
+    list[(w, cnt)] or None."""
+    cap = _bpe_local_cap()
+    if cap <= 0:
+        return None
+    rows = cur.limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    return [(r["w"], r["cnt"]) for r in rows]
+
+
 def bpe_train(
     words: DataFrame, rounds: int
 ) -> list[tuple[int, str, str, int]]:
@@ -462,6 +610,18 @@ def bpe_train(
         merges: list[tuple[int, str, str, int]] = []
         cur = _bpe_word_hist(words).persist(StorageLevel.MEMORY_AND_DISK)
         cached.append(cur)
+        # r15 optimization: a vocabulary at or under the driver cap
+        # trains LOCALLY off the one collected histogram — the corpus
+        # pass is the same, but the k rounds become pure-Python merges
+        # instead of k driver-coordinated micro-jobs (how production
+        # tokenizer trainers work: histogram in, merges out). Byte-
+        # identical semantics (_bpe_train_local); above the cap the
+        # distributed rounds below run unchanged, so 100 TB
+        # vocabularies degrade to the scale path instead of OOMing
+        # the driver.
+        hist = _bpe_hist_if_small(cur)
+        if hist is not None:
+            return _bpe_train_local(hist, rounds)
         for r in range(rounds):
             top = (
                 _bpe_pair_counts(cur, weight_col="cnt")
@@ -562,6 +722,11 @@ def bpe_train_batched(
         merges: list[tuple[int, str, str, int]] = []
         cur = _bpe_word_hist(words).persist(StorageLevel.MEMORY_AND_DISK)
         cached.append(cur)
+        # same driver-side fast path as bpe_train (r15): under the
+        # cap, the batch rounds run locally with identical contract
+        hist = _bpe_hist_if_small(cur)
+        if hist is not None:
+            return _bpe_train_batched_local(hist, rounds, batch, candidates)
         for t in range(math.ceil(rounds / max(batch, 1))):
             cap = min(batch, rounds - t * batch)
             top = (

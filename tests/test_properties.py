@@ -1828,6 +1828,38 @@ def test_bpe_train_matches_python_reference(spark, words, rounds):
     assert bpe_train(df, rounds) == ref()
 
 
+@given(words=bpe_words, rounds=st.integers(1, 4))
+@example(words=["aaaa"], rounds=2)
+@example(words=["ab", "ab", "ba"], rounds=3)
+@SETTINGS
+def test_bpe_train_local_equals_distributed(spark, words, rounds):
+    """The r15 driver-side fast path (histogram under
+    SPARK_GRAFT_BPE_LOCAL_VOCAB_CAP collected and trained locally)
+    must produce the SAME merge table as the distributed rounds —
+    cap=0 forces the distributed path on the identical input. Covers
+    both bpe_train and bpe_train_batched (the batched contract's
+    acceptance window and rank-order application included)."""
+    import os
+
+    from event_stream_for_k8s_spark.operators.corpus import (
+        bpe_symbolize,
+        bpe_train,
+        bpe_train_batched,
+    )
+
+    df = spark.createDataFrame([(w,) for w in words], "lw string").select(
+        bpe_symbolize(F.col("lw")).alias("w")
+    )
+    local_seq = bpe_train(df, rounds)
+    local_bat = bpe_train_batched(df, rounds, batch=2, candidates=8)
+    os.environ["SPARK_GRAFT_BPE_LOCAL_VOCAB_CAP"] = "0"
+    try:
+        assert bpe_train(df, rounds) == local_seq
+        assert bpe_train_batched(df, rounds, batch=2, candidates=8) == local_bat
+    finally:
+        del os.environ["SPARK_GRAFT_BPE_LOCAL_VOCAB_CAP"]
+
+
 def _py_bpe_train_batched(words, rounds, batch, candidates):
     """Pure-Python spec of the batched trainer's contract: per batch
     round, rank by (count DESC, key ASC), greedy-accept up to the
