@@ -330,7 +330,19 @@ def bpe_apply(enc: DataFrame, merges) -> DataFrame:
     return enc
 
 
-def bpe_apply_vocab(enc: DataFrame, merges) -> DataFrame:
+def bpe_merge_chain(col, merges):
+    """The composed per-word merge rewrite: :func:`_bpe_merge_word`
+    chained in training order over ``col``. Pure column expression —
+    byte-identical to applying the merges one select at a time (the
+    unwrap/wrap roundtrip between steps is the identity)."""
+    for _, a, b, _ in merges:
+        col = _bpe_merge_word(col, a, b)
+    return col
+
+
+def bpe_apply_vocab(
+    enc: DataFrame, merges, vocab: DataFrame | None = None
+) -> DataFrame:
     """:func:`bpe_apply` through the distinct-word vocabulary (r15):
     the merge chain is a pure per-word function, so rewrite each
     DISTINCT ``w`` once and join the result back onto the occurrences
@@ -340,20 +352,27 @@ def bpe_apply_vocab(enc: DataFrame, merges) -> DataFrame:
     to broadcast-hash in the common case, but a forced hint would fail
     outright past broadcast limits instead of degrading to a shuffle
     join (VERDICT r14 wrong #2). Row-identical to :func:`bpe_apply`
-    (same column set and order)."""
-    col = F.col("w")
-    for _, a, b, _ in merges:
-        col = _bpe_merge_word(col, a, b)
-    vocab = enc.select("w").distinct().select(
-        "w", col.alias("__bpe_we")
+    (same column set and order).
+
+    ``vocab``: optional pre-computed distinct-word relation (one
+    column ``w`` covering every distinct ``enc.w``) — pass the
+    trainer's persisted count-by-word histogram keys to skip the
+    second corpus-scale distinct aggregation entirely (r15 round 2:
+    the histogram's key set IS the vocabulary, so recomputing it via
+    ``distinct()`` shuffled the corpus twice for one relation)."""
+    src = vocab.select("w") if vocab is not None else enc.select("w").distinct()
+    vocab_df = src.select(
+        "w", bpe_merge_chain(F.col("w"), merges).alias("__bpe_we")
     )
     other = [c for c in enc.columns if c != "w"]
-    return enc.join(vocab, "w").select(
+    return enc.join(vocab_df, "w").select(
         *other, F.col("__bpe_we").alias("w")
     )
 
 
-def bpe_token_ids(words: DataFrame, merges) -> DataFrame:
+def bpe_token_ids(
+    words: DataFrame, merges, vocab: DataFrame | None = None
+) -> DataFrame:
     """Per-doc BPE token-id sequences from a symbolized word corpus.
 
     ``words``: (doc_id, wpos, w) — ``w`` is a BOUND-joined symbol
@@ -374,13 +393,16 @@ def bpe_token_ids(words: DataFrame, merges) -> DataFrame:
     functions, so both run over the DISTINCT vocabulary and join back
     onto (doc_id, wpos) occurrences — k replaces x |vocab| rows instead
     of x |corpus| rows (:func:`bpe_apply_vocab`'s argument); identical
-    per-occurrence output."""
-    vocab: dict[str, int] = {}
+    per-occurrence output. ``vocab``: optional pre-computed distinct
+    ``w`` relation (same contract as :func:`bpe_apply_vocab` — pass
+    the trainer's persisted histogram keys to skip the second
+    corpus-scale distinct)."""
+    id_map: dict[str, int] = {}
     for r, a, b, _ in merges:
-        vocab.setdefault(a + b, 26 + r)
+        id_map.setdefault(a + b, 26 + r)
     merged_map = (
-        F.create_map(*[F.lit(x) for kv in vocab.items() for x in kv])
-        if vocab
+        F.create_map(*[F.lit(x) for kv in id_map.items() for x in kv])
+        if id_map
         else F.lit(None).cast("map<string,int>")
     )
 
@@ -389,13 +411,14 @@ def bpe_token_ids(words: DataFrame, merges) -> DataFrame:
             merged_map[s]
         )
 
-    col = F.col("w")
-    for _, a, b, _ in merges:
-        col = _bpe_merge_word(col, a, b)
+    col = bpe_merge_chain(F.col("w"), merges)
+    src = (
+        vocab.select("w")
+        if vocab is not None
+        else words.select("w").distinct()
+    )
     per_vocab = (
-        words.select("w")
-        .distinct()
-        .select("w", col.alias("__we"))
+        src.select("w", col.alias("__we"))
         .select(
             "w",
             F.array_join(
