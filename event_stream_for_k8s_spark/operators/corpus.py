@@ -247,11 +247,41 @@ def _bpe_pair_counts(
     )
 
 
-def _bpe_word_hist(words: DataFrame) -> DataFrame:
+def bpe_word_hist(words: DataFrame) -> DataFrame:
     """words (one column ``w``) -> distinct-word histogram (w, cnt).
     The ONE corpus-scale pass of the histogram trainer; everything
-    after runs over |vocab| rows."""
+    after runs over |vocab| rows.
+
+    Public (r15): callers that both train AND encode should build this
+    once, persist it, and hand it to :func:`bpe_train` (``hist=``) and
+    the encode helpers (``vocab=``) — the histogram's key set IS the
+    distinct-word vocabulary, so one corpus-scale shuffle serves the
+    trainer and the encoder instead of each recomputing it (the
+    trainer via this aggregation, the encoder via a ``distinct()``).
+    The caller owns the persist lifetime (the repo's cached_input
+    discipline); the trainer never unpersists a caller-passed
+    histogram."""
     return words.groupBy("w").agg(F.count("*").alias("cnt"))
+
+
+def bpe_word_ntok(vocab_src: DataFrame, merges) -> DataFrame:
+    """(w, __bpe_n): trained-tokenizer token count per DISTINCT word —
+    the merge chain replayed once per vocab row, then a symbol count.
+    Callers that only need per-doc token COUNTS join this onto the
+    occurrence relation instead of joining the full rewritten symbol
+    string (:func:`bpe_apply_vocab`) and re-splitting it per
+    occurrence: the joined payload narrows from a string to one int
+    and the size(split(...)) work runs |vocab| times, not |corpus|
+    times (guide §2.3 — shuffle fewer bytes). ``vocab_src``: a
+    relation with one row per distinct word in ``w`` (the trainer's
+    histogram; callers without one pass
+    ``occurrences.select("w").distinct()``)."""
+    return vocab_src.select("w").select(
+        "w",
+        F.size(
+            F.split(bpe_merge_chain(F.col("w"), merges), BPE_BOUND)
+        ).alias("__bpe_n"),
+    )
 
 
 def pack_pairs(t: DataFrame, cap: int = 512) -> DataFrame:
@@ -598,7 +628,7 @@ def _bpe_hist_if_small(cur: DataFrame):
 
 
 def bpe_train(
-    words: DataFrame, rounds: int
+    words: DataFrame, rounds: int, hist: DataFrame | None = None
 ) -> list[tuple[int, str, str, int]]:
     """Run ``rounds`` BPE merge rounds over ``words`` (one column
     ``w`` of SEP-joined symbol strings, see :func:`bpe_symbolize`).
@@ -626,13 +656,25 @@ def bpe_train(
     merge table is driver-side, so unlike token_budget_head no lazy
     result holds them); ``words`` itself is read exactly once (the
     histogram aggregation) and a caller-persisted input is left
-    exactly as it arrived (ADVICE r09)."""
+    exactly as it arrived (ADVICE r09).
+
+    ``hist``: optional pre-built count-by-word histogram
+    (:func:`bpe_word_hist` over the same words; CALLER-owned — the
+    trainer reads it but never persists or unpersists it). Callers
+    that also encode should persist one histogram and share it with
+    the encode helpers' ``vocab=`` argument so the corpus is shuffled
+    once for both (r15 O5); ``words`` is then not read at all."""
     cached: list[DataFrame] = []
     narrowed = None
     try:
         merges: list[tuple[int, str, str, int]] = []
-        cur = _bpe_word_hist(words).persist(StorageLevel.MEMORY_AND_DISK)
-        cached.append(cur)
+        if hist is not None:
+            cur = hist  # caller-owned: never unpersisted here
+        else:
+            cur = bpe_word_hist(words).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            cached.append(cur)
         # r15 optimization: a vocabulary at or under the driver cap
         # trains LOCALLY off the one collected histogram — the corpus
         # pass is the same, but the k rounds become pure-Python merges
@@ -642,9 +684,9 @@ def bpe_train(
         # distributed rounds below run unchanged, so 100 TB
         # vocabularies degrade to the scale path instead of OOMing
         # the driver.
-        hist = _bpe_hist_if_small(cur)
-        if hist is not None:
-            return _bpe_train_local(hist, rounds)
+        local_hist = _bpe_hist_if_small(cur)
+        if local_hist is not None:
+            return _bpe_train_local(local_hist, rounds)
         for r in range(rounds):
             top = (
                 _bpe_pair_counts(cur, weight_col="cnt")
@@ -695,6 +737,7 @@ def bpe_train_batched(
     rounds: int,
     batch: int = 4,
     candidates: int = 32,
+    hist: DataFrame | None = None,
 ) -> list[tuple[int, str, str, int]]:
     """Batched-merge BPE trainer (VERDICT r11 #4): learn up to
     ``batch`` merges per Spark round from ONE pair count, instead of
@@ -735,7 +778,8 @@ def bpe_train_batched(
     as :func:`bpe_train`: one corpus-scale count-by-word, then every
     round's weighted pair count and composed rewrite touch |vocab|
     rows; ``words`` is read exactly once and caller-owned caches are
-    never touched.
+    never touched. ``hist``: optional caller-owned pre-built histogram,
+    same contract as :func:`bpe_train`.
     """
     import math
 
@@ -743,13 +787,20 @@ def bpe_train_batched(
     narrowed = None
     try:
         merges: list[tuple[int, str, str, int]] = []
-        cur = _bpe_word_hist(words).persist(StorageLevel.MEMORY_AND_DISK)
-        cached.append(cur)
+        if hist is not None:
+            cur = hist  # caller-owned: never unpersisted here
+        else:
+            cur = bpe_word_hist(words).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            cached.append(cur)
         # same driver-side fast path as bpe_train (r15): under the
         # cap, the batch rounds run locally with identical contract
-        hist = _bpe_hist_if_small(cur)
-        if hist is not None:
-            return _bpe_train_batched_local(hist, rounds, batch, candidates)
+        local_hist = _bpe_hist_if_small(cur)
+        if local_hist is not None:
+            return _bpe_train_batched_local(
+                local_hist, rounds, batch, candidates
+            )
         for t in range(math.ceil(rounds / max(batch, 1))):
             cap = min(batch, rounds - t * batch)
             top = (

@@ -5042,11 +5042,13 @@ FROM documents d LEFT JOIN perdoc USING (doc_id)"""
     " with conditional sums — the seg tag rides narrow folds free",
 )
 def llm_sft_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     from event_stream_for_k8s_spark.operators.corpus import (
-        BPE_BOUND,
-        bpe_apply_vocab,
         bpe_symbolize,
         bpe_train,
+        bpe_word_hist,
+        bpe_word_ntok,
     )
 
     d = load(spark, sf_dir, "documents").select(
@@ -5079,9 +5081,15 @@ def llm_sft_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lw").rlike("^[a-z]+$") & (F.length("lw") >= 2))
         .select("doc_id", "seg", bpe_symbolize(F.col("lw")).alias("w"))
     )
-    merges = bpe_train(words.select("w"), 8)
-    enc = bpe_apply_vocab(words, merges)
-    ntok = F.size(F.split("w", BPE_BOUND))
+    # r15 O5: seg-conditional token counts need only the per-word
+    # count — join it off the trainer's persisted histogram (see
+    # llm_bpe_pack).
+    hist = bpe_word_hist(words.select("w")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    merges = bpe_train(words.select("w"), 8, hist=hist)
+    enc = words.join(bpe_word_ntok(hist, merges), "w")
+    ntok = F.col("__bpe_n")
     perdoc = enc.groupBy("doc_id").agg(
         F.sum(F.when(F.col("seg") == 0, ntok).otherwise(0))
         .cast("bigint")
@@ -5223,11 +5231,14 @@ def llm_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     "through w8 (with_final=True) + the same three aggregates",
 )
 def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     from event_stream_for_k8s_spark.operators.corpus import (
         BPE_BOUND,
-        bpe_apply_vocab,
+        bpe_merge_chain,
         bpe_symbolize,
         bpe_train,
+        bpe_word_hist,
     )
 
     d = load(spark, sf_dir, "documents")
@@ -5237,14 +5248,32 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lw").rlike("^[a-z]+$") & (F.length("lw") >= 2))
         .select(bpe_symbolize(F.col("lw")).alias("w"))
     )
-    merges = bpe_train(words, 8)
-    encoded = bpe_apply_vocab(words, merges)
-    pre = words.agg(
-        F.count("*").alias("n_words"),
-        F.sum(F.size(F.split("w", BPE_BOUND))).alias("chars_total"),
+    # r15 O5: every output is an occurrence-weighted aggregate, so the
+    # WHOLE query folds onto the trainer's count-by-word histogram —
+    # one corpus-scale shuffle total (the histogram build, shared with
+    # the trainer via hist=), where the occurrence form re-scanned the
+    # corpus for pre/post/vocab AND ran a second corpus-scale distinct
+    # inside bpe_apply_vocab. Weighted sums over (w, cnt) equal the
+    # per-occurrence sums exactly (occurrences of equal words
+    # contribute equally); countDistinct over rewritten histogram
+    # symbols equals countDistinct over rewritten occurrences (same
+    # value set). n_words coalesces to 0 on an empty corpus, matching
+    # count(*).
+    hist = bpe_word_hist(words).persist(StorageLevel.MEMORY_AND_DISK)
+    merges = bpe_train(words, 8, hist=hist)
+    encoded = hist.select(
+        bpe_merge_chain(F.col("w"), merges).alias("w"), "cnt"
+    )
+    pre = hist.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n_words"),
+        F.sum(
+            F.col("cnt") * F.size(F.split("w", BPE_BOUND))
+        ).alias("chars_total"),
     )
     post = encoded.agg(
-        F.sum(F.size(F.split("w", BPE_BOUND))).alias("tokens_total")
+        F.sum(
+            F.col("cnt") * F.size(F.split("w", BPE_BOUND))
+        ).alias("tokens_total")
     )
     vocab = (
         encoded.select(
@@ -5291,10 +5320,13 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "against a pure-Python merge apply (tests/test_properties.py)",
 )
 def llm_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     from event_stream_for_k8s_spark.operators.corpus import (
         bpe_symbolize,
         bpe_token_ids,
         bpe_train,
+        bpe_word_hist,
     )
 
     d = load(spark, sf_dir, "documents")
@@ -5307,8 +5339,15 @@ def llm_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lw").rlike("^[a-z]+$") & (F.length("lw") >= 2))
         .select("doc_id", "wpos", bpe_symbolize(F.col("lw")).alias("w"))
     )
-    merges = bpe_train(words.select("w"), 8)
-    perdoc = bpe_token_ids(words, merges)
+    # r15 O5: one persisted count-by-word histogram feeds BOTH the
+    # trainer (hist=) and the encoder's vocab subtree (vocab=) — the
+    # occurrence form re-shuffled the corpus a second time inside
+    # bpe_token_ids' distinct() for the identical key set.
+    hist = bpe_word_hist(words.select("w")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    merges = bpe_train(words.select("w"), 8, hist=hist)
+    perdoc = bpe_token_ids(words, merges, vocab=hist)
     return d.select("doc_id").join(perdoc, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n_tok", F.lit(0)).cast("bigint").alias("n_tok"),
@@ -5334,13 +5373,14 @@ def llm_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "identical window SQL",
 )
 def llm_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     from event_stream_for_k8s_spark.operators.corpus import (
-        BPE_BOUND,
-        bpe_apply_vocab,
         bpe_symbolize,
         bpe_train,
+        bpe_word_hist,
+        bpe_word_ntok,
     )
 
     d = load(spark, sf_dir, "documents")
@@ -5353,10 +5393,19 @@ def llm_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lw").rlike("^[a-z]+$") & (F.length("lw") >= 2))
         .select("doc_id", bpe_symbolize(F.col("lw")).alias("w"))
     )
-    merges = bpe_train(words.select("w"), 8)
-    enc = bpe_apply_vocab(words, merges)
-    perdoc = enc.groupBy("doc_id").agg(
-        F.sum(F.size(F.split("w", BPE_BOUND))).alias("n_tok")
+    # r15 O5: the downstream only needs per-doc token COUNTS, so join
+    # the per-vocab-word count (one int) instead of the rewritten
+    # symbol string, off the same persisted histogram the trainer
+    # consumes — narrower join payload, size(split(...)) runs |vocab|
+    # not |corpus| times, and the corpus-scale distinct() disappears.
+    hist = bpe_word_hist(words.select("w")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    merges = bpe_train(words.select("w"), 8, hist=hist)
+    perdoc = (
+        words.join(bpe_word_ntok(hist, merges), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("__bpe_n").alias("n_tok"))
     )
     w = (
         Window.partitionBy("shard")
@@ -5399,11 +5448,13 @@ def llm_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     "+ the shared d-chain + the attested fold SQL (_sft_oracle)",
 )
 def llm_sft_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     from event_stream_for_k8s_spark.operators.corpus import (
-        BPE_BOUND,
-        bpe_apply_vocab,
         bpe_symbolize,
         bpe_train,
+        bpe_word_hist,
+        bpe_word_ntok,
         pack_pairs,
     )
 
@@ -5431,10 +5482,16 @@ def llm_sft_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lw").rlike("^[a-z]+$") & (F.length("lw") >= 2))
         .select("doc_id", bpe_symbolize(F.col("lw")).alias("w"))
     )
-    merges = bpe_train(words.select("w"), 8)
-    enc = bpe_apply_vocab(words, merges)
-    perdoc = enc.groupBy("doc_id").agg(
-        F.sum(F.size(F.split("w", BPE_BOUND))).cast("bigint").alias("n_tok")
+    # r15 O5: per-doc token counts via the per-vocab-word count join
+    # off the trainer's persisted histogram (see llm_bpe_pack).
+    hist = bpe_word_hist(words.select("w")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    merges = bpe_train(words.select("w"), 8, hist=hist)
+    perdoc = (
+        words.join(bpe_word_ntok(hist, merges), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("__bpe_n").cast("bigint").alias("n_tok"))
     )
     t = perdoc.select(
         "doc_id", (F.col("doc_id") % 8).alias("shard"), "n_tok"

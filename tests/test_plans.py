@@ -830,11 +830,15 @@ def test_sft_pipeline_plan_shape(spark):
     assert "partial_sum" in p
     assert "BroadcastHashJoin" in p and "BroadcastNestedLoop" not in p
     c = census(p)
-    # census 6 since r15: the vocab-join apply adds the vocab distinct
-    # (+1 keyed shuffle over Heaps-law-small distinct words) and its
-    # occurrence join (+1, AQE-broadcast in the common case) in
-    # exchange for dropping 8 corpus-wide replace folds — see
-    # tools/census_baseline.json notes and OPTIMIZATION_r15.md
+    # census 6 since r15 O5: ONE persisted count-by-word histogram
+    # feeds the trainer and the per-word token-count join
+    # (bpe_word_ntok) — no corpus-scale distinct, and the join payload
+    # is one int. The static count includes the cached histogram's
+    # exchange re-embedded at its InMemoryTableScan reference plus the
+    # pack_pairs ranked-relation cache's two exchanges embedded at
+    # both self-join sides; real keyed data movement is histogram +
+    # per-doc count + rank window — see tools/census_baseline.json
+    # notes and OPTIMIZATION_r15.md
     assert c["shuffles"] <= 6 and c["single_partition"] == 0, c
 
 

@@ -1860,6 +1860,67 @@ def test_bpe_train_local_equals_distributed(spark, words, rounds):
         del os.environ["SPARK_GRAFT_BPE_LOCAL_VOCAB_CAP"]
 
 
+@given(words=bpe_words, rounds=st.integers(1, 4))
+@example(words=["aaaa"], rounds=2)
+@example(words=["ab", "ab", "ba"], rounds=3)
+@SETTINGS
+def test_bpe_hist_passthrough_equivalence(spark, words, rounds):
+    """The r15 O5 shared-histogram plumbing must be a pure plan
+    optimization: training off a caller-built bpe_word_hist (hist=),
+    encoding through a caller-passed vocabulary (vocab=), and joining
+    bpe_word_ntok's per-word counts must all equal the self-contained
+    forms on the same corpus — merge table, rewritten occurrences,
+    per-doc id sequences, and token counts alike."""
+    from event_stream_for_k8s_spark.operators.corpus import (
+        BPE_BOUND,
+        bpe_apply_vocab,
+        bpe_symbolize,
+        bpe_token_ids,
+        bpe_train,
+        bpe_train_batched,
+        bpe_word_hist,
+        bpe_word_ntok,
+    )
+
+    docs = spark.createDataFrame(
+        [(i % 3, i, w) for i, w in enumerate(words)],
+        "doc_id long, wpos int, lw string",
+    ).select("doc_id", "wpos", bpe_symbolize(F.col("lw")).alias("w"))
+    hist = bpe_word_hist(docs.select("w")).persist()
+    try:
+        merges = bpe_train(docs.select("w"), rounds)
+        assert bpe_train(docs.select("w"), rounds, hist=hist) == merges
+        assert bpe_train_batched(
+            docs.select("w"), rounds, batch=2, candidates=8, hist=hist
+        ) == bpe_train_batched(docs.select("w"), rounds, batch=2, candidates=8)
+
+        base = bpe_apply_vocab(docs, merges)
+        via_vocab = bpe_apply_vocab(docs, merges, vocab=hist)
+        key = lambda r: (r["doc_id"], r["wpos"])  # noqa: E731
+        assert sorted(via_vocab.collect(), key=key) == sorted(
+            base.collect(), key=key
+        )
+
+        ids_base = bpe_token_ids(docs, merges)
+        ids_vocab = bpe_token_ids(docs, merges, vocab=hist)
+        dkey = lambda r: r["doc_id"]  # noqa: E731
+        assert sorted(ids_vocab.collect(), key=dkey) == sorted(
+            ids_base.collect(), key=dkey
+        )
+
+        ntok = docs.join(bpe_word_ntok(hist, merges), "w").select(
+            "doc_id", "wpos", F.col("__bpe_n").alias("n")
+        )
+        direct = base.select(
+            "doc_id", "wpos", F.size(F.split("w", BPE_BOUND)).alias("n")
+        )
+        assert sorted(ntok.collect(), key=key) == sorted(
+            direct.collect(), key=key
+        )
+    finally:
+        hist.unpersist()
+
+
 def _py_bpe_train_batched(words, rounds, batch, candidates):
     """Pure-Python spec of the batched trainer's contract: per batch
     round, rank by (count DESC, key ASC), greedy-accept up to the

@@ -31,13 +31,40 @@ from event_stream_for_k8s_spark.plans import REGISTRY  # noqa: E402
 from event_stream_for_k8s_spark.session import get_spark  # noqa: E402
 
 
+def _drop_initial_plans(plan: str) -> str:
+    """Drop '== Initial Plan ==' sections from (possibly nested) AQE
+    dumps. A materialized AdaptiveSparkPlan — e.g. inside a persisted
+    relation's InMemoryRelation — prints BOTH its Final and Initial
+    plans, so every exchange in it would count twice; the Initial
+    section is the same plan pre-AQE, not extra data movement. A
+    section spans the marker line and every following line indented
+    deeper than the marker."""
+    out = []
+    skip_indent: int | None = None
+    for ln in plan.splitlines():
+        indent = len(ln) - len(ln.lstrip())
+        if skip_indent is not None:
+            if ln.strip() and indent > skip_indent:
+                continue
+            skip_indent = None
+        if "== Initial Plan ==" in ln:
+            skip_indent = indent
+            continue
+        out.append(ln)
+    return "\n".join(out)
+
+
 def census(plan: str) -> dict[str, int]:
     # A ReusedExchange line EMBEDS the referenced exchange's own text
     # ("ReusedExchange [...], Exchange hashpartitioning(...)"), so
     # count on the plan with those lines dropped entirely — the
-    # referenced node is counted once where it is defined.
+    # referenced node is counted once where it is defined. Initial-
+    # plan sections of materialized AQE subtrees are dropped first
+    # (each exchange counted once, in its Final Plan form).
     kept = "\n".join(
-        ln for ln in plan.splitlines() if "ReusedExchange" not in ln
+        ln
+        for ln in _drop_initial_plans(plan).splitlines()
+        if "ReusedExchange" not in ln
     )
     total = len(re.findall(r"(?<!Broadcast)Exchange ", kept))
     single = len(re.findall(r"Exchange SinglePartition", kept))
