@@ -1039,10 +1039,17 @@ def knn_sq8(
         )
     if n_q == 0:
         return _empty_knn_result(queries, q_id, corpus, c_id)
-    corpus = spread_to_cores(corpus)
+    # calibrate on the UN-spread corpus: min/max is partitioning-
+    # invariant, and routing the d-row aggregate through the
+    # round-robin exchange re-paid the spread (scan + keyless
+    # repartition + its sort) inside the calibration job for zero
+    # benefit — the aggregate is map-side partial at any width
+    # (r15 O6; measured 2.1 -> 1.3 s on the envelope query at sf0.1).
+    # The spread stays for the compute-dense encode/score scan below.
     lo, scale = sq8_calibrate(corpus, c_vec)
     if not lo:
         return _empty_knn_result(queries, q_id, corpus, c_id)
+    corpus = spread_to_cores(corpus)
     enc = corpus.select(
         c_id, sq8_encode(F.col(c_vec), lo, scale).alias("code")
     )
@@ -1104,6 +1111,11 @@ def knn_ivfsq8(
         )
     if n_q == 0:
         return _empty_knn_result(queries, q_id, corpus, c_id)
+    # calibrate on the UN-spread corpus (see knn_sq8 — min/max is
+    # partitioning-invariant and the d-row aggregate gains nothing
+    # from the round-robin exchange, r15 O6); the spread feeds the
+    # compute-dense assign/encode/score stages below
+    lo, scale = sq8_calibrate(corpus, c_vec)
     corpus = spread_to_cores(corpus)
 
     # --- IVF half: sample-trained coarse quantizer + per-query probe
@@ -1131,8 +1143,8 @@ def knn_ivfsq8(
         n_probe,
     ).select(q_id, q_vec, "cell")
 
-    # --- SQ8 half: global calibration, int8 codes stored per cell ----
-    lo, scale = sq8_calibrate(corpus, c_vec)
+    # --- SQ8 half: int8 codes stored per cell (calibration hoisted
+    # above the spread) ------------------------------------------------
     enc = corpus_cells.select(
         c_id, "cell", sq8_encode(F.col(c_vec), lo, scale).alias("code")
     )
