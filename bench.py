@@ -19,6 +19,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from event_stream_for_k8s_spark.caching import (  # noqa: E402
+    release_query_caches,
+)
 from event_stream_for_k8s_spark.plans import REGISTRY  # noqa: E402
 from event_stream_for_k8s_spark.plans.llm import effective_caps  # noqa: E402
 from event_stream_for_k8s_spark.session import get_spark  # noqa: E402
@@ -90,6 +93,10 @@ def main() -> None:
             # session and distort later timings (ADVICE r02). Within a
             # query, warm runs may still hit the CacheManager (same
             # logical plan) — intentional, matches prior rounds.
+            # r16: also drop the tracked query-scope cache handles
+            # (caching.py) so the registry list stays bounded; the
+            # clearCache already evicted their blocks.
+            release_query_caches()
             spark.catalog.clearCache()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")

@@ -28,6 +28,8 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from event_stream_for_k8s_spark.caching import query_persist
+
 
 def token_budget_head(tok: DataFrame, budget: int) -> DataFrame:
     """Select the greedy (ntok DESC, doc_id ASC) prefix of ``tok``
@@ -57,7 +59,7 @@ def token_budget_head(tok: DataFrame, budget: int) -> DataFrame:
     # three consumers (length histogram, full-bucket join, boundary
     # join) read the per-doc length relation; persist it so the
     # upstream (often a full corpus scan) evaluates once
-    tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
+    tok = query_persist(tok, StorageLevel.MEMORY_AND_DISK)
     by_len = tok.groupBy("ntok").agg(F.sum("ntok").alias("toks"))
     wl = Window.orderBy(F.desc("ntok"))  # distinct-length domain: tiny
     by_len = by_len.select(
@@ -291,7 +293,7 @@ def pack_pairs(t: DataFrame, cap: int = 512) -> DataFrame:
         "n_tok",
         F.row_number().over(w).alias("rnk"),
         F.count("*").over(wall).alias("m"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(query_persist, StorageLevel.MEMORY_AND_DISK)
     a, b = r.alias("a"), r.alias("b")
     paired = (
         F.col("a.rnk") != F.col("b.rnk")

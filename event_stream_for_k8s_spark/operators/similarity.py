@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from event_stream_for_k8s_spark.caching import query_persist
+
 from event_stream_for_k8s_spark.functions.partitioning import (
     spread_to_cores,
 )
@@ -358,7 +360,7 @@ def minhash_pairs_native(
     # (ADVICE r09) — grab the handle before deriving anything.
     from pyspark import StorageLevel
 
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = sigs.transform(query_persist, StorageLevel.MEMORY_AND_DISK)
     banded = sigs.select(
         id_col,
         "sig",
@@ -447,7 +449,7 @@ def minhash_pairs(
     # self-join (2x the whole upstream pipeline).
     from pyspark import StorageLevel
 
-    hashed = model.transform(feat).persist(StorageLevel.MEMORY_AND_DISK)
+    hashed = model.transform(feat).transform(query_persist, StorageLevel.MEMORY_AND_DISK)
     joined = model.approxSimilarityJoin(
         hashed, hashed, jaccard_distance, distCol="jdist"
     )

@@ -31,7 +31,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
 from pyspark.sql.window import Window
+
+from event_stream_for_k8s_spark.caching import query_persist
 
 from event_stream_for_k8s_spark.catalog import load
 from event_stream_for_k8s_spark.plans.registry import query
@@ -112,7 +115,7 @@ FROM und GROUP BY 1
 def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both unionAll branches read the edge relation: persist so the
     # pair-generation join runs once (harness clears cache after)
-    e = _edges(spark, sf_dir).persist()
+    e = _edges(spark, sf_dir).transform(query_persist)
     und = e.select(F.col("s").alias("user_id")).unionAll(
         e.select(F.col("d").alias("user_id"))
     )
@@ -129,7 +132,7 @@ def _graph_core(spark: SparkSession, sf_dir: str):
     degree-oriented 2-path join (out-degree O(sqrt(m)) on hubs).
     Shared by graph_triangles and graph_jaccard.
     """
-    e = _edges(spark, sf_dir).persist()
+    e = _edges(spark, sf_dir).transform(query_persist)
     deg = (
         e.select(F.col("s").alias("user_id"))
         .unionAll(e.select(F.col("d").alias("user_id")))
@@ -156,7 +159,7 @@ def _graph_core(spark: SparkSession, sf_dir: str):
         F.when(F.col("ks") < F.col("kd"), F.col("d"))
         .otherwise(F.col("s"))
         .alias("hi"),
-    ).persist()
+    ).transform(query_persist)
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
     o3 = oriented.alias("o3")

@@ -12,7 +12,10 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
 from pyspark.sql.window import Window
+
+from event_stream_for_k8s_spark.caching import query_persist
 
 from event_stream_for_k8s_spark.catalog import load
 from event_stream_for_k8s_spark.functions.multimodal import attach_payload
@@ -223,7 +226,7 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # harness clears the cache between queries.
     from pyspark import StorageLevel
 
-    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    grams = grams.transform(query_persist, StorageLevel.MEMORY_AND_DISK)
     a, b = grams.alias("a"), grams.alias("b")
     inter = F.size(F.array_intersect(F.col("a.bg"), F.col("b.bg")))
     union = F.size(F.array_union(F.col("a.bg"), F.col("b.bg")))
@@ -637,7 +640,7 @@ def _knn_recall_envelope(
     brute = (
         knn_brute(queries, corpus, k=5)
         .select("qid", "nid")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(query_persist, StorageLevel.MEMORY_AND_DISK)
     )
     nq = queries.agg(F.count("*").alias("n_queries"))
     nb = brute.agg(F.count("*").alias("n_brute"))
@@ -1426,7 +1429,7 @@ def llm_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chunks feeds BOTH the count-by-sig aggregate and the join back
     # — persist it or the explode + vocab join + window + collect_list
     # pipeline executes twice (r15; same fix as llm_dedup_chunks_cdc)
-    chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
+    chunks = chunks.transform(query_persist, StorageLevel.MEMORY_AND_DISK)
     counts = chunks.groupBy("sig").agg(F.count("*").alias("cnt"))
     return (
         chunks.join(counts, "sig")
@@ -1592,7 +1595,7 @@ def llm_dedup_chunks_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fraction of the token stream it derives from.
     sigs = perdoc.mapInPandas(
         chunks, "doc_id bigint, chunk_id int, sig bigint"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(query_persist, StorageLevel.MEMORY_AND_DISK)
     counts = sigs.groupBy("sig").agg(F.count("*").alias("cnt"))
     return (
         sigs.join(counts, "sig")
@@ -2466,7 +2469,7 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.repartition("doc_id")
         .select("doc_id", F.explode(_word_ngrams("t", 3)).alias("g"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(query_persist, StorageLevel.MEMORY_AND_DISK)
     )
     eval_grams = (
         dg.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
@@ -2783,7 +2786,7 @@ def llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(_word_ngrams("t", 2)).alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count("*").alias("cnt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(query_persist, StorageLevel.MEMORY_AND_DISK)
     )
     boiler = (
         tf.groupBy("g")
@@ -3646,8 +3649,8 @@ def llm_mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    sig = dhash_media(_ppm16(_planted_corpus(d))).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sig = dhash_media(_ppm16(_planted_corpus(d))).transform(
+        query_persist, StorageLevel.MEMORY_AND_DISK
     )
     return _banded_pairs(
         sig,
@@ -3772,8 +3775,8 @@ def llm_mm_dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    sig = _audio_fp_corpus(_planted_corpus(d)).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sig = _audio_fp_corpus(_planted_corpus(d)).transform(
+        query_persist, StorageLevel.MEMORY_AND_DISK
     )
     return _banded_pairs(
         sig, "afp", bands=AFP_BANDS, bits=AFP_BITS,
@@ -3935,8 +3938,8 @@ def llm_mm_dedup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    sig = _video_sig_corpus(_planted_corpus(d)).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sig = _video_sig_corpus(_planted_corpus(d)).transform(
+        query_persist, StorageLevel.MEMORY_AND_DISK
     )
     okb = (
         sig.groupBy("frame_id", "phash")
@@ -4162,7 +4165,7 @@ def llm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("cnt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(query_persist, StorageLevel.MEMORY_AND_DISK)
     )
     lm = tf.groupBy("w").agg(F.sum("cnt").cast("bigint").alias("c"))
     total = lm.agg(F.sum("c").cast("bigint").alias("n"))
@@ -5084,8 +5087,8 @@ def llm_sft_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r15 O5: seg-conditional token counts need only the per-word
     # count — join it off the trainer's persisted histogram (see
     # llm_bpe_pack).
-    hist = bpe_word_hist(words.select("w")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    hist = bpe_word_hist(words.select("w")).transform(
+        query_persist, StorageLevel.MEMORY_AND_DISK
     )
     merges = bpe_train(words.select("w"), 8, hist=hist)
     enc = words.join(bpe_word_ntok(hist, merges), "w")
@@ -5259,7 +5262,7 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # symbols equals countDistinct over rewritten occurrences (same
     # value set). n_words coalesces to 0 on an empty corpus, matching
     # count(*).
-    hist = bpe_word_hist(words).persist(StorageLevel.MEMORY_AND_DISK)
+    hist = bpe_word_hist(words).transform(query_persist, StorageLevel.MEMORY_AND_DISK)
     merges = bpe_train(words, 8, hist=hist)
     encoded = hist.select(
         bpe_merge_chain(F.col("w"), merges).alias("w"), "cnt"
@@ -5343,8 +5346,8 @@ def llm_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trainer (hist=) and the encoder's vocab subtree (vocab=) — the
     # occurrence form re-shuffled the corpus a second time inside
     # bpe_token_ids' distinct() for the identical key set.
-    hist = bpe_word_hist(words.select("w")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    hist = bpe_word_hist(words.select("w")).transform(
+        query_persist, StorageLevel.MEMORY_AND_DISK
     )
     merges = bpe_train(words.select("w"), 8, hist=hist)
     perdoc = bpe_token_ids(words, merges, vocab=hist)
@@ -5398,8 +5401,8 @@ def llm_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # symbol string, off the same persisted histogram the trainer
     # consumes — narrower join payload, size(split(...)) runs |vocab|
     # not |corpus| times, and the corpus-scale distinct() disappears.
-    hist = bpe_word_hist(words.select("w")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    hist = bpe_word_hist(words.select("w")).transform(
+        query_persist, StorageLevel.MEMORY_AND_DISK
     )
     merges = bpe_train(words.select("w"), 8, hist=hist)
     perdoc = (
@@ -5484,8 +5487,8 @@ def llm_sft_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r15 O5: per-doc token counts via the per-vocab-word count join
     # off the trainer's persisted histogram (see llm_bpe_pack).
-    hist = bpe_word_hist(words.select("w")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    hist = bpe_word_hist(words.select("w")).transform(
+        query_persist, StorageLevel.MEMORY_AND_DISK
     )
     merges = bpe_train(words.select("w"), 8, hist=hist)
     perdoc = (
@@ -6384,7 +6387,7 @@ def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs) feeds all four consumers. The harness clears the cache
     # between queries.
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    tf = tf.transform(query_persist, StorageLevel.MEMORY_AND_DISK)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     st = dl.groupBy().agg(
         F.count("*").alias("nd"), F.sum("dl").alias("ntok")
@@ -6675,7 +6678,7 @@ def llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts, and the source-cardinality weight relation persists so
     # the normalizer pass doesn't re-aggregate the corpus
     src = d.groupBy("source").agg(F.count("*").alias("n_docs"))
-    src = src.persist(StorageLevel.MEMORY_AND_DISK)
+    src = src.transform(query_persist, StorageLevel.MEMORY_AND_DISK)
     st = src.groupBy().agg(F.sum("n_docs").alias("nd"))
     w6 = F.round(
         F.pow(F.col("n_docs") * F.lit(1.0) / F.col("nd"), F.lit(_MIX_INV_T)),
@@ -6793,7 +6796,7 @@ def llm_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avail"
             ),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(query_persist, StorageLevel.MEMORY_AND_DISK)
     )
     t = src.groupBy().agg(
         F.sum("avail").cast("long").alias("ta"),
@@ -6820,7 +6823,7 @@ def llm_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("avail * 7 div 4").alias("cap"),
         F.expr("ta * 3 div 2").alias("budget"),
     )
-    w = w.persist(StorageLevel.MEMORY_AND_DISK)
+    w = w.transform(query_persist, StorageLevel.MEMORY_AND_DISK)
     s = w.groupBy().agg(F.sum("w6s").cast("long").alias("wsum"))
     # global sort window over the SOURCE-cardinality relation only
     # (like llm_mix_temperature's normalizer: broadcast-sized by
@@ -6846,7 +6849,7 @@ def llm_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w6s") * (F.col("budget") - F.col("pcap"))
         >= F.col("cap") * (F.col("wsum") - F.col("pw")),
     )
-    m = m.persist(StorageLevel.MEMORY_AND_DISK)
+    m = m.transform(query_persist, StorageLevel.MEMORY_AND_DISK)
     k = m.groupBy().agg(
         F.coalesce(
             F.sum(F.when(F.col("capped"), F.col("cap"))), F.lit(0)
@@ -7043,7 +7046,7 @@ def llm_tokenizer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it — the raw corpus explodes exactly once and the second pass
     # runs over the compressed relation.
     st = tok.groupBy("source", "term").agg(F.count("*").alias("n"))
-    st = st.persist(StorageLevel.MEMORY_AND_DISK)
+    st = st.transform(query_persist, StorageLevel.MEMORY_AND_DISK)
     cnt = st.groupBy("term").agg(F.sum("n").alias("n"))
     vocab = (
         cnt.orderBy(F.desc("n"), "term").limit(_VOCAB_K).select("term")
@@ -7116,7 +7119,7 @@ def llm_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.col("embedding").cast("array<double>")).alias(
             "pos", "val"
         ),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(query_persist, StorageLevel.MEMORY_AND_DISK)
     cent = ex.groupBy("label", "pos").agg(
         (dsum("val", 7) / F.count("*")).alias("cent")
     )
@@ -7294,7 +7297,7 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "lang", "b")
         .agg(F.count("*").alias("n_occ"))
-        .persist()
+        .transform(query_persist)
     )
     raw = feats.groupBy("b").agg(F.sum("n_occ").alias("cr"))
     tgt = (
@@ -7481,7 +7484,7 @@ def llm_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.select("source", _dsir_bucket(F.col("g")).alias("b"))
         .groupBy("source", "b")
         .agg(F.count("*").alias("c"))
-        .persist()
+        .transform(query_persist)
     )
     corpus = per_src.groupBy("b").agg(
         F.sum("c").cast("long").alias("cq")
@@ -7621,7 +7624,7 @@ def ccnet_buckets_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket rows."""
     # shared by the cutpoint agg AND the assignment join below —
     # persist so the tokenize+LM scoring DAG runs once (r05 VERDICT #4)
-    scored = _ccnet_scored(load(spark, sf_dir, "documents")).persist()
+    scored = _ccnet_scored(load(spark, sf_dir, "documents")).transform(query_persist)
     cuts = scored.agg(
         F.percentile_approx(
             "score", [1.0 / 3.0, 2.0 / 3.0], 10000
@@ -7674,7 +7677,7 @@ SELECT doc_id, score, TRUE AS cuts_ok FROM scored
     "anchor per-document",
 )
 def llm_ccnet_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = _ccnet_scored(load(spark, sf_dir, "documents")).persist()
+    scored = _ccnet_scored(load(spark, sf_dir, "documents")).transform(query_persist)
     cuts = scored.agg(
         F.percentile_approx(
             "score", [1.0 / 3.0, 2.0 / 3.0], 10000
@@ -7923,7 +7926,7 @@ def _semdedup_blocks(corpus: DataFrame) -> DataFrame:
         # exchange and the whole size+window subplan would evaluate
         # twice — persist, the llm_ccnet_buckets_approx precedent
         # (~0.6 KB/doc, comparable to corpus bytes, spills to disk)
-        .persist()
+        .transform(query_persist)
     )
     return n
 

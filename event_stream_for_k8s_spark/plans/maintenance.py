@@ -19,6 +19,8 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from event_stream_for_k8s_spark.caching import query_persist
+
 from event_stream_for_k8s_spark.catalog import load
 from event_stream_for_k8s_spark.plans.registry import query
 from event_stream_for_k8s_spark.sources.roundtrip import (
@@ -827,7 +829,7 @@ def maint_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi")
     ).select(F.lit("key").alias("layout"), "file_id", "lo", "hi")
-    files = by_time.unionAll(by_key).persist()
+    files = by_time.unionAll(by_key).transform(query_persist)
     f = files.alias("f")
     g = files.alias("g")
     depth = (

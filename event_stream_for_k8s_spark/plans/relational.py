@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from event_stream_for_k8s_spark.caching import query_persist
+
 from event_stream_for_k8s_spark.catalog import load
 from event_stream_for_k8s_spark.operators import dedup_key, top_k, top_k_per_group
 from event_stream_for_k8s_spark.plans.registry import query
@@ -2051,7 +2053,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("total_revenue")
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(query_persist, StorageLevel.MEMORY_AND_DISK)
     )
     mx = rev.groupBy().agg(F.max("total_revenue").alias("mx"))
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -2211,7 +2213,7 @@ def tpch_q22_global_sales_opportunity(
             "c_acctbal",
             (F.col("c_nationkey") % 5).alias("cntrycode"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(query_persist, StorageLevel.MEMORY_AND_DISK)
     )
     ab = pos.groupBy().agg(
         (dsum("c_acctbal", 2) / F.count("*")).alias("ab")

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from event_stream_for_k8s_spark.caching import query_persist
+
 from event_stream_for_k8s_spark.catalog import load
 from event_stream_for_k8s_spark.operators.timeseries import (
     funnel_stages,
@@ -539,7 +541,7 @@ def ts_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     du = (
         e.select(F.date_trunc("day", "ts").alias("d"), "user_id")
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(query_persist, StorageLevel.MEMORY_AND_DISK)
     )
     days = du.select(F.col("d").alias("day")).distinct()
     covered = du.select(
@@ -597,7 +599,7 @@ def ts_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     du = (
         e.select(F.date_trunc("day", "ts").alias("day"), "user_id")
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(query_persist, StorageLevel.MEMORY_AND_DISK)
     )
     fs = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
     per_day = fs.groupBy(F.col("first_day").alias("day")).agg(
@@ -1049,7 +1051,7 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = s.crossJoin(F.broadcast(stats)).select(
         "h", (F.col("n") * F.col("x") - F.col("sx")).alias("dv")
-    ).persist()
+    ).transform(query_persist)
     den = d.agg(F.sum(F.col("dv") * F.col("dv")).cast("long").alias("den"))
     lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag"))
     shifted = d.crossJoin(F.broadcast(lags)).select(
@@ -1155,7 +1157,7 @@ def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = s.crossJoin(F.broadcast(stats)).select(
         "h", "x", "n", (F.col("n") * F.col("x") - F.col("sx")).alias("dv")
-    ).persist()
+    ).transform(query_persist)
     den = d.agg(F.sum(F.col("dv") * F.col("dv")).cast("long").alias("den"))
     w_cum = Window.orderBy("h").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

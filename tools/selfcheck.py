@@ -22,6 +22,9 @@ import sys
 
 sys.path.insert(0, ".")
 
+from event_stream_for_k8s_spark.caching import (  # noqa: E402
+    release_query_caches,
+)
 from event_stream_for_k8s_spark.plans import REGISTRY  # noqa: E402
 from event_stream_for_k8s_spark.session import get_spark  # noqa: E402
 from event_stream_for_k8s_spark.testing.oracle import (  # noqa: E402
@@ -79,6 +82,12 @@ def main() -> int:
                 "err": f"{type(e).__name__}: {e}",
             }
             continue
+        finally:
+            # query-scope cache ownership (r16): the 312-query sweep
+            # runs in ONE session — release each query's tracked
+            # persists after its result materializes, or cached
+            # blocks accumulate for the session lifetime
+            release_query_caches()
         if not r.ok:
             failed += 1
         records[n] = _record(r)
