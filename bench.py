@@ -77,9 +77,17 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
+    colds: dict[str, float] = {}
     for name in HEADLINE:
         try:
-            run_once(spark, name, sf_dir)  # warm-up
+            # the warm-up run IS the query's first execution in this
+            # session: record it as the COLD number (r16, VERDICT r15
+            # #3 — the timed median can be served partly from the
+            # warm-up's persisted intermediates via CacheManager plan
+            # matching, so persist-based wins look larger warm than
+            # cold; reporting both keeps the median comparable with
+            # every prior round while exposing the true cold cost).
+            colds[name] = round(run_once(spark, name, sf_dir), 3)
             timings[name] = round(
                 statistics.median(run_once(spark, name, sf_dir) for _ in range(runs)),
                 3,
@@ -107,6 +115,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # additions-only (r16): first-run-per-session seconds;
+                # "value" and "queries" stay the warm medians, so
+                # round-over-round comparisons are unaffected
+                "queries_cold": colds,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # effective scale-cap knobs (ADVICE r06): results
                 # recorded under different caps must be distinguishable
