@@ -74,11 +74,21 @@ def run_once(spark, name: str, sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("BENCH_RUNS", "3"))
+    # optional subset for the soak tools (r16): same methodology over
+    # named queries. The driver's invocation sets no BENCH_QUERIES, so
+    # its bench is byte-identical to prior rounds.
+    names = HEADLINE
+    if os.environ.get("BENCH_QUERIES"):
+        names = [
+            n.strip()
+            for n in os.environ["BENCH_QUERIES"].split(",")
+            if n.strip()
+        ]
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
     colds: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         try:
             # the warm-up run IS the query's first execution in this
             # session: record it as the COLD number (r16, VERDICT r15

@@ -27,10 +27,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF1 = os.path.join(REPO, ".data_cache", "sf1")
 
 
-def run_bench(cpus: int) -> dict:
+def run_bench(cpus: int, sf_dir: str, names: list[str] | None) -> dict:
     env = dict(os.environ)
-    env["SPARK_GRAFT_SF_DIR"] = SF1
+    env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["SPARK_GRAFT_CPUS"] = str(cpus)
+    if names:
+        env["BENCH_QUERIES"] = ",".join(names)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
@@ -49,25 +51,33 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(REPO, "SOAK_sf1.json"))
     ap.add_argument("--cpus-high", type=int, default=32)
     ap.add_argument("--cpus-low", type=int, default=8)
+    ap.add_argument("--sf-dir", default=SF1)
+    ap.add_argument("--metric", default="soak_sf1_total_sec")
+    ap.add_argument(
+        "names",
+        nargs="*",
+        help="optional query subset (bench HEADLINE when omitted)",
+    )
     args = ap.parse_args()
-    if not os.path.isdir(SF1):
+    if not os.path.isdir(args.sf_dir):
         raise SystemExit(
-            f"{SF1} missing — generate it first: python tools/make_sf1.py"
+            f"{args.sf_dir} missing — generate it first "
+            "(tools/make_sf1.py / make_sf10.py)"
         )
 
-    high = run_bench(args.cpus_high)
-    low = run_bench(args.cpus_low)
+    high = run_bench(args.cpus_high, args.sf_dir, args.names)
+    low = run_bench(args.cpus_low, args.sf_dir, args.names)
     ratios = {
         n: round(low["queries"][n] / high["queries"][n], 2)
         for n in high["queries"]
         if high["queries"].get(n, 0) > 0 and low["queries"].get(n, 0) > 0
     }
     doc = {
-        "metric": "soak_sf1_total_sec",
+        "metric": args.metric,
         "value": high["value"],
         "unit": "sec",
         "queries": high["queries"],
-        "sf": 1.0,
+        "sf": high.get("sf"),
         "cpus": args.cpus_high,
         "cpus_low": args.cpus_low,
         "queries_low_cpus": low["queries"],
