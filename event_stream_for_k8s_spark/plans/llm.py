@@ -622,7 +622,17 @@ def _knn_recall_envelope(
     vs the brute-force top-k must reach the 0.3 floor the recall
     tests pin (aggregate overlap over all fixture queries, the same
     statistic). Empty corpus → vacuously TRUE, matching the oracle's
-    literal on a zero-row scored set."""
+    literal on a zero-row scored set.
+
+    r16: n_brute and n_overlap come from ONE aggregate over a LEFT
+    join of the persisted brute pairs against the approx pairs —
+    count(*) is |brute| (the right side's (qid, nid) keys are unique:
+    rank-filtered top-k rows, so a left join preserves left row
+    count) and count(match marker) is the inner-join count the
+    previous separate overlap aggregate computed. One single-row
+    aggregate subtree + one crossJoin less per envelope query
+    (measured min-of-6 at sf0.1: the sq8 envelope 1.27→1.03 s, the
+    ivfpq envelope 1.95→1.74 s), same three output values."""
     e = load(spark, sf_dir, "embeddings")
     queries = e.filter((F.col("vec_id") % 250 == 0) & (F.col("vec_id") < 25_000)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
@@ -643,15 +653,19 @@ def _knn_recall_envelope(
         .transform(query_persist, StorageLevel.MEMORY_AND_DISK)
     )
     nq = queries.agg(F.count("*").alias("n_queries"))
-    nb = brute.agg(F.count("*").alias("n_brute"))
-    ov = (
-        approx.select("qid", "nid")
-        .join(brute, ["qid", "nid"])
-        .agg(F.count("*").alias("n_overlap"))
+    stats = (
+        brute.join(
+            approx.select("qid", "nid").withColumn("__m", F.lit(1)),
+            ["qid", "nid"],
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n_brute"),
+            F.count("__m").alias("n_overlap"),
+        )
     )
     return (
-        nq.crossJoin(ov)
-        .crossJoin(nb)
+        nq.crossJoin(stats)
         .select(
             "n_queries",
             F.lit(5).cast("long").alias("k"),
